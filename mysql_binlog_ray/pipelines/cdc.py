@@ -1,0 +1,297 @@
+"""The flagship CDC pipeline: binlog shards -> exactly-once Parquet lake.
+
+Ray-Data-native realization of the reference's whole dataflow plus the
+sink it leaves to the consumer (SURVEY.md §2.7):
+
+    read_parquet(event shards)                       # S3/S6: resumable source
+      -> map_batches(BinlogDecoder, pyarrow, actors) # M2/M3/M4: decode+stamp
+      -> map_batches(flatten + partial LWW)          # M6 combiner half
+      -> add `_part` hash column                     # M5 key routing
+      -> groupby("_part").map_groups(final LWW)      # the one shuffle
+      -> per-partition atomic parquet + manifest     # M7 exactly-once sink
+
+Streaming execution end-to-end: nothing materializes the full stream;
+the only all-to-all exchange carries partially-merged rows.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..stages.decode_stage import BinlogDecoder
+from ..stages.merge import (
+    add_partition_column,
+    flatten_changefeed,
+    lww_final,
+    lww_partial,
+)
+from ..state.checkpoint import (
+    atomic_write_parquet,
+    commit_manifest,
+    read_manifest,
+)
+
+DEFAULT_KEY_COLS = ("repo", "path")
+
+
+@dataclass
+class CdcConfig:
+    key_cols: tuple[str, ...] = DEFAULT_KEY_COLS
+    num_partitions: int = 32
+    # actor-pool size for the decode stage; (min, max) autoscales.  A
+    # callable-class stage requires explicit concurrency in Ray Data.
+    decode_concurrency: int | tuple[int, int] = (1, 8)
+    decode_batch_size: int = 64
+    verify_checksums: bool = True
+    databases: list[str] | None = None
+    tables: list[str] | None = None
+    exclude_databases: list[str] | None = None
+    exclude_tables: list[str] | None = None
+    target_table: tuple[str, str] | None = None
+    decoder_kwargs: dict[str, Any] = field(default_factory=dict)
+
+
+def read_event_stream(manifest: dict[str, Any], start_after_seq: int | None = None) -> rd.Dataset:
+    """Source stage: the shard files listed in the generator manifest.
+
+    Column pruning is irrelevant here (payload is the data), but resume
+    (F2, `EventsIterator.php:92-101`) prunes whole shards whose
+    last_event_seq is already behind the watermark — the distributed
+    version of "start at the configured file/offset".
+    """
+    shards = manifest["shards"]
+    if start_after_seq is not None:
+        shards = [s for s in shards if s["last_event_seq"] > start_after_seq]
+    paths = [s["path"] for s in shards]
+    if not paths:
+        return rd.from_items([])
+    return rd.read_parquet(paths)
+
+
+def decode_changefeed(
+    events: rd.Dataset,
+    registry_snapshot: list[dict[str, Any]],
+    cfg: CdcConfig,
+    start_after_seq: int | None = None,
+) -> rd.Dataset:
+    """Decode stage: map_batches over zero-copy Arrow batches of payloads."""
+    kwargs: dict[str, Any] = dict(
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+        zero_copy_batch=True,
+        concurrency=cfg.decode_concurrency,
+    )
+    return events.map_batches(
+        BinlogDecoder,
+        fn_constructor_kwargs=dict(
+            registry_snapshot=registry_snapshot,
+            target_table=cfg.target_table,
+            databases=cfg.databases,
+            tables=cfg.tables,
+            exclude_databases=cfg.exclude_databases,
+            exclude_tables=cfg.exclude_tables,
+            verify_checksums=cfg.verify_checksums,
+            start_after_seq=start_after_seq,
+            **cfg.decoder_kwargs,
+        ),
+        **kwargs,
+    )
+
+
+def merge_lww(changefeed: rd.Dataset, cfg: CdcConfig, extra_inputs: list[rd.Dataset] | None = None) -> rd.Dataset:
+    """Merge stage: flatten -> partial combine -> hash partition -> final
+    LWW.  ``extra_inputs`` lets resume union the prior lake state (flat
+    rows with op='insert' and their original sequence lineage)."""
+    key_cols = cfg.key_cols
+
+    def _flatten_combine(batch: pa.Table) -> pa.Table:
+        flat = flatten_changefeed(batch, key_cols)
+        return lww_partial(flat, key_cols)
+
+    flat = changefeed.map_batches(_flatten_combine, batch_format="pyarrow")
+    if extra_inputs:
+        flat = flat.union(*extra_inputs)
+
+    parted = flat.map_batches(
+        lambda b: add_partition_column(b, key_cols, cfg.num_partitions),
+        batch_format="pyarrow",
+    )
+
+    def _final(group: pa.Table) -> pa.Table:
+        return lww_final(group, key_cols)
+
+    return parted.groupby("_part").map_groups(_final, batch_format="pyarrow")
+
+
+def run_to_dataset(
+    manifest: dict[str, Any],
+    cfg: CdcConfig | None = None,
+    start_after_seq: int | None = None,
+    extra_inputs: list[rd.Dataset] | None = None,
+) -> rd.Dataset:
+    """Full pipeline, returning the merged final table as a Dataset."""
+    cfg = cfg or CdcConfig()
+    events = read_event_stream(manifest, start_after_seq)
+    cf = decode_changefeed(events, manifest["table_maps"], cfg, start_after_seq)
+    return merge_lww(cf, cfg, extra_inputs=extra_inputs)
+
+
+# ---------------------------------------------------------------------------
+# exactly-once lake sink (M7) + resume
+# ---------------------------------------------------------------------------
+
+
+def _lake_partition_path(lake_dir: str, part: int) -> str:
+    return os.path.join(lake_dir, f"part={part:05d}", "data.parquet")
+
+
+def read_lake_as_flat(lake_dir: str, cfg: CdcConfig) -> rd.Dataset | None:
+    """Prior lake state as flat merge input: op='insert', original
+    (event_seq, row_seq) lineage preserved so new events beat old rows."""
+    m = read_manifest(lake_dir)
+    if m is None:
+        return None
+    paths = [
+        _lake_partition_path(lake_dir, p["part"]) for p in m["partitions"] if p["rows"] > 0
+    ]
+    if not paths:
+        return None
+    ds = rd.read_parquet(paths)
+
+    def _as_upserts(batch: pa.Table) -> pa.Table:
+        # column order must match flatten_changefeed's output exactly for
+        # Dataset.union: [value cols..., op, event_seq, row_seq, commit_seq].
+        # Drop the hive-inferred `part` directory column — it is layout
+        # metadata, not table data.
+        if "part" in batch.column_names:
+            batch = batch.drop_columns(["part"])
+        n = batch.num_rows
+        value_cols = [c for c in batch.column_names if c not in ("event_seq", "row_seq")]
+        cols = {c: batch.column(c) for c in value_cols}
+        cols["op"] = pa.array(["insert"] * n, pa.string())
+        cols["event_seq"] = batch.column("event_seq")
+        cols["row_seq"] = batch.column("row_seq")
+        cols["commit_seq"] = pa.array([-1] * n, pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(_as_upserts, batch_format="pyarrow")
+
+
+def run_to_lake(
+    manifest: dict[str, Any],
+    lake_dir: str,
+    cfg: CdcConfig | None = None,
+    resume: bool = True,
+) -> dict[str, Any]:
+    """Run the pipeline into a partitioned Parquet lake with an atomic
+    watermark manifest; rerun/resume reproduces the identical table.
+
+    Returns the committed manifest.
+    """
+    cfg = cfg or CdcConfig()
+    prior = read_manifest(lake_dir) if resume else None
+    start_after = prior["watermark"] if prior else None
+
+    watermark = max(s["last_event_seq"] for s in manifest["shards"])
+    if prior and prior["watermark"] >= watermark:
+        return prior  # nothing new: idempotent no-op
+
+    extra = []
+    if prior:
+        lake_ds = read_lake_as_flat(lake_dir, cfg)
+        if lake_ds is not None:
+            extra.append(lake_ds)
+
+    events = read_event_stream(manifest, start_after)
+    cf = decode_changefeed(events, manifest["table_maps"], cfg, start_after)
+    key_cols = cfg.key_cols
+
+    def _flatten_combine(batch: pa.Table) -> pa.Table:
+        flat = flatten_changefeed(batch, key_cols)
+        return lww_partial(flat, key_cols)
+
+    flat = cf.map_batches(_flatten_combine, batch_format="pyarrow")
+    for e in extra:
+        flat = flat.union(e)
+    parted = flat.map_batches(
+        lambda b: add_partition_column(b, key_cols, cfg.num_partitions),
+        batch_format="pyarrow",
+    )
+
+    lake = lake_dir
+
+    def _merge_and_write(group: pa.Table) -> pa.Table:
+        """Per-partition merge + atomic write; emits one manifest row.
+
+        Deterministic content: rows sorted by key so a rerun produces
+        byte-identical files (exactly-once via idempotence, SURVEY §7.3).
+        """
+        part = int(group.column("_part")[0].as_py())
+        final = lww_final(group, key_cols)
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            final, sort_keys=[(k, "ascending") for k in key_cols]
+        )
+        final = final.take(order)
+        path = _lake_partition_path(lake, part)
+        size = atomic_write_parquet(final, path, compression="zstd")
+        max_seq = (
+            int(pc.max(final.column("event_seq")).as_py()) if final.num_rows else -1
+        )
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int32()),
+                "rows": pa.array([final.num_rows], pa.int64()),
+                "bytes": pa.array([size], pa.int64()),
+                "max_event_seq": pa.array([max_seq], pa.int64()),
+            }
+        )
+
+    stats = parted.groupby("_part").map_groups(_merge_and_write, batch_format="pyarrow")
+    partition_rows = stats.take_all()  # tiny: one row per partition
+
+    # partitions with no rows this run keep their previous file (resume) or
+    # have no file; record zeros for completeness
+    seen = {int(r["part"]) for r in partition_rows}
+    parts = [
+        {
+            "part": int(r["part"]),
+            "rows": int(r["rows"]),
+            "bytes": int(r["bytes"]),
+            "max_event_seq": int(r["max_event_seq"]),
+        }
+        for r in partition_rows
+    ]
+    if prior:
+        for p in prior["partitions"]:
+            if p["part"] not in seen:
+                parts.append(p)
+
+    return commit_manifest(
+        lake_dir,
+        watermark,
+        parts,
+        extra={"key_cols": list(cfg.key_cols), "num_partitions": cfg.num_partitions},
+    )
+
+
+def read_lake(lake_dir: str) -> rd.Dataset:
+    m = read_manifest(lake_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {lake_dir}")
+    paths = [
+        _lake_partition_path(lake_dir, p["part"]) for p in m["partitions"] if p["rows"] > 0
+    ]
+    ds = rd.read_parquet(paths)
+
+    def _strip_hive(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["part"]) if "part" in batch.column_names else batch
+
+    return ds.map_batches(_strip_hive, batch_format="pyarrow")

@@ -1,0 +1,411 @@
+"""Ray Data decode stage: serialized binlog events -> Arrow changefeed.
+
+SURVEY.md §2.7 M2/M3/M4: a stateful callable class for
+``Dataset.map_batches(BinlogDecoder, batch_format="pyarrow",
+concurrency=N)``.  All expensive setup — compiling per-table decode
+plans, resolving the target schema, building the column remap for
+late-binding casts — happens once per actor in ``__init__``; ``__call__``
+only walks payload bytes.
+
+Semantics reproduced from the reference (citations in protocol/decode.py):
+
+- FORMAT_DESCRIPTION gates checksum handling (`EventsIterator.php:141-151`)
+- TABLE_MAP events update the in-band schema registry
+  (`EventsIterator.php:198-205`); unknown table ids fall back to the
+  broadcast registry snapshot (our distributed stand-in for the
+  single-process dict at `EventsIterator.php:40`)
+- include/exclude db.table filters are applied BEFORE row decode, so
+  filtered tables are never deserialized (`EventsIterator.php:103-130`)
+- skip events advance position only (`EventsIterator.php:244-254`)
+- CRC32 verification per event (`EventsIterator.php:260-261`)
+- XID commit markers stamp ``commit_seq`` onto the transaction's row
+  images (`EventsIterator.php:335-341` made explicit, SURVEY M4)
+
+Late binding / schema evolution (M3): every decoded row is cast to the
+*target* schema (the registry's latest version for the target table);
+columns absent in an older TABLE_MAP layout are null-filled, so one
+changefeed batch schema covers all in-flight schema versions.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import numpy as np
+import pyarrow as pa
+
+from ..protocol.constants import ColumnType, EventType
+from ..protocol.decode import (
+    DecodePlan,
+    parse_format_description,
+    parse_header,
+    parse_table_map,
+    parse_xid,
+    read_coded_binary,
+    verify_checksum,
+)
+from ..protocol.model import ColumnDef, TableMapDef
+
+_ROWS_TYPES = {0x17, 0x18, 0x19, 0x1E, 0x1F, 0x20}
+_OP_BY_TYPE = {
+    0x17: "insert",
+    0x1E: "insert",
+    0x18: "update",
+    0x1F: "update",
+    0x19: "delete",
+    0x20: "delete",
+}
+_V2_TYPES = {0x1E, 0x1F, 0x20}
+
+
+def changefeed_arrow_type(col: ColumnDef) -> pa.DataType:
+    """Arrow type of one column in the changefeed (reference JSON shape:
+    temporals/decimals/bits stay strings — SURVEY §1.4 compat boundary)."""
+    t = col.type
+    if t in (ColumnType.TINY, ColumnType.SHORT, ColumnType.INT24, ColumnType.LONG):
+        return pa.int64()
+    if t is ColumnType.LONGLONG:
+        return pa.int64() if col.signed else pa.uint64()
+    if t in (ColumnType.FLOAT, ColumnType.DOUBLE):
+        return pa.float64()
+    return pa.string()
+
+
+def target_struct_type(tm: TableMapDef) -> pa.StructType:
+    return pa.struct([pa.field(c.name, changefeed_arrow_type(c)) for c in tm.columns])
+
+
+def changefeed_schema(tm: TableMapDef) -> pa.Schema:
+    st = target_struct_type(tm)
+    return pa.schema(
+        [
+            pa.field("op", pa.string()),
+            pa.field("schema_name", pa.string()),
+            pa.field("table_name", pa.string()),
+            pa.field("table_map_id", pa.int64()),
+            pa.field("schema_ver", pa.int32()),
+            pa.field("file_seq", pa.int32()),
+            pa.field("event_seq", pa.int64()),
+            pa.field("row_seq", pa.int32()),
+            pa.field("commit_seq", pa.int64()),
+            pa.field("ts", pa.int64()),
+            pa.field("before", st),
+            pa.field("after", st),
+        ]
+    )
+
+
+class _TableState:
+    """Per-table-map decode state: compiled plan + remap into the target
+    column order (late-binding cast, null-fill for added columns)."""
+
+    __slots__ = ("plan", "remap", "schema_ver")
+
+    def __init__(self, tm: TableMapDef, target_names: tuple[str, ...]) -> None:
+        self.plan = DecodePlan.compile(tm)
+        name_to_src = {n: i for i, n in enumerate(self.plan.names)}
+        self.remap = tuple(name_to_src.get(n) for n in target_names)
+        self.schema_ver = tm.schema_ver
+
+
+class BinlogDecoder:
+    """map_batches callable: pa.Table(shard_id, event_seq, payload) ->
+    changefeed pa.Table (one row per row image)."""
+
+    def __init__(
+        self,
+        registry_snapshot: Iterable[dict[str, Any]] | None = None,
+        target_table: tuple[str, str] | None = None,
+        databases: list[str] | None = None,
+        tables: list[str] | None = None,
+        exclude_databases: list[str] | None = None,
+        exclude_tables: list[str] | None = None,
+        verify_checksums: bool = True,
+        checksum_size: int = 4,
+        start_after_seq: int | None = None,
+        registry_actor_name: str | None = None,
+    ) -> None:
+        maps = [TableMapDef.from_dict(d) for d in (registry_snapshot or [])]
+        if target_table is None:
+            if maps:
+                latest = max(maps, key=lambda m: (m.schema_ver, m.table_id))
+                target_table = (latest.schema_name, latest.table_name)
+            else:
+                raise ValueError("target_table required when no registry snapshot given")
+        self.target_table = target_table
+        candidates = [m for m in maps if (m.schema_name, m.table_name) == target_table]
+        if not candidates:
+            raise ValueError(f"no registry entry for target table {target_table}")
+        self.target_map = max(candidates, key=lambda m: (m.schema_ver, m.table_id))
+        self.target_names = tuple(c.name for c in self.target_map.columns)
+        self.struct_type = target_struct_type(self.target_map)
+        self.out_schema = changefeed_schema(self.target_map)
+        self._empty = self.out_schema.empty_table()
+
+        self.states: dict[int, _TableState] = {
+            m.table_id: _TableState(m, self.target_names) for m in maps
+        }
+        self.filtered: dict[int, bool] = {}
+
+        self.databases = databases
+        self.tables = tables
+        self.exclude_databases = exclude_databases
+        self.exclude_tables = exclude_tables
+        self._check = bool(databases or tables or exclude_databases or exclude_tables)
+
+        self.verify = verify_checksums
+        self.checksum_size = checksum_size
+        self.start_after_seq = start_after_seq
+        self.registry_actor_name = registry_actor_name
+        self._registry_handle = None
+
+        # metrics (M9): per-actor counters, surfaced via ds.stats() timing +
+        # pulled by the pipeline when run through an actor pool
+        self.n_events = 0
+        self.n_rows = 0
+        self.n_bytes = 0
+        self.n_checksum_failures = 0
+
+    # -- reference F1 semantics (`EventsIterator.php:103-130`) --
+    def _filtered(self, tm: TableMapDef) -> bool:
+        if not self._check:
+            return False
+        if self.databases is not None and tm.schema_name not in self.databases:
+            return True
+        if self.tables is not None and f"{tm.schema_name}.{tm.table_name}" not in self.tables:
+            return True
+        if self.exclude_databases is not None and tm.schema_name in self.exclude_databases:
+            return True
+        if (
+            self.exclude_tables is not None
+            and f"{tm.schema_name}.{tm.table_name}" in self.exclude_tables
+        ):
+            return True
+        return False
+
+    def _resolve(self, table_id: int) -> _TableState | None:
+        """Registry lookup: in-band first, broadcast snapshot second, the
+        registry actor last (M3)."""
+        st = self.states.get(table_id)
+        if st is not None:
+            return st
+        if self.registry_actor_name is not None:
+            import ray
+
+            if self._registry_handle is None:
+                self._registry_handle = ray.get_actor(self.registry_actor_name)
+            d = ray.get(self._registry_handle.get.remote(table_id))
+            if d is not None:
+                tm = TableMapDef.from_dict(d)
+                st = _TableState(tm, self.target_names)
+                self.states[table_id] = st
+                return st
+        raise KeyError(f"unknown table_map id {table_id}; no registry entry")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        shard_ids = batch.column("shard_id").to_numpy(zero_copy_only=False)
+        event_seqs = batch.column("event_seq").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+
+        n_target = len(self.target_names)
+        # accumulators (columnar; struct children + null masks)
+        ops: list[str] = []
+        tm_ids: list[int] = []
+        schema_vers: list[int] = []
+        file_seqs: list[int] = []
+        ev_seqs: list[int] = []
+        row_seqs: list[int] = []
+        tss: list[int] = []
+        before_cols: list[list] = [[] for _ in range(n_target)]
+        after_cols: list[list] = [[] for _ in range(n_target)]
+        before_null: list[bool] = []
+        after_null: list[bool] = []
+        commit_seqs: list[int] = []
+
+        checksum_size = self.checksum_size
+        start_after = self.start_after_seq
+
+        for shard_id, event_seq, payload in zip(shard_ids, event_seqs, payloads):
+            if start_after is not None and event_seq <= start_after:
+                continue  # F2 replay-skip (`EventsIterator.php:207-215`)
+            etype = payload[5]
+            self.n_events += 1
+            self.n_bytes += len(payload)
+
+            if etype == EventType.FORMAT_DESCRIPTION:
+                h = parse_header(payload, 0)
+                _, _, alg = parse_format_description(payload, h)
+                checksum_size = 4 if alg > 0 else 0
+                continue
+            if etype == EventType.TABLE_MAP:
+                h = parse_header(payload, checksum_size)
+                if self.verify and not verify_checksum(payload, checksum_size):
+                    self.n_checksum_failures += 1
+                    continue
+                tm = parse_table_map(payload, h)
+                # in-band discovery (`EventsIterator.php:198-205`); the
+                # snapshot entry, when present, wins so schema_ver lineage
+                # stays bound (same layout either way: table_id identifies it)
+                if tm.table_id not in self.states:
+                    self.states[tm.table_id] = _TableState(tm, self.target_names)
+                self.filtered[tm.table_id] = self._filtered(tm)
+                continue
+            if etype == EventType.XID:
+                xid = parse_xid(payload)
+                # stamp all rows decoded since the previous commit (M4)
+                while len(commit_seqs) < len(ops):
+                    commit_seqs.append(xid)
+                continue
+            if etype in _ROWS_TYPES:
+                # cheap pre-checks before any row decode
+                off = 20
+                table_id = int.from_bytes(payload[off : off + 6], "little")
+                if self.filtered.get(table_id):
+                    continue  # F1: filtered tables never deserialized
+                st = self._resolve(table_id)
+                tm = st.plan.table_map
+                if (tm.schema_name, tm.table_name) != self.target_table:
+                    if self.filtered.get(table_id) is None:
+                        self.filtered[table_id] = True
+                    continue
+                if self.verify and not verify_checksum(payload, checksum_size):
+                    self.n_checksum_failures += 1
+                    continue
+                h = parse_header(payload, checksum_size)
+                n_rows = self._decode_rows_into(
+                    payload,
+                    h,
+                    etype,
+                    st,
+                    before_cols,
+                    after_cols,
+                    before_null,
+                    after_null,
+                )
+                op = _OP_BY_TYPE[etype]
+                ops.extend([op] * n_rows)
+                tm_ids.extend([table_id] * n_rows)
+                schema_vers.extend([st.schema_ver] * n_rows)
+                file_seqs.extend([int(shard_id)] * n_rows)
+                ev_seqs.extend([int(event_seq)] * n_rows)
+                row_seqs.extend(range(n_rows))
+                tss.extend([h.timestamp] * n_rows)
+                self.n_rows += n_rows
+                continue
+            # ROTATE / QUERY / skip events: no changefeed output
+            continue
+
+        # rows whose XID fell outside this batch: commit unknown (-1)
+        while len(commit_seqs) < len(ops):
+            commit_seqs.append(-1)
+
+        if not ops:
+            return self._empty
+
+        fields = self.struct_type
+        b_children = [
+            pa.array(before_cols[i], type=fields.field(i).type) for i in range(n_target)
+        ]
+        a_children = [
+            pa.array(after_cols[i], type=fields.field(i).type) for i in range(n_target)
+        ]
+        before_arr = pa.StructArray.from_arrays(
+            b_children, fields=list(fields), mask=pa.array(before_null, pa.bool_())
+        )
+        after_arr = pa.StructArray.from_arrays(
+            a_children, fields=list(fields), mask=pa.array(after_null, pa.bool_())
+        )
+        return pa.table(
+            {
+                "op": pa.array(ops, pa.string()),
+                "schema_name": pa.array([self.target_table[0]] * len(ops), pa.string()),
+                "table_name": pa.array([self.target_table[1]] * len(ops), pa.string()),
+                "table_map_id": pa.array(tm_ids, pa.int64()),
+                "schema_ver": pa.array(schema_vers, pa.int32()),
+                "file_seq": pa.array(file_seqs, pa.int32()),
+                "event_seq": pa.array(ev_seqs, pa.int64()),
+                "row_seq": pa.array(row_seqs, pa.int32()),
+                "commit_seq": pa.array(commit_seqs, pa.int64()),
+                "ts": pa.array(tss, pa.int64()),
+                "before": before_arr,
+                "after": after_arr,
+            },
+            schema=self.out_schema,
+        )
+
+    def _decode_rows_into(
+        self,
+        payload: bytes,
+        header,
+        etype: int,
+        st: _TableState,
+        before_cols: list[list],
+        after_cols: list[list],
+        before_null: list[bool],
+        after_null: list[bool],
+    ) -> int:
+        """Decode a ROWS event straight into columnar accumulators
+        (`EventsIterator.php:370-506` + `RowFactory.php:28-182`)."""
+        op = _OP_BY_TYPE[etype]
+        off = 20 + 6 + 2  # OK byte + header + table id + row-event flags
+        if etype in _V2_TYPES:
+            extra = int.from_bytes(payload[off : off + 2], "little")
+            off += 2 + extra // 8  # reference skips u16/8 (`EventsIterator.php:408`)
+        n, off = read_coded_binary(payload, off)
+        bml = (n + 7) >> 3
+        off += bml
+        has_after = op == "update"
+        if has_after:
+            off += bml
+
+        plan = st.plan
+        readers = plan.readers
+        remap = st.remap
+        n_src = len(readers)
+        end = header.payload_size
+        nbl = (n + 7) >> 3
+
+        # decode into source-order scratch columns, then remap to target
+        scratch: list[list] = [[] for _ in range(n_src)]
+        scratch_after: list[list] = [[] for _ in range(n_src)] if has_after else scratch
+        n_rows = 0
+        while off < end:
+            null_bm = payload[off : off + nbl]
+            off += nbl
+            for i in range(n_src):
+                if null_bm[i >> 3] & (1 << (i & 7)):
+                    scratch[i].append(None)
+                else:
+                    v, off = readers[i](payload, off)
+                    scratch[i].append(v)
+            if has_after:
+                null_bm = payload[off : off + nbl]
+                off += nbl
+                for i in range(n_src):
+                    if null_bm[i >> 3] & (1 << (i & 7)):
+                        scratch_after[i].append(None)
+                    else:
+                        v, off = readers[i](payload, off)
+                        scratch_after[i].append(v)
+            n_rows += 1
+
+        nones = [None] * n_rows
+        if op == "insert":
+            for t_i, s_i in enumerate(remap):
+                after_cols[t_i].extend(scratch[s_i] if s_i is not None else nones)
+                before_cols[t_i].extend(nones)
+            after_null.extend([False] * n_rows)
+            before_null.extend([True] * n_rows)
+        elif op == "delete":
+            for t_i, s_i in enumerate(remap):
+                before_cols[t_i].extend(scratch[s_i] if s_i is not None else nones)
+                after_cols[t_i].extend(nones)
+            before_null.extend([False] * n_rows)
+            after_null.extend([True] * n_rows)
+        else:  # update
+            for t_i, s_i in enumerate(remap):
+                before_cols[t_i].extend(scratch[s_i] if s_i is not None else nones)
+                after_cols[t_i].extend(scratch_after[s_i] if s_i is not None else nones)
+            before_null.extend([False] * n_rows)
+            after_null.extend([False] * n_rows)
+        return n_rows

@@ -1,0 +1,83 @@
+"""Checkpoint / watermark manifest (SURVEY.md §2.7 M7, M9).
+
+The reference's checkpoint token is the yielded BinlogPosition the caller
+persists (`/root/reference/src/BinlogPosition.php:9-19`,
+`examples/print-row-events.php:45-49`); resume replays past it via the
+skip filter (`EventsIterator.php:92-101,207-215`).  Our equivalent is an
+``event_seq`` watermark plus per-partition lineage, committed atomically
+as ``_manifest.json`` next to the partitioned Parquet lake.
+
+Exactly-once = idempotent replay: partition files have deterministic
+names, writes go through tmp + rename, and the manifest commit is the
+single atomicity point — a rerun from any checkpoint overwrites
+partitions with byte-identical content (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any
+
+MANIFEST_NAME = "_manifest.json"
+
+
+def manifest_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, MANIFEST_NAME)
+
+
+def read_manifest(lake_dir: str) -> dict[str, Any] | None:
+    p = manifest_path(lake_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def commit_manifest(
+    lake_dir: str,
+    watermark: int,
+    partitions: list[dict[str, Any]],
+    extra: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """Atomically publish the manifest (tmp + rename on the same fs)."""
+    m = {
+        "watermark": watermark,
+        "num_partitions": len(partitions),
+        "partitions": sorted(partitions, key=lambda p: p["part"]),
+        "totals": {
+            "rows": sum(p["rows"] for p in partitions),
+            "bytes": sum(p["bytes"] for p in partitions),
+        },
+    }
+    if extra:
+        m.update(extra)
+    os.makedirs(lake_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=lake_dir, prefix="._manifest-")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, manifest_path(lake_dir))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return m
+
+
+def atomic_write_parquet(table, path: str, **kwargs) -> int:
+    """Write one parquet file atomically; returns bytes written."""
+    import pyarrow.parquet as pq
+
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix="." + os.path.basename(path) + "-")
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp, **kwargs)
+        size = os.path.getsize(tmp)
+        os.replace(tmp, path)
+        return size
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
