@@ -70,10 +70,10 @@ def _encode_decimal(value: str, precision: int, scale: int) -> bytes:
         int_part, frac_part = value, ""
     frac_part = (frac_part + "0" * scale)[:scale]
     intg = precision - scale
-    int_part = int_part.lstrip("0") or "0"
+    int_part = int_part.lstrip("0")
     if len(int_part) > intg:
         raise ValueError(f"integer part {int_part!r} exceeds precision {precision},{scale}")
-    int_part = int_part.rjust(intg, "0")
+    int_part = int_part.rjust(intg, "0")  # '' when intg == 0 (pure-fraction decimal)
 
     intg0, intg0x = divmod(intg, _DIG_PER_DEC)
     frac0, frac0x = divmod(scale, _DIG_PER_DEC)

