@@ -1,16 +1,11 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native CDC / data-processing engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship CDC pipeline (binlog decode -> LWW merge)
+at sf0.001 scale.  ``queries()`` exposes every implemented operator from
+SURVEY.md §2 over an sf_dir of parquet tables; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one (column names match
+exactly).  Ray is initialised by the driver; nothing here calls
+``ray.init()``/``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -21,24 +16,103 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from mysql_binlog_ray.pipelines import queries as Q
+
+    return Q.cdc_final_state("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from mysql_binlog_ray.pipelines import queries as Q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # CDC-semantic operators (SQL-oracled on the events table)
+        "lww_merge_events": Q.lww_merge_events,
+        "events_table_counts": Q.events_table_counts,
+        "filter_events": Q.filter_events,
+        "watermark_skip_events": Q.watermark_skip_events,
+        "window_events_hourly": Q.window_events_hourly,
+        # relational breadth
+        "q1_lineitem_agg": Q.q1_lineitem_agg,
+        "join_orders_customer": Q.join_orders_customer,
+        "topk_orders": Q.topk_orders,
+        "distinct_users": Q.distinct_users,
+        # dedup / text / similarity
+        "dedup_exact_documents": Q.dedup_exact_documents,
+        "doc_token_stats": Q.doc_token_stats,
+        "knn_embeddings": Q.knn_embeddings,
+        "minhash_neardup_documents": Q.minhash_neardup_documents,
+        "simhash_neardup_documents": Q.simhash_neardup_documents,
+        "langid_documents": Q.langid_documents,
+        "quality_documents": Q.quality_documents,
+        "fingerprint_documents": Q.fingerprint_documents,
+        "ann_ivf_embeddings": Q.ann_ivf_embeddings,
+        "multimodal_image_pipeline": Q.multimodal_image_pipeline,
+        # the CDC pipeline itself (oracle = replay tests, rows-only here)
+        "cdc_final_state": Q.cdc_final_state,
+        "cdc_changefeed_stats": Q.cdc_changefeed_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lww_merge_events": """
+            SELECT user_id, event_type, value, props FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "events_table_counts": """
+            SELECT event_type, count(*) AS n_events,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "filter_events": """
+            SELECT event_id, user_id, event_type, value FROM events
+            WHERE event_type IN ('click', 'view') AND user_id % 10 = 3
+        """,
+        "watermark_skip_events": """
+            SELECT count(*) AS n, min(event_id) AS min_seq, max(event_id) AS max_seq
+            FROM events WHERE event_id > 500
+        """,
+        "window_events_hourly": """
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+                   count(*) AS n, max(value) AS max_value
+            FROM events GROUP BY event_type, window_start
+        """,
+        "q1_lineitem_agg": """
+            SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                   count(*) AS n, max(l_quantity) AS max_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_orders_customer": """
+            SELECT c.c_mktsegment, count(*) AS n_orders,
+                   max(o.o_totalprice) AS max_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "distinct_users": """
+            SELECT count(DISTINCT user_id) AS n_users FROM events
+        """,
+        "dedup_exact_documents": """
+            SELECT md5(array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 8), ' ')) AS text_md5,
+                   min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY text_md5
+        """,
+        "doc_token_stats": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        """,
+        "knn_embeddings": """
+            SELECT vec_id FROM embeddings
+            ORDER BY list_cosine_similarity(
+                embedding, (SELECT embedding FROM embeddings WHERE vec_id = 1)
+            ) DESC, vec_id
+            LIMIT 10
+        """,
+    }

@@ -1,0 +1,362 @@
+"""Driver-contract query catalog: every implemented operator exposed as a
+callable over an sf_dir of parquet tables, each with (where expressible)
+an exactly-matching DuckDB oracle in ``oracle_sql()``.
+
+Column names here are chosen to match the oracle SQL *exactly* (the
+driver hashes values under sorted column names).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..stages import relational as R
+from ..stages.dedup import exact_dedup_stats, minhash_lsh_pairs, simhash_pairs
+from ..stages.similarity import IvfIndex, brute_force_topk
+from ..stages.text import Fingerprinter, LangId, QualityScorer, TokenCounter
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# CDC-semantic operators checked against SQL oracles on the events table
+# ---------------------------------------------------------------------------
+
+
+def lww_merge_events(sf_dir: str):
+    """The LWW merge operator (M6) applied to the events table: each event
+    upserts the per-user state, ordered by event_id — the exact semantics
+    the CDC merge uses, with a window-function SQL oracle."""
+    from ..stages.merge import add_partition_column, lww_final, lww_partial
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value", "props"])
+
+    def to_flat(batch: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+                "value": batch.column("value"),
+                "props": batch.column("props"),
+                "op": pa.array(["insert"] * batch.num_rows, pa.string()),
+                "event_seq": batch.column("event_id"),
+                "row_seq": pa.array([0] * batch.num_rows, pa.int32()),
+            }
+        )
+        return lww_partial(out, ("user_id",))
+
+    flat = ds.map_batches(to_flat, batch_format="pyarrow")
+    parted = flat.map_batches(
+        lambda b: add_partition_column(b, ("user_id",), 16), batch_format="pyarrow"
+    )
+    merged = parted.groupby("_part").map_groups(
+        lambda g: lww_final(g, ("user_id",)), batch_format="pyarrow"
+    )
+    return merged.map_batches(
+        lambda b: b.select(["user_id", "event_type", "value", "props"]),
+        batch_format="pyarrow",
+    )
+
+
+def events_table_counts(sf_dir: str):
+    """A1 StatisticsCollector analog: per-type event/row accounting."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    return R.preagg_groupby(
+        ds,
+        ["event_type"],
+        {
+            "n_events": (None, "count"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+    )
+
+
+def filter_events(sf_dir: str):
+    """F1 include/exclude predicate pushdown analog."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
+    )
+
+    def pred(batch: pa.Table) -> pa.Array:
+        t = pc.is_in(batch.column("event_type"), value_set=pa.array(["click", "view"]))
+        u = pa.array(batch.column("user_id").to_numpy(zero_copy_only=False) % 10 == 3)
+        return pc.and_(t, u)
+
+    return R.filter_project(ds, pred, ["event_id", "user_id", "event_type", "value"])
+
+
+def watermark_skip_events(sf_dir: str):
+    """F2 start-position replay-skip analog: events after a watermark."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id"])
+
+    def pred(batch: pa.Table) -> pa.Array:
+        return pc.greater(batch.column("event_id"), 500)
+
+    filtered = R.filter_project(ds, pred, ["event_id", "user_id"])
+    return R.preagg_groupby(
+        filtered.map_batches(
+            lambda b: b.append_column("all", pa.array([1] * b.num_rows, pa.int8())),
+            batch_format="pyarrow",
+        ),
+        ["all"],
+        {"n": (None, "count"), "min_seq": ("event_id", "min"), "max_seq": ("event_id", "max")},
+    ).map_batches(lambda b: b.drop_columns(["all"]), batch_format="pyarrow")
+
+
+def window_events_hourly(sf_dir: str):
+    """Tumbling 1h event-time window per event_type (windowed aggregate —
+    a gap operator the reference lacks)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
+    return R.tumbling_window(
+        ds,
+        "ts",
+        ["event_type"],
+        3600,
+        {"n": (None, "count"), "max_value": ("value", "max")},
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational breadth (TPC-H-ish oracles)
+# ---------------------------------------------------------------------------
+
+
+def q1_lineitem_agg(sf_dir: str):
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return R.preagg_groupby(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "n": (None, "count"),
+            "max_qty": ("l_quantity", "max"),
+        },
+    )
+
+
+def join_orders_customer(sf_dir: str):
+    """Broadcast join: customer is the small side, shipped once."""
+    import pyarrow.parquet as pq
+
+    customer = pq.read_table(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    joined = R.broadcast_join(
+        orders, customer, left_on="o_custkey", right_on="c_custkey", take_cols=["c_mktsegment"]
+    )
+    return R.preagg_groupby(
+        joined,
+        ["c_mktsegment"],
+        {"n_orders": (None, "count"), "max_price": ("o_totalprice", "max")},
+    )
+
+
+def topk_orders(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    return R.top_k(ds, [("o_totalprice", True), ("o_orderkey", False)], 10)
+
+
+def distinct_users(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    n = R.distinct_count(ds, "user_id")
+    return pa.table({"n_users": pa.array([n], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# dedup / text / similarity over documents + embeddings
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_documents(sf_dir: str):
+    """Exact dedup keyed on the first 8 tokens (prefix-normalized): the
+    hash-partitioned group-first pattern with a pure-SQL oracle."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return exact_dedup_stats(ds, normalize_prefix_tokens=8)
+
+
+def doc_token_stats(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    stage = TokenCounter()
+    out = ds.map_batches(stage, batch_format="pandas", batch_size=1024)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+    )
+
+
+def knn_embeddings(sf_dir: str):
+    """Brute-force cosine top-10 of every vector against the vec_id=1
+    query vector (broadcast query, local top-k per batch)."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(_t(sf_dir, "embeddings"))
+    qrow = emb.filter(pc.equal(emb.column("vec_id"), 1))
+    qvec = np.asarray(qrow.column("embedding").to_pylist()[0], dtype=np.float64)
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, qvec[None, :], k=10)
+    return pa.table(
+        {
+            "vec_id": pa.array(out["vec_id"].astype("int64")),
+        }
+    )
+
+
+# rows-only (no SQL oracle): near-dup, text heuristics, IVF, multimodal
+
+
+def minhash_neardup_documents(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.4)
+
+
+def simhash_neardup_documents(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+def langid_documents(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    out = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "lang", "pred_lang"]), batch_format="pyarrow"
+    )
+
+
+def quality_documents(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, 4))
+    return out.map_batches(
+        lambda b: b.select(
+            ["doc_id", "q_n_chars", "q_punct_ratio", "q_stop_ratio", "q_score"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def fingerprint_documents(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=(1, 4))
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "fingerprint", "content_md5"]),
+        batch_format="pyarrow",
+    )
+
+
+def ann_ivf_embeddings(sf_dir: str):
+    """IVF approximate variant of knn_embeddings (scale path)."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(_t(sf_dir, "embeddings"))
+    qrow = emb.filter(pc.equal(emb.column("vec_id"), 1))
+    qvec = np.asarray(qrow.column("embedding").to_pylist()[0], dtype=np.float64)
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    idx = IvfIndex.build(ds, nlist=8)
+    out = idx.search(qvec[None, :], k=10, nprobe=3)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def multimodal_image_pipeline(sf_dir: str):
+    """Multimodal plumbing demo: synthesize binary 'images' from document
+    text bytes, then run the decode->resize actor stages (fake codec)."""
+    from ..stages.multimodal import ImageDecoder, ImageResizer
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        payloads = [t.encode()[:4096] for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "image": pa.array(payloads, pa.binary())}
+        )
+
+    imgs = ds.map_batches(to_binary, batch_format="pyarrow")
+    decoded = imgs.map_batches(
+        ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+    resized = decoded.map_batches(
+        ImageResizer, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+    return resized.map_batches(
+        lambda b: b.select(["doc_id", "width", "height", "n_pixels", "thumb_w", "thumb_h"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# the CDC pipeline itself (rows-only: its oracle is the replay in tests)
+# ---------------------------------------------------------------------------
+
+_SF_SPECS = {
+    "0.001": dict(n_keys=400, n_ops=2000, n_shards=2),
+    "0.01": dict(n_keys=2000, n_ops=12000, n_shards=4),
+    "0.1": dict(n_keys=10000, n_ops=120000, n_shards=8),
+}
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base[2:] if base.startswith("sf") else "0.01"
+
+
+def cdc_stream_dir(sf_dir: str) -> str:
+    sf = _sf_of(sf_dir)
+    return f"/tmp/mysql_binlog_ray/streams/sf{sf}"
+
+
+def cdc_manifest(sf_dir: str):
+    from ..fixtures.generator import StreamSpec, generate_stream
+
+    sf = _sf_of(sf_dir)
+    spec = StreamSpec(**_SF_SPECS.get(sf, _SF_SPECS["0.01"]))
+    return spec, generate_stream(spec, cdc_stream_dir(sf_dir))
+
+
+def cdc_final_state(sf_dir: str):
+    """Flagship: full binlog decode -> LWW merge; returns the final table
+    with content reduced to its sha256 (stable, compact)."""
+    from .cdc import CdcConfig, run_to_dataset
+
+    _, manifest = cdc_manifest(sf_dir)
+    ds = run_to_dataset(manifest, CdcConfig(num_partitions=16))
+
+    def shaify(batch: pa.Table) -> pa.Table:
+        sha = [
+            hashlib.sha256(c.encode()).hexdigest()
+            for c in batch.column("content").to_pylist()
+        ]
+        return (
+            batch.drop_columns(["content"]).append_column(
+                "content_sha256", pa.array(sha, pa.string())
+            )
+        )
+
+    return ds.map_batches(shaify, batch_format="pyarrow")
+
+
+def cdc_changefeed_stats(sf_dir: str):
+    """Decoded-changefeed accounting (per-op row counts + seq range)."""
+    from .cdc import CdcConfig, decode_changefeed, read_event_stream
+
+    _, manifest = cdc_manifest(sf_dir)
+    cfg = CdcConfig()
+    events = read_event_stream(manifest)
+    cf = decode_changefeed(events, manifest["table_maps"], cfg)
+    return R.preagg_groupby(
+        cf.map_batches(
+            lambda b: b.select(["op", "event_seq"]), batch_format="pyarrow"
+        ),
+        ["op"],
+        {"n_rows": (None, "count"), "min_seq": ("event_seq", "min"), "max_seq": ("event_seq", "max")},
+    )

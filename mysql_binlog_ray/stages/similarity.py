@@ -1,0 +1,187 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``brute_force_topk``: exact cosine top-k — the baseline.  Query matrix
+  is broadcast via ``ray.put`` once; every batch does one numpy matmul
+  and keeps only its local top-k, so the driver-side reduce sees
+  k * num_batches rows, never the corpus.
+- ``IvfIndex``: the scale path — k-means (numpy Lloyd) centroids from a
+  sample, cluster assignment as a map_batches stage, queries probe only
+  ``nprobe`` nearest clusters.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _stack(col: pd.Series) -> np.ndarray:
+    return np.vstack(col.to_numpy())
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(
+    ds: rd.Dataset,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> pd.DataFrame:
+    """Exact cosine top-k for each query row; returns
+    (query_id, vec_id, sim) sorted by (query_id, -sim, vec_id)."""
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    q_ref = ray.put(q)
+
+    class Scorer:
+        def __init__(self) -> None:
+            self.q = ray.get(q_ref)  # read once per actor from object store
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize(_stack(batch[vec_col]).astype(np.float64))
+            sims = m @ self.q.T  # (batch, nq)
+            ids = batch[id_col].to_numpy()
+            out_q, out_id, out_s = [], [], []
+            kk = min(k, len(ids))
+            for qi in range(self.q.shape[0]):
+                part = np.argpartition(-sims[:, qi], kk - 1)[:kk]
+                out_q.extend([qi] * kk)
+                out_id.extend(ids[part])
+                out_s.extend(sims[part, qi])
+            return pd.DataFrame({"query_id": out_q, id_col: out_id, "sim": out_s})
+
+    local = ds.map_batches(Scorer, batch_format="pandas", concurrency=concurrency)
+    pdf = local.to_pandas()  # k * nq * num_batches rows: small
+    pdf = pdf.sort_values(["query_id", "sim", id_col], ascending=[True, False, True])
+    out = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["sim"] = out["sim"].round(6)
+    return out
+
+
+@dataclass
+class IvfIndex:
+    """IVF (inverted-file) approximate index: centroids + a
+    cluster-assigned copy of the corpus, partitioned by cluster id."""
+
+    centroids: np.ndarray  # (nlist, dim), L2-normalized
+    assigned: rd.Dataset  # corpus + `_cluster` column
+
+    @staticmethod
+    def build(
+        ds: rd.Dataset,
+        nlist: int = 16,
+        vec_col: str = "embedding",
+        sample_size: int = 2048,
+        iters: int = 8,
+        seed: int = 11,
+        concurrency: int | tuple[int, int] = (1, 8),
+    ) -> "IvfIndex":
+        # centroid training on a bounded sample (driver-side numpy Lloyd)
+        sample = ds.random_sample(1.0, seed=seed).limit(sample_size).to_pandas()
+        x = _normalize(_stack(sample[vec_col]).astype(np.float64))
+        rng = np.random.default_rng(seed)
+        cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+        for _ in range(iters):
+            assign = np.argmax(x @ cent.T, axis=1)
+            for c in range(len(cent)):
+                m = x[assign == c]
+                if len(m):
+                    cent[c] = m.mean(axis=0)
+            cent = _normalize(cent)
+        cent_ref = ray.put(cent)
+
+        class Assigner:
+            def __init__(self) -> None:
+                self.cent = ray.get(cent_ref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                m = _normalize(_stack(batch[vec_col]).astype(np.float64))
+                batch = batch.copy()
+                batch["_cluster"] = np.argmax(m @ self.cent.T, axis=1).astype(np.int32)
+                return batch
+
+        assigned = ds.map_batches(Assigner, batch_format="pandas", concurrency=concurrency)
+        return IvfIndex(centroids=cent, assigned=assigned)
+
+    def search(
+        self,
+        query_vecs: np.ndarray,
+        k: int = 10,
+        nprobe: int = 4,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> pd.DataFrame:
+        """Probe the ``nprobe`` nearest clusters per query; exact cosine
+        within the probed subset."""
+        q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+        probe = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+        wanted = sorted({int(c) for row in probe for c in row})
+        wanted_set = set(wanted)
+        subset = self.assigned.map_batches(
+            lambda b: b[b["_cluster"].isin(wanted_set)], batch_format="pandas"
+        )
+        pdf = subset.to_pandas()  # only the probed clusters reach the driver
+        m = _normalize(_stack(pdf[vec_col]).astype(np.float64))
+        ids = pdf[id_col].to_numpy()
+        clusters = pdf["_cluster"].to_numpy()
+        out_q, out_id, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            mask = np.isin(clusters, probe[qi])
+            sims = m[mask] @ q[qi]
+            sub_ids = ids[mask]
+            kk = min(k, len(sub_ids))
+            if kk == 0:
+                continue
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            order = part[np.argsort(-sims[part], kind="stable")]
+            out_q.extend([qi] * kk)
+            out_id.extend(sub_ids[order])
+            out_s.extend(np.round(sims[order], 6))
+        return pd.DataFrame({"query_id": out_q, id_col: out_id, "sim": out_s})
+
+
+def embedding_neardup_pairs(
+    ds: rd.Dataset,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs: cluster with IVF, compare
+    only within clusters (plus the pigeonhole risk documented here: pairs
+    straddling a centroid boundary can be missed — acceptable for
+    near-dup mining, not for exact retrieval)."""
+    idx = IvfIndex.build(ds, nlist=nlist, vec_col=vec_col, concurrency=concurrency)
+
+    def pairs_in_cluster(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        g = group.sort_values(id_col)
+        m = _normalize(_stack(g[vec_col]).astype(np.float64))
+        ids = g[id_col].to_numpy()
+        sims = m @ m.T
+        iu = np.triu_indices(len(ids), 1)
+        mask = sims[iu] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[0][mask]],
+                "id_b": ids[iu[1][mask]],
+                "sim": np.round(sims[iu][mask], 6),
+            }
+        )
+
+    pairs = idx.assigned.groupby("_cluster").map_groups(pairs_in_cluster, batch_format="pandas")
+    pdf = pairs.to_pandas()
+    return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)

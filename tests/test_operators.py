@@ -1,0 +1,229 @@
+"""Tests for the training-data operators: dedup (vs brute-force oracle),
+text analysis, similarity search (IVF recall vs exact), multimodal
+plumbing, relational kernels."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from mysql_binlog_ray.stages.dedup import (
+    exact_dedup,
+    exact_dedup_stats,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from mysql_binlog_ray.stages.multimodal import (
+    AudioFeaturizer,
+    ImageDecoder,
+    ImageResizer,
+    VideoFrameSampler,
+)
+from mysql_binlog_ray.stages.similarity import IvfIndex, brute_force_topk
+from mysql_binlog_ray.stages.text import Fingerprinter, LangId, QualityScorer, TokenCounter
+
+
+def _doc_corpus(seed=3, n=120):
+    """Synthetic corpus with planted near-duplicate clusters."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = []
+    for i in range(n):
+        words = [vocab[j] for j in rng.integers(0, len(vocab), 60)]
+        docs.append(" ".join(words))
+    # plant near-dups: docs n..n+9 are copies of 0..9 with 3 words changed
+    for i in range(10):
+        words = docs[i].split()
+        for k in rng.integers(0, len(words), 3):
+            words[int(k)] = "CHANGED"
+        docs.append(" ".join(words))
+    # plant exact dups
+    docs.append(docs[0])
+    docs.append(docs[1])
+    return pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedup:
+    def test_exact_dedup(self):
+        df = _doc_corpus()
+        ds = rd.from_pandas(df)
+        out = exact_dedup(ds).to_pandas()
+        # two planted exact dups collapse onto doc 0 and 1
+        assert len(out) == len(df) - 2
+        assert 0 in out["doc_id"].values and 1 in out["doc_id"].values
+        assert len(df) - 1 not in out["doc_id"].values
+
+    def test_exact_dedup_stats_counts(self):
+        df = _doc_corpus()
+        out = exact_dedup_stats(rd.from_pandas(df)).to_pandas()
+        assert out["n_copies"].sum() == len(df)
+        assert (out["n_copies"] > 1).sum() == 2
+
+    def test_minhash_finds_planted_neardups(self):
+        df = _doc_corpus()
+        got = minhash_lsh_pairs(rd.from_pandas(df), threshold=0.5).to_pandas()
+        oracle = ngram_jaccard_pairs(df, threshold=0.5)
+        got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+        oracle_pairs = set(zip(oracle["doc_a"], oracle["doc_b"]))
+        # LSH is probabilistic at the threshold boundary: pairs with true
+        # jaccard comfortably above threshold must be found; borderline
+        # (<0.65) misses are acceptable
+        jmap = {(a, b): j for a, b, j in zip(oracle["doc_a"], oracle["doc_b"], oracle["jaccard"])}
+        missed = oracle_pairs - got_pairs
+        assert all(jmap[p] < 0.65 for p in missed), f"missed solid pairs: {[(p, jmap[p]) for p in missed]}"
+        # exact duplicates are always found (identical signatures)
+        assert (0, 130) in got_pairs and (1, 131) in got_pairs
+        # at least 80% of planted near-dups found
+        found_planted = sum(1 for i in range(10) if (i, i + 120) in got_pairs)
+        assert found_planted >= 8
+
+    def test_minhash_no_false_floods(self):
+        df = _doc_corpus()
+        got = minhash_lsh_pairs(rd.from_pandas(df), threshold=0.5).to_pandas()
+        # random 60-word docs over 500 vocab are not 50% similar
+        assert len(got) < 40
+
+    def test_simhash_exact_dup_distance_zero(self):
+        df = _doc_corpus()
+        got = simhash_pairs(rd.from_pandas(df), max_hamming=0).to_pandas()
+        pairs = set(zip(got["doc_a"], got["doc_b"]))
+        assert (0, 130) in pairs and (1, 131) in pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestText:
+    def test_token_counter_matches_split_semantics(self):
+        df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b  c", "  x ", ""]})
+        out = TokenCounter()(df)
+        assert out["n_tokens"].tolist() == [3, 1, 1]  # '' -> [''] -> 1 (SQL parity)
+
+    def test_langid_heuristic(self):
+        df = pd.DataFrame(
+            {
+                "text": [
+                    "the cat sat on the mat and it is that for a reason",
+                    "le chat est sur la table et il est pour une raison",
+                    "el gato es un animal y la casa es de los padres",
+                    "der hund ist ein tier und die katze ist von den",
+                    "这是一个中文文档 关于数据处理的内容",
+                ]
+            }
+        )
+        out = LangId()(df)
+        assert out["pred_lang"].tolist() == ["en", "fr", "es", "de", "zh"]
+
+    def test_quality_scorer_fields(self):
+        df = pd.DataFrame({"text": ["The quick brown fox jumps over the lazy dog. " * 5, "!!!"]})
+        out = QualityScorer()(df)
+        assert out["q_score"].iloc[0] > out["q_score"].iloc[1]
+        assert 0 <= out["q_punct_ratio"].iloc[0] < 0.2
+
+    def test_fingerprint_stable_and_content_sensitive(self):
+        df = pd.DataFrame({"text": ["hello world document body", "hello world document body", "different text entirely"]})
+        out = Fingerprinter()(df)
+        assert out["fingerprint"].iloc[0] == out["fingerprint"].iloc[1]
+        assert out["fingerprint"].iloc[0] != out["fingerprint"].iloc[2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimilarity:
+    def _vectors(self, n=300, dim=16, seed=5):
+        rng = np.random.default_rng(seed)
+        m = rng.normal(size=(n, dim))
+        return pd.DataFrame({"vec_id": range(n), "embedding": list(m)})
+
+    def test_brute_force_topk_matches_numpy(self):
+        df = self._vectors()
+        m = np.vstack(df["embedding"])
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        q = mn[7]
+        sims = mn @ q
+        exp = np.argsort(-sims, kind="stable")[:5]
+        out = brute_force_topk(rd.from_pandas(df), q[None, :], k=5)
+        assert out["vec_id"].tolist() == list(exp)
+
+    def test_ivf_recall_vs_exact(self):
+        df = self._vectors(n=400)
+        ds = rd.from_pandas(df)
+        m = np.vstack(df["embedding"])
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        q = mn[3]
+        exact = set(np.argsort(-(mn @ q))[:10])
+        idx = IvfIndex.build(ds, nlist=8, sample_size=400)
+        got = idx.search(q[None, :], k=10, nprobe=4)
+        recall = len(set(got["vec_id"]) & exact) / 10
+        assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultimodal:
+    def _imgs(self):
+        return pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "image": pa.array([b"\x89PNGfakebytes" * 10, b""], pa.binary()),
+            }
+        )
+
+    def test_image_decode_schema(self):
+        out = ImageDecoder()(self._imgs())
+        assert {"width", "height", "n_pixels", "mean_luma"} <= set(out.column_names)
+        assert out.column("n_pixels").to_pylist()[0] > 0
+
+    def test_image_decode_real_mode_raises(self):
+        with pytest.raises(NotImplementedError):
+            ImageDecoder(fake=False)(self._imgs())
+
+    def test_resize_deterministic(self):
+        a = ImageResizer()(self._imgs()).column("thumb").to_pylist()
+        b = ImageResizer()(self._imgs()).column("thumb").to_pylist()
+        assert a == b
+
+    def test_audio_and_video_stubs(self):
+        t = pa.table({"audio": pa.array([b"\x01\x02" * 16000], pa.binary())})
+        out = AudioFeaturizer()(t)
+        assert out.column("duration_sec").to_pylist()[0] == pytest.approx(1.0)
+        tv = pa.table({"video": pa.array([b"frame" * 100], pa.binary())})
+        vout = VideoFrameSampler(n_frames=4)(tv)
+        assert len(vout.column("frames").to_pylist()[0]) == 4
+
+    def test_actor_pool_run(self):
+        ds = rd.from_arrow(self._imgs())
+        out = ds.map_batches(ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=2)
+        assert out.count() == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRelationalKernels:
+    def test_preagg_groupby_equals_pandas(self):
+        from mysql_binlog_ray.stages.relational import preagg_groupby
+
+        rng = np.random.default_rng(0)
+        df = pd.DataFrame({"k": rng.integers(0, 5, 1000), "v": rng.normal(size=1000)})
+        out = (
+            preagg_groupby(
+                rd.from_pandas(df).repartition(6),
+                ["k"],
+                {"n": (None, "count"), "mx": ("v", "max"), "mn": ("v", "min")},
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        exp = (
+            df.groupby("k")
+            .agg(n=("v", "size"), mx=("v", "max"), mn=("v", "min"))
+            .reset_index()
+        )
+        pd.testing.assert_frame_equal(out[["k", "n", "mx", "mn"]], exp, check_dtype=False)
+
+    def test_top_k_with_ties(self):
+        from mysql_binlog_ray.stages.relational import top_k
+
+        df = pd.DataFrame({"a": [5, 5, 3, 9, 9, 1], "id": [1, 2, 3, 4, 5, 6]})
+        out = top_k(rd.from_pandas(df).repartition(3), [("a", True), ("id", False)], 3).to_pandas()
+        assert out["id"].tolist() == [4, 5, 1]
