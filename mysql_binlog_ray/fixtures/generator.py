@@ -423,9 +423,13 @@ def _oplog_with_event_seqs(
     return path
 
 
-def generate_stream(spec: StreamSpec, out_dir: str, force: bool = False) -> dict[str, Any]:
+def generate_stream(
+    spec: StreamSpec, out_dir: str, force: bool = False, processes: int | None = None
+) -> dict[str, Any]:
     """Generate all shards + manifest (idempotent: returns the existing
-    manifest when present and parameter-identical)."""
+    manifest when present and parameter-identical).  Shards are pure
+    functions of (spec, shard_id) and encode in parallel worker
+    processes when the stream is large."""
     manifest_path = os.path.join(out_dir, "manifest.json")
     if not force and os.path.exists(manifest_path):
         with open(manifest_path) as f:
@@ -433,7 +437,18 @@ def generate_stream(spec: StreamSpec, out_dir: str, force: bool = False) -> dict
         if m.get("spec") == asdict(spec):
             return m
     plan = build_op_plan(spec)
-    entries = [encode_shard(spec, plan, s, out_dir) for s in range(spec.n_shards)]
+    if processes is None:
+        processes = min(spec.n_shards, os.cpu_count() or 1) if spec.n_ops >= 100_000 else 1
+    if processes > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=processes) as ex:
+            entries = list(
+                ex.map(encode_shard, [spec] * spec.n_shards, [plan] * spec.n_shards,
+                       range(spec.n_shards), [out_dir] * spec.n_shards)
+            )
+    else:
+        entries = [encode_shard(spec, plan, s, out_dir) for s in range(spec.n_shards)]
     oplog_path = _oplog_with_event_seqs(spec, plan, entries, out_dir)
     for e in entries:
         e.pop("_oplog")

@@ -44,16 +44,32 @@ DEFAULT_KEY_COLS = ("repo", "path")
 class CdcConfig:
     key_cols: tuple[str, ...] = DEFAULT_KEY_COLS
     num_partitions: int = 32
-    # actor-pool size for the decode stage; (min, max) autoscales.  A
-    # callable-class stage requires explicit concurrency in Ray Data.
-    decode_concurrency: int | tuple[int, int] = (1, 8)
-    decode_batch_size: int = 64
+    # None (default) = stateless tasks with a per-worker cached decoder:
+    # decoder setup is ~3 ms, so an actor pool buys nothing and its
+    # ramp-up adds seconds of variance (measured).  Set an int/(min,max)
+    # to force an actor pool (needed only for registry-actor mode where
+    # decode state must outlive tasks).
+    decode_concurrency: int | tuple[int, int] | None = None
+    # None = decode whole blocks: the per-call overhead (batch slicing,
+    # arrow rebuild) dwarfs the decode kernel on small batches
+    decode_batch_size: int | None = None
+    # coalesce upstream blocks to this many before the keyed merge
+    # shuffle when the upstream block count is much larger (sort-shuffle
+    # cost grows with input block count); None disables.  Only kicks in
+    # for many-tiny-block inputs — repartitioning big blocks re-ships
+    # the whole dataset for nothing.
+    merge_coalesce_blocks: int | None = None
     verify_checksums: bool = True
     databases: list[str] | None = None
     tables: list[str] | None = None
     exclude_databases: list[str] | None = None
     exclude_tables: list[str] | None = None
     target_table: tuple[str, str] | None = None
+    # keyed-exchange implementation for the lake sink: 'external' spills
+    # per-partition parquet chunks to the lake filesystem (fast, needs a
+    # shared fs on multi-node); 'object_store' uses Ray Data's groupby
+    # sort shuffle (no fs requirement)
+    shuffle: str = "external"
     decoder_kwargs: dict[str, Any] = field(default_factory=dict)
 
 
@@ -71,7 +87,15 @@ def read_event_stream(manifest: dict[str, Any], start_after_seq: int | None = No
     paths = [s["path"] for s in shards]
     if not paths:
         return rd.from_items([])
-    return rd.read_parquet(paths)
+    # Block sizing: ~16 MiB of compressed payload per block (the default
+    # splitter makes hundreds of ~1 MiB blocks from these shards and the
+    # per-block overhead then dominates; much larger blocks weaken both
+    # pipeline parallelism and the per-batch partial combine).  Block
+    # count scales with DATA size, deliberately not with CPU count —
+    # measured fastest and stablest at both 8 and 32 CPUs.
+    total = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+    nblocks = min(512, max(len(paths), total >> 24))
+    return rd.read_parquet(paths, override_num_blocks=nblocks)
 
 
 def decode_changefeed(
@@ -81,38 +105,57 @@ def decode_changefeed(
     start_after_seq: int | None = None,
 ) -> rd.Dataset:
     """Decode stage: map_batches over zero-copy Arrow batches of payloads."""
+    decoder_kwargs = dict(
+        registry_snapshot=registry_snapshot,
+        target_table=cfg.target_table,
+        databases=cfg.databases,
+        tables=cfg.tables,
+        exclude_databases=cfg.exclude_databases,
+        exclude_tables=cfg.exclude_tables,
+        verify_checksums=cfg.verify_checksums,
+        start_after_seq=start_after_seq,
+        **cfg.decoder_kwargs,
+    )
     kwargs: dict[str, Any] = dict(
         batch_format="pyarrow",
         batch_size=cfg.decode_batch_size,
         zero_copy_batch=True,
-        concurrency=cfg.decode_concurrency,
     )
+    if cfg.decode_concurrency is None:
+        # stateless tasks; the decoder is built once per worker process
+        # (the closure cache survives across tasks in a worker)
+        cache: dict[str, BinlogDecoder] = {}
+
+        def decode_fn(batch: pa.Table) -> pa.Table:
+            dec = cache.get("d")
+            if dec is None:
+                dec = cache["d"] = BinlogDecoder(**decoder_kwargs)
+            return dec(batch)
+
+        return events.map_batches(decode_fn, **kwargs)
     return events.map_batches(
         BinlogDecoder,
-        fn_constructor_kwargs=dict(
-            registry_snapshot=registry_snapshot,
-            target_table=cfg.target_table,
-            databases=cfg.databases,
-            tables=cfg.tables,
-            exclude_databases=cfg.exclude_databases,
-            exclude_tables=cfg.exclude_tables,
-            verify_checksums=cfg.verify_checksums,
-            start_after_seq=start_after_seq,
-            **cfg.decoder_kwargs,
-        ),
+        fn_constructor_kwargs=decoder_kwargs,
+        concurrency=cfg.decode_concurrency,
         **kwargs,
     )
 
 
-def merge_lww(changefeed: rd.Dataset, cfg: CdcConfig, extra_inputs: list[rd.Dataset] | None = None) -> rd.Dataset:
+def merge_lww(
+    changefeed: rd.Dataset,
+    cfg: CdcConfig,
+    extra_inputs: list[rd.Dataset] | None = None,
+    already_flat: bool = False,
+) -> rd.Dataset:
     """Merge stage: flatten -> partial combine -> hash partition -> final
     LWW.  ``extra_inputs`` lets resume union the prior lake state (flat
     rows with op='insert' and their original sequence lineage)."""
     key_cols = cfg.key_cols
 
     def _flatten_combine(batch: pa.Table) -> pa.Table:
-        flat = flatten_changefeed(batch, key_cols)
-        return lww_partial(flat, key_cols)
+        if not already_flat:
+            batch = flatten_changefeed(batch, key_cols)
+        return lww_partial(batch, key_cols)
 
     flat = changefeed.map_batches(_flatten_combine, batch_format="pyarrow")
     if extra_inputs:
@@ -122,11 +165,22 @@ def merge_lww(changefeed: rd.Dataset, cfg: CdcConfig, extra_inputs: list[rd.Data
         lambda b: add_partition_column(b, key_cols, cfg.num_partitions),
         batch_format="pyarrow",
     )
+    if cfg.merge_coalesce_blocks:
+        parted = parted.repartition(cfg.merge_coalesce_blocks)
 
     def _final(group: pa.Table) -> pa.Table:
         return lww_final(group, key_cols)
 
     return parted.groupby("_part").map_groups(_final, batch_format="pyarrow")
+
+
+def _with_flat_decode(cfg: CdcConfig) -> CdcConfig:
+    from dataclasses import replace
+
+    dk = dict(cfg.decoder_kwargs)
+    dk.setdefault("output", "flat")
+    dk.setdefault("key_cols", cfg.key_cols)
+    return replace(cfg, decoder_kwargs=dk)
 
 
 def run_to_dataset(
@@ -135,11 +189,17 @@ def run_to_dataset(
     start_after_seq: int | None = None,
     extra_inputs: list[rd.Dataset] | None = None,
 ) -> rd.Dataset:
-    """Full pipeline, returning the merged final table as a Dataset."""
+    """Full pipeline, returning the merged final table as a Dataset.
+
+    Uses the flat decode path: before-images are byte-skipped (merge
+    keys only for deletes) — the changefeed-shape decode remains
+    available via ``decode_changefeed`` for changefeed consumers.
+    """
     cfg = cfg or CdcConfig()
+    cfg = _with_flat_decode(cfg)
     events = read_event_stream(manifest, start_after_seq)
     cf = decode_changefeed(events, manifest["table_maps"], cfg, start_after_seq)
-    return merge_lww(cf, cfg, extra_inputs=extra_inputs)
+    return merge_lww(cf, cfg, extra_inputs=extra_inputs, already_flat=True)
 
 
 # ---------------------------------------------------------------------------
@@ -183,6 +243,101 @@ def read_lake_as_flat(lake_dir: str, cfg: CdcConfig) -> rd.Dataset | None:
     return ds.map_batches(_as_upserts, batch_format="pyarrow")
 
 
+def _external_shuffle_merge(
+    parted: rd.Dataset,
+    lake_dir: str,
+    cfg: CdcConfig,
+) -> list[dict[str, Any]]:
+    """Filesystem-based keyed exchange (Spark-external-shuffle shape).
+
+    Stage A: every upstream task appends its partial rows, split by
+    ``_part``, as one parquet chunk per touched partition under a scratch
+    dir — fused with decode/flatten, so partials never transit the object
+    store.  Stage B: one task per partition reads that partition's
+    chunks, applies the final LWW merge, and writes the lake file.
+
+    On a multi-node cluster the scratch dir must be a shared filesystem
+    (lake storage itself qualifies); the object-store path
+    (``shuffle='object_store'``) has no such requirement.
+    """
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    key_cols = cfg.key_cols
+    spill_dir = os.path.join(lake_dir, "_shuffle")
+    shutil_token = uuid.uuid4().hex[:8]
+
+    def spill(batch: pa.Table) -> pa.Table:
+        parts_col = batch.column("_part").to_numpy(zero_copy_only=False)
+        out_parts, out_paths, out_rows = [], [], []
+        import numpy as np
+
+        for part in np.unique(parts_col):
+            sub = batch.filter(pc.equal(batch.column("_part"), pa.scalar(int(part))))
+            path = os.path.join(
+                spill_dir, f"part={int(part):05d}", f"chunk-{uuid.uuid4().hex}.parquet"
+            )
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            pq.write_table(sub.drop_columns(["_part"]), path, compression="lz4")
+            out_parts.append(int(part))
+            out_paths.append(path)
+            out_rows.append(sub.num_rows)
+        return pa.table(
+            {
+                "part": pa.array(out_parts, pa.int32()),
+                "chunk": pa.array(out_paths, pa.string()),
+                "rows": pa.array(out_rows, pa.int64()),
+            }
+        )
+
+    chunk_index = parted.map_batches(spill, batch_format="pyarrow").take_all()
+    by_part: dict[int, list[str]] = {}
+    for r in chunk_index:
+        by_part.setdefault(int(r["part"]), []).append(r["chunk"])
+
+    def merge_one(batch: dict) -> pa.Table:
+        import numpy as np
+
+        out = []
+        for part in batch["part"]:
+            part = int(part)
+            chunks = [pq.read_table(p) for p in by_part[part]]
+            group = pa.concat_tables(chunks, promote_options="default")
+            final = lww_final(group, key_cols)
+            final = final.take(
+                pc.sort_indices(final, sort_keys=[(k, "ascending") for k in key_cols])
+            )
+            path = _lake_partition_path(lake_dir, part)
+            size = atomic_write_parquet(final, path, compression="zstd")
+            mx = int(pc.max(final.column("event_seq")).as_py()) if final.num_rows else -1
+            out.append((part, final.num_rows, size, mx))
+        return pa.table(
+            {
+                "part": pa.array([o[0] for o in out], pa.int32()),
+                "rows": pa.array([o[1] for o in out], pa.int64()),
+                "bytes": pa.array([o[2] for o in out], pa.int64()),
+                "max_event_seq": pa.array([o[3] for o in out], pa.int64()),
+            }
+        )
+
+    parts_ds = rd.from_items([{"part": p} for p in sorted(by_part)])
+    stats = parts_ds.map_batches(merge_one, batch_size=1, batch_format="numpy").take_all()
+    import shutil as _shutil
+
+    _shutil.rmtree(spill_dir, ignore_errors=True)
+    return [
+        {
+            "part": int(r["part"]),
+            "rows": int(r["rows"]),
+            "bytes": int(r["bytes"]),
+            "max_event_seq": int(r["max_event_seq"]),
+        }
+        for r in stats
+    ]
+
+
 def run_to_lake(
     manifest: dict[str, Any],
     lake_dir: str,
@@ -209,12 +364,12 @@ def run_to_lake(
             extra.append(lake_ds)
 
     events = read_event_stream(manifest, start_after)
-    cf = decode_changefeed(events, manifest["table_maps"], cfg, start_after)
+    flat_cfg = _with_flat_decode(cfg)
+    cf = decode_changefeed(events, manifest["table_maps"], flat_cfg, start_after)
     key_cols = cfg.key_cols
 
     def _flatten_combine(batch: pa.Table) -> pa.Table:
-        flat = flatten_changefeed(batch, key_cols)
-        return lww_partial(flat, key_cols)
+        return lww_partial(batch, key_cols)
 
     flat = cf.map_batches(_flatten_combine, batch_format="pyarrow")
     for e in extra:
@@ -223,8 +378,22 @@ def run_to_lake(
         lambda b: add_partition_column(b, key_cols, cfg.num_partitions),
         batch_format="pyarrow",
     )
+    if cfg.merge_coalesce_blocks:
+        parted = parted.repartition(cfg.merge_coalesce_blocks)
 
     lake = lake_dir
+
+    if cfg.shuffle == "external":
+        parts = _external_shuffle_merge(parted, lake_dir, cfg)
+        if prior:
+            have = {p["part"] for p in parts}
+            parts.extend(p for p in prior["partitions"] if p["part"] not in have)
+        return commit_manifest(
+            lake_dir,
+            watermark,
+            parts,
+            extra={"key_cols": list(cfg.key_cols), "num_partitions": cfg.num_partitions},
+        )
 
     def _merge_and_write(group: pa.Table) -> pa.Table:
         """Per-partition merge + atomic write; emits one manifest row.

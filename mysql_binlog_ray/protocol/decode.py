@@ -321,6 +321,55 @@ def make_cell_reader(col: ColumnDef) -> CellReader:
     raise ValueError(f"unsupported column type {t!r}")  # JSON/GEOMETRY per RowFactory.php:163-165
 
 
+CellSkipper = Callable[[bytes, int], int]
+
+_FIXED_WIDTH: dict[ColumnType, int] = {
+    ColumnType.TINY: 1,
+    ColumnType.SHORT: 2,
+    ColumnType.INT24: 3,
+    ColumnType.LONG: 4,
+    ColumnType.LONGLONG: 8,
+    ColumnType.FLOAT: 4,
+    ColumnType.DOUBLE: 8,
+    ColumnType.DATE: 3,
+}
+
+
+def make_cell_skipper(col: ColumnDef) -> CellSkipper:
+    """Compile a skipper that advances past one cell WITHOUT constructing
+    its value — used for row images the pipeline does not need (e.g.
+    update before-images when only the after state is merged).  Mirrors
+    the byte layout of `make_cell_reader` exactly."""
+    t = col.type
+    if t in _FIXED_WIDTH:
+        w = _FIXED_WIDTH[t]
+        return lambda data, off, _w=w: off + _w
+    if t is ColumnType.NEWDECIMAL:
+        intg = col.precision - col.scale
+        intg0, intg0x = divmod(intg, _DIG_PER_DEC)
+        frac0, frac0x = divmod(col.scale, _DIG_PER_DEC)
+        w = _DIG2BYTES[intg0x] + intg0 * 4 + frac0 * 4 + _DIG2BYTES[frac0x]
+        return lambda data, off, _w=w: off + _w
+    if t is ColumnType.BIT:
+        w = col.bit_bytes
+        return lambda data, off, _w=w: off + _w
+    if t in (ColumnType.DATETIME2, ColumnType.TIMESTAMP2, ColumnType.TIME2):
+        base = {ColumnType.DATETIME2: 5, ColumnType.TIMESTAMP2: 4, ColumnType.TIME2: 3}[t]
+        w = base + ((col.fsp + 1) >> 1 if col.fsp else 0)
+        return lambda data, off, _w=w: off + _w
+    if t in (ColumnType.VARCHAR, ColumnType.STRING):
+        if col.max_length > 255:
+            return lambda data, off: off + 2 + _u16.unpack_from(data, off)[0]
+        return lambda data, off: off + 1 + data[off]
+    if t is ColumnType.BLOB:
+        lb = col.length_bytes
+        return lambda data, off, _lb=lb: off + _lb + int.from_bytes(data[off : off + _lb], "little")
+    if t in (ColumnType.ENUM, ColumnType.SET):
+        w = col.size
+        return lambda data, off, _w=w: off + _w
+    raise ValueError(f"unsupported column type {t!r}")
+
+
 @dataclass
 class DecodePlan:
     """Compiled row-decode plan for one TableMapDef."""
@@ -328,6 +377,7 @@ class DecodePlan:
     table_map: TableMapDef
     names: tuple[str, ...]
     readers: tuple[CellReader, ...]
+    skippers: tuple[CellSkipper, ...]
 
     @staticmethod
     def compile(tm: TableMapDef) -> "DecodePlan":
@@ -335,6 +385,7 @@ class DecodePlan:
             table_map=tm,
             names=tuple(c.name for c in tm.columns),
             readers=tuple(make_cell_reader(c) for c in tm.columns),
+            skippers=tuple(make_cell_skipper(c) for c in tm.columns),
         )
 
 

@@ -99,12 +99,22 @@ class _TableState:
     """Per-table-map decode state: compiled plan + remap into the target
     column order (late-binding cast, null-fill for added columns)."""
 
-    __slots__ = ("plan", "remap", "schema_ver")
+    __slots__ = ("plan", "remap", "schema_ver", "key_src")
 
-    def __init__(self, tm: TableMapDef, target_names: tuple[str, ...]) -> None:
+    def __init__(
+        self,
+        tm: TableMapDef,
+        target_names: tuple[str, ...],
+        key_names: tuple[str, ...] = (),
+    ) -> None:
         self.plan = DecodePlan.compile(tm)
         name_to_src = {n: i for i, n in enumerate(self.plan.names)}
         self.remap = tuple(name_to_src.get(n) for n in target_names)
+        # source ordinals of the merge-key columns (delete before-images
+        # only need these decoded; everything else is skipped)
+        self.key_src = frozenset(
+            name_to_src[k] for k in key_names if k in name_to_src
+        )
         self.schema_ver = tm.schema_ver
 
 
@@ -124,6 +134,8 @@ class BinlogDecoder:
         checksum_size: int = 4,
         start_after_seq: int | None = None,
         registry_actor_name: str | None = None,
+        output: str = "changefeed",
+        key_cols: tuple[str, ...] | None = None,
     ) -> None:
         maps = [TableMapDef.from_dict(d) for d in (registry_snapshot or [])]
         if target_table is None:
@@ -139,11 +151,28 @@ class BinlogDecoder:
         self.target_map = max(candidates, key=lambda m: (m.schema_ver, m.table_id))
         self.target_names = tuple(c.name for c in self.target_map.columns)
         self.struct_type = target_struct_type(self.target_map)
-        self.out_schema = changefeed_schema(self.target_map)
+        assert output in ("changefeed", "flat")
+        self.output = output
+        # merge-key columns: default = the table's SIMPLE_PRIMARY_KEY from
+        # the TABLE_MAP metadata (ColumnMetadataFactory.php:290-296)
+        self.key_names = tuple(key_cols) if key_cols else self.target_map.pk_names
+        if output == "flat":
+            fields = [
+                pa.field(n, self.struct_type.field(i).type)
+                for i, n in enumerate(self.target_names)
+            ] + [
+                pa.field("op", pa.string()),
+                pa.field("event_seq", pa.int64()),
+                pa.field("row_seq", pa.int32()),
+                pa.field("commit_seq", pa.int64()),
+            ]
+            self.out_schema = pa.schema(fields)
+        else:
+            self.out_schema = changefeed_schema(self.target_map)
         self._empty = self.out_schema.empty_table()
 
         self.states: dict[int, _TableState] = {
-            m.table_id: _TableState(m, self.target_names) for m in maps
+            m.table_id: _TableState(m, self.target_names, self.key_names) for m in maps
         }
         self.filtered: dict[int, bool] = {}
 
@@ -197,15 +226,34 @@ class BinlogDecoder:
             d = ray.get(self._registry_handle.get.remote(table_id))
             if d is not None:
                 tm = TableMapDef.from_dict(d)
-                st = _TableState(tm, self.target_names)
+                st = _TableState(tm, self.target_names, self.key_names)
                 self.states[table_id] = st
                 return st
         raise KeyError(f"unknown table_map id {table_id}; no registry entry")
 
+    @staticmethod
+    def _payload_views(batch: pa.Table):
+        """Zero-copy memoryviews into the binary column's data buffer —
+        the ~GB of payload bytes is never copied into Python objects."""
+        col = batch.column("payload")
+        chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+        out = []
+        for chunk in chunks:
+            bufs = chunk.buffers()
+            dtype = np.int64 if pa.types.is_large_binary(chunk.type) else np.int32
+            offs = np.frombuffer(bufs[1], dtype=dtype)[
+                chunk.offset : chunk.offset + len(chunk) + 1
+            ]
+            mv = memoryview(bufs[2])
+            out.extend(mv[offs[i] : offs[i + 1]] for i in range(len(chunk)))
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         shard_ids = batch.column("shard_id").to_numpy(zero_copy_only=False)
         event_seqs = batch.column("event_seq").to_numpy(zero_copy_only=False)
-        payloads = batch.column("payload").to_pylist()
+        payloads = self._payload_views(batch)
+        if self.output == "flat":
+            return self._call_flat(shard_ids, event_seqs, payloads)
 
         n_target = len(self.target_names)
         # accumulators (columnar; struct children + null masks)
@@ -233,11 +281,13 @@ class BinlogDecoder:
             self.n_bytes += len(payload)
 
             if etype == EventType.FORMAT_DESCRIPTION:
+                payload = bytes(payload)
                 h = parse_header(payload, 0)
                 _, _, alg = parse_format_description(payload, h)
                 checksum_size = 4 if alg > 0 else 0
                 continue
             if etype == EventType.TABLE_MAP:
+                payload = bytes(payload)
                 h = parse_header(payload, checksum_size)
                 if self.verify and not verify_checksum(payload, checksum_size):
                     self.n_checksum_failures += 1
@@ -247,7 +297,9 @@ class BinlogDecoder:
                 # snapshot entry, when present, wins so schema_ver lineage
                 # stays bound (same layout either way: table_id identifies it)
                 if tm.table_id not in self.states:
-                    self.states[tm.table_id] = _TableState(tm, self.target_names)
+                    self.states[tm.table_id] = _TableState(
+                        tm, self.target_names, self.key_names
+                    )
                 self.filtered[tm.table_id] = self._filtered(tm)
                 continue
             if etype == EventType.XID:
@@ -408,4 +460,158 @@ class BinlogDecoder:
                 after_cols[t_i].extend(scratch_after[s_i] if s_i is not None else nones)
             before_null.extend([False] * n_rows)
             after_null.extend([False] * n_rows)
+        return n_rows
+
+
+    def _call_flat(self, shard_ids, event_seqs, payloads) -> pa.Table:
+        """Flat decode path for the merge pipeline: one pass, no struct
+        images.  Update before-images are SKIPPED byte-wise (compiled
+        skippers), delete before-images decode only the merge-key columns
+        — the dominant memory-bandwidth saving at scale."""
+        n_target = len(self.target_names)
+        cols: list[list] = [[] for _ in range(n_target)]
+        ops: list[str] = []
+        ev_seqs: list[int] = []
+        row_seqs: list[int] = []
+        commit_seqs: list[int] = []
+
+        checksum_size = self.checksum_size
+        start_after = self.start_after_seq
+
+        for shard_id, event_seq, payload in zip(shard_ids, event_seqs, payloads):
+            if start_after is not None and event_seq <= start_after:
+                continue
+            etype = payload[5]
+            self.n_events += 1
+            self.n_bytes += len(payload)
+
+            if etype == EventType.FORMAT_DESCRIPTION:
+                payload = bytes(payload)
+                h = parse_header(payload, 0)
+                _, _, alg = parse_format_description(payload, h)
+                checksum_size = 4 if alg > 0 else 0
+                continue
+            if etype == EventType.TABLE_MAP:
+                payload = bytes(payload)
+                h = parse_header(payload, checksum_size)
+                if self.verify and not verify_checksum(payload, checksum_size):
+                    self.n_checksum_failures += 1
+                    continue
+                tm = parse_table_map(payload, h)
+                if tm.table_id not in self.states:
+                    self.states[tm.table_id] = _TableState(
+                        tm, self.target_names, self.key_names
+                    )
+                self.filtered[tm.table_id] = self._filtered(tm)
+                continue
+            if etype == EventType.XID:
+                xid = parse_xid(payload)
+                while len(commit_seqs) < len(ops):
+                    commit_seqs.append(xid)
+                continue
+            if etype in _ROWS_TYPES:
+                off = 20
+                table_id = int.from_bytes(payload[off : off + 6], "little")
+                if self.filtered.get(table_id):
+                    continue
+                st = self._resolve(table_id)
+                tm = st.plan.table_map
+                if (tm.schema_name, tm.table_name) != self.target_table:
+                    if self.filtered.get(table_id) is None:
+                        self.filtered[table_id] = True
+                    continue
+                if self.verify and not verify_checksum(payload, checksum_size):
+                    self.n_checksum_failures += 1
+                    continue
+                h = parse_header(payload, checksum_size)
+                n_rows = self._decode_rows_flat(payload, h, etype, st, cols)
+                op = _OP_BY_TYPE[etype]
+                ops.extend([op] * n_rows)
+                ev_seqs.extend([int(event_seq)] * n_rows)
+                row_seqs.extend(range(n_rows))
+                self.n_rows += n_rows
+                continue
+            continue
+
+        while len(commit_seqs) < len(ops):
+            commit_seqs.append(-1)
+
+        if not ops:
+            return self._empty
+        st_type = self.struct_type
+        arrays = [
+            pa.array(cols[i], type=st_type.field(i).type) for i in range(n_target)
+        ] + [
+            pa.array(ops, pa.string()),
+            pa.array(ev_seqs, pa.int64()),
+            pa.array(row_seqs, pa.int32()),
+            pa.array(commit_seqs, pa.int64()),
+        ]
+        return pa.Table.from_arrays(arrays, schema=self.out_schema)
+
+    def _decode_rows_flat(
+        self,
+        payload,
+        header,
+        etype: int,
+        st: _TableState,
+        cols: list[list],
+    ) -> int:
+        op = _OP_BY_TYPE[etype]
+        off = 20 + 6 + 2
+        if etype in _V2_TYPES:
+            extra = int.from_bytes(payload[off : off + 2], "little")
+            off += 2 + extra // 8
+        n, off = read_coded_binary(payload, off)
+        bml = (n + 7) >> 3
+        off += bml
+        is_update = op == "update"
+        if is_update:
+            off += bml
+
+        plan = st.plan
+        readers = plan.readers
+        skippers = plan.skippers
+        remap = st.remap
+        key_src = st.key_src
+        n_src = len(readers)
+        end = header.payload_size
+        nbl = (n + 7) >> 3
+        is_delete = op == "delete"
+
+        scratch: list[list] = [[] for _ in range(n_src)]
+        n_rows = 0
+        while off < end:
+            if is_update:
+                # before-image: advance without constructing values
+                null_bm = payload[off : off + nbl]
+                off += nbl
+                for i in range(n_src):
+                    if not (null_bm[i >> 3] & (1 << (i & 7))):
+                        off = skippers[i](payload, off)
+            null_bm = payload[off : off + nbl]
+            off += nbl
+            if is_delete:
+                # before-image: merge keys decoded, everything else skipped
+                for i in range(n_src):
+                    if null_bm[i >> 3] & (1 << (i & 7)):
+                        scratch[i].append(None)
+                    elif i in key_src:
+                        v, off = readers[i](payload, off)
+                        scratch[i].append(v)
+                    else:
+                        off = skippers[i](payload, off)
+                        scratch[i].append(None)
+            else:
+                for i in range(n_src):
+                    if null_bm[i >> 3] & (1 << (i & 7)):
+                        scratch[i].append(None)
+                    else:
+                        v, off = readers[i](payload, off)
+                        scratch[i].append(v)
+            n_rows += 1
+
+        nones = [None] * n_rows
+        for t_i, s_i in enumerate(remap):
+            cols[t_i].extend(scratch[s_i] if s_i is not None else nones)
         return n_rows
