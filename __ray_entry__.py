@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the CDC pipeline itself (oracle = replay tests, rows-only here)
         "cdc_final_state": Q.cdc_final_state,
         "cdc_changefeed_stats": Q.cdc_changefeed_stats,
+        "cdc_table_stats": Q.cdc_table_stats,
+        "cdc_hot_keys": Q.cdc_hot_keys,
     }
 
 

@@ -345,6 +345,46 @@ def cdc_final_state(sf_dir: str):
     return ds.map_batches(shaify, batch_format="pyarrow")
 
 
+def cdc_table_stats(sf_dir: str):
+    """A1 StatisticsCollector equivalent (`StatisticsCollector.php:13-95`):
+    per-(schema, table, op) row counts + sequence range over the decoded
+    changefeed, as a distributed aggregate instead of a timer."""
+    from .cdc import CdcConfig, decode_changefeed, read_event_stream
+
+    _, manifest = cdc_manifest(sf_dir)
+    cfg = CdcConfig()
+    cf = decode_changefeed(read_event_stream(manifest), manifest["table_maps"], cfg)
+    return R.preagg_groupby(
+        cf.map_batches(
+            lambda b: b.select(["schema_name", "table_name", "op", "event_seq"]),
+            batch_format="pyarrow",
+        ),
+        ["schema_name", "table_name", "op"],
+        {
+            "n_rows": (None, "count"),
+            "min_seq": ("event_seq", "min"),
+            "max_seq": ("event_seq", "max"),
+        },
+    )
+
+
+def cdc_hot_keys(sf_dir: str):
+    """M8 skew surface: per-key change frequency sketch (top 20 hottest
+    primary keys by row-image count) — the input to hot-key salting
+    decisions at scale."""
+    from .cdc import CdcConfig, _with_flat_decode, decode_changefeed, read_event_stream
+
+    _, manifest = cdc_manifest(sf_dir)
+    cfg = _with_flat_decode(CdcConfig())
+    flat = decode_changefeed(read_event_stream(manifest), manifest["table_maps"], cfg)
+    counts = R.preagg_groupby(
+        flat.map_batches(lambda b: b.select(["repo", "path"]), batch_format="pyarrow"),
+        ["repo", "path"],
+        {"n_changes": (None, "count")},
+    )
+    return R.top_k(counts, [("n_changes", True), ("repo", False), ("path", False)], 20)
+
+
 def cdc_changefeed_stats(sf_dir: str):
     """Decoded-changefeed accounting (per-op row counts + seq range)."""
     from .cdc import CdcConfig, decode_changefeed, read_event_stream

@@ -1,0 +1,236 @@
+"""Tests for JSON projection (P1), DDL parsing (E6), skew behavior (M8),
+registry actor resolution (M3), and property-based round-trips."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mysql_binlog_ray.fixtures.generator import (
+    StreamSpec,
+    build_op_plan,
+    final_state_oracle,
+    generate_stream,
+    repos_table_map,
+)
+from mysql_binlog_ray.protocol import decode as D
+from mysql_binlog_ray.protocol import encode as E
+from mysql_binlog_ray.protocol.constants import ColumnType, EventType
+from mysql_binlog_ray.protocol.model import ColumnDef, TableMapDef
+from mysql_binlog_ray.stages.decode_stage import BinlogDecoder
+from mysql_binlog_ray.stages.json_sink import JsonProjector, changefeed_row_to_json_dict
+from mysql_binlog_ray.state.ddl import apply_ddl
+
+
+def _stream_batch(tm, rows_events):
+    w = E.BinlogWriter()
+    out = [w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body())]
+    out.append(w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm)))
+    for op, rows in rows_events:
+        etype = {"insert": EventType.WRITE_ROWS_V2, "update": EventType.UPDATE_ROWS_V2, "delete": EventType.DELETE_ROWS_V2}[op]
+        out.append(w.packet(etype, E.encode_rows_body(tm, rows, op)))
+    out.append(w.packet(EventType.XID, E.encode_xid_body(7)))
+    return pa.table(
+        {
+            "shard_id": pa.array([0] * len(out), pa.int32()),
+            "event_seq": pa.array(range(1, len(out) + 1), pa.int64()),
+            "payload": pa.array(out, pa.binary()),
+        }
+    )
+
+
+TM = repos_table_map(False)
+
+
+def _row(i):
+    return {"repo": f"o/r{i}", "path": f"p{i}.py", "commit": "c" * 40, "lang": "py", "content": f"body {i}"}
+
+
+class TestJsonProjection:
+    def test_reference_shape(self):
+        batch = _stream_batch(
+            TM,
+            [
+                ("insert", [_row(1)]),
+                ("update", [{"before": _row(1), "after": {**_row(1), "commit": "d" * 40}}]),
+                ("delete", [_row(1)]),
+            ],
+        )
+        cf = BinlogDecoder(registry_snapshot=[TM.to_dict()])(batch)
+        out = JsonProjector()(cf)
+        docs = [json.loads(x) for x in out.column("json").to_pylist()]
+        assert [d["action"] for d in docs] == ["insert", "update", "delete"]
+        assert docs[0]["row"]["repo"] == "o/r1"          # insert: after image
+        assert docs[1]["row"]["after"]["commit"] == "d" * 40  # update: both images
+        assert docs[1]["row"]["before"]["commit"] == "c" * 40
+        assert docs[2]["row"]["path"] == "p1.py"          # delete: before image
+        assert docs[0]["schema"] == "code" and docs[0]["table"] == "repos"
+        assert docs[0]["position"]["commit_seq"] == 7
+
+
+class TestDdl:
+    BASE = TableMapDef(
+        table_id=10,
+        schema_name="code",
+        table_name="repos",
+        columns=(
+            ColumnDef("repo", ColumnType.VARCHAR, max_length=255),
+            ColumnDef("path", ColumnType.VARCHAR, max_length=512),
+        ),
+        primary_key=(0, 1),
+        schema_ver=1,
+    )
+
+    def test_add_column(self):
+        tm = apply_ddl("ALTER TABLE repos ADD COLUMN stars BIGINT", "code", self.BASE, 11)
+        assert tm is not None
+        assert tm.table_id == 11 and tm.schema_ver == 2
+        assert tm.columns[-1].name == "stars" and tm.columns[-1].type is ColumnType.LONGLONG
+
+    def test_add_varchar_with_length(self):
+        tm = apply_ddl("ALTER TABLE `repos` ADD `branch` VARCHAR(300)", "code", self.BASE, 11)
+        assert tm.columns[-1].max_length == 300
+
+    def test_drop_column_repacks_pk(self):
+        tm = apply_ddl("ALTER TABLE repos DROP COLUMN repo", "code", self.BASE, 12)
+        assert tm is not None
+        assert [c.name for c in tm.columns] == ["path"]
+        assert tm.primary_key == (0,)
+
+    def test_unknown_statement_falls_back(self):
+        assert apply_ddl("TRUNCATE TABLE repos", "code", self.BASE, 13) is None
+        assert apply_ddl("ALTER TABLE other ADD COLUMN x INT", "code", self.BASE, 13) is None
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRegistryActor:
+    def test_unknown_table_id_resolved_via_actor(self):
+        import ray
+
+        from mysql_binlog_ray.state.registry import SchemaRegistry
+
+        name = "test_schema_registry"
+        reg = SchemaRegistry.options(name=name).remote()
+        tm_unseen = TableMapDef(
+            table_id=777,
+            schema_name="code",
+            table_name="repos",
+            columns=TM.columns,
+            primary_key=TM.primary_key,
+            schema_ver=1,
+        )
+        ray.get(reg.put.remote(tm_unseen.to_dict()))
+        # stream contains rows for table 777 but NO in-band TABLE_MAP for it
+        w = E.BinlogWriter()
+        evs = [
+            w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body()),
+            w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(tm_unseen, [_row(1)], "insert")),
+        ]
+        batch = pa.table(
+            {
+                "shard_id": pa.array([0, 0], pa.int32()),
+                "event_seq": pa.array([1, 2], pa.int64()),
+                "payload": pa.array(evs, pa.binary()),
+            }
+        )
+        dec = BinlogDecoder(registry_snapshot=[TM.to_dict()], registry_actor_name=name)
+        out = dec(batch)
+        assert out.num_rows == 1
+        assert out.column("table_map_id").to_pylist() == [777]
+        ray.kill(reg)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSkew:
+    def test_zipf_hot_key_correct_and_bounded(self, tmp_path):
+        """FIXTURES §F6 scenario 4: heavy key skew; the partial combine
+        bounds any key's merge fan-in by the number of upstream blocks."""
+        spec = StreamSpec(n_keys=100, n_ops=4000, n_shards=2, zipf_a=1.2, ddl_at=None)
+        out = str(tmp_path)
+        m = generate_stream(spec, out)
+        plan = build_op_plan(spec)
+        counts = np.bincount(plan.key, minlength=spec.n_keys)
+        assert counts.max() > spec.n_ops * 0.1, "fixture not skewed enough"
+
+        from mysql_binlog_ray.pipelines.cdc import CdcConfig, run_to_dataset
+
+        import hashlib
+
+        ds = run_to_dataset(m, CdcConfig(num_partitions=8))
+        got = ds.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        got["content_sha256"] = got["content"].map(lambda s: hashlib.sha256(s.encode()).hexdigest())
+        exp = final_state_oracle(spec, out).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        assert got[["repo", "path", "commit", "content_sha256"]].equals(
+            exp[["repo", "path", "commit", "content_sha256"]]
+        )
+
+    def test_partial_bounds_hot_key_rows(self):
+        """A key updated K times in one batch ships exactly ONE row to the
+        shuffle (the M8 salting effect, realized by the combiner)."""
+        from mysql_binlog_ray.stages.merge import lww_partial
+
+        n = 5000
+        t = pa.table(
+            {
+                "repo": pa.array(["hot/repo"] * n),
+                "path": pa.array(["a.py"] * n),
+                "content": pa.array([f"v{i}" for i in range(n)]),
+                "op": pa.array(["update"] * n),
+                "event_seq": pa.array(range(n), pa.int64()),
+                "row_seq": pa.array([0] * n, pa.int32()),
+            }
+        )
+        out = lww_partial(t, ("repo", "path"))
+        assert out.num_rows == 1
+        assert out.column("content").to_pylist() == [f"v{n-1}"]
+
+
+class TestPropertyRoundTrip:
+    def test_random_rows_roundtrip(self):
+        """Property/randomized round-trip (SURVEY §5.2 item 2): seeded
+        random rows over a wide schema encode -> decode to equality."""
+        from hypothesis import given, settings, strategies as st
+
+        cols = (
+            ColumnDef("k", ColumnType.LONG),
+            ColumnDef("u", ColumnType.LONGLONG, signed=False),
+            ColumnDef("s", ColumnType.VARCHAR, max_length=300),
+            ColumnDef("b", ColumnType.BLOB, length_bytes=2),
+            ColumnDef("f", ColumnType.DOUBLE, size=8),
+            ColumnDef("d", ColumnType.NEWDECIMAL, precision=12, scale=3),
+        )
+        tm = TableMapDef(table_id=3, schema_name="s", table_name="t", columns=cols)
+
+        text = st.text(alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)), max_size=200)
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            k=st.integers(-(1 << 31), (1 << 31) - 1),
+            u=st.integers(0, (1 << 64) - 1),
+            s=text,
+            b=text,
+            f=st.floats(allow_nan=False, allow_infinity=False, width=64),
+            dec_int=st.integers(0, 10**9 - 1),
+            dec_frac=st.integers(0, 999),
+            neg=st.booleans(),
+        )
+        def check(k, u, s, b, f, dec_int, dec_frac, neg):
+            dec = f"{'-' if neg and (dec_int or dec_frac) else ''}{dec_int}.{dec_frac:03d}"
+            row = {"k": k, "u": u, "s": s, "b": b, "f": f, "d": dec}
+            w = E.BinlogWriter()
+            w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body())
+            tmev = w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm))
+            wr = w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(tm, [row], "insert"))
+            tm2 = D.parse_table_map(tmev, D.parse_header(tmev, 4))
+            ev = D.parse_rows_event(wr, D.parse_header(wr, 4), {tm2.table_id: D.DecodePlan.compile(tm2)})
+            got = ev.rows[0]
+            assert got["k"] == k
+            assert got["u"] == (str(u) if u >= 1 << 63 else u)
+            assert got["s"] == s
+            assert got["b"] == b
+            assert got["f"] == f
+            assert got["d"] == "%.3f" % float(dec)
+
+        check()
