@@ -34,8 +34,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational breadth
         "q1_lineitem_agg": Q.q1_lineitem_agg,
         "join_orders_customer": Q.join_orders_customer,
+        "join_orders_lineitem": Q.join_orders_lineitem,
+        "asof_clicks_purchases": Q.asof_clicks_purchases,
         "topk_orders": Q.topk_orders,
         "distinct_users": Q.distinct_users,
+        "stratified_sample_documents": Q.stratified_sample_documents,
+        "distinct_lang_source": Q.distinct_lang_source,
+        "approx_distinct_users": Q.approx_distinct_users,
         # dedup / text / similarity
         "dedup_exact_documents": Q.dedup_exact_documents,
         "doc_token_stats": Q.doc_token_stats,
@@ -99,6 +104,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_users": """
             SELECT count(DISTINCT user_id) AS n_users FROM events
+        """,
+        "join_orders_lineitem": """
+            SELECT o.o_orderpriority, count(*) AS n_items, max(l.l_quantity) AS max_qty
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+        """,
+        "asof_clicks_purchases": """
+            WITH p AS (
+                SELECT user_id, ts, max(event_id) AS p_event_id
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            ), c AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            )
+            SELECT c.event_id AS click_id,
+                   COALESCE(p.p_event_id, -1) AS prev_purchase_id
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND p.ts <= c.ts
+        """,
+        "stratified_sample_documents": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn <= 5
+        """,
+        "distinct_lang_source": """
+            SELECT DISTINCT lang, source FROM documents
         """,
         "dedup_exact_documents": """
             SELECT md5(array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 8), ' ')) AS text_md5,

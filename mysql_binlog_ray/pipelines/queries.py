@@ -400,3 +400,84 @@ def cdc_changefeed_stats(sf_dir: str):
         ["op"],
         {"n_rows": (None, "count"), "min_seq": ("event_seq", "min"), "max_seq": ("event_seq", "max")},
     )
+
+
+# ---------------------------------------------------------------------------
+# joins / sampling / sketches (round-1 additions)
+# ---------------------------------------------------------------------------
+
+
+def asof_clicks_purchases(sf_dir: str):
+    """As-of join (SURVEY §2.7 gap operator): for every click, the user's
+    most recent purchase at or before it.  Right side pre-deduped to
+    max(event_id) per (user_id, ts) so tie-breaks are deterministic in
+    both engines."""
+    ev_cols = ["event_id", "user_id", "event_type", "ts"]
+    clicks = rd.read_parquet(_t(sf_dir, "events"), columns=ev_cols)
+    clicks = R.filter_project(
+        clicks,
+        lambda b: pc.equal(b.column("event_type"), pa.scalar("click")),
+        ["event_id", "user_id", "ts"],
+    )
+    purchases = rd.read_parquet(_t(sf_dir, "events"), columns=ev_cols)
+    purchases = R.filter_project(
+        purchases,
+        lambda b: pc.equal(b.column("event_type"), pa.scalar("purchase")),
+        ["event_id", "user_id", "ts"],
+    )
+    p_dedup = R.preagg_groupby(
+        purchases, ["user_id", "ts"], {"p_event_id": ("event_id", "max")}
+    )
+    joined = R.asof_join(
+        clicks, p_dedup, by="user_id", on="ts", right_cols=["p_event_id"], suffix=""
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        prev = batch.column("p_event_id").fill_null(-1).cast(pa.int64())
+        return pa.table(
+            {
+                "click_id": batch.column("event_id").cast(pa.int64()),
+                "prev_purchase_id": prev,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def join_orders_lineitem(sf_dir: str):
+    """Large-large equi-join via Ray Data's hash-partitioned join, then a
+    pre-aggregated groupby."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = R.hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=16)
+    return R.preagg_groupby(
+        joined,
+        ["o_orderpriority"],
+        {"n_items": (None, "count"), "max_qty": ("l_quantity", "max")},
+    )
+
+
+def stratified_sample_documents(sf_dir: str):
+    """Deterministic stratified sample: first 5 docs per language."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+    return R.stratified_first_n(ds, "lang", "doc_id", 5)
+
+
+def distinct_lang_source(sf_dir: str):
+    """Distinct pairs (set op) via pre-aggregated groupby."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "source"])
+    pairs = R.preagg_groupby(ds, ["lang", "source"], {"n": (None, "count")})
+    return pairs.map_batches(lambda b: b.select(["lang", "source"]), batch_format="pyarrow")
+
+
+def approx_distinct_users(sf_dir: str):
+    """HLL approximate count-distinct (mergeable-sketch pattern); exact
+    parity is impossible by construction, so the pytest oracle asserts
+    <2.5% error instead of the SQL hash gate."""
+    from ..stages.sketches import approx_distinct
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pa.table({"approx_users": pa.array([int(round(est))], pa.int64())})

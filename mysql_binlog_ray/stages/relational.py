@@ -141,3 +141,100 @@ def filter_project(
         return batch.filter(predicate(batch)).select(columns)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def asof_join(
+    left_ds: rd.Dataset,
+    right_ds: rd.Dataset,
+    by: str,
+    on: str,
+    right_cols: list[str],
+    num_buckets: int = 16,
+    suffix: str = "_r",
+) -> rd.Dataset:
+    """As-of (backward) join: for each left row, the newest right row of
+    the same ``by`` key with ``right.on <= left.on``.
+
+    Scale shape: both sides get a deterministic hash bucket on ``by``;
+    one shuffle co-locates each bucket; inside a bucket a single
+    ``pd.merge_asof(by=...)`` handles all its keys vectorized.  The
+    operator the reference ecosystem lacks entirely (SURVEY §2.7).
+
+    Ties on equal ``on`` values resolve to the right row latest in sort
+    order (callers wanting determinism should pre-dedupe the right side).
+    """
+    import pandas as pd
+
+    def tag(side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            h = pd.util.hash_pandas_object(batch[by].astype(str), index=False, hash_key="mysql_binlog_ray")
+            batch["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+            batch["_side"] = side
+            return batch
+
+        return fn
+
+    l = left_ds.map_batches(tag("l"), batch_format="pandas")
+    r = right_ds.map_batches(tag("r"), batch_format="pandas")
+    # align schemas for union: null-fill the other side's columns
+    l_cols = [c for c in l.schema().names if c not in ("_bucket", "_side")]
+    r_cols = [c for c in r.schema().names if c not in ("_bucket", "_side")]
+
+    def align(cols_missing):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            for c in cols_missing:
+                batch[c] = None
+            return batch
+
+        return fn
+
+    l = l.map_batches(align([c for c in r_cols if c not in l_cols]), batch_format="pandas")
+    r = r.map_batches(align([c for c in l_cols if c not in r_cols]), batch_format="pandas")
+    both = l.union(r)
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group[group["_side"] == "l"][l_cols].sort_values([on])
+        rg = group[group["_side"] == "r"][[by, on, *[c for c in right_cols if c != by]]].sort_values([on])
+        if lg.empty:
+            return pd.DataFrame(columns=[*l_cols, *[f"{c}{suffix}" for c in right_cols if c != by]])
+        rg = rg.rename(columns={c: f"{c}{suffix}" for c in right_cols if c != by})
+        out = pd.merge_asof(
+            lg, rg, on=on, by=by, direction="backward", allow_exact_matches=True
+        )
+        return out
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def hash_join(
+    left_ds: rd.Dataset,
+    right_ds: rd.Dataset,
+    on: str,
+    right_on: str,
+    num_partitions: int = 16,
+    join_type: str = "inner",
+) -> rd.Dataset:
+    """Large-large equi-join via Ray Data's hash-partitioned join."""
+    return left_ds.join(
+        right_ds,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on,),
+    )
+
+
+def stratified_first_n(
+    ds: rd.Dataset, strata_col: str, order_col: str, n: int
+) -> rd.Dataset:
+    """Deterministic per-stratum sample: first n rows per stratum ordered
+    by ``order_col`` (hash-partitioned group-first; SQL-oracle-able,
+    unlike a random sample)."""
+    import pandas as pd
+
+    def head(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(order_col).head(n)
+
+    return ds.groupby(strata_col).map_groups(head, batch_format="pandas")

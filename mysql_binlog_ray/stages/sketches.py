@@ -1,0 +1,91 @@
+"""Mergeable sketches for distributed approximate aggregates.
+
+The pattern (ray_guide "Aggregation at scale"): one sketch per batch in
+``map_batches``, then a tiny merge stage — sketches are designed to be
+mergeable, so the shuffle carries kilobytes regardless of input size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+class HyperLogLog:
+    """Classic HLL (Flajolet et al. 2007, public algorithm): 2^p
+    registers of leading-zero ranks; standard bias correction for the
+    small-range regime."""
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None) -> None:
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        """Add pre-hashed uint64 values (vectorized)."""
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        # rank = leading zeros of the remaining bits + 1 (cap 64-p+1)
+        nz = np.where(rest == 0, np.uint64(64 - self.p), np.uint64(0))
+        ranks = np.ones(len(h), dtype=np.uint8)
+        v = rest.copy()
+        shift = np.uint64(63)
+        # vectorized leading-zero count via float log2 (exact for uint64 top bits)
+        with np.errstate(divide="ignore"):
+            lz = np.where(v == 0, 64 - self.p, 63 - np.floor(np.log2(v.astype(np.float64) + 0.5)).astype(np.int64))
+        ranks = (np.minimum(lz, 64 - self.p) + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, ranks)
+
+    def add_strings(self, values) -> None:
+        hs = np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "big")
+                for v in values
+            ),
+            dtype=np.uint64,
+            count=len(values),
+        )
+        self.add_hashes(hs)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        return HyperLogLog(self.p, np.maximum(self.registers, other.registers))
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.exp2(-self.registers.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        if e <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                e = m * np.log(m / zeros)
+        return float(e)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @staticmethod
+    def from_bytes(b: bytes, p: int = 12) -> "HyperLogLog":
+        return HyperLogLog(p, np.frombuffer(b, dtype=np.uint8).copy())
+
+
+def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
+    """Distributed approximate count-distinct: one HLL per batch, merged
+    on the driver (each partial is 2^p bytes)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = HyperLogLog(p)
+        h.add_strings(batch[col].tolist())
+        return pd.DataFrame({"sketch": [h.to_bytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").take_all()
+    acc = HyperLogLog(p)
+    for r in parts:
+        acc = acc.merge(HyperLogLog.from_bytes(r["sketch"], p))
+    return acc.estimate()

@@ -227,3 +227,56 @@ class TestRelationalKernels:
         df = pd.DataFrame({"a": [5, 5, 3, 9, 9, 1], "id": [1, 2, 3, 4, 5, 6]})
         out = top_k(rd.from_pandas(df).repartition(3), [("a", True), ("id", False)], 3).to_pandas()
         assert out["id"].tolist() == [4, 5, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJoinsAndSketches:
+    def test_asof_join_matches_pandas(self):
+        from mysql_binlog_ray.stages.relational import asof_join
+
+        rng = np.random.default_rng(4)
+        left = pd.DataFrame(
+            {"k": rng.integers(0, 10, 200), "t": rng.integers(0, 1000, 200), "lv": range(200)}
+        )
+        right = pd.DataFrame(
+            {"k": rng.integers(0, 10, 100), "t": rng.integers(0, 1000, 100), "rv": range(100)}
+        )
+        right = right.drop_duplicates(["k", "t"], keep="last")
+        out = (
+            asof_join(rd.from_pandas(left), rd.from_pandas(right), by="k", on="t", right_cols=["rv"], suffix="")
+            .to_pandas()
+            .sort_values(["k", "t", "lv"])
+            .reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            left.sort_values("t"),
+            right.sort_values("t"),
+            on="t",
+            by="k",
+            direction="backward",
+        ).sort_values(["k", "t", "lv"]).reset_index(drop=True)
+        assert out["rv"].fillna(-1).astype(int).tolist() == exp["rv"].fillna(-1).astype(int).tolist()
+
+    def test_hash_join_counts(self):
+        from mysql_binlog_ray.stages.relational import hash_join
+
+        l = pd.DataFrame({"a": [1, 1, 2, 3], "x": [10, 11, 12, 13]})
+        r = pd.DataFrame({"b": [1, 2, 4], "y": ["p", "q", "r"]})
+        out = hash_join(rd.from_pandas(l), rd.from_pandas(r), on="a", right_on="b", num_partitions=2).to_pandas()
+        assert len(out) == 3
+        assert set(out["y"]) == {"p", "q"}
+
+    def test_hll_within_error(self):
+        from mysql_binlog_ray.stages.sketches import approx_distinct
+
+        df = pd.DataFrame({"u": [f"user{i % 3000}" for i in range(20000)]})
+        est = approx_distinct(rd.from_pandas(df).repartition(8), "u")
+        assert abs(est - 3000) / 3000 < 0.05
+
+    def test_stratified_first_n(self):
+        from mysql_binlog_ray.stages.relational import stratified_first_n
+
+        df = pd.DataFrame({"g": ["a"] * 10 + ["b"] * 3, "id": list(range(10)) + [100, 101, 102]})
+        out = stratified_first_n(rd.from_pandas(df), "g", "id", 5).to_pandas()
+        assert len(out[out["g"] == "a"]) == 5 and len(out[out["g"] == "b"]) == 3
+        assert sorted(out[out["g"] == "a"]["id"]) == [0, 1, 2, 3, 4]
