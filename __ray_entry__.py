@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": Q.doc_token_stats,
         "knn_embeddings": Q.knn_embeddings,
         "minhash_neardup_documents": Q.minhash_neardup_documents,
+        "minhash_dedup_clusters": Q.minhash_dedup_clusters_documents,
         "simhash_neardup_documents": Q.simhash_neardup_documents,
         "langid_documents": Q.langid_documents,
         "quality_documents": Q.quality_documents,
@@ -56,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_final_state": Q.cdc_final_state,
         "cdc_changefeed_stats": Q.cdc_changefeed_stats,
         "cdc_table_stats": Q.cdc_table_stats,
+        "cdc_changefeed_sequential": Q.cdc_changefeed_sequential,
         "cdc_hot_keys": Q.cdc_hot_keys,
     }
 

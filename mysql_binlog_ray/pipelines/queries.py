@@ -481,3 +481,29 @@ def approx_distinct_users(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
     est = approx_distinct(ds, "user_id")
     return pa.table({"approx_users": pa.array([int(round(est))], pa.int64())})
+
+
+def minhash_dedup_clusters_documents(sf_dir: str):
+    """Near-dup clusters (doc_id -> cluster id) over documents."""
+    from ..stages.dedup import minhash_dedup_clusters
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_dedup_clusters(ds, threshold=0.4)
+
+
+def cdc_changefeed_sequential(sf_dir: str):
+    """Per-shard sequential decode: exact commit stamping + position
+    integrity (E13); per-commit row counts."""
+    from .sequential import decode_shards_sequential
+
+    _, manifest = cdc_manifest(sf_dir)
+    cf = decode_shards_sequential(manifest)
+    return R.preagg_groupby(
+        cf.map_batches(lambda b: b.select(["op", "commit_seq"]), batch_format="pyarrow"),
+        ["op"],
+        {
+            "n_rows": (None, "count"),
+            "min_commit": ("commit_seq", "min"),
+            "max_commit": ("commit_seq", "max"),
+        },
+    )

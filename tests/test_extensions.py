@@ -234,3 +234,55 @@ class TestPropertyRoundTrip:
             assert got["d"] == "%.3f" % float(dec)
 
         check()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSequentialDecode:
+    def test_commit_seq_exact_vs_oplog(self, small_stream):
+        """Sequential mode stamps every row with its transaction's XID;
+        must equal the generator's oplog ground truth row-for-row."""
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray.pipelines.sequential import decode_shards_sequential
+
+        spec, out, manifest = small_stream
+        cf = decode_shards_sequential(manifest).to_pandas()
+        assert (cf["commit_seq"] != -1).all()
+        oplog = pq.read_table(f"{out}/oplog.parquet").to_pandas()
+        merged = cf.merge(
+            oplog, on=["event_seq", "row_seq"], suffixes=("_cf", "_op"), how="inner"
+        )
+        assert len(merged) == len(oplog) == len(cf)
+        assert (merged["commit_seq_cf"] == merged["commit_seq_op"]).all()
+
+    def test_position_discontinuity_detected(self, small_stream):
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray.pipelines.sequential import SequentialShardDecoder
+
+        spec, out, manifest = small_stream
+        t = pq.read_table(manifest["shards"][0]["path"])
+        payloads = t.column("payload").to_pylist()
+        dec = SequentialShardDecoder(registry_snapshot=manifest["table_maps"])
+        for p in payloads:
+            dec.check_event(p)
+        assert dec.n_position_errors == 0
+        # corrupt one header's log_pos
+        bad = bytearray(payloads[5])
+        bad[14] ^= 0x01  # log_pos byte
+        dec2 = SequentialShardDecoder(registry_snapshot=manifest["table_maps"])
+        for i, p in enumerate(payloads[:10]):
+            dec2.check_event(bytes(bad) if i == 5 else p)
+        assert dec2.n_position_errors >= 1
+
+
+class TestConnectedComponents:
+    def test_union_find_clusters(self):
+        from mysql_binlog_ray.stages.dedup import connected_components
+
+        pairs = pd.DataFrame({"doc_a": [1, 2, 10, 20], "doc_b": [2, 3, 11, 21]})
+        out = connected_components(pairs)
+        by = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert by[1] == by[2] == by[3] == 1
+        assert by[10] == by[11] == 10
+        assert by[20] == by[21] == 20
