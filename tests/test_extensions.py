@@ -286,3 +286,65 @@ class TestConnectedComponents:
         assert by[1] == by[2] == by[3] == 1
         assert by[10] == by[11] == 10
         assert by[20] == by[21] == 20
+
+
+class TestArrowNative:
+    def test_native_casts(self):
+        from mysql_binlog_ray.stages.arrow_native import to_arrow_native
+        import base64
+
+        cols = (
+            ColumnDef("i", ColumnType.LONG),
+            ColumnDef("u", ColumnType.LONGLONG, signed=False),
+            ColumnDef("dec", ColumnType.NEWDECIMAL, precision=12, scale=3),
+            ColumnDef("day", ColumnType.DATE),
+            ColumnDef("dt", ColumnType.DATETIME2, fsp=3),
+            ColumnDef("t", ColumnType.TIME2, fsp=0),
+            ColumnDef("bits", ColumnType.BIT, bits=10),
+            ColumnDef("tags", ColumnType.SET, size=1, values=("a", "b", "c")),
+            ColumnDef("raw", ColumnType.BLOB, length_bytes=2, charset=63),
+        )
+        tm = TableMapDef(table_id=1, schema_name="s", table_name="t", columns=cols)
+        from mysql_binlog_ray.protocol.constants import BINARY_TAG
+
+        table = pa.table(
+            {
+                "i": pa.array([5, None], pa.int64()),
+                "u": pa.array([str((1 << 63) + 9), 7], pa.string()) if False else pa.array([str((1 << 63) + 9), "7"]),
+                "dec": pa.array(["-12345.678", None]),
+                "day": pa.array(["2024-02-29", "0000-00-00"]),
+                "dt": pa.array(["2024-03-01 10:20:30.500", "2024-03-01 10:20:30"]),
+                "t": pa.array(["13:14:15", None]),
+                "bits": pa.array(["1010110011", None]),
+                "tags": pa.array(["a,c", ""]),
+                "raw": pa.array([BINARY_TAG + base64.b64encode(b"\x00\x01").decode(), None]),
+                "event_seq": pa.array([1, 2], pa.int64()),
+            }
+        )
+        out = to_arrow_native(table, tm)
+        assert out.schema.field("dec").type == pa.decimal128(12, 3)
+        assert str(out.column("dec")[0].as_py()) == "-12345.678"
+        assert out.schema.field("day").type == pa.date32()
+        assert out.column("day")[1].as_py() is None  # zero-date -> null
+        assert out.schema.field("dt").type == pa.timestamp("ms")
+        assert out.column("dt")[0].as_py().microsecond == 500000
+        assert out.schema.field("t").type == pa.time64("us")
+        assert out.column("t")[0].as_py().hour == 13
+        assert out.column("bits")[0].as_py() == int("1010110011", 2)
+        assert out.column("u")[0].as_py() == (1 << 63) + 9
+        assert out.column("tags")[0].as_py() == ["a", "c"]
+        assert out.column("raw")[0].as_py() == b"\x00\x01"
+        assert out.column("event_seq")[0].as_py() == 1
+
+    def test_native_roundtrip_through_decoder(self):
+        """Wire bytes -> parity decode -> native cast: value integrity."""
+        from mysql_binlog_ray.stages.arrow_native import to_arrow_native
+
+        tm = repos_table_map(True)
+        batch = _stream_batch(tm, [("insert", [{**_row(3), "stars": 42}])])
+        flat = BinlogDecoder(
+            registry_snapshot=[tm.to_dict()], output="flat", key_cols=("repo", "path")
+        )(batch)
+        out = to_arrow_native(flat, tm)
+        r = out.to_pylist()[0]
+        assert r["repo"] == "o/r3" and r["stars"] == 42
