@@ -97,19 +97,32 @@ def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """64-bit hashes of word k-shingles (n-gram set of the document)."""
+_POLY_B = np.uint64(1099511628211)
+
+
+def _shingle_hashes(text: str, k: int, _word_cache: dict | None = None) -> np.ndarray:
+    """64-bit hashes of word k-shingles, vectorized: each word hashed once
+    (cached), shingle hash = degree-k polynomial over the word hashes —
+    no per-shingle cryptographic hashing."""
     words = text.split()
+    if not words:
+        return np.zeros(1, dtype=np.uint64)
+    cache = _word_cache if _word_cache is not None else {}
+    h = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        v = cache.get(w)
+        if v is None:
+            v = cache[w] = int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+            )
+        h[i] = v
     if len(words) < k:
-        shingles = [" ".join(words)] if words else [""]
-    else:
-        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-        )
-    return out
+        k = len(words)
+    n = len(words) - k + 1
+    s = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        s = s * _POLY_B + h[j : n + j]
+    return s
 
 
 class MinHasher:
@@ -133,28 +146,33 @@ class MinHasher:
         self.rows_per_band = num_perm // bands
         self.a, self.b = _minhash_params(num_perm)
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
+    def signature(self, text: str, word_cache: dict | None = None) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k, word_cache)
         # (P,) permutations x (S,) shingles -> min over shingles
         vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return vals.min(axis=1)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, bands_out, bh_out, sig_out = [], [], [], []
-        r = self.rows_per_band
-        for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
-            sig = self.signature(text)
-            sig_bytes = sig.astype("<u8").tobytes()
-            for band in range(self.bands):
-                chunk = sig[band * r : (band + 1) * r]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                ids.append(doc_id)
-                bands_out.append(band)
-                bh_out.append(bh)
-                sig_out.append(sig_bytes if band == 0 else None)
-        return pd.DataFrame(
-            {self.id_col: ids, "band": bands_out, "band_hash": bh_out, "sig": sig_out}
-        )
+        n = len(batch)
+        word_cache: dict = {}  # per-batch word-hash memo
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        texts = batch[self.text_col].fillna("")
+        for i, text in enumerate(texts):
+            sigs[i] = self.signature(text, word_cache)
+        # band keys: polynomial over each band's rows, fully vectorized
+        banded = sigs.reshape(n, self.bands, self.rows_per_band)
+        keys = np.zeros((n, self.bands), dtype=np.uint64)
+        for j in range(self.rows_per_band):
+            keys = keys * _POLY_B + banded[:, :, j]
+        ids = np.repeat(batch[self.id_col].to_numpy(), self.bands)
+        bands_out = np.tile(np.arange(self.bands, dtype=np.int64), n)
+        # single int64 bucket key: band in the top bits, hash truncated to
+        # 50 bits.  Ray's groupby round-trips keys through float64, which
+        # silently corrupts full 64-bit values — 50 bits survive exactly
+        # (and 2^50 bucket space keeps collisions negligible).
+        hash50 = (keys.reshape(-1) & np.uint64((1 << 50) - 1)).astype(np.int64)
+        bucket = (np.repeat(np.arange(self.bands, dtype=np.int64), 1)[bands_out] << 50) | hash50
+        return pd.DataFrame({self.id_col: ids, "bucket": bucket})
 
 
 def minhash_lsh_pairs(
@@ -165,55 +183,82 @@ def minhash_lsh_pairs(
     bands: int = 32,
     shingle_k: int = 5,
     threshold: float = 0.5,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> pa.Table:
-    """Candidate near-dup pairs with signature-estimated Jaccard >=
-    threshold.  Returns a (small) pa.Table (doc_a, doc_b, est_jaccard):
-    pair count is bounded by real near-dup density, not corpus size.
+    """Near-dup pairs with signature-estimated Jaccard >= threshold.
+
+    Scale shape: (1) slim ``(doc_id, band, band_hash)`` rows from a
+    vectorized signature stage; (2) a count aggregate finds buckets with
+    >1 member (collision buckets are rare — their count is bounded by
+    near-dup density, not corpus size); (3) only collision-bucket rows
+    are collected and paired; (4) only candidate documents have their
+    signatures recomputed for the Jaccard estimate.  No per-bucket
+    map_groups, no signature bytes through the shuffle.
     """
+    hasher_kwargs = dict(
+        text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
+    )
     sigs = ds.map_batches(
         MinHasher,
-        fn_constructor_kwargs=dict(
-            text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
-        ),
+        fn_constructor_kwargs=hasher_kwargs,
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=concurrency or (1, 8),
     )
+    mat = sigs.materialize()  # slim (id, bucket) rows, reused twice below
 
-    # doc_id -> signature map (band-0 rows only); built per final verify
-    # group via the carried sig column, so no driver-side global index.
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        ids = sorted(group[id_col].unique())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+    # bucket occupancy: per-batch partial counts merged on the driver
+    # (pre-agg pattern; partials are bounded by distinct buckets, and a
+    # collision bucket must appear with n>1 somewhere or split across
+    # partials — both covered by summing partials)
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["bucket"].value_counts()
+        return pd.DataFrame({"bucket": vc.index.to_numpy(), "n": vc.to_numpy()})
 
+    parts = mat.map_batches(partial_counts, batch_format="pandas").to_pandas()
+    totals = parts.groupby("bucket")["n"].sum()
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+    hot_keys = set(totals[totals > 1].index)
+    if not hot_keys:
+        return empty
+
+    def in_hot(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["bucket"].isin(hot_keys)]
+
+    cand = mat.map_batches(in_hot, batch_format="pandas").to_pandas()
     pairs = (
-        sigs.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        cand.merge(cand, on=["bucket"], suffixes=("_a", "_b"))
+        .query(f"{id_col}_a < {id_col}_b")[[f"{id_col}_a", f"{id_col}_b"]]
+        .drop_duplicates()
+        .rename(columns={f"{id_col}_a": "doc_a", f"{id_col}_b": "doc_b"})
     )
-    pairs_pdf = pairs.to_pandas()
-    if pairs_pdf.empty:
-        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "est_jaccard": pa.array([], pa.float64())})
-    pairs_pdf = pairs_pdf.drop_duplicates(["doc_a", "doc_b"])
+    if pairs.empty:
+        return empty
 
-    # verify with full signatures (est. Jaccard = matching minhash ratio)
-    sig_pdf = sigs.to_pandas()
-    sig_pdf = sig_pdf[sig_pdf["band"] == 0][[id_col, "sig"]]
+    # verify: signatures recomputed for candidate docs only
+    cand_ids = set(pairs["doc_a"]) | set(pairs["doc_b"])
+
+    def only_cands(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch[id_col].isin(cand_ids)]
+
+    docs = ds.map_batches(only_cands, batch_format="pandas").to_pandas()
+    mh = MinHasher(**hasher_kwargs)
+    word_cache: dict = {}
     sig_map = {
-        i: np.frombuffer(s, dtype="<u8") for i, s in zip(sig_pdf[id_col], sig_pdf["sig"])
+        i: mh.signature(t, word_cache)
+        for i, t in zip(docs[id_col], docs[text_col].fillna(""))
     }
     est = [
         float((sig_map[x] == sig_map[y]).mean())
-        for x, y in zip(pairs_pdf["doc_a"], pairs_pdf["doc_b"])
+        for x, y in zip(pairs["doc_a"], pairs["doc_b"])
     ]
-    pairs_pdf = pairs_pdf.assign(est_jaccard=np.round(est, 6))
-    out = pairs_pdf[pairs_pdf["est_jaccard"] >= threshold].sort_values(["doc_a", "doc_b"])
+    pairs = pairs.assign(est_jaccard=np.round(est, 6))
+    out = pairs[pairs["est_jaccard"] >= threshold].sort_values(["doc_a", "doc_b"])
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
