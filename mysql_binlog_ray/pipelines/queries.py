@@ -229,7 +229,7 @@ def simhash_neardup_documents(sf_dir: str):
 
 def langid_documents(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
-    out = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+    out = ds.map_batches(LangId(), batch_format="pandas")
     return out.map_batches(
         lambda b: b.select(["doc_id", "lang", "pred_lang"]), batch_format="pyarrow"
     )
@@ -237,7 +237,7 @@ def langid_documents(sf_dir: str):
 
 def quality_documents(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, 4))
+    out = ds.map_batches(QualityScorer(), batch_format="pandas")
     return out.map_batches(
         lambda b: b.select(
             ["doc_id", "q_n_chars", "q_punct_ratio", "q_stop_ratio", "q_score"]
@@ -248,7 +248,7 @@ def quality_documents(sf_dir: str):
 
 def fingerprint_documents(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=(1, 4))
+    out = ds.map_batches(Fingerprinter(), batch_format="pandas")
     return out.map_batches(
         lambda b: b.select(["doc_id", "fingerprint", "content_md5"]),
         batch_format="pyarrow",

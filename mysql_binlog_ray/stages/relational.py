@@ -67,18 +67,17 @@ def broadcast_join(
     is ``ray.put`` once; every map task reads the same object-store copy
     (zero per-batch reshipping) and merges per batch.  No shuffle."""
     small_ref = ray.put(small_df[[right_on, *take_cols]])
+    cache: dict = {}
 
-    class Joiner:
-        def __init__(self) -> None:
-            self.small = ray.get(small_ref).set_index(right_on)
+    def joiner(batch: pd.DataFrame) -> pd.DataFrame:
+        small = cache.get("s")
+        if small is None:
+            # one object-store read per worker process (fn is deserialized
+            # once per worker; the closure cache persists across tasks)
+            small = cache["s"] = ray.get(small_ref).set_index(right_on)
+        return batch.merge(small, left_on=left_on, right_index=True, how=how)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            out = batch.merge(
-                self.small, left_on=left_on, right_index=True, how=how
-            )
-            return out
-
-    return ds.map_batches(Joiner, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(joiner, batch_format="pandas")
 
 
 def top_k(ds: rd.Dataset, sort_cols: list[tuple[str, bool]], k: int) -> pa.Table:

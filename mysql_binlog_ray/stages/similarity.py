@@ -42,26 +42,21 @@ def brute_force_topk(
     """Exact cosine top-k for each query row; returns
     (query_id, vec_id, sim) sorted by (query_id, -sim, vec_id)."""
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
-    q_ref = ray.put(q)
 
-    class Scorer:
-        def __init__(self) -> None:
-            self.q = ray.get(q_ref)  # read once per actor from object store
+    def scorer(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_stack(batch[vec_col]).astype(np.float64))
+        sims = m @ q.T  # (batch, nq); q ships once with the task closure
+        ids = batch[id_col].to_numpy()
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(q.shape[0]):
+            part = np.argpartition(-sims[:, qi], kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[part])
+            out_s.extend(sims[part, qi])
+        return pd.DataFrame({"query_id": out_q, id_col: out_id, "sim": out_s})
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            m = _normalize(_stack(batch[vec_col]).astype(np.float64))
-            sims = m @ self.q.T  # (batch, nq)
-            ids = batch[id_col].to_numpy()
-            out_q, out_id, out_s = [], [], []
-            kk = min(k, len(ids))
-            for qi in range(self.q.shape[0]):
-                part = np.argpartition(-sims[:, qi], kk - 1)[:kk]
-                out_q.extend([qi] * kk)
-                out_id.extend(ids[part])
-                out_s.extend(sims[part, qi])
-            return pd.DataFrame({"query_id": out_q, id_col: out_id, "sim": out_s})
-
-    local = ds.map_batches(Scorer, batch_format="pandas", concurrency=concurrency)
+    local = ds.map_batches(scorer, batch_format="pandas")
     pdf = local.to_pandas()  # k * nq * num_batches rows: small
     pdf = pdf.sort_values(["query_id", "sim", id_col], ascending=[True, False, True])
     out = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
@@ -99,19 +94,13 @@ class IvfIndex:
                 if len(m):
                     cent[c] = m.mean(axis=0)
             cent = _normalize(cent)
-        cent_ref = ray.put(cent)
+        def assigner(batch: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize(_stack(batch[vec_col]).astype(np.float64))
+            batch = batch.copy()
+            batch["_cluster"] = np.argmax(m @ cent.T, axis=1).astype(np.int32)
+            return batch
 
-        class Assigner:
-            def __init__(self) -> None:
-                self.cent = ray.get(cent_ref)
-
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                m = _normalize(_stack(batch[vec_col]).astype(np.float64))
-                batch = batch.copy()
-                batch["_cluster"] = np.argmax(m @ self.cent.T, axis=1).astype(np.int32)
-                return batch
-
-        assigned = ds.map_batches(Assigner, batch_format="pandas", concurrency=concurrency)
+        assigned = ds.map_batches(assigner, batch_format="pandas")
         return IvfIndex(centroids=cent, assigned=assigned)
 
     def search(
