@@ -464,3 +464,19 @@ def read_lake(lake_dir: str) -> rd.Dataset:
         return batch.drop_columns(["part"]) if "part" in batch.column_names else batch
 
     return ds.map_batches(_strip_hive, batch_format="pyarrow")
+
+
+def follow(
+    manifest: dict[str, Any],
+    lake_dir: str,
+    cfg: CdcConfig | None = None,
+) -> dict[str, Any]:
+    """Tailing/incremental ingest step: apply whatever the stream
+    manifest contains beyond the lake's watermark (micro-batch follow
+    mode — the batch-replay equivalent of the reference's endless
+    `foreach ($eventStream ...)` loop, `examples/print-row-events.php:37-43`).
+
+    Call repeatedly as the stream grows; each call is an idempotent
+    resume, so a crashed or repeated step never corrupts the lake.
+    """
+    return run_to_lake(manifest, lake_dir, cfg, resume=True)

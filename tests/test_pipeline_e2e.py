@@ -117,3 +117,49 @@ class TestSchemaEvolutionE2E:
         got = _normalize(df)
         exp = final_state_oracle(spec, out).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
         assert got.equals(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFollowMode:
+    def test_three_increments_equal_full(self, small_stream, tmp_path):
+        """Tailing mode: growing the stream shard-by-shard and following
+        produces the same lake as one full run."""
+        import json as _json
+
+        from mysql_binlog_ray.pipelines.cdc import follow
+
+        spec, out, manifest = small_stream
+        lake_inc = str(tmp_path / "inc")
+        for upto in (1, 2, 3):
+            m = _json.loads(_json.dumps(manifest))
+            m["shards"] = manifest["shards"][:upto]
+            follow(m, lake_inc, CdcConfig(num_partitions=8))
+        lake_full = str(tmp_path / "full")
+        run_to_lake(manifest, lake_full, CdcConfig(num_partitions=8))
+        a = read_lake(lake_full).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        b = read_lake(lake_inc).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBatchSplitInvariance:
+    def test_decode_invariant_to_batch_boundaries(self, small_stream):
+        """Stateless decode must produce the same row images no matter how
+        the event stream is sliced into batches (commit_seq excepted: it
+        is exact only when the XID shares the batch)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray.stages.decode_stage import BinlogDecoder
+
+        spec, out, manifest = small_stream
+        t = pq.read_table(manifest["shards"][0]["path"])
+        whole = BinlogDecoder(registry_snapshot=manifest["table_maps"])(t).drop_columns(["commit_seq"])
+        dec = BinlogDecoder(registry_snapshot=manifest["table_maps"])
+        parts = []
+        for lo in range(0, t.num_rows, 7):
+            piece = dec(t.slice(lo, 7))
+            if piece.num_rows:
+                parts.append(piece.drop_columns(["commit_seq"]))
+        sliced = pa.concat_tables(parts)
+        assert whole.to_pylist() == sliced.to_pylist()
