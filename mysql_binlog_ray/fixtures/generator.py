@@ -75,6 +75,30 @@ def repos_table_map(with_stars: bool = False) -> TableMapDef:
     )
 
 
+ISSUES_TABLE_ID = 201
+
+
+def issues_table_map() -> TableMapDef:
+    """Second logical table (`code.issues`), deliberately typed with
+    non-string columns so the full pipeline exercises INT / ENUM /
+    DATETIME2 / NEWDECIMAL decode + merge paths."""
+    return TableMapDef(
+        table_id=ISSUES_TABLE_ID,
+        schema_name="code",
+        table_name="issues",
+        columns=(
+            ColumnDef("issue_id", ColumnType.LONG, nullable=False, signed=False),
+            ColumnDef("repo", ColumnType.VARCHAR, nullable=False, max_length=255, charset=COLLATION_UTF8MB4),
+            ColumnDef("state", ColumnType.ENUM, nullable=False, size=1, values=("open", "closed", "merged")),
+            ColumnDef("opened_at", ColumnType.DATETIME2, nullable=False, fsp=0),
+            ColumnDef("weight", ColumnType.NEWDECIMAL, nullable=True, precision=8, scale=2),
+            ColumnDef("n_comments", ColumnType.SHORT, nullable=False, signed=True),
+        ),
+        primary_key=(0,),
+        schema_ver=1,
+    )
+
+
 @dataclass(frozen=True)
 class StreamSpec:
     """Sizing knobs; all content derives from ``seed``."""
@@ -92,6 +116,9 @@ class StreamSpec:
     zipf_a: float = 1.4           # key-pick skew (hot repos)
     mean_content_lines: float = 28.0
     include_noise_events: bool = True  # HEARTBEAT / MARIA_GTID interleave
+    # emit a second table's transactions every N repos-txns (0 = off);
+    # exercises multi-table streams + include/exclude filters (F1)
+    issues_every: int = 0
 
     @property
     def ddl_op(self) -> int | None:
@@ -162,6 +189,20 @@ class ContentFactory:
         if key % 97 == 0:
             head += "// naïve café — привет — 你好\n"
         return head + body
+
+    def issue_row(self, issue_id: int, version: int) -> dict[str, Any]:
+        h = self._h(issue_id, version, 3)
+        repo, _ = self.repo_path(issue_id % self.spec.n_keys if self.spec.n_keys else issue_id)
+        states = ("open", "closed", "merged")
+        return {
+            "issue_id": issue_id,
+            "repo": repo,
+            "state": states[(h >> 8) % 3],
+            "opened_at": "20%02d-%02d-%02d %02d:%02d:%02d"
+            % (20 + h % 5, 1 + (h >> 4) % 12, 1 + (h >> 9) % 28, h % 24, (h >> 5) % 60, (h >> 11) % 60),
+            "weight": None if h % 7 == 0 else "%d.%02d" % ((h >> 16) % 1000, (h >> 26) % 100),
+            "n_comments": int((h >> 13) % 500) - 50,
+        }
 
     def row(self, key: int, version: int, with_stars: bool) -> dict[str, Any]:
         repo, path = self.repo_path(key)
@@ -334,6 +375,23 @@ def encode_shard(
         emit(w.packet(EventType.XID, encode_xid_body(commit_seq)))
         if noise and (commit_seq % 7 == 0):
             emit(w.packet(EventType.HEARTBEAT, b""))
+        if spec.issues_every and (commit_seq % spec.issues_every == 0):
+            # interleaved second-table transaction (upserts keyed issue_id)
+            commit_seq += 1
+            tm_iss = issues_table_map()
+            emit(w.packet(EventType.TABLE_MAP, encode_table_map_body(tm_iss), ts))
+            iss_rows = [
+                factory.issue_row((commit_seq * 13 + j) % max(64, spec.n_keys // 4), commit_seq)
+                for j in range(4)
+            ]
+            emit(
+                w.packet(
+                    EventType.WRITE_ROWS_V2,
+                    encode_rows_body(tm_iss, iss_rows, "insert"),
+                    ts,
+                )
+            )
+            emit(w.packet(EventType.XID, encode_xid_body(commit_seq)))
 
     assert eseq - eseq_base <= window, "sequence window overflow; raise `window`"
 
@@ -456,9 +514,12 @@ def generate_stream(
         "spec": asdict(spec),
         "shards": entries,
         "oplog": oplog_path,
-        "table_maps": [repos_table_map(False).to_dict(), repos_table_map(True).to_dict()]
-        if spec.ddl_op is not None
-        else [repos_table_map(False).to_dict()],
+        "table_maps": (
+            [repos_table_map(False).to_dict(), repos_table_map(True).to_dict()]
+            if spec.ddl_op is not None
+            else [repos_table_map(False).to_dict()]
+        )
+        + ([issues_table_map().to_dict()] if spec.issues_every else []),
         "target_table_id": REPOS_TABLE_ID_V2 if spec.ddl_op is not None else REPOS_TABLE_ID_V1,
     }
     os.makedirs(out_dir, exist_ok=True)

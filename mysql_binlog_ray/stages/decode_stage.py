@@ -244,7 +244,10 @@ class BinlogDecoder:
             offs = np.frombuffer(bufs[1], dtype=dtype)[
                 chunk.offset : chunk.offset + len(chunk) + 1
             ]
-            mv = memoryview(bufs[2])
+            # pyarrow Buffers expose a SIGNED ('b') memoryview; cast to
+            # unsigned so single-byte indexing returns 0..255 (signed
+            # values silently corrupt shift/arithmetic decode paths)
+            mv = memoryview(bufs[2]).cast("B")
             out.extend(mv[offs[i] : offs[i + 1]] for i in range(len(chunk)))
         return out
 

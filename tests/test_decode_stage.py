@@ -202,3 +202,39 @@ class TestGeneratedStream:
             out = dec(t)
             total += out.num_rows
         assert total == spec.n_ops
+
+
+class TestArrowViewSignedness:
+    """Regression: pyarrow Buffer memoryviews are signed ('b'); every
+    single-byte read in the decode hot path must see 0..255.  Caught by
+    the typed issues table (datetime bytes >= 0x80); strings shorter than
+    128 chars never trip it."""
+
+    def test_high_bit_bytes_through_arrow_path(self):
+        from mysql_binlog_ray.protocol.constants import COLLATION_UTF8MB4
+
+        cols = (
+            ColumnDef("k", ColumnType.LONG),
+            ColumnDef("long_name", ColumnType.VARCHAR, max_length=255, charset=COLLATION_UTF8MB4),
+            ColumnDef("dt", ColumnType.DATETIME2, fsp=0),
+            ColumnDef("big", ColumnType.LONGLONG, signed=False),
+        )
+        tm = TableMapDef(table_id=31, schema_name="code", table_name="repos", columns=cols, primary_key=(0,))
+        row = {
+            "k": -1,
+            "long_name": "x" * 200,  # 1-byte length prefix 200 (> 127)
+            "dt": "2024-12-31 23:59:59",
+            "big": (1 << 64) - 2,
+        }
+        w = E.BinlogWriter()
+        evs = [
+            w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body()),
+            w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm)),
+            w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(tm, [row], "insert")),
+        ]
+        out = BinlogDecoder(registry_snapshot=[tm.to_dict()])(_batch(evs))
+        got = out.column("after").to_pylist()[0]
+        assert got["long_name"] == "x" * 200
+        assert got["dt"] == "2024-12-31 23:59:59"
+        assert got["big"] == (1 << 64) - 2
+        assert got["k"] == -1

@@ -163,3 +163,57 @@ class TestBatchSplitInvariance:
                 parts.append(piece.drop_columns(["commit_seq"]))
         sliced = pa.concat_tables(parts)
         assert whole.to_pylist() == sliced.to_pylist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultiTableStream:
+    def test_two_tables_two_pipelines(self, tmp_path):
+        """One stream carrying two tables: each pipeline targets its own
+        table; the other table's events are never decoded (F1), and the
+        typed issues table (uint, enum, datetime, decimal) merges
+        correctly."""
+        from mysql_binlog_ray.fixtures.generator import issues_table_map
+        from mysql_binlog_ray.pipelines.cdc import CdcConfig
+
+        spec = StreamSpec(n_keys=120, n_ops=600, n_shards=2, ddl_at=None, issues_every=2)
+        out = str(tmp_path)
+        m = generate_stream(spec, out)
+
+        # repos pipeline: unaffected by the interleaved issues txns
+        repos_cfg = CdcConfig(num_partitions=4, target_table=("code", "repos"))
+        got = _normalize(run_to_dataset(m, repos_cfg).to_pandas())
+        exp = final_state_oracle(spec, out).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        assert got.equals(exp)
+
+        # issues pipeline: LWW keyed on issue_id over the typed columns
+        iss_cfg = CdcConfig(
+            num_partitions=4, key_cols=("issue_id",), target_table=("code", "issues")
+        )
+        iss = run_to_dataset(m, iss_cfg).to_pandas()
+        assert len(iss) > 0
+        assert iss["issue_id"].is_unique
+        assert set(iss["state"]) <= {"open", "closed", "merged"}
+        assert iss["opened_at"].str.match(r"^20\d\d-\d\d-\d\d \d\d:\d\d:\d\d$").all()
+        # LWW: each issue carries the image from its highest event_seq;
+        # verify against a brute-force decode of the whole stream
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray.stages.decode_stage import BinlogDecoder
+
+        frames = []
+        for sh in m["shards"]:
+            dec = BinlogDecoder(
+                registry_snapshot=m["table_maps"],
+                target_table=("code", "issues"),
+                output="flat",
+                key_cols=("issue_id",),
+            )
+            frames.append(dec(pq.read_table(sh["path"])).to_pandas())
+        import pandas as pd
+
+        all_rows = pd.concat(frames).sort_values(["event_seq", "row_seq"])
+        exp_iss = all_rows.groupby("issue_id").tail(1)
+        merged = iss.sort_values("issue_id").reset_index(drop=True)
+        exp_iss = exp_iss.sort_values("issue_id").reset_index(drop=True)
+        for c in ["repo", "state", "opened_at", "weight", "n_comments"]:
+            assert merged[c].fillna("_").tolist() == exp_iss[c].fillna("_").tolist(), c
