@@ -95,6 +95,18 @@ def changefeed_schema(tm: TableMapDef) -> pa.Schema:
     )
 
 
+
+
+def _build_child(values: list, typ: pa.DataType) -> pa.Array:
+    """pa.array with the u64 parity quirk handled: the decoder emits
+    values >= 2^63 as decimal strings (reference GMP fallback,
+    `UIntLeReadTrait.php:133-138`); a uint64-typed Arrow column takes
+    them back as integers."""
+    if pa.types.is_uint64(typ):
+        values = [int(v) if isinstance(v, str) else v for v in values]
+    return pa.array(values, type=typ)
+
+
 class _TableState:
     """Per-table-map decode state: compiled plan + remap into the target
     column order (late-binding cast, null-fill for added columns)."""
@@ -359,10 +371,10 @@ class BinlogDecoder:
 
         fields = self.struct_type
         b_children = [
-            pa.array(before_cols[i], type=fields.field(i).type) for i in range(n_target)
+            _build_child(before_cols[i], fields.field(i).type) for i in range(n_target)
         ]
         a_children = [
-            pa.array(after_cols[i], type=fields.field(i).type) for i in range(n_target)
+            _build_child(after_cols[i], fields.field(i).type) for i in range(n_target)
         ]
         before_arr = pa.StructArray.from_arrays(
             b_children, fields=list(fields), mask=pa.array(before_null, pa.bool_())
@@ -543,7 +555,7 @@ class BinlogDecoder:
             return self._empty
         st_type = self.struct_type
         arrays = [
-            pa.array(cols[i], type=st_type.field(i).type) for i in range(n_target)
+            _build_child(cols[i], st_type.field(i).type) for i in range(n_target)
         ] + [
             pa.array(ops, pa.string()),
             pa.array(ev_seqs, pa.int64()),
