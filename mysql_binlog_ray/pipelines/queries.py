@@ -507,3 +507,20 @@ def cdc_changefeed_sequential(sf_dir: str):
             "max_commit": ("commit_seq", "max"),
         },
     )
+
+
+def cdc_issues_final_state(sf_dir: str):
+    """Multi-table stream: second pipeline off the same binlog shards
+    targeting the typed `code.issues` table (unsigned int PK, ENUM,
+    DATETIME2, NEWDECIMAL columns), LWW keyed on issue_id."""
+    from ..fixtures.generator import StreamSpec, generate_stream
+    from .cdc import CdcConfig, run_to_dataset
+
+    sf = _sf_of(sf_dir)
+    base = _SF_SPECS.get(sf, _SF_SPECS["0.01"])
+    spec = StreamSpec(**base, issues_every=3)
+    manifest = generate_stream(spec, f"/tmp/mysql_binlog_ray/streams/sf{sf}_multi")
+    cfg = CdcConfig(
+        num_partitions=8, key_cols=("issue_id",), target_table=("code", "issues")
+    )
+    return run_to_dataset(manifest, cfg)
