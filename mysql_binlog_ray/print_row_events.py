@@ -1,0 +1,82 @@
+"""CLI mirror of the reference's example consumer
+(`/root/reference/examples/print-row-events.php`): iterate a binlog
+stream and print one JSON document per row event, with the reference's
+include/exclude filter flags and a start-position (watermark) option.
+
+Usage:
+    python -m mysql_binlog_ray.print_row_events --stream-dir /tmp/stream \\
+        [--tables code.repos] [--databases code] \\
+        [--exclude-tables ...] [--exclude-databases ...] \\
+        [--start-after-seq N] [--limit N] [--num-cpus N]
+
+Owns its Ray session (guarded init) — the only module besides bench.py
+and the test fixture that does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--stream-dir", required=True, help="dir containing manifest.json")
+    ap.add_argument("--tables", nargs="*", default=None, help="include list: schema.table")
+    ap.add_argument("--databases", nargs="*", default=None)
+    ap.add_argument("--exclude-tables", nargs="*", default=None)
+    ap.add_argument("--exclude-databases", nargs="*", default=None)
+    ap.add_argument("--target-table", default=None, help="schema.table to decode (default: latest in registry)")
+    ap.add_argument("--start-after-seq", type=int, default=None, help="replay-skip watermark (F2)")
+    ap.add_argument("--limit", type=int, default=None, help="stop after N row events")
+    ap.add_argument("--num-cpus", type=int, default=4)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    with open(f"{args.stream_dir}/manifest.json") as f:
+        manifest = json.load(f)
+
+    target = tuple(args.target_table.split(".", 1)) if args.target_table else None
+    from .pipelines.sequential import decode_shards_sequential
+    from .stages.json_sink import JsonProjector
+
+    cf = decode_shards_sequential(
+        manifest,
+        start_after_seq=args.start_after_seq,
+        target_table=target,
+        databases=args.databases,
+        tables=args.tables,
+        exclude_databases=args.exclude_databases,
+        exclude_tables=args.exclude_tables,
+    )
+    docs = cf.map_batches(JsonProjector(), batch_format="pyarrow")
+
+    printed = 0
+    # stream to stdout in (event_seq, row_seq) order per batch — the
+    # reference's single-consumer loop, distributed decode underneath
+    for batch in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for doc in batch.column("json").to_pylist():
+            sys.stdout.write(doc + "\n")
+            printed += 1
+            if args.limit is not None and printed >= args.limit:
+                ray.shutdown()
+                return 0
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

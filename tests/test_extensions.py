@@ -348,3 +348,22 @@ class TestArrowNative:
         out = to_arrow_native(flat, tm)
         r = out.to_pylist()[0]
         assert r["repo"] == "o/r3" and r["stars"] == 42
+
+
+class TestPrintRowEventsCli:
+    def test_cli_prints_reference_shaped_json(self, small_stream):
+        import subprocess
+        import sys
+
+        spec, out, manifest = small_stream
+        r = subprocess.run(
+            [sys.executable, "-m", "mysql_binlog_ray.print_row_events",
+             "--stream-dir", out, "--limit", "3", "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=240, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        lines = [l for l in r.stdout.splitlines() if l.strip()]
+        assert len(lines) == 3
+        doc = json.loads(lines[0])
+        assert doc["action"] in ("insert", "update", "delete")
+        assert "position" in doc and "row" in doc
