@@ -217,3 +217,16 @@ class TestMultiTableStream:
         exp_iss = exp_iss.sort_values("issue_id").reset_index(drop=True)
         for c in ["repo", "state", "opened_at", "weight", "n_comments"]:
             assert merged[c].fillna("_").tolist() == exp_iss[c].fillna("_").tolist(), c
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShuffleModes:
+    def test_object_store_sink_equals_external(self, small_stream, tmp_path):
+        spec, out, manifest = small_stream
+        lake_ext = str(tmp_path / "ext")
+        lake_obj = str(tmp_path / "obj")
+        run_to_lake(manifest, lake_ext, CdcConfig(num_partitions=8, shuffle="external"))
+        run_to_lake(manifest, lake_obj, CdcConfig(num_partitions=8, shuffle="object_store"))
+        a = read_lake(lake_ext).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        b = read_lake(lake_obj).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        assert a.equals(b)
