@@ -494,6 +494,9 @@ def generate_stream(
             m = json.load(f)
         if m.get("spec") == asdict(spec):
             return m
+    # concurrent-safe cache fill: build in a private tmp dir, then rename
+    # into place; a losing racer just adopts the winner's output
+    build_dir = f"{out_dir}.tmp.{os.getpid()}"
     plan = build_op_plan(spec)
     if processes is None:
         processes = min(spec.n_shards, os.cpu_count() or 1) if spec.n_ops >= 100_000 else 1
@@ -503,11 +506,11 @@ def generate_stream(
         with ProcessPoolExecutor(max_workers=processes) as ex:
             entries = list(
                 ex.map(encode_shard, [spec] * spec.n_shards, [plan] * spec.n_shards,
-                       range(spec.n_shards), [out_dir] * spec.n_shards)
+                       range(spec.n_shards), [build_dir] * spec.n_shards)
             )
     else:
-        entries = [encode_shard(spec, plan, s, out_dir) for s in range(spec.n_shards)]
-    oplog_path = _oplog_with_event_seqs(spec, plan, entries, out_dir)
+        entries = [encode_shard(spec, plan, s, build_dir) for s in range(spec.n_shards)]
+    oplog_path = _oplog_with_event_seqs(spec, plan, entries, build_dir)
     for e in entries:
         e.pop("_oplog")
     manifest = {
@@ -522,7 +525,26 @@ def generate_stream(
         + ([issues_table_map().to_dict()] if spec.issues_every else []),
         "target_table_id": REPOS_TABLE_ID_V2 if spec.ddl_op is not None else REPOS_TABLE_ID_V1,
     }
-    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(build_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    # atomic publish; fix paths to the final location
+    import shutil as _shutil
+
+    if force:
+        _shutil.rmtree(out_dir, ignore_errors=True)
+    try:
+        os.rename(build_dir, out_dir)
+    except OSError:
+        _shutil.rmtree(build_dir, ignore_errors=True)  # racer won; use theirs
+        with open(manifest_path) as f:
+            return json.load(f)
+
+    def _fix(p: str) -> str:
+        return os.path.join(out_dir, os.path.basename(p))
+
+    for e in manifest["shards"]:
+        e["path"] = _fix(e["path"])
+    manifest["oplog"] = _fix(manifest["oplog"])
     with open(manifest_path, "w") as f:
         json.dump(manifest, f)
     return manifest
