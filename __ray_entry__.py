@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_documents": Q.quality_documents,
         "fingerprint_documents": Q.fingerprint_documents,
         "ann_ivf_embeddings": Q.ann_ivf_embeddings,
+        "embedding_neardup": Q.embedding_neardup_embeddings,
         "multimodal_image_pipeline": Q.multimodal_image_pipeline,
         # the CDC pipeline itself (oracle = replay tests, rows-only here)
         "cdc_final_state": Q.cdc_final_state,

@@ -524,3 +524,12 @@ def cdc_issues_final_state(sf_dir: str):
         num_partitions=8, key_cols=("issue_id",), target_table=("code", "issues")
     )
     return run_to_dataset(manifest, cfg)
+
+
+def embedding_neardup_embeddings(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs via IVF clustering."""
+    from ..stages.similarity import embedding_neardup_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = embedding_neardup_pairs(ds, threshold=0.9, nlist=8)
+    return pa.Table.from_pandas(out, preserve_index=False)

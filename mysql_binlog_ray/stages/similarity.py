@@ -173,4 +173,6 @@ def embedding_neardup_pairs(
 
     pairs = idx.assigned.groupby("_cluster").map_groups(pairs_in_cluster, batch_format="pandas")
     pdf = pairs.to_pandas()
+    if pdf.empty or "id_a" not in pdf.columns:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "sim": pd.Series(dtype="float64")})
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)

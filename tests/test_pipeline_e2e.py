@@ -230,3 +230,40 @@ class TestShuffleModes:
         a = read_lake(lake_ext).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
         b = read_lake(lake_obj).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
         assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCrashRecovery:
+    def test_crash_before_manifest_commit_recovers(self, small_stream, tmp_path, monkeypatch):
+        """Crash window: partitions written, manifest NOT committed.  The
+        next run resumes from the old watermark; because partition files
+        carry sequence lineage and the merge is LWW, replay over the
+        partially-updated lake converges to the same final table."""
+        from mysql_binlog_ray.pipelines import cdc as cdc_mod
+
+        spec, out, manifest = small_stream
+        lake = str(tmp_path / "lake")
+
+        # step 1: commit a prefix checkpoint normally
+        prefix = json.loads(json.dumps(manifest))
+        prefix["shards"] = manifest["shards"][:1]
+        run_to_lake(prefix, lake, CdcConfig(num_partitions=8))
+
+        # step 2: full run that crashes at the atomicity point
+        real_commit = cdc_mod.commit_manifest
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated crash before manifest commit")
+
+        monkeypatch.setattr(cdc_mod, "commit_manifest", boom)
+        with pytest.raises(RuntimeError):
+            run_to_lake(manifest, lake, CdcConfig(num_partitions=8), resume=True)
+        monkeypatch.setattr(cdc_mod, "commit_manifest", real_commit)
+
+        # step 3: recovery run + compare against a clean single run
+        run_to_lake(manifest, lake, CdcConfig(num_partitions=8), resume=True)
+        lake_clean = str(tmp_path / "clean")
+        run_to_lake(manifest, lake_clean, CdcConfig(num_partitions=8))
+        a = read_lake(lake_clean).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        b = read_lake(lake).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        assert a.equals(b)
