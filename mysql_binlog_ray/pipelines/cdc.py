@@ -480,3 +480,83 @@ def follow(
     resume, so a crashed or repeated step never corrupts the lake.
     """
     return run_to_lake(manifest, lake_dir, cfg, resume=True)
+
+
+def compact_lake(
+    lake_dir: str,
+    new_num_partitions: int,
+    cfg: CdcConfig | None = None,
+) -> dict[str, Any]:
+    """Lake maintenance: rewrite the lake under a new partition count
+    (e.g. after data growth made partitions lopsided).  Content is
+    unchanged — rows re-hash to new partitions, lineage preserved —
+    and the switch is atomic via the manifest commit.  Old partition
+    dirs beyond the new count are removed after the commit.
+    """
+    import shutil as _shutil
+
+    import pyarrow.compute as pc
+
+    cfg = cfg or CdcConfig()
+    m = read_manifest(lake_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {lake_dir}")
+    key_cols = tuple(m.get("key_cols") or cfg.key_cols)
+    ds = read_lake(lake_dir)
+    parted = ds.map_batches(
+        lambda b: add_partition_column(b, key_cols, new_num_partitions),
+        batch_format="pyarrow",
+    )
+
+    staging = os.path.join(lake_dir, "_compact")
+    _shutil.rmtree(staging, ignore_errors=True)
+
+    def write_part(group: pa.Table) -> pa.Table:
+        part = int(group.column("_part")[0].as_py())
+        final = group.drop_columns(["_part"])
+        final = final.take(
+            pc.sort_indices(final, sort_keys=[(k, "ascending") for k in key_cols])
+        )
+        size = atomic_write_parquet(
+            final, _lake_partition_path(staging, part), compression="zstd"
+        )
+        mx = int(pc.max(final.column("event_seq")).as_py()) if final.num_rows else -1
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int32()),
+                "rows": pa.array([final.num_rows], pa.int64()),
+                "bytes": pa.array([size], pa.int64()),
+                "max_event_seq": pa.array([mx], pa.int64()),
+            }
+        )
+
+    stats = parted.groupby("_part").map_groups(write_part, batch_format="pyarrow").take_all()
+    # move staged partitions into place, then commit the new layout
+    for r in stats:
+        part = int(r["part"])
+        src = _lake_partition_path(staging, part)
+        dst = _lake_partition_path(lake_dir, part)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(src, dst)
+    _shutil.rmtree(staging, ignore_errors=True)
+    parts = [
+        {
+            "part": int(r["part"]),
+            "rows": int(r["rows"]),
+            "bytes": int(r["bytes"]),
+            "max_event_seq": int(r["max_event_seq"]),
+        }
+        for r in stats
+    ]
+    new_manifest = commit_manifest(
+        lake_dir,
+        m["watermark"],
+        parts,
+        extra={"key_cols": list(key_cols), "num_partitions": new_num_partitions},
+    )
+    # drop now-orphaned partition dirs (old layout had more partitions)
+    live = {int(r["part"]) for r in stats}
+    for entry in os.listdir(lake_dir):
+        if entry.startswith("part=") and int(entry.split("=")[1]) not in live:
+            _shutil.rmtree(os.path.join(lake_dir, entry), ignore_errors=True)
+    return new_manifest

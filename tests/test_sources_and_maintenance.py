@@ -1,0 +1,122 @@
+"""Tests for the binlog-file source format, snapshot bootstrap, and lake
+compaction."""
+
+import hashlib
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from mysql_binlog_ray.fixtures.generator import final_state_oracle
+from mysql_binlog_ray.pipelines.bootstrap import bootstrap_lake
+from mysql_binlog_ray.pipelines.cdc import (
+    CdcConfig,
+    compact_lake,
+    follow,
+    read_lake,
+    run_to_lake,
+)
+from mysql_binlog_ray.sources.binlog_file import (
+    binlog_files_to_dataset,
+    export_stream_to_binlog_files,
+    read_binlog_file,
+    write_binlog_file,
+)
+
+
+def _normalize(df):
+    df = df.copy()
+    df["content_sha256"] = df["content"].map(lambda s: hashlib.sha256(s.encode()).hexdigest())
+    cols = ["repo", "path", "commit", "lang", "content_sha256"]
+    if "stars" in df.columns:
+        df["stars"] = df["stars"].astype("float64")
+        cols.append("stars")
+    return df[cols].sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+class TestBinlogFileFormat:
+    def test_roundtrip(self, small_stream, tmp_path):
+        spec, out, manifest = small_stream
+        t = pq.read_table(manifest["shards"][0]["path"], columns=["payload"])
+        packets = t.column("payload").to_pylist()
+        path = str(tmp_path / "binlog.000000")
+        n = write_binlog_file(path, packets)
+        assert n == len(packets)
+        with open(path, "rb") as f:
+            back = read_binlog_file(f.read())
+        assert back == packets
+
+    def test_bad_magic_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match="magic"):
+            read_binlog_file(b"nope" + b"\x00" * 40)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBinlogFilePipeline:
+    def test_full_pipeline_from_binlog_files(self, small_stream, tmp_path):
+        """The engine runs the SAME pipeline off raw binlog files: decode
+        -> merge -> oracle equality (second source format end to end)."""
+        from mysql_binlog_ray.pipelines.cdc import decode_changefeed, merge_lww, _with_flat_decode
+
+        spec, out, manifest = small_stream
+        paths = export_stream_to_binlog_files(manifest, str(tmp_path / "bl"))
+        events = binlog_files_to_dataset(paths)
+        cfg = _with_flat_decode(CdcConfig(num_partitions=8))
+        cf = decode_changefeed(events, manifest["table_maps"], cfg)
+        merged = merge_lww(cf, cfg, already_flat=True)
+        got = _normalize(merged.to_pandas())
+        exp = final_state_oracle(spec, out).to_pandas()
+        exp["stars"] = exp["stars"].astype("float64")
+        exp = exp.sort_values(["repo", "path"]).reset_index(drop=True)
+        # the binlog-file event_seq is (file_idx << 32 | pos): a different
+        # numbering but the SAME total order, so LWW winners carry the
+        # same commit/content — compare everything except lineage
+        assert got.equals(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSnapshotBootstrap:
+    def test_snapshot_then_stream_equals_full_replay(self, small_stream, tmp_path):
+        """Load a snapshot consistent with shard 0's end, then follow the
+        remaining shards — final lake equals the full-stream run."""
+        import pandas as pd
+
+        from mysql_binlog_ray.pipelines.cdc import run_to_dataset
+
+        spec, out, manifest = small_stream
+        watermark = manifest["shards"][0]["last_event_seq"]
+
+        # the "snapshot" = merged state of shard 0 only (consistent as-of
+        # the watermark), flattened to plain table rows + lineage dropped
+        prefix = json.loads(json.dumps(manifest))
+        prefix["shards"] = manifest["shards"][:1]
+        snap_df = run_to_dataset(prefix, CdcConfig(num_partitions=8)).to_pandas()
+        snap_df = snap_df.drop(columns=["event_seq", "row_seq"])
+        lake = str(tmp_path / "lake")
+        bootstrap_lake(rd.from_pandas(snap_df), watermark, lake, CdcConfig(num_partitions=8))
+
+        follow(manifest, lake, CdcConfig(num_partitions=8))
+
+        lake_full = str(tmp_path / "full")
+        run_to_lake(manifest, lake_full, CdcConfig(num_partitions=8))
+        a = _normalize(read_lake(lake_full).to_pandas())
+        b = _normalize(read_lake(lake).to_pandas())
+        assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCompaction:
+    def test_compact_changes_layout_not_content(self, small_stream, tmp_path):
+        spec, out, manifest = small_stream
+        lake = str(tmp_path / "lake")
+        run_to_lake(manifest, lake, CdcConfig(num_partitions=16))
+        before = _normalize(read_lake(lake).to_pandas())
+        m2 = compact_lake(lake, 4)
+        assert m2["num_partitions"] == 4
+        after = _normalize(read_lake(lake).to_pandas())
+        assert before.equals(after)
+        # follow still works on the compacted lake
+        follow(manifest, lake, CdcConfig(num_partitions=4))
+        assert _normalize(read_lake(lake).to_pandas()).equals(before)
