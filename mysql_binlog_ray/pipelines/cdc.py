@@ -357,12 +357,6 @@ def run_to_lake(
     if prior and prior["watermark"] >= watermark:
         return prior  # nothing new: idempotent no-op
 
-    extra = []
-    if prior:
-        lake_ds = read_lake_as_flat(lake_dir, cfg)
-        if lake_ds is not None:
-            extra.append(lake_ds)
-
     events = read_event_stream(manifest, start_after)
     flat_cfg = _with_flat_decode(cfg)
     cf = decode_changefeed(events, manifest["table_maps"], flat_cfg, start_after)
@@ -372,12 +366,56 @@ def run_to_lake(
         return lww_partial(batch, key_cols)
 
     flat = cf.map_batches(_flatten_combine, batch_format="pyarrow")
-    for e in extra:
-        flat = flat.union(e)
-    parted = flat.map_batches(
-        lambda b: add_partition_column(b, key_cols, cfg.num_partitions),
-        batch_format="pyarrow",
+
+    selective = (
+        prior is not None and prior.get("num_partitions") == cfg.num_partitions
     )
+    untouched_parts: list[dict[str, Any]] = []
+    if selective:
+        # incremental resume: only lake partitions actually touched by the
+        # increment are read back and re-merged; the rest keep their files
+        # and manifest rows untouched.  At scale this is the difference
+        # between "rewrite the lake per increment" and "O(increment)".
+        parted_new = flat.map_batches(
+            lambda b: add_partition_column(b, key_cols, cfg.num_partitions),
+            batch_format="pyarrow",
+        ).materialize()  # partials only: bounded by the increment size
+        touched = set(parted_new.unique("_part"))
+        prior_by_part = {p["part"]: p for p in prior["partitions"]}
+        untouched_parts = [
+            p for part, p in prior_by_part.items() if part not in touched
+        ]
+        lake_paths = [
+            _lake_partition_path(lake_dir, part)
+            for part in sorted(touched)
+            if prior_by_part.get(part, {}).get("rows", 0) > 0
+        ]
+        parted = parted_new
+        if lake_paths:
+            lake_sub = rd.read_parquet(lake_paths)
+
+            def _lake_flat(batch: pa.Table) -> pa.Table:
+                if "part" in batch.column_names:
+                    batch = batch.drop_columns(["part"])
+                n = batch.num_rows
+                value_cols = [c for c in batch.column_names if c not in ("event_seq", "row_seq")]
+                cols = {c: batch.column(c) for c in value_cols}
+                cols["op"] = pa.array(["insert"] * n, pa.string())
+                cols["event_seq"] = batch.column("event_seq")
+                cols["row_seq"] = batch.column("row_seq")
+                cols["commit_seq"] = pa.array([-1] * n, pa.int64())
+                return add_partition_column(pa.table(cols), key_cols, cfg.num_partitions)
+
+            parted = parted.union(lake_sub.map_batches(_lake_flat, batch_format="pyarrow"))
+    else:
+        if prior:
+            lake_ds = read_lake_as_flat(lake_dir, cfg)
+            if lake_ds is not None:
+                flat = flat.union(lake_ds)
+        parted = flat.map_batches(
+            lambda b: add_partition_column(b, key_cols, cfg.num_partitions),
+            batch_format="pyarrow",
+        )
     if cfg.merge_coalesce_blocks:
         parted = parted.repartition(cfg.merge_coalesce_blocks)
 
@@ -387,7 +425,8 @@ def run_to_lake(
         parts = _external_shuffle_merge(parted, lake_dir, cfg)
         if prior:
             have = {p["part"] for p in parts}
-            parts.extend(p for p in prior["partitions"] if p["part"] not in have)
+            carry = untouched_parts if selective else prior["partitions"]
+            parts.extend(p for p in carry if p["part"] not in have)
         return commit_manifest(
             lake_dir,
             watermark,
