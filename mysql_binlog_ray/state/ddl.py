@@ -11,6 +11,7 @@ Supported subset (everything else returns None and falls back to
 TABLE_MAP late binding, exactly the reference's behavior):
 
 - ``ALTER TABLE t ADD COLUMN name TYPE``
+- ``ALTER TABLE t MODIFY COLUMN name TYPE`` (type widen/change)
 - ``ALTER TABLE t DROP COLUMN name``
 - ``DROP TABLE t``
 """
@@ -32,6 +33,10 @@ _DROP_COL = re.compile(
     re.IGNORECASE,
 )
 _DROP_TABLE = re.compile(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?(?P<table>\w+)`?", re.IGNORECASE)
+_MODIFY = re.compile(
+    r"ALTER\s+TABLE\s+`?(?P<table>\w+)`?\s+MODIFY\s+(?:COLUMN\s+)?`?(?P<col>\w+)`?\s+(?P<type>\w+)(?:\((?P<args>[\d,\s]+)\))?",
+    re.IGNORECASE,
+)
 
 _SQL_TYPES: dict[str, dict] = {
     "TINYINT": {"type": ColumnType.TINY},
@@ -88,6 +93,23 @@ def apply_ddl(
             current,
             table_id=next_table_id,
             columns=(*current.columns, col),
+            schema_ver=current.schema_ver + 1,
+        )
+    m = _MODIFY.search(sql)
+    if m and current is not None and m.group("table") == current.table_name:
+        col = _column_from_sql(m.group("col"), m.group("type"), m.group("args"))
+        if col is None:
+            return None
+        names = [c.name for c in current.columns]
+        if m.group("col") not in names:
+            return None
+        cols = tuple(
+            col if c.name == m.group("col") else c for c in current.columns
+        )
+        return replace(
+            current,
+            table_id=next_table_id,
+            columns=cols,
             schema_ver=current.schema_ver + 1,
         )
     m = _DROP_COL.search(sql)

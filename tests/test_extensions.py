@@ -367,3 +367,76 @@ class TestPrintRowEventsCli:
         doc = json.loads(lines[0])
         assert doc["action"] in ("insert", "update", "delete")
         assert "position" in doc and "row" in doc
+
+
+class TestDdlModify:
+    def test_modify_widens_type(self):
+        base = TestDdl.BASE
+        tm = apply_ddl("ALTER TABLE repos MODIFY COLUMN path VARCHAR(1024)", "code", base, 14)
+        assert tm is not None and tm.schema_ver == 2
+        assert tm.columns[1].max_length == 1024
+        assert [c.name for c in tm.columns] == ["repo", "path"]
+
+    def test_modify_unknown_column_falls_back(self):
+        assert apply_ddl("ALTER TABLE repos MODIFY nope BIGINT", "code", TestDdl.BASE, 15) is None
+
+
+class TestLwwProperty:
+    def test_random_op_sequences_match_replay(self):
+        """Property: for random op sequences, the vectorized LWW kernel
+        equals a sequential dict replay (any batch split)."""
+        from hypothesis import given, settings, strategies as st
+
+        from mysql_binlog_ray.stages.merge import lww_final, lww_partial
+
+        ops_strategy = st.lists(
+            st.tuples(
+                st.integers(0, 5),                      # key
+                st.sampled_from(["insert", "update", "delete"]),
+                st.integers(0, 30),                     # event_seq
+                st.integers(0, 3),                      # row_seq
+            ),
+            min_size=1,
+            max_size=40,
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(ops=ops_strategy, split=st.integers(1, 10))
+        def check(ops, split):
+            # dedupe identical (key, seq) tuples: the engine's order key is
+            # unique per row image by construction
+            seen = set()
+            uniq = []
+            for k, op, e, r in ops:
+                if (k, e, r) not in seen:
+                    seen.add((k, e, r))
+                    uniq.append((k, op, e, r))
+            # sequential replay in seq order
+            state = {}
+            for k, op, e, r in sorted(uniq, key=lambda t: (t[2], t[3])):
+                if op == "delete":
+                    state.pop(k, None)
+                else:
+                    state[k] = (e, r)
+            # vectorized: partial per chunk then final
+            def table(rows):
+                return pa.table(
+                    {
+                        "key": pa.array([str(k) for k, *_ in rows], pa.string()),
+                        "op": pa.array([op for _, op, *_ in rows], pa.string()),
+                        "event_seq": pa.array([e for *_, e, _ in rows], pa.int64()),
+                        "row_seq": pa.array([r for *_, r in rows], pa.int32()),
+                    }
+                )
+
+            chunks = [uniq[i::split] for i in range(split) if uniq[i::split]]
+            partials = [lww_partial(table(c), ("key",)) for c in chunks]
+            merged = lww_final(pa.concat_tables(partials), ("key",))
+            got = {
+                row["key"]: (row["event_seq"], row["row_seq"])
+                for row in merged.to_pylist()
+            }
+            exp = {str(k): v for k, v in state.items()}
+            assert got == exp
+
+        check()
