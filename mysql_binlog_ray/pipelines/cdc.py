@@ -4,14 +4,17 @@ Ray-Data-native realization of the reference's whole dataflow plus the
 sink it leaves to the consumer (SURVEY.md §2.7):
 
     read_parquet(event shards)                       # S3/S6: resumable source
-      -> map_batches(BinlogDecoder, pyarrow, actors) # M2/M3/M4: decode+stamp
-      -> map_batches(flatten + partial LWW)          # M6 combiner half
+      -> map_batches(decode, pyarrow, zero-copy)     # M2/M3/M4: flat decode+stamp
+      -> map_batches(partial LWW combine)            # M6 combiner half
       -> add `_part` hash column                     # M5 key routing
-      -> groupby("_part").map_groups(final LWW)      # the one shuffle
-      -> per-partition atomic parquet + manifest     # M7 exactly-once sink
+      -> keyed exchange                              # external fs shuffle
+      |    (or groupby("_part") object-store sort)   #   (cfg.shuffle)
+      -> per-partition final LWW + atomic parquet    # M6/M7 exactly-once sink
+      -> watermark manifest commit                   # M7 atomicity point
 
 Streaming execution end-to-end: nothing materializes the full stream;
-the only all-to-all exchange carries partially-merged rows.
+the only all-to-all exchange carries partially-combined rows.  Resume
+reads back only the lake partitions the increment touches.
 """
 
 from __future__ import annotations
@@ -349,6 +352,9 @@ def run_to_lake(
 
     Returns the committed manifest.
     """
+    import time as _time
+
+    t_start = _time.time()
     cfg = cfg or CdcConfig()
     prior = read_manifest(lake_dir) if resume else None
     start_after = prior["watermark"] if prior else None
@@ -431,7 +437,12 @@ def run_to_lake(
             lake_dir,
             watermark,
             parts,
-            extra={"key_cols": list(cfg.key_cols), "num_partitions": cfg.num_partitions},
+            extra={
+                "key_cols": list(cfg.key_cols),
+                "num_partitions": cfg.num_partitions,
+                "elapsed_sec": round(_time.time() - t_start, 3),
+                "resumed_from": start_after,
+            },
         )
 
     def _merge_and_write(group: pa.Table) -> pa.Table:
@@ -486,7 +497,12 @@ def run_to_lake(
         lake_dir,
         watermark,
         parts,
-        extra={"key_cols": list(cfg.key_cols), "num_partitions": cfg.num_partitions},
+        extra={
+            "key_cols": list(cfg.key_cols),
+            "num_partitions": cfg.num_partitions,
+            "elapsed_sec": round(_time.time() - t_start, 3),
+            "resumed_from": start_after,
+        },
     )
 
 

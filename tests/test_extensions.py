@@ -440,3 +440,31 @@ class TestLwwProperty:
             assert got == exp
 
         check()
+
+
+class TestGiantRows:
+    def test_18mb_row_image_roundtrip(self):
+        """The reference reassembles >16 MiB packets split at
+        MAX_PACKET_SIZE (`Connection.php:402-414`); our packets live in
+        Arrow binary cells with no 16 MiB limit — one 18 MiB row image
+        must decode bit-exactly."""
+        tm = repos_table_map(False)
+        big = "x" * (18 * 1024 * 1024) + "€"  # 18 MiB + non-ascii tail
+        row = {"repo": "big/repo", "path": "huge.bin", "commit": "f" * 40, "lang": "py", "content": big}
+        w = E.BinlogWriter()
+        evs = [
+            w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body()),
+            w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm)),
+            w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(tm, [row], "insert")),
+        ]
+        batch = pa.table(
+            {
+                "shard_id": pa.array([0] * 3, pa.int32()),
+                "event_seq": pa.array([1, 2, 3], pa.int64()),
+                "payload": pa.array(evs, pa.binary()),
+            }
+        )
+        out = BinlogDecoder(registry_snapshot=[tm.to_dict()], output="flat", key_cols=("repo", "path"))(batch)
+        assert out.num_rows == 1
+        got = out.column("content").to_pylist()[0]
+        assert len(got) == len(big) and got[-1] == "€" and got[:8] == "xxxxxxxx"
