@@ -13,14 +13,14 @@ All operators follow the scale rules from the brief:
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Max, Min, Sum
 
 # agg spec: out_col -> (in_col, kind) with kind in {count,sum,min,max}
 AggSpec = dict[str, tuple[str | None, str]]
