@@ -111,7 +111,7 @@ class _TableState:
     """Per-table-map decode state: compiled plan + remap into the target
     column order (late-binding cast, null-fill for added columns)."""
 
-    __slots__ = ("plan", "remap", "schema_ver", "key_src")
+    __slots__ = ("plan", "remap", "schema_ver", "key_src", "codegen")
 
     def __init__(
         self,
@@ -128,6 +128,11 @@ class _TableState:
             name_to_src[k] for k in key_names if k in name_to_src
         )
         self.schema_ver = tm.schema_ver
+        # per-(table, op) code-generated row decoders (hot path; falls
+        # back to the closure readers for exotic column types)
+        from ..protocol.codegen import compile_flat_decoders
+
+        self.codegen = compile_flat_decoders(self.plan, self.key_src)
 
 
 class BinlogDecoder:
@@ -302,6 +307,11 @@ class BinlogDecoder:
                 checksum_size = 4 if alg > 0 else 0
                 continue
             if etype == EventType.TABLE_MAP:
+                # table maps are re-sent per transaction; skip the full
+                # metadata parse when this table_id is already bound
+                tid = int.from_bytes(payload[20:26], "little")
+                if tid in self.states and tid in self.filtered:
+                    continue
                 payload = bytes(payload)
                 h = parse_header(payload, checksum_size)
                 if self.verify and not verify_checksum(payload, checksum_size):
@@ -507,6 +517,11 @@ class BinlogDecoder:
                 checksum_size = 4 if alg > 0 else 0
                 continue
             if etype == EventType.TABLE_MAP:
+                # table maps are re-sent per transaction; skip the full
+                # metadata parse when this table_id is already bound
+                tid = int.from_bytes(payload[20:26], "little")
+                if tid in self.states and tid in self.filtered:
+                    continue
                 payload = bytes(payload)
                 h = parse_header(payload, checksum_size)
                 if self.verify and not verify_checksum(payload, checksum_size):
@@ -585,46 +600,14 @@ class BinlogDecoder:
             off += bml
 
         plan = st.plan
-        readers = plan.readers
-        skippers = plan.skippers
-        remap = st.remap
-        key_src = st.key_src
-        n_src = len(readers)
+        n_src = len(plan.readers)
         end = header.payload_size
-        nbl = (n + 7) >> 3
-        is_delete = op == "delete"
 
         scratch: list[list] = [[] for _ in range(n_src)]
-        n_rows = 0
-        while off < end:
-            if is_update:
-                # before-image: advance without constructing values
-                null_bm = payload[off : off + nbl]
-                off += nbl
-                for i in range(n_src):
-                    if not (null_bm[i >> 3] & (1 << (i & 7))):
-                        off = skippers[i](payload, off)
-            null_bm = payload[off : off + nbl]
-            off += nbl
-            if is_delete:
-                # before-image: merge keys decoded, everything else skipped
-                for i in range(n_src):
-                    if null_bm[i >> 3] & (1 << (i & 7)):
-                        scratch[i].append(None)
-                    elif i in key_src:
-                        v, off = readers[i](payload, off)
-                        scratch[i].append(v)
-                    else:
-                        off = skippers[i](payload, off)
-                        scratch[i].append(None)
-            else:
-                for i in range(n_src):
-                    if null_bm[i >> 3] & (1 << (i & 7)):
-                        scratch[i].append(None)
-                    else:
-                        v, off = readers[i](payload, off)
-                        scratch[i].append(v)
-            n_rows += 1
+        n_rows, off = st.codegen[op](
+            payload, off, end, scratch, plan.readers, plan.skippers
+        )
+        remap = st.remap
 
         nones = [None] * n_rows
         for t_i, s_i in enumerate(remap):
