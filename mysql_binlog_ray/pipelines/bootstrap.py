@@ -24,7 +24,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from .cdc import CdcConfig
-from ..stages.merge import add_partition_column, lww_final
+from ..stages.merge import PARTITION_HASH_ALGO, add_partition_column, lww_final
 from ..state.checkpoint import atomic_write_parquet, commit_manifest
 
 
@@ -84,5 +84,10 @@ def bootstrap_lake(
         lake_dir,
         watermark,
         parts,
-        extra={"key_cols": list(cfg.key_cols), "num_partitions": cfg.num_partitions, "bootstrap": True},
+        extra={
+            "key_cols": list(cfg.key_cols),
+            "num_partitions": cfg.num_partitions,
+            "hash_algo": PARTITION_HASH_ALGO,
+            "bootstrap": True,
+        },
     )

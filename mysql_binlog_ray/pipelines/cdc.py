@@ -29,6 +29,7 @@ import ray.data as rd
 
 from ..stages.decode_stage import BinlogDecoder
 from ..stages.merge import (
+    PARTITION_HASH_ALGO,
     add_partition_column,
     flatten_changefeed,
     lww_final,
@@ -214,6 +215,24 @@ def _lake_partition_path(lake_dir: str, part: int) -> str:
     return os.path.join(lake_dir, f"part={part:05d}", "data.parquet")
 
 
+def _cleanup_orphan_parts(lake_dir: str, live_parts: set[int]) -> None:
+    """Remove ``part=NNNNN`` dirs not referenced by the committed
+    manifest.  Orphans appear when a re-merge under a different partition
+    layout (changed num_partitions or hash algorithm) rewrites rows into
+    new partitions: leaving the old files would duplicate keys on any
+    path listing that ignores the manifest, and wastes lake storage."""
+    import shutil as _shutil
+
+    for entry in os.listdir(lake_dir):
+        if entry.startswith("part="):
+            try:
+                part = int(entry.split("=")[1])
+            except ValueError:
+                continue
+            if part not in live_parts:
+                _shutil.rmtree(os.path.join(lake_dir, entry), ignore_errors=True)
+
+
 def read_lake_as_flat(lake_dir: str, cfg: CdcConfig) -> rd.Dataset | None:
     """Prior lake state as flat merge input: op='insert', original
     (event_seq, row_seq) lineage preserved so new events beat old rows."""
@@ -373,8 +392,16 @@ def run_to_lake(
 
     flat = cf.map_batches(_flatten_combine, batch_format="pyarrow")
 
+    # selective (O(increment)) resume requires the prior lake's partition
+    # layout to be reproducible: same partition count AND same hash
+    # algorithm.  Otherwise fall back to a full re-merge of prior state —
+    # in which case prior partition files/manifest rows must NOT be
+    # carried over (all their rows are re-ingested into the new layout;
+    # carrying them would duplicate keys on read_lake).
     selective = (
-        prior is not None and prior.get("num_partitions") == cfg.num_partitions
+        prior is not None
+        and prior.get("num_partitions") == cfg.num_partitions
+        and prior.get("hash_algo") == PARTITION_HASH_ALGO
     )
     untouched_parts: list[dict[str, Any]] = []
     if selective:
@@ -429,21 +456,26 @@ def run_to_lake(
 
     if cfg.shuffle == "external":
         parts = _external_shuffle_merge(parted, lake_dir, cfg)
-        if prior:
+        if selective:
+            # untouched partitions keep their files and manifest rows;
+            # non-selective resume re-ingested every prior row, so prior
+            # entries are dropped and their orphaned files cleaned below.
             have = {p["part"] for p in parts}
-            carry = untouched_parts if selective else prior["partitions"]
-            parts.extend(p for p in carry if p["part"] not in have)
-        return commit_manifest(
+            parts.extend(p for p in untouched_parts if p["part"] not in have)
+        m = commit_manifest(
             lake_dir,
             watermark,
             parts,
             extra={
                 "key_cols": list(cfg.key_cols),
                 "num_partitions": cfg.num_partitions,
+                "hash_algo": PARTITION_HASH_ALGO,
                 "elapsed_sec": round(_time.time() - t_start, 3),
                 "resumed_from": start_after,
             },
         )
+        _cleanup_orphan_parts(lake_dir, {p["part"] for p in parts})
+        return m
 
     def _merge_and_write(group: pa.Table) -> pa.Table:
         """Per-partition merge + atomic write; emits one manifest row.
@@ -488,22 +520,25 @@ def run_to_lake(
         }
         for r in partition_rows
     ]
-    if prior:
-        for p in prior["partitions"]:
+    if selective:
+        for p in untouched_parts:
             if p["part"] not in seen:
                 parts.append(p)
 
-    return commit_manifest(
+    m = commit_manifest(
         lake_dir,
         watermark,
         parts,
         extra={
             "key_cols": list(cfg.key_cols),
             "num_partitions": cfg.num_partitions,
+            "hash_algo": PARTITION_HASH_ALGO,
             "elapsed_sec": round(_time.time() - t_start, 3),
             "resumed_from": start_after,
         },
     )
+    _cleanup_orphan_parts(lake_dir, {p["part"] for p in parts})
+    return m
 
 
 def read_lake(lake_dir: str) -> rd.Dataset:
@@ -607,11 +642,12 @@ def compact_lake(
         lake_dir,
         m["watermark"],
         parts,
-        extra={"key_cols": list(key_cols), "num_partitions": new_num_partitions},
+        extra={
+            "key_cols": list(key_cols),
+            "num_partitions": new_num_partitions,
+            "hash_algo": PARTITION_HASH_ALGO,
+        },
     )
     # drop now-orphaned partition dirs (old layout had more partitions)
-    live = {int(r["part"]) for r in stats}
-    for entry in os.listdir(lake_dir):
-        if entry.startswith("part=") and int(entry.split("=")[1]) not in live:
-            _shutil.rmtree(os.path.join(lake_dir, entry), ignore_errors=True)
+    _cleanup_orphan_parts(lake_dir, {int(r["part"]) for r in stats})
     return new_manifest

