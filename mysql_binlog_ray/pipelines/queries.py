@@ -26,6 +26,19 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _query_vec(sf_dir: str, vec_id: int) -> np.ndarray:
+    """One query vector, via parquet column pruning + row-group predicate
+    pushdown — never the whole embeddings table on the driver."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        _t(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", vec_id)],
+    )
+    return np.asarray(t.column("embedding").to_pylist()[0], dtype=np.float64)
+
+
 # ---------------------------------------------------------------------------
 # CDC-semantic operators checked against SQL oracles on the events table
 # ---------------------------------------------------------------------------
@@ -199,11 +212,7 @@ def doc_token_stats(sf_dir: str):
 def knn_embeddings(sf_dir: str):
     """Brute-force cosine top-10 of every vector against the vec_id=1
     query vector (broadcast query, local top-k per batch)."""
-    import pyarrow.parquet as pq
-
-    emb = pq.read_table(_t(sf_dir, "embeddings"))
-    qrow = emb.filter(pc.equal(emb.column("vec_id"), 1))
-    qvec = np.asarray(qrow.column("embedding").to_pylist()[0], dtype=np.float64)
+    qvec = _query_vec(sf_dir, 1)
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = brute_force_topk(ds, qvec[None, :], k=10)
     return pa.table(
@@ -256,11 +265,7 @@ def fingerprint_documents(sf_dir: str):
 
 def ann_ivf_embeddings(sf_dir: str):
     """IVF approximate variant of knn_embeddings (scale path)."""
-    import pyarrow.parquet as pq
-
-    emb = pq.read_table(_t(sf_dir, "embeddings"))
-    qrow = emb.filter(pc.equal(emb.column("vec_id"), 1))
-    qvec = np.asarray(qrow.column("embedding").to_pylist()[0], dtype=np.float64)
+    qvec = _query_vec(sf_dir, 1)
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     idx = IvfIndex.build(ds, nlist=8)
     out = idx.search(qvec[None, :], k=10, nprobe=3)

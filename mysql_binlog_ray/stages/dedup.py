@@ -167,11 +167,14 @@ class MinHasher:
         ids = np.repeat(batch[self.id_col].to_numpy(), self.bands)
         bands_out = np.tile(np.arange(self.bands, dtype=np.int64), n)
         # single int64 bucket key: band in the top bits, hash truncated to
-        # 50 bits.  Ray's groupby round-trips keys through float64, which
-        # silently corrupts full 64-bit values — 50 bits survive exactly
-        # (and 2^50 bucket space keeps collisions negligible).
-        hash50 = (keys.reshape(-1) & np.uint64((1 << 50) - 1)).astype(np.int64)
-        bucket = (np.repeat(np.arange(self.bands, dtype=np.int64), 1)[bands_out] << 50) | hash50
+        # 48 bits.  Ray's groupby/aggregate round-trips keys through
+        # float64, which silently corrupts integers above 2^53 — band(5
+        # bits) + hash(48 bits) = 53 bits survives exactly (and 2^48
+        # bucket space per band keeps accidental collisions negligible;
+        # a false collision only adds a candidate pair the Jaccard
+        # verification then rejects).
+        hash48 = (keys.reshape(-1) & np.uint64((1 << 48) - 1)).astype(np.int64)
+        bucket = (bands_out << 48) | hash48
         return pd.DataFrame({self.id_col: ids, "bucket": bucket})
 
 
@@ -184,17 +187,32 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     concurrency: int | tuple[int, int] | None = None,
+    max_bucket_size: int = 10_000,
 ) -> pa.Table:
     """Near-dup pairs with signature-estimated Jaccard >= threshold.
 
-    Scale shape: (1) slim ``(doc_id, band, band_hash)`` rows from a
-    vectorized signature stage; (2) a count aggregate finds buckets with
-    >1 member (collision buckets are rare — their count is bounded by
-    near-dup density, not corpus size); (3) only collision-bucket rows
-    are collected and paired; (4) only candidate documents have their
-    signatures recomputed for the Jaccard estimate.  No per-bucket
-    map_groups, no signature bytes through the shuffle.
+    Scale shape (nothing O(corpus) ever reaches the driver):
+
+    1. slim ``(doc_id, bucket)`` rows from a vectorized signature stage;
+    2. bucket occupancy via a **distributed** ``groupby("bucket").count()``
+       — the shuffle carries (bucket, 1) rows, the driver sees only the
+       filtered collision buckets (count > 1), whose number is bounded by
+       near-dup density, not corpus size;
+    3. the collision-bucket set is broadcast once (``ray.put``) and
+       semi-joined back onto the (id, bucket) rows with a vectorized
+       ``np.isin`` per batch;
+    4. candidate pairs are generated per bucket in a distributed
+       ``groupby("bucket").map_groups`` (in-bucket work is quadratic, so
+       degenerate buckets above ``max_bucket_size`` are skipped — counted,
+       never silent);
+    5. only candidate documents have their signatures recomputed (again
+       distributed, broadcast id set) for the Jaccard estimate.
+
+    Document bodies never enter any shuffle; signatures never leave the
+    stage that computed them.
     """
+    import ray
+
     hasher_kwargs = dict(
         text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
     )
@@ -206,16 +224,14 @@ def minhash_lsh_pairs(
     )
     mat = sigs.materialize()  # slim (id, bucket) rows, reused twice below
 
-    # bucket occupancy: per-batch partial counts merged on the driver
-    # (pre-agg pattern; partials are bounded by distinct buckets, and a
-    # collision bucket must appear with n>1 somewhere or split across
-    # partials — both covered by summing partials)
-    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        vc = batch["bucket"].value_counts()
-        return pd.DataFrame({"bucket": vc.index.to_numpy(), "n": vc.to_numpy()})
-
-    parts = mat.map_batches(partial_counts, batch_format="pandas").to_pandas()
-    totals = parts.groupby("bucket")["n"].sum()
+    # (2) distributed occupancy count; only collision buckets leave the
+    # cluster.  `count()`'s key column survives the float64 round-trip
+    # because bucket keys are capped at 53 bits (see MinHasher).
+    counts = mat.groupby("bucket").count()
+    hot_tbl = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater(t.column("count()"), 1)).select(["bucket"]),
+        batch_format="pyarrow",
+    ).to_pandas()  # bounded by collision-bucket count (near-dup density)
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
@@ -223,36 +239,77 @@ def minhash_lsh_pairs(
             "est_jaccard": pa.array([], pa.float64()),
         }
     )
-    hot_keys = set(totals[totals > 1].index)
-    if not hot_keys:
+    if hot_tbl.empty:
         return empty
+    hot_ref = ray.put(np.sort(hot_tbl["bucket"].to_numpy()))
 
+    # (3) broadcast semi-join: one object-store read per worker
     def in_hot(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch["bucket"].isin(hot_keys)]
+        hot = ray.get(hot_ref)
+        return batch[np.isin(batch["bucket"].to_numpy(), hot, assume_unique=False)]
 
-    cand = mat.map_batches(in_hot, batch_format="pandas").to_pandas()
+    cand = mat.map_batches(in_hot, batch_format="pandas")
+
+    # (4) distributed per-bucket pair generation
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(id_col)
+        if len(g) > max_bucket_size:
+            # degenerate bucket: quadratic pair blowup — skip but surface
+            # a sentinel row so the cap is never silent
+            return pd.DataFrame({"doc_a": [-1], "doc_b": [int(len(g))]})
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+            )
+        ids = np.sort(g[id_col].to_numpy())
+        iu = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"doc_a": ids[iu[0]], "doc_b": ids[iu[1]]})
+
     pairs = (
-        cand.merge(cand, on=["bucket"], suffixes=("_a", "_b"))
-        .query(f"{id_col}_a < {id_col}_b")[[f"{id_col}_a", f"{id_col}_b"]]
+        cand.groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()  # bounded: pairs within collision buckets only
         .drop_duplicates()
-        .rename(columns={f"{id_col}_a": "doc_a", f"{id_col}_b": "doc_b"})
     )
+    skipped = pairs[pairs["doc_a"] < 0]
+    if not skipped.empty:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "minhash_lsh_pairs: skipped %d bucket(s) larger than max_bucket_size=%d "
+            "(largest had %d members); raise max_bucket_size to include them",
+            len(skipped), max_bucket_size, int(skipped["doc_b"].max()),
+        )
+        pairs = pairs[pairs["doc_a"] >= 0]
     if pairs.empty:
         return empty
 
-    # verify: signatures recomputed for candidate docs only
-    cand_ids = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    # (5) verify: signatures recomputed for candidate docs only,
+    # distributed; the broadcast id set and the collected signatures are
+    # both bounded by the candidate count
+    cand_ids_ref = ray.put(
+        np.unique(np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()]))
+    )
 
-    def only_cands(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch[id_col].isin(cand_ids)]
+    class CandSigner(MinHasher):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:  # type: ignore[override]
+            cand_ids = ray.get(cand_ids_ref)
+            sub = batch[np.isin(batch[self.id_col].to_numpy(), cand_ids)]
+            word_cache: dict = {}
+            out_sigs = [
+                self.signature(t, word_cache) for t in sub[self.text_col].fillna("")
+            ]
+            return pd.DataFrame(
+                {self.id_col: sub[self.id_col].to_numpy(), "sig": [s.tolist() for s in out_sigs]}
+            )
 
-    docs = ds.map_batches(only_cands, batch_format="pandas").to_pandas()
-    mh = MinHasher(**hasher_kwargs)
-    word_cache: dict = {}
-    sig_map = {
-        i: mh.signature(t, word_cache)
-        for i, t in zip(docs[id_col], docs[text_col].fillna(""))
-    }
+    sig_df = ds.map_batches(
+        CandSigner,
+        fn_constructor_kwargs=hasher_kwargs,
+        batch_format="pandas",
+        concurrency=concurrency or (1, 8),
+    ).to_pandas()
+    sig_map = {i: np.asarray(s) for i, s in zip(sig_df[id_col], sig_df["sig"])}
     est = [
         float((sig_map[x] == sig_map[y]).mean())
         for x, y in zip(pairs["doc_a"], pairs["doc_b"])
@@ -267,35 +324,97 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount: view as bytes, unpack bits, sum —
+    no per-value Python (`np.vectorize` is a disguised Python loop)."""
+    b = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8)
+    return np.unpackbits(b).reshape(-1, 64).sum(axis=1).astype(np.int64)
+
+
 class SimHasher:
-    """64-bit SimHash per document + 4x16-bit band keys for bucketing."""
+    """64-bit SimHash per document, exploded to two-level band keys.
+
+    Bucketing scheme (HmSearch-style recursive pigeonhole, sized for
+    O(1) expected bucket occupancy at corpus scale): any pair with
+    Hamming distance <= 3 agrees exactly on one of the 4 16-bit bands
+    (pigeonhole over 4 bands / 3 differing bits); within that band the
+    remaining 48 bits still differ in <= 3 positions, so the pair also
+    agrees exactly on one of 4 12-bit sub-bands of those 48 bits.  Keying
+    buckets by (band, sub_band, band_bits, sub_band_bits) — a 28-bit
+    value space per (band, sub_band) — therefore still finds EVERY pair
+    within distance 3, while expected occupancy drops from N/2^16 (the
+    O(n^2)-in-bucket blowup the single-level scheme hits at corpus
+    scale) to N/2^28.  Cost: 16 slim rows per doc instead of 4.
+    """
+
+    BANDS = 4
+    SUB_BANDS = 4
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
         self.text_col, self.id_col = text_col, id_col
+        self._word_cache: dict[str, int] = {}
 
     def simhash(self, text: str) -> int:
-        words = text.split()
+        words = set(text.split())
         if not words:
             return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for w in set(words):
-            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-            bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-            acc += bits * 2 - 1
-        return int(sum(1 << i for i in range(64) if acc[i] > 0))
+        cache = self._word_cache
+        hs = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            v = cache.get(w)
+            if v is None:
+                v = cache[w] = int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+                )
+            hs[i] = v
+        # bit-major unpack of all word hashes at once, then column sums
+        bits = np.unpackbits(hs.view(np.uint8)).reshape(len(words), 64)
+        acc = 2 * bits.sum(axis=0, dtype=np.int64) - len(words)
+        # numpy's unpackbits is big-endian within each byte and the view
+        # is little-endian across bytes; map positions back to bit index
+        weights = np.uint64(1) << np.uint64(
+            [8 * (i // 8) + (7 - i % 8) for i in range(64)]
+        )
+        return int((weights[acc > 0]).sum(dtype=np.uint64))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows_id, rows_band, rows_key, rows_sim = [], [], [], []
-        for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
-            sh = self.simhash(text)
-            for band in range(4):
-                rows_id.append(doc_id)
-                rows_band.append(band)
-                rows_key.append((sh >> (band * 16)) & 0xFFFF)
-                rows_sim.append(sh)
+        n = len(batch)
+        sims = np.empty(n, dtype=np.uint64)
+        texts = batch[self.text_col].fillna("")
+        for i, text in enumerate(texts):
+            sims[i] = self.simhash(text)
+        ids = batch[self.id_col].to_numpy()
+        out_id, out_key, out_sim = [], [], []
+        for band in range(self.BANDS):
+            band_bits = (sims >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            rest = _drop_band16(sims, band)  # remaining 48 bits
+            for sub in range(self.SUB_BANDS):
+                sub_bits = (rest >> np.uint64(sub * 12)) & np.uint64(0xFFF)
+                # bucket: band(2) | sub(2) | band_bits(16) | sub_bits(12) = 32 bits
+                key = (
+                    (np.int64(band) << 30)
+                    | (np.int64(sub) << 28)
+                    | (band_bits.astype(np.int64) << 12)
+                    | sub_bits.astype(np.int64)
+                )
+                out_id.append(ids)
+                out_key.append(key)
+                out_sim.append(sims.astype(np.int64))  # 64-bit sims survive
         return pd.DataFrame(
-            {self.id_col: rows_id, "band": rows_band, "band_key": rows_key, "simhash": rows_sim}
+            {
+                self.id_col: np.concatenate(out_id),
+                "bucket": np.concatenate(out_key),
+                "simhash": np.concatenate(out_sim),
+            }
         )
+
+
+def _drop_band16(sims: np.ndarray, band: int) -> np.ndarray:
+    """The 48 bits of each simhash outside 16-bit band ``band``."""
+    low_mask = (np.uint64(1) << np.uint64(band * 16)) - np.uint64(1)
+    low = sims & low_mask
+    high = (sims >> np.uint64((band + 1) * 16)) << np.uint64(band * 16)
+    return low | high
 
 
 def simhash_pairs(
@@ -304,10 +423,15 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     concurrency: int | tuple[int, int] = (1, 8),
+    max_bucket_size: int = 10_000,
 ) -> pa.Table:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming.  Any pair
-    within distance <=3 agrees exactly on at least one of the 4 bands
-    (pigeonhole), so bucketing by band key finds all of them."""
+    """Near-dup pairs with Hamming(simhash) <= max_hamming (<= 3 for the
+    exactness guarantee — see SimHasher's two-level pigeonhole).
+
+    Scale shape: slim (id, bucket, simhash) rows -> distributed
+    groupby(bucket) pair generation with a vectorized popcount -> pairs
+    deduplicated distributed (min-hamming per pair) before the bounded
+    driver collect."""
     sigs = ds.map_batches(
         SimHasher,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
@@ -316,30 +440,33 @@ def simhash_pairs(
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
         g = group.drop_duplicates(id_col).sort_values(id_col)
+        if len(g) < 2 or len(g) > max_bucket_size:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "hamming": pd.Series(dtype="int64"),
+                }
+            )
         ids = g[id_col].to_numpy()
-        sims = g["simhash"].to_numpy().astype(np.uint64)
-        a, b, hd = [], [], []
-        for i in range(len(ids)):
-            x = np.bitwise_xor(sims[i + 1 :], sims[i])
-            cnt = np.vectorize(lambda v: bin(int(v)).count("1"))(x) if len(x) else np.array([])
-            for j, c in enumerate(cnt):
-                a.append(int(ids[i]))
-                b.append(int(ids[i + 1 + j]))
-                hd.append(int(c))
-        return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": hd})
+        sims = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        iu, ju = np.triu_indices(len(ids), 1)
+        hd = popcount64(sims[iu] ^ sims[ju])
+        keep = hd <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[iu[keep]], "doc_b": ids[ju[keep]], "hamming": hd[keep]}
+        )
 
-    pairs = sigs.groupby(["band", "band_key"]).map_groups(bucket_pairs, batch_format="pandas")
-    pdf = pairs.to_pandas()
+    pairs = sigs.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    # distributed pair dedupe (each pair appears in up to 16 buckets)
+    from ray.data.aggregate import Min
+
+    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    pdf = uniq.to_pandas()  # bounded by near-dup pair density
     if pdf.empty:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())})
-    out = (
-        pdf[pdf["hamming"] <= max_hamming]
-        .drop_duplicates(["doc_a", "doc_b"])
-        .sort_values(["doc_a", "doc_b"])
-    )
+    out = pdf.sort_values(["doc_a", "doc_b"]).astype({"hamming": "int64"})
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 

@@ -81,8 +81,13 @@ class IvfIndex:
         seed: int = 11,
         concurrency: int | tuple[int, int] = (1, 8),
     ) -> "IvfIndex":
-        # centroid training on a bounded sample (driver-side numpy Lloyd)
-        sample = ds.random_sample(1.0, seed=seed).limit(sample_size).to_pandas()
+        # centroid training on a bounded sample (driver-side numpy Lloyd).
+        # random_sample(frac) keeps the scan streaming and materializes
+        # only ~2x sample_size rows (frac sized from the dataset count,
+        # which is metadata-cheap on parquet); limit() caps it exactly.
+        n = ds.count()
+        frac = min(1.0, (2.0 * sample_size) / max(n, 1))
+        sample = ds.random_sample(frac, seed=seed).limit(sample_size).to_pandas()
         x = _normalize(_stack(sample[vec_col]).astype(np.float64))
         rng = np.random.default_rng(seed)
         cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
@@ -111,32 +116,64 @@ class IvfIndex:
         id_col: str = "vec_id",
     ) -> pd.DataFrame:
         """Probe the ``nprobe`` nearest clusters per query; exact cosine
-        within the probed subset."""
+        within the probed subset.
+
+        Scale shape (mirrors brute_force_topk): queries + probe sets are
+        broadcast once via ``ray.put``; each batch keeps only its rows in
+        probed clusters and reduces to a local top-k per query, so the
+        driver-side reduce sees k * nq * num_batches rows — never the
+        probed clusters' contents."""
         q = _normalize(np.asarray(query_vecs, dtype=np.float64))
         probe = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-        wanted = sorted({int(c) for row in probe for c in row})
-        wanted_set = set(wanted)
-        subset = self.assigned.map_batches(
-            lambda b: b[b["_cluster"].isin(wanted_set)], batch_format="pandas"
-        )
-        pdf = subset.to_pandas()  # only the probed clusters reach the driver
-        m = _normalize(_stack(pdf[vec_col]).astype(np.float64))
-        ids = pdf[id_col].to_numpy()
-        clusters = pdf["_cluster"].to_numpy()
-        out_q, out_id, out_s = [], [], []
-        for qi in range(q.shape[0]):
-            mask = np.isin(clusters, probe[qi])
-            sims = m[mask] @ q[qi]
-            sub_ids = ids[mask]
-            kk = min(k, len(sub_ids))
-            if kk == 0:
-                continue
-            part = np.argpartition(-sims, kk - 1)[:kk]
-            order = part[np.argsort(-sims[part], kind="stable")]
-            out_q.extend([qi] * kk)
-            out_id.extend(sub_ids[order])
-            out_s.extend(np.round(sims[order], 6))
-        return pd.DataFrame({"query_id": out_q, id_col: out_id, "sim": out_s})
+        wanted = np.unique(probe)
+        bc = ray.put((q, probe, wanted))
+        cache: dict = {}
+
+        def scorer(batch: pd.DataFrame) -> pd.DataFrame:
+            state = cache.get("s")
+            if state is None:
+                state = cache["s"] = ray.get(bc)  # one read per worker
+            qq, pr, want = state
+            clusters = batch["_cluster"].to_numpy()
+            keep = np.isin(clusters, want)
+            empty = pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    id_col: pd.Series(dtype=batch[id_col].dtype),
+                    "sim": pd.Series(dtype="float64"),
+                }
+            )
+            if not keep.any():
+                return empty
+            sub = batch[keep]
+            m = _normalize(_stack(sub[vec_col]).astype(np.float64))
+            ids = sub[id_col].to_numpy()
+            clusters = clusters[keep]
+            sims_all = m @ qq.T  # (rows, nq)
+            out_q, out_id, out_s = [], [], []
+            for qi in range(qq.shape[0]):
+                mask = np.isin(clusters, pr[qi])
+                if not mask.any():
+                    continue
+                sims = sims_all[mask, qi]
+                sub_ids = ids[mask]
+                kk = min(k, len(sub_ids))
+                part = np.argpartition(-sims, kk - 1)[:kk]
+                out_q.extend([qi] * kk)
+                out_id.extend(sub_ids[part])
+                out_s.extend(sims[part])
+            if not out_q:
+                return empty
+            return pd.DataFrame({"query_id": out_q, id_col: out_id, "sim": out_s})
+
+        local = self.assigned.map_batches(scorer, batch_format="pandas")
+        pdf = local.to_pandas()  # k * nq * num_batches rows: small
+        if pdf.empty:
+            return pdf
+        pdf = pdf.sort_values(["query_id", "sim", id_col], ascending=[True, False, True])
+        out = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+        out["sim"] = out["sim"].round(6)
+        return out
 
 
 def embedding_neardup_pairs(

@@ -93,6 +93,36 @@ class TestDedup:
         pairs = set(zip(got["doc_a"], got["doc_b"]))
         assert (0, 130) in pairs and (1, 131) in pairs
 
+    def test_simhash_pairs_match_bruteforce_oracle(self):
+        """Two-level banding must find EVERY pair with hamming <= 3
+        (pigeonhole exactness), with hamming values exact."""
+        from mysql_binlog_ray.stages.dedup import SimHasher, popcount64
+
+        df = _doc_corpus().head(80)
+        hasher = SimHasher()
+        sims = np.array([hasher.simhash(t) for t in df["text"]], dtype=np.uint64)
+        ids = df["doc_id"].to_numpy()
+        iu, ju = np.triu_indices(len(ids), 1)
+        hd = popcount64(sims[iu] ^ sims[ju])
+        keep = hd <= 3
+        oracle = {
+            (int(ids[i]), int(ids[j])): int(h)
+            for i, j, h in zip(iu[keep], ju[keep], hd[keep])
+        }
+        got = simhash_pairs(rd.from_pandas(df), max_hamming=3).to_pandas()
+        got_map = {(int(a), int(b)): int(h) for a, b, h in zip(got["doc_a"], got["doc_b"], got["hamming"])}
+        assert got_map == oracle
+
+    def test_popcount64_vectorized_matches_python(self):
+        from mysql_binlog_ray.stages.dedup import popcount64
+
+        rng = np.random.default_rng(3)
+        x = rng.integers(0, 1 << 63, size=200, dtype=np.uint64)
+        x[0], x[1] = 0, np.uint64(0xFFFFFFFFFFFFFFFF)
+        got = popcount64(x)
+        exp = [bin(int(v)).count("1") for v in x]
+        assert got.tolist() == exp
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestText:
