@@ -102,13 +102,84 @@ def read_event_stream(manifest: dict[str, Any], start_after_seq: int | None = No
     return rd.read_parquet(paths, override_num_blocks=nblocks)
 
 
+def build_xid_index(events: rd.Dataset) -> tuple[Any, Any]:
+    """(sorted XID event_seqs, XID values) via a distributed payload-prefix
+    scan — one byte peek per event, one output row per transaction.
+
+    Commit-stamping fallback for GTID-less streams: with GTIDs in the
+    stream the decoder stamps exactly in-band and needs no index.  The
+    index is one (int64, int64) pair per transaction, collected on the
+    driver and broadcast once — suitable whenever the transaction count
+    (not the row count) fits driver memory; with GTIDs enabled (any
+    modern MySQL/MariaDB) prefer the in-band path at unbounded scale.
+    """
+    import numpy as np
+
+    from ..protocol.constants import EventType
+    from ..protocol.decode import parse_xid
+    from ..stages.decode_stage import BinlogDecoder
+
+    def extract(batch: pa.Table) -> pa.Table:
+        seqs: list[int] = []
+        vals: list[int] = []
+        event_seqs = batch.column("event_seq").to_numpy(zero_copy_only=False)
+        for seq, payload in zip(event_seqs, BinlogDecoder._payload_views(batch)):
+            if payload[5] == EventType.XID:
+                seqs.append(int(seq))
+                vals.append(parse_xid(payload))
+        return pa.table(
+            {"xid_seq": pa.array(seqs, pa.int64()), "xid": pa.array(vals, pa.int64())}
+        )
+
+    idx = events.map_batches(extract, batch_format="pyarrow").to_pandas()
+    idx = idx.sort_values("xid_seq")
+    return idx["xid_seq"].to_numpy(), idx["xid"].to_numpy()
+
+
+def repair_commit_seqs(cf: rd.Dataset, xid_index: tuple[Any, Any]) -> rd.Dataset:
+    """Fill commit_seq = -1 rows with the first XID at-or-after their
+    event_seq (transactions are contiguous within a binlog file, so that
+    XID is exactly the row's commit marker).  Vectorized searchsorted per
+    batch against the broadcast index."""
+    import numpy as np
+
+    xid_seqs, xid_vals = xid_index
+    ref = ray.put((np.asarray(xid_seqs, dtype=np.int64), np.asarray(xid_vals, dtype=np.int64)))
+    cache: dict = {}
+
+    def fix(batch: pa.Table) -> pa.Table:
+        commit = batch.column("commit_seq").to_numpy(zero_copy_only=False).copy()
+        mask = commit == -1
+        if not mask.any():
+            return batch
+        state = cache.get("i")
+        if state is None:
+            state = cache["i"] = ray.get(ref)  # one object-store read per worker
+        xs, xv = state
+        es = batch.column("event_seq").to_numpy(zero_copy_only=False)[mask]
+        pos = np.searchsorted(xs, es, side="left")
+        vals = np.full(len(es), -1, dtype=np.int64)
+        in_range = pos < len(xs)
+        vals[in_range] = xv[pos[in_range]]
+        commit[mask] = vals
+        i = batch.column_names.index("commit_seq")
+        return batch.set_column(i, "commit_seq", pa.array(commit, pa.int64()))
+
+    return cf.map_batches(fix, batch_format="pyarrow")
+
+
 def decode_changefeed(
     events: rd.Dataset,
     registry_snapshot: list[dict[str, Any]],
     cfg: CdcConfig,
     start_after_seq: int | None = None,
+    exact_commits: bool = False,
 ) -> rd.Dataset:
-    """Decode stage: map_batches over zero-copy Arrow batches of payloads."""
+    """Decode stage: map_batches over zero-copy Arrow batches of payloads.
+
+    ``exact_commits=True`` adds the XID-index repair pass for GTID-less
+    streams (see ``build_xid_index``); GTID streams are exact without it.
+    """
     decoder_kwargs = dict(
         registry_snapshot=registry_snapshot,
         target_table=cfg.target_table,
@@ -136,13 +207,17 @@ def decode_changefeed(
                 dec = cache["d"] = BinlogDecoder(**decoder_kwargs)
             return dec(batch)
 
-        return events.map_batches(decode_fn, **kwargs)
-    return events.map_batches(
-        BinlogDecoder,
-        fn_constructor_kwargs=decoder_kwargs,
-        concurrency=cfg.decode_concurrency,
-        **kwargs,
-    )
+        cf = events.map_batches(decode_fn, **kwargs)
+    else:
+        cf = events.map_batches(
+            BinlogDecoder,
+            fn_constructor_kwargs=decoder_kwargs,
+            concurrency=cfg.decode_concurrency,
+            **kwargs,
+        )
+    if exact_commits:
+        cf = repair_commit_seqs(cf, build_xid_index(events))
+    return cf
 
 
 def merge_lww(

@@ -191,6 +191,15 @@ class BinlogDecoder:
         self.states: dict[int, _TableState] = {
             m.table_id: _TableState(m, self.target_names, self.key_names) for m in maps
         }
+        # ROTATE must drop in-band bindings (schema binding never crosses
+        # a binlog file, `EventsIterator.php:163-173`); the broadcast
+        # snapshot is the cross-file registry we fall back to
+        self._snapshot_states: dict[int, _TableState] = dict(self.states)
+        # compiled-state cache keyed by the (frozen) TableMapDef so
+        # re-binding an identical layout never recompiles the plan
+        self._state_cache: dict[TableMapDef, _TableState] = {
+            m: s for m, s in zip(maps, self.states.values())
+        }
         self.filtered: dict[int, bool] = {}
 
         self.databases = databases
@@ -228,6 +237,39 @@ class BinlogDecoder:
         ):
             return True
         return False
+
+    def _bind_table_map(self, tm: TableMapDef) -> _TableState:
+        """In-band TABLE_MAP binding: in-band wins over the snapshot for
+        the current file (a real server reuses table ids across files
+        with different layouts; the in-band map is the authoritative one,
+        `EventsIterator.php:198-205`).  Identical layouts reuse the
+        compiled state from the cache — no recompilation."""
+        cur = self.states.get(tm.table_id)
+        if cur is not None:
+            ctm = cur.plan.table_map
+            if (
+                ctm.columns == tm.columns
+                and (ctm.schema_name, ctm.table_name) == (tm.schema_name, tm.table_name)
+            ):
+                # identical layout: keep the bound state — the snapshot
+                # entry carries schema_ver lineage the wire map lacks
+                self.filtered[tm.table_id] = self._filtered(tm)
+                return cur
+        st = self._state_cache.get(tm)
+        if st is None:
+            st = self._state_cache[tm] = _TableState(
+                tm, self.target_names, self.key_names
+            )
+        self.states[tm.table_id] = st
+        self.filtered[tm.table_id] = self._filtered(tm)
+        return st
+
+    def _on_rotate(self, bound_this_block: set[int]) -> None:
+        """ROTATE: drop in-band bindings, keep the snapshot registry
+        (`EventsIterator.php:163-173` — table maps never cross files)."""
+        self.states = dict(self._snapshot_states)
+        self.filtered = {}
+        bound_this_block.clear()
 
     def _resolve(self, table_id: int) -> _TableState | None:
         """Registry lookup: in-band first, broadcast snapshot second, the
@@ -292,6 +334,14 @@ class BinlogDecoder:
 
         checksum_size = self.checksum_size
         start_after = self.start_after_seq
+        # exact commit stamping (M4): a transaction's GTID event precedes
+        # its row events, its XID follows them — forward-stamp from GTID,
+        # backfill from XID, so a transaction spanning block boundaries in
+        # EITHER direction still gets its exact commit id.  Only a block
+        # that lies entirely inside one transaction (no marker at all)
+        # leaves commit_seq = -1.
+        cur_commit = -1
+        bound_this_block: set[int] = set()
 
         for shard_id, event_seq, payload in zip(shard_ids, event_seqs, payloads):
             if start_after is not None and event_seq <= start_after:
@@ -306,11 +356,21 @@ class BinlogDecoder:
                 _, _, alg = parse_format_description(payload, h)
                 checksum_size = 4 if alg > 0 else 0
                 continue
+            if etype == EventType.ROTATE:
+                self._on_rotate(bound_this_block)
+                continue
+            if etype == EventType.MARIA_GTID:
+                # u64 sequence number opens the transaction
+                # (`EventsIterator.php:244-254` skips these; we consume
+                # them as the commit-sequencing source SURVEY M4 asks for)
+                cur_commit = int.from_bytes(payload[20:28], "little")
+                continue
             if etype == EventType.TABLE_MAP:
-                # table maps are re-sent per transaction; skip the full
-                # metadata parse when this table_id is already bound
+                # table maps are re-sent per transaction; parse the full
+                # metadata once per block per table id (in-band binding
+                # wins over the snapshot for the current file)
                 tid = int.from_bytes(payload[20:26], "little")
-                if tid in self.states and tid in self.filtered:
+                if tid in bound_this_block:
                     continue
                 payload = bytes(payload)
                 h = parse_header(payload, checksum_size)
@@ -318,20 +378,18 @@ class BinlogDecoder:
                     self.n_checksum_failures += 1
                     continue
                 tm = parse_table_map(payload, h)
-                # in-band discovery (`EventsIterator.php:198-205`); the
-                # snapshot entry, when present, wins so schema_ver lineage
-                # stays bound (same layout either way: table_id identifies it)
-                if tm.table_id not in self.states:
-                    self.states[tm.table_id] = _TableState(
-                        tm, self.target_names, self.key_names
-                    )
-                self.filtered[tm.table_id] = self._filtered(tm)
+                self._bind_table_map(tm)
+                bound_this_block.add(tid)
                 continue
             if etype == EventType.XID:
                 xid = parse_xid(payload)
-                # stamp all rows decoded since the previous commit (M4)
-                while len(commit_seqs) < len(ops):
-                    commit_seqs.append(xid)
+                # backfill rows whose transaction opened before this block
+                # (no GTID seen for them)
+                i = len(commit_seqs) - 1
+                while i >= 0 and commit_seqs[i] == -1:
+                    commit_seqs[i] = xid
+                    i -= 1
+                cur_commit = -1
                 continue
             if etype in _ROWS_TYPES:
                 # cheap pre-checks before any row decode
@@ -367,14 +425,11 @@ class BinlogDecoder:
                 ev_seqs.extend([int(event_seq)] * n_rows)
                 row_seqs.extend(range(n_rows))
                 tss.extend([h.timestamp] * n_rows)
+                commit_seqs.extend([cur_commit] * n_rows)
                 self.n_rows += n_rows
                 continue
-            # ROTATE / QUERY / skip events: no changefeed output
+            # QUERY / skip events: no changefeed output
             continue
-
-        # rows whose XID fell outside this batch: commit unknown (-1)
-        while len(commit_seqs) < len(ops):
-            commit_seqs.append(-1)
 
         if not ops:
             return self._empty
@@ -502,6 +557,8 @@ class BinlogDecoder:
 
         checksum_size = self.checksum_size
         start_after = self.start_after_seq
+        cur_commit = -1  # GTID forward-stamp + XID backfill (see __call__)
+        bound_this_block: set[int] = set()
 
         for shard_id, event_seq, payload in zip(shard_ids, event_seqs, payloads):
             if start_after is not None and event_seq <= start_after:
@@ -516,11 +573,15 @@ class BinlogDecoder:
                 _, _, alg = parse_format_description(payload, h)
                 checksum_size = 4 if alg > 0 else 0
                 continue
+            if etype == EventType.ROTATE:
+                self._on_rotate(bound_this_block)
+                continue
+            if etype == EventType.MARIA_GTID:
+                cur_commit = int.from_bytes(payload[20:28], "little")
+                continue
             if etype == EventType.TABLE_MAP:
-                # table maps are re-sent per transaction; skip the full
-                # metadata parse when this table_id is already bound
                 tid = int.from_bytes(payload[20:26], "little")
-                if tid in self.states and tid in self.filtered:
+                if tid in bound_this_block:
                     continue
                 payload = bytes(payload)
                 h = parse_header(payload, checksum_size)
@@ -528,16 +589,16 @@ class BinlogDecoder:
                     self.n_checksum_failures += 1
                     continue
                 tm = parse_table_map(payload, h)
-                if tm.table_id not in self.states:
-                    self.states[tm.table_id] = _TableState(
-                        tm, self.target_names, self.key_names
-                    )
-                self.filtered[tm.table_id] = self._filtered(tm)
+                self._bind_table_map(tm)
+                bound_this_block.add(tid)
                 continue
             if etype == EventType.XID:
                 xid = parse_xid(payload)
-                while len(commit_seqs) < len(ops):
-                    commit_seqs.append(xid)
+                i = len(commit_seqs) - 1
+                while i >= 0 and commit_seqs[i] == -1:
+                    commit_seqs[i] = xid
+                    i -= 1
+                cur_commit = -1
                 continue
             if etype in _ROWS_TYPES:
                 off = 20
@@ -559,12 +620,10 @@ class BinlogDecoder:
                 ops.extend([op] * n_rows)
                 ev_seqs.extend([int(event_seq)] * n_rows)
                 row_seqs.extend(range(n_rows))
+                commit_seqs.extend([cur_commit] * n_rows)
                 self.n_rows += n_rows
                 continue
             continue
-
-        while len(commit_seqs) < len(ops):
-            commit_seqs.append(-1)
 
         if not ops:
             return self._empty

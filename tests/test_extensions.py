@@ -468,3 +468,151 @@ class TestGiantRows:
         assert out.num_rows == 1
         got = out.column("content").to_pylist()[0]
         assert len(got) == len(big) and got[-1] == "€" and got[:8] == "xxxxxxxx"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestParallelCommitStamping:
+    """M4: the block-parallel decoder must stamp commit_seq exactly like
+    sequential mode, even when transactions span block boundaries."""
+
+    def _parallel_cf(self, manifest, num_blocks, exact_commits=False):
+        import ray.data as rd
+
+        from mysql_binlog_ray.pipelines.cdc import CdcConfig, decode_changefeed
+
+        paths = [s["path"] for s in manifest["shards"]]
+        events = rd.read_parquet(paths, override_num_blocks=num_blocks)
+        return decode_changefeed(
+            events, manifest["table_maps"], CdcConfig(), exact_commits=exact_commits
+        ).to_pandas()
+
+    def _assert_matches_sequential(self, manifest, par):
+        from mysql_binlog_ray.pipelines.sequential import decode_shards_sequential
+
+        seq = decode_shards_sequential(manifest).to_pandas()
+        m = par.merge(
+            seq[["event_seq", "row_seq", "commit_seq"]],
+            on=["event_seq", "row_seq"],
+            suffixes=("_par", "_seq"),
+            how="outer",
+            indicator=True,
+        )
+        assert (m["_merge"] == "both").all()
+        assert (m["commit_seq_par"] == m["commit_seq_seq"]).all()
+
+    def test_gtid_stamping_exact_across_block_boundaries(self, small_stream):
+        """GTID streams: blocks of ~3 transactions force many txns to
+        span block boundaries; forward-stamp + XID backfill must still
+        stamp every row exactly (no -1)."""
+        spec, out, manifest = small_stream
+        assert spec.include_noise_events  # MARIA_GTID present
+        total_events = sum(s["events"] for s in manifest["shards"])
+        par = self._parallel_cf(manifest, num_blocks=max(4, total_events // 30))
+        assert (par["commit_seq"] != -1).all()
+        self._assert_matches_sequential(manifest, par)
+
+    def test_gtidless_stream_repaired_by_xid_index(self, tmp_path):
+        """GTID-less streams at pathologically tiny blocks (smaller than
+        a transaction): the XID-index repair pass restores exactness."""
+        from mysql_binlog_ray.fixtures.generator import StreamSpec, generate_stream
+
+        spec = StreamSpec(
+            n_keys=120, n_ops=600, n_shards=2, include_noise_events=False
+        )
+        manifest = generate_stream(spec, str(tmp_path / "stream"))
+        total_events = sum(s["events"] for s in manifest["shards"])
+        nb = max(8, total_events // 4)  # ~4 events per block << txn size
+        unrepaired = self._parallel_cf(manifest, num_blocks=nb)
+        assert (unrepaired["commit_seq"] == -1).any(), "blocks too large to exercise repair"
+        par = self._parallel_cf(manifest, num_blocks=nb, exact_commits=True)
+        assert (par["commit_seq"] != -1).all()
+        self._assert_matches_sequential(manifest, par)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRotateTableMapDrop:
+    def test_table_id_reuse_across_files(self, tmp_path):
+        """Reference semantics (`EventsIterator.php:163-173`): a table id
+        bound in one binlog file must not leak past ROTATE.  Two shards
+        reuse table id 300 with DIFFERENT layouts; the parallel decoder
+        must decode each file with its own in-band map."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from mysql_binlog_ray.fixtures.generator import repos_table_map
+        from mysql_binlog_ray.pipelines.cdc import CdcConfig, decode_changefeed
+        from mysql_binlog_ray.protocol import encode as E
+        from mysql_binlog_ray.protocol.constants import COLLATION_UTF8MB4, ColumnType, EventType
+        from mysql_binlog_ray.protocol.encode import BinlogWriter
+        from mysql_binlog_ray.protocol.model import ColumnDef, TableMapDef
+
+        def tmdef(cols, ver):
+            return TableMapDef(
+                table_id=300,
+                schema_name="code",
+                table_name="repos",
+                columns=tuple(cols),
+                primary_key=(0,),
+                schema_ver=ver,
+            )
+
+        base_cols = [
+            ColumnDef("repo", ColumnType.VARCHAR, nullable=False, max_length=255, charset=COLLATION_UTF8MB4),
+            ColumnDef("path", ColumnType.VARCHAR, nullable=False, max_length=255, charset=COLLATION_UTF8MB4),
+        ]
+        # file 2's layout inserts a column BEFORE the existing ones so a
+        # stale binding would shift every value
+        v2_cols = [
+            ColumnDef("extra", ColumnType.LONG, nullable=True, signed=True),
+            *base_cols,
+        ]
+        tm_a, tm_b = tmdef(base_cols, 1), tmdef(v2_cols, 2)
+
+        def shard(shard_id, tm, rows, eseq0):
+            w = BinlogWriter(server_id=1)
+            payloads, seqs = [], []
+
+            def emit(p):
+                payloads.append(p)
+                seqs.append(eseq0 + len(seqs))
+
+            emit(w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body(), 1))
+            emit(w.rotate(f"binlog.{shard_id:06d}", timestamp=1))
+            emit(w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm), 2))
+            emit(w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(tm, rows, "insert"), 2))
+            emit(w.packet(EventType.XID, E.encode_xid_body(eseq0 + 100)))
+            path = str(tmp_path / f"ev-{shard_id}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "shard_id": pa.array([shard_id] * len(payloads), pa.int32()),
+                        "event_seq": pa.array(seqs, pa.int64()),
+                        "payload": pa.array(payloads, pa.binary()),
+                    }
+                ),
+                path,
+            )
+            return {"shard_id": shard_id, "path": path,
+                    "first_event_seq": seqs[0], "last_event_seq": seqs[-1]}
+
+        rows_a = [{"repo": "r1", "path": "p1"}]
+        rows_b = [{"repo": "r2", "path": "p2", "extra": 7}]
+        s0 = shard(0, tm_a, rows_a, 1)
+        s1 = shard(1, tm_b, rows_b, 1000)
+        manifest = {
+            "shards": [s0, s1],
+            # snapshot carries only the v2 layout: a decoder that lets the
+            # snapshot override the in-band map would mis-decode shard 0
+            "table_maps": [tm_b.to_dict()],
+        }
+        events = rd.read_parquet([s0["path"], s1["path"]], override_num_blocks=2)
+        cf = decode_changefeed(
+            events, manifest["table_maps"], CdcConfig(target_table=("code", "repos"))
+        ).to_pandas()
+        assert len(cf) == 2
+        by_seq = {r["event_seq"]: r for _, r in cf.iterrows()}
+        a = by_seq[s0["first_event_seq"] + 3]["after"]
+        b = by_seq[s1["first_event_seq"] + 3]["after"]
+        assert (a["repo"], a["path"]) == ("r1", "p1") and a["extra"] is None
+        assert (b["repo"], b["path"], b["extra"]) == ("r2", "p2", 7)
