@@ -74,6 +74,16 @@ class CdcConfig:
     # shared fs on multi-node); 'object_store' uses Ray Data's groupby
     # sort shuffle (no fs requirement)
     shuffle: str = "external"
+    # M8 active hot-key salting: detect keys with more than salt_threshold
+    # row images (distributed sketch) and pre-reduce them under
+    # (key, event_seq % n_salts) before the single keyed exchange, so a
+    # pathologically hot key contributes <= n_salts rows to its final
+    # partition instead of one per upstream batch.  Costs one
+    # materialization of the (already partially combined) flat stream;
+    # off by default — the partial combiner alone bounds ordinary skew.
+    salt_hot_keys: bool = False
+    salt_threshold: int = 10_000
+    n_salts: int = 16
     decoder_kwargs: dict[str, Any] = field(default_factory=dict)
 
 
@@ -466,6 +476,14 @@ def run_to_lake(
         return lww_partial(batch, key_cols)
 
     flat = cf.map_batches(_flatten_combine, batch_format="pyarrow")
+
+    if cfg.salt_hot_keys:
+        from ..stages.merge import detect_hot_keys, salted_presqueeze
+
+        flat = flat.materialize()  # consumed by the sketch AND the merge
+        hot = detect_hot_keys(flat, key_cols, cfg.salt_threshold)
+        if len(hot):
+            flat = salted_presqueeze(flat, key_cols, hot, cfg.n_salts)
 
     # selective (O(increment)) resume requires the prior lake's partition
     # layout to be reproducible: same partition count AND same hash

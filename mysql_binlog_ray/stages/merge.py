@@ -225,3 +225,100 @@ def partition_codes(table: pa.Table, key_cols: tuple[str, ...], num_partitions: 
 
 def add_partition_column(batch: pa.Table, key_cols: tuple[str, ...], num_partitions: int) -> pa.Table:
     return batch.append_column("_part", pa.array(partition_codes(batch, key_cols, num_partitions)))
+
+
+# -- M8: active hot-key salting (two-phase combine for skewed keys) --------
+#
+# The per-batch lww_partial already collapses a hot key to one row per
+# upstream batch, but at 100 TB "one row per batch" is still millions of
+# rows converging on a single final partition.  The salted pre-squeeze
+# bounds that fan-in to ``n_salts`` rows per hot key: hot rows are
+# re-keyed by (key, event_seq % n_salts), reduced per salted bucket with
+# the same LWW kernel (associative: newest-per-key commutes with any
+# grouping), then rejoin the normal single-exchange merge.
+
+
+def _key_hash53(batch: pa.Table, key_cols: tuple[str, ...]) -> np.ndarray:
+    """key_hash64 truncated to 53 bits: survives Ray groupby/aggregate's
+    float64 key round-trip exactly."""
+    return (key_hash64(batch, key_cols) >> np.uint64(11)).astype(np.int64)
+
+
+def detect_hot_keys(
+    flat, key_cols: tuple[str, ...], threshold: int
+) -> np.ndarray:
+    """Distributed hot-key sketch: per-batch partial counts by 53-bit key
+    hash -> groupby sum -> keys whose total count exceeds ``threshold``.
+    The shuffle carries one (hash, n) row per distinct key per batch;
+    only the (tiny) hot set reaches the driver.
+
+    When ``flat`` has already been through the per-batch LWW combine, a
+    key's count equals the number of upstream blocks containing it — so
+    ``threshold`` is a fan-in bound (rows converging on the key's final
+    partition), which is exactly the quantity salting exists to cap.
+    """
+    import ray.data  # noqa: F401  (flat is a ray.data.Dataset)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(_key_hash53(batch, key_cols), return_counts=True)
+        return pa.table(
+            {"khash": pa.array(uniq, pa.int64()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    counts = flat.map_batches(partial, batch_format="pyarrow").groupby("khash").sum("n")
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("sum(n)"), threshold)).select(["khash"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if hot.empty or "khash" not in hot.columns:
+        return np.zeros(0, dtype=np.int64)
+    return np.sort(hot["khash"].to_numpy().astype(np.int64))
+
+
+def salted_presqueeze(
+    flat,
+    key_cols: tuple[str, ...],
+    hot_hashes: np.ndarray,
+    n_salts: int = 16,
+):
+    """Phase-A reduce for hot keys: rows of hot keys are grouped by
+    (key hash, event_seq % n_salts) and LWW-combined, bounding each hot
+    key to <= n_salts surviving rows; cold rows pass through untouched.
+    Returns a dataset with the same schema as ``flat``."""
+    import ray
+
+    ref = ray.put(np.sort(np.asarray(hot_hashes, dtype=np.int64)))
+    cache: dict = {}
+
+    def tag(batch: pa.Table) -> pa.Table:
+        hot = cache.get("h")
+        if hot is None:
+            hot = cache["h"] = ray.get(ref)
+        h = _key_hash53(batch, key_cols)
+        is_hot = np.isin(h, hot)
+        salt = (
+            batch.column("event_seq").to_numpy(zero_copy_only=False) % n_salts
+        ).astype(np.int64)
+        # (h >> 4)*n_salts + salt stays under 53 bits for n_salts <= 16
+        # (groupby float64 key safety); a rare hash-prefix collision only
+        # co-groups two hot keys, which lww_partial handles per key
+        spart = np.where(is_hot, (h >> 4) * np.int64(n_salts) + salt, np.int64(-1))
+        return batch.append_column("_spart", pa.array(spart, pa.int64()))
+
+    tagged = flat.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def only_cold(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.equal(batch.column("_spart"), pa.scalar(-1)))
+        return keep.drop_columns(["_spart"])
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch.column("_spart"), pa.scalar(-1)))
+
+    cold = tagged.map_batches(only_cold, batch_format="pyarrow")
+    hot_rows = tagged.map_batches(only_hot, batch_format="pyarrow")
+
+    def squeeze(group: pa.Table) -> pa.Table:
+        return lww_partial(group.drop_columns(["_spart"]), key_cols)
+
+    squeezed = hot_rows.groupby("_spart").map_groups(squeeze, batch_format="pyarrow")
+    return cold.union(squeezed)

@@ -616,3 +616,93 @@ class TestRotateTableMapDrop:
         b = by_seq[s1["first_event_seq"] + 3]["after"]
         assert (a["repo"], a["path"]) == ("r1", "p1") and a["extra"] is None
         assert (b["repo"], b["path"], b["extra"]) == ("r2", "p2", 7)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHotKeySalting:
+    """M8 active salting: detection sketch + salted two-phase combine."""
+
+    def _flat(self, n_batches=20, rows_per_batch=50, hot_frac=0.5):
+        """Synthetic flat upsert stream: one hot key carries hot_frac of
+        all rows, spread over every batch (the combiner's worst case)."""
+        import ray.data as rd
+
+        tables = []
+        seq = 0
+        for b in range(n_batches):
+            repo, path, v, es, rs, op = [], [], [], [], [], []
+            for i in range(rows_per_batch):
+                hot = i < rows_per_batch * hot_frac
+                repo.append("hot/repo" if hot else f"org{i % 7}/r{i}")
+                path.append("hot.py" if hot else f"f{b}_{i}.py")
+                v.append(f"v{seq}")
+                es.append(seq)
+                rs.append(0)
+                op.append("insert")
+                seq += 1
+            tables.append(
+                pa.table(
+                    {
+                        "repo": pa.array(repo, pa.string()),
+                        "path": pa.array(path, pa.string()),
+                        "v": pa.array(v, pa.string()),
+                        "op": pa.array(op, pa.string()),
+                        "event_seq": pa.array(es, pa.int64()),
+                        "row_seq": pa.array(rs, pa.int32()),
+                        "commit_seq": pa.array([-1] * rows_per_batch, pa.int64()),
+                    }
+                )
+            )
+        return rd.from_arrow(tables), seq - 1
+
+    def test_detect_and_squeeze_bounds_hot_key(self):
+        from mysql_binlog_ray.stages.merge import (
+            detect_hot_keys,
+            lww_partial,
+            salted_presqueeze,
+        )
+
+        keys = ("repo", "path")
+        flat, last_seq = self._flat()
+        # per-batch combine first (as the pipeline does)
+        combined = flat.map_batches(
+            lambda b: lww_partial(b, keys), batch_format="pyarrow"
+        ).materialize()
+        hot = detect_hot_keys(combined, keys, threshold=10)
+        assert len(hot) == 1, "exactly the planted hot key must be detected"
+
+        squeezed = salted_presqueeze(combined, keys, hot, n_salts=4)
+        df = squeezed.to_pandas()
+        hot_rows = df[(df["repo"] == "hot/repo") & (df["path"] == "hot.py")]
+        # fan-in bounded by n_salts, not by the number of batches (20)
+        assert 1 <= len(hot_rows) <= 4
+        # and the newest hot image survived the two-phase combine
+        # (last batch's hot rows are seqs 950..974 -> newest is 974)
+        assert hot_rows["event_seq"].max() == 19 * 50 + 24
+
+    def test_salted_lake_equals_unsalted(self, tmp_path):
+        """run_to_lake with salting on: identical final lake, byte-for-row
+        equal to the unsalted run, on a 60%%-hot-key stream."""
+        from mysql_binlog_ray.pipelines.cdc import CdcConfig, read_lake, run_to_lake
+
+        # 8 shards -> 8 decode blocks; after the per-batch combine a
+        # key's detection count equals the number of blocks containing
+        # it, so threshold=4 flags keys present in most blocks (the
+        # planted hot key is in all 8)
+        spec = StreamSpec(n_keys=100, n_ops=4000, n_shards=8, zipf_a=2.0, ddl_at=None)
+        out = str(tmp_path / "stream")
+        m = generate_stream(spec, out)
+        plan = build_op_plan(spec)
+        counts = np.bincount(plan.key, minlength=spec.n_keys)
+        assert counts.max() > spec.n_ops * 0.4, "fixture not skewed enough"
+
+        lake_a = str(tmp_path / "salted")
+        lake_b = str(tmp_path / "plain")
+        run_to_lake(
+            m, lake_a,
+            CdcConfig(num_partitions=8, salt_hot_keys=True, salt_threshold=4, n_salts=8),
+        )
+        run_to_lake(m, lake_b, CdcConfig(num_partitions=8))
+        a = read_lake(lake_a).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        b = read_lake(lake_b).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        assert a.equals(b)
