@@ -449,6 +449,13 @@ def _oplog_with_event_seqs(
         for seq, payload in zip(seq_col, payload_col):
             etype = payload[5]
             if etype in (0x1E, 0x1F, 0x20):
+                # only repos-table events carry oplog tuples; interleaved
+                # code.issues transactions (spec.issues_every) emit ROWS
+                # events with no tuples and must not consume any — else
+                # every later op's event_seq shifts onto the wrong event
+                table_id = int.from_bytes(payload[20:26], "little")
+                if table_id not in (REPOS_TABLE_ID_V1, REPOS_TABLE_ID_V2):
+                    continue
                 # consume ops with row_seq restarting at 0
                 first = True
                 while pi < len(pending) and (first or pending[pi][1] != 0):

@@ -81,7 +81,7 @@ def _inline_skip(col: ColumnDef) -> str | None:
         if col.max_length > 255:
             return "off += 2 + (data[off] | (data[off+1] << 8))"
         return "off += 1 + data[off]"
-    if t is ColumnType.BLOB:
+    if t in (ColumnType.BLOB, ColumnType.JSON, ColumnType.GEOMETRY):
         lb = col.length_bytes
         return f"off += {lb} + int.from_bytes(data[off:off+{lb}], 'little')"
     if t is ColumnType.DOUBLE:

@@ -157,7 +157,9 @@ def _decode_datetime2(data: bytes, off: int, fsp: int) -> tuple[str, int]:
 
 
 def _decode_timestamp2(data: bytes, off: int, fsp: int) -> tuple[str, int]:
-    t = struct.unpack_from(">i", data, off)[0]
+    # MySQL stores the seconds field UNSIGNED big-endian: post-2038
+    # timestamps (>= 2^31) must not decode negative
+    t = struct.unpack_from(">I", data, off)[0]
     off += 4
     if t == 0:
         s = "0000-00-00 00:00:00"
@@ -253,9 +255,12 @@ def make_cell_reader(col: ColumnDef) -> CellReader:
 
         def read_dec(data: bytes, off: int) -> tuple[Any, int]:
             raw, off = _decode_decimal(data, off, p, s)
-            # final fixed-scale render via double, as the reference's
-            # sprintf('%.{scale}F') does (`DecimalReadTrait.php:49`)
-            return "%.*f" % (s, float(raw)), off
+            # exact fixed-scale string straight from the digit groups.
+            # The reference renders via sprintf('%.{scale}F') on a double
+            # (`DecimalReadTrait.php:49`), which corrupts values beyond
+            # ~16 significant digits — identical output below that, exact
+            # (not lossy) above it.
+            return raw, off
 
         return read_dec
     if t is ColumnType.BIT:
@@ -285,6 +290,32 @@ def make_cell_reader(col: ColumnDef) -> CellReader:
             return _text_value(bytes(data[off : off + ln]), charset), off + ln
 
         return read_blob
+    if t is ColumnType.JSON:
+        # the reference dies on JSON columns (`RowFactory.php:163-165`);
+        # we decode the binary JSON storage format to a JSON string
+        # (protocol/jsonb.py); unsupported JSONB subtypes fail lazily at
+        # the cell, never at plan compile
+        from .jsonb import jsonb_to_json_string
+
+        jlb = col.length_bytes
+
+        def read_json(data: bytes, off: int) -> tuple[Any, int]:
+            ln = int.from_bytes(data[off : off + jlb], "little")
+            off += jlb
+            return jsonb_to_json_string(bytes(data[off : off + ln])), off + ln
+
+        return read_json
+    if t is ColumnType.GEOMETRY:
+        # opaque WKB payload, surfaced as tagged base64 like binary BLOBs
+        glb = col.length_bytes
+
+        def read_geometry(data: bytes, off: int) -> tuple[Any, int]:
+            ln = int.from_bytes(data[off : off + glb], "little")
+            off += glb
+            raw = bytes(data[off : off + ln])
+            return BINARY_TAG + base64.b64encode(raw).decode("ascii"), off + ln
+
+        return read_geometry
     if t is ColumnType.DATE:
         return _decode_date
     if t is ColumnType.DATETIME2:
@@ -361,7 +392,7 @@ def make_cell_skipper(col: ColumnDef) -> CellSkipper:
         if col.max_length > 255:
             return lambda data, off: off + 2 + _u16.unpack_from(data, off)[0]
         return lambda data, off: off + 1 + data[off]
-    if t is ColumnType.BLOB:
+    if t in (ColumnType.BLOB, ColumnType.JSON, ColumnType.GEOMETRY):
         lb = col.length_bytes
         return lambda data, off, _lb=lb: off + _lb + int.from_bytes(data[off : off + _lb], "little")
     if t in (ColumnType.ENUM, ColumnType.SET):

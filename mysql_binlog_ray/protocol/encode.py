@@ -173,6 +173,18 @@ def encode_value(col: ColumnDef, value: Any) -> bytes:
     if t is ColumnType.BLOB:
         raw = _encode_text(value, col.charset)
         return len(raw).to_bytes(col.length_bytes, "little") + raw
+    if t is ColumnType.JSON:
+        # value: any JSON-able Python value, or a JSON text string
+        import json as _json
+
+        from .jsonb import encode_jsonb
+
+        v = _json.loads(value) if isinstance(value, str) else value
+        raw = encode_jsonb(v)
+        return len(raw).to_bytes(col.length_bytes, "little") + raw
+    if t is ColumnType.GEOMETRY:
+        raw = value if isinstance(value, bytes) else bytes(value)
+        return len(raw).to_bytes(col.length_bytes, "little") + raw
     if t is ColumnType.DATE:
         return _encode_date(str(value))
     if t is ColumnType.DATETIME2:
@@ -186,8 +198,8 @@ def encode_value(col: ColumnDef, value: Any) -> bytes:
         frac = ""
         if "." in s:
             s, frac = s.split(".")
-        epoch = int(s)  # encoder takes raw epoch seconds
-        return struct.pack(">i", epoch) + (_encode_frac(frac, col.fsp) if col.fsp else b"")
+        epoch = int(s)  # encoder takes raw epoch seconds (unsigned field)
+        return struct.pack(">I", epoch) + (_encode_frac(frac, col.fsp) if col.fsp else b"")
     if t is ColumnType.TIME2:
         s = str(value)
         frac = ""
@@ -227,7 +239,7 @@ def _column_meta_bytes(col: ColumnDef) -> bytes:
     if t in (ColumnType.ENUM, ColumnType.SET):
         # Emitted as STRING with real type in high byte.
         return bytes([int(t), col.size])
-    if t is ColumnType.BLOB:
+    if t in (ColumnType.BLOB, ColumnType.JSON, ColumnType.GEOMETRY):
         return bytes([col.length_bytes])
     if t is ColumnType.NEWDECIMAL:
         return bytes([col.precision, col.scale])

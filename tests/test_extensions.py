@@ -706,3 +706,33 @@ class TestHotKeySalting:
         a = read_lake(lake_a).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
         b = read_lake(lake_b).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
         assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultiTableOplogAlignment:
+    def test_oplog_event_seqs_exact_with_interleaved_issues(self, tmp_path):
+        """Interleaved code.issues transactions emit ROWS events carrying
+        no oplog tuples; the oplog builder must not consume repos tuples
+        for them (every later op's event_seq would shift)."""
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray.pipelines.sequential import decode_shards_sequential
+
+        spec = StreamSpec(n_keys=150, n_ops=900, n_shards=2, issues_every=3)
+        out = str(tmp_path / "stream")
+        manifest = generate_stream(spec, out)
+        cf = decode_shards_sequential(manifest).to_pandas()  # repos only
+        oplog = pq.read_table(f"{out}/oplog.parquet").to_pandas()
+        merged = cf.merge(
+            oplog, on=["event_seq", "row_seq"], suffixes=("_cf", "_op"), how="inner"
+        )
+        # every decoded repos row must align with exactly one oplog row
+        assert len(merged) == len(oplog) == len(cf)
+        assert (merged["commit_seq_cf"] == merged["commit_seq_op"]).all()
+        # and the decoded commit hash matches the op's planned version
+        from mysql_binlog_ray.fixtures.generator import ContentFactory
+
+        fac = ContentFactory(spec)
+        sample = merged[merged["op_op"] != 2].head(200)
+        for _, r in sample.iterrows():
+            assert r["after"]["commit"] == fac.commit(int(r["key"]), int(r["version"]))

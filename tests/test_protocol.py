@@ -111,10 +111,10 @@ class TestDecimal:
     )
     def test_roundtrip(self, precision, scale, value):
         cols = [ColumnDef("d", ColumnType.NEWDECIMAL, precision=precision, scale=scale)]
-        # expected value goes through the reference's final %.{scale}F
-        # double-render (DecimalReadTrait.php:49)
-        expect = "%.*f" % (scale, float(value))
-        one_row_roundtrip(cols, {"d": value}, expect={"d": expect})
+        # exact fixed-scale round-trip; the reference's %.{scale}F double
+        # render (DecimalReadTrait.php:49) corrupts values beyond ~16
+        # significant digits — we return the exact digit string instead
+        one_row_roundtrip(cols, {"d": value}, expect={"d": value})
 
     def test_leading_zero_groups(self):
         cols = [ColumnDef("d", ColumnType.NEWDECIMAL, precision=20, scale=4)]
@@ -308,3 +308,109 @@ class TestMultiRowEvents:
         tm2 = D.parse_table_map(tmev, D.parse_header(tmev, 4))
         ev = D.parse_rows_event(wr, D.parse_header(wr, 4), {tm2.table_id: D.DecodePlan.compile(tm2)})
         assert ev.rows == rows
+
+
+class TestJsonColumns:
+    """JSON columns: the reference dies (`RowFactory.php:163-165`); we
+    decode the binary JSON storage format (protocol/jsonb.py)."""
+
+    def _tm(self):
+        from mysql_binlog_ray.protocol.constants import COLLATION_UTF8MB4, ColumnType
+        from mysql_binlog_ray.protocol.model import ColumnDef, TableMapDef
+
+        return TableMapDef(
+            table_id=400,
+            schema_name="app",
+            table_name="docs",
+            columns=(
+                ColumnDef("id", ColumnType.LONG, nullable=False, signed=True),
+                ColumnDef("meta", ColumnType.JSON, nullable=True, length_bytes=4),
+                ColumnDef("name", ColumnType.VARCHAR, nullable=False, max_length=64, charset=COLLATION_UTF8MB4),
+            ),
+            primary_key=(0,),
+            schema_ver=1,
+        )
+
+    def test_jsonb_roundtrip_all_scalar_and_container_types(self):
+        from mysql_binlog_ray.protocol.jsonb import decode_jsonb, encode_jsonb
+
+        cases = [
+            None, True, False, 0, -1, 32767, -32768, 1 << 20, -(1 << 40),
+            (1 << 63) + 5, 2.5, "", "héllo 你好", [1, [2, [3]]],
+            {"a": {"b": {"c": [None, False]}}},
+            {"k" * 100: "v" * 500, "n": -7},
+        ]
+        for c in cases:
+            assert decode_jsonb(encode_jsonb(c)) == c
+
+    def test_json_column_roundtrips_through_rows_event(self):
+        from mysql_binlog_ray.protocol import decode as D
+        from mysql_binlog_ray.protocol import encode as E
+        from mysql_binlog_ray.protocol.constants import EventType
+        from mysql_binlog_ray.protocol.encode import BinlogWriter
+
+        tm = self._tm()
+        rows = [
+            {"id": 1, "meta": {"tags": ["a", "b"], "rank": 3}, "name": "x"},
+            {"id": 2, "meta": None, "name": "y"},
+            {"id": 3, "meta": [1, 2.5, "z", None], "name": "w"},
+        ]
+        w = BinlogWriter(server_id=1)
+        tmev = w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm))
+        wr = w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(tm, rows, "insert"))
+        tm2 = D.parse_table_map(tmev, D.parse_header(tmev, 4))
+        ev = D.parse_rows_event(
+            wr, D.parse_header(wr, 4), {tm2.table_id: D.DecodePlan.compile(tm2)}
+        )
+        import json
+
+        got = ev.rows
+        assert json.loads(got[0]["meta"]) == {"tags": ["a", "b"], "rank": 3}
+        assert got[1]["meta"] is None
+        assert json.loads(got[2]["meta"]) == [1, 2.5, "z", None]
+        # neighbouring columns decode correctly around the JSON cell
+        assert [r["name"] for r in got] == ["x", "y", "w"]
+
+    def test_json_skipper_advances_correctly(self):
+        """Flat mode byte-skips before-images: the JSON skipper must land
+        exactly after the cell."""
+        from mysql_binlog_ray.protocol import decode as D
+        from mysql_binlog_ray.protocol.jsonb import encode_jsonb
+
+        tm = self._tm()
+        plan = D.DecodePlan.compile(tm)
+        doc = encode_jsonb({"a": [1, 2, 3], "b": "xyz"})
+        cell = len(doc).to_bytes(4, "little") + doc
+        data = b"\x00" * 7 + cell + b"\xff"
+        skipper = plan.skippers[1]
+        assert skipper(data, 7) == 7 + len(cell)
+
+
+class TestAdviceFixes:
+    def test_timestamp2_post_2038_unsigned(self):
+        """TIMESTAMP2 seconds are unsigned: 2^31 <= t < 2^32 must render
+        a real post-2038 date, not a negative epoch."""
+        import struct
+
+        from mysql_binlog_ray.protocol.decode import _decode_timestamp2
+
+        t = (1 << 31) + 12345  # 2038-01-19 + ~3.4h
+        data = struct.pack(">I", t)
+        s, off = _decode_timestamp2(data, 0, 0)
+        assert off == 4
+        assert s.startswith("2038-01-19")
+
+    def test_newdecimal_exact_beyond_double_precision(self):
+        """DECIMAL(20,2) round-trips digits a double cannot represent."""
+        from mysql_binlog_ray.protocol import decode as D
+        from mysql_binlog_ray.protocol.encode import _encode_decimal
+
+        val = "12345678901234567.89"
+        raw = _encode_decimal(val, 20, 2)
+        got, off = D._decode_decimal(raw, 0, 20, 2)
+        assert off == len(raw)
+        assert got == val  # '%.2f' % float(val) would end in ...68.00
+        # negative high-precision too
+        nraw = _encode_decimal("-" + val, 20, 2)
+        ngot, _ = D._decode_decimal(nraw, 0, 20, 2)
+        assert ngot == "-" + val
