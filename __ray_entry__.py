@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": Q.langid_documents,
         "quality_documents": Q.quality_documents,
         "fingerprint_documents": Q.fingerprint_documents,
+        "doc_md5_documents": Q.doc_md5_documents,
         "ann_ivf_embeddings": Q.ann_ivf_embeddings,
         "embedding_neardup": Q.embedding_neardup_embeddings,
         "multimodal_image_pipeline": Q.multimodal_image_pipeline,
@@ -151,5 +152,29 @@ def oracle_sql() -> dict[str, str]:
                 embedding, (SELECT embedding FROM embeddings WHERE vec_id = 1)
             ) DESC, vec_id
             LIMIT 10
+        """,
+        "doc_md5_documents": """
+            SELECT doc_id, md5(text) AS content_md5 FROM documents
+        """,
+        "quality_documents": """
+            WITH q AS (
+              SELECT doc_id,
+                     length(coalesce(text,'')) AS n_chars,
+                     length(coalesce(text,''))
+                       - length(regexp_replace(coalesce(text,''), '[^\\w\\s]', '', 'g')) AS n_punct,
+                     len(regexp_extract_all(lower(coalesce(text,'')), '\\w+')) AS n_words,
+                     len(list_filter(regexp_extract_all(lower(coalesce(text,'')), '\\w+'),
+                         w -> list_contains(
+                           ['the','a','of','and','to','in','is','it','that','for'], w))) AS n_stop
+              FROM documents)
+            SELECT doc_id,
+                   n_chars AS q_n_chars,
+                   round(n_punct / greatest(n_chars, 1), 6) AS q_punct_ratio,
+                   round(n_stop / greatest(n_words, 1), 6) AS q_stop_ratio,
+                   round(((CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN n_punct / greatest(n_chars,1) < 0.3 THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN n_stop / greatest(n_words,1) > 0.01 THEN 1.0 ELSE 0.0 END))
+                        / 3.0, 6) AS q_score
+            FROM q
         """,
     }

@@ -263,6 +263,16 @@ def fingerprint_documents(sf_dir: str):
     )
 
 
+def doc_md5_documents(sf_dir: str):
+    """Content-hash fingerprint alone (the SQL-expressible half of
+    fingerprint_documents, oracled as md5(text))."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(Fingerprinter(), batch_format="pandas")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "content_md5"]), batch_format="pyarrow"
+    )
+
+
 def ann_ivf_embeddings(sf_dir: str):
     """IVF approximate variant of knn_embeddings (scale path)."""
     qvec = _query_vec(sf_dir, 1)

@@ -37,17 +37,25 @@ def preagg_groupby(ds: rd.Dataset, keys: list[str], spec: AggSpec) -> rd.Dataset
     rows instead of every input row.
     """
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(keys, sort=False)
-        out = {}
-        for out_col, (in_col, kind) in spec.items():
-            if kind == "count":
-                out[out_col] = g.size()
-            else:
-                out[out_col] = getattr(g[in_col], kind)()
-        return pd.DataFrame(out).reset_index()
+    need_count = any(kind == "count" for _, kind in spec.values())
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    def partial(batch: pa.Table) -> pa.Table:
+        # Arrow-native combiner: no pandas round-trip in the hot path
+        if need_count:
+            batch = batch.append_column(
+                "_one", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+            )
+        aggs = []
+        rename: dict[str, str] = {}
+        for out_col, (in_col, kind) in spec.items():
+            col = "_one" if kind == "count" else in_col
+            fn = "sum" if kind == "count" else kind
+            aggs.append((col, fn))
+            rename[f"{col}_{fn}"] = out_col
+        res = batch.group_by(keys, use_threads=False).aggregate(aggs)
+        return res.rename_columns([rename.get(c, c) for c in res.column_names])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     aggs = [
         _RAY_AGG[_PARTIAL_KIND[kind]](out_col, alias_name=out_col)
         for out_col, (_, kind) in spec.items()

@@ -78,6 +78,11 @@ class QualityScorer:
         self.text_col = text_col
         self.word = re.compile(r"\w+")
         self.punct = re.compile(r"[^\w\s]")
+        # one compiled alternation counts every stopword occurrence as a
+        # standalone \w+ run (vectorized str.count — no per-row Python)
+        self.stop_re = re.compile(
+            r"\b(?:" + "|".join(sorted(_STOPWORDS["en"])) + r")\b"
+        )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         t = batch[self.text_col].fillna("")
@@ -90,11 +95,8 @@ class QualityScorer:
         batch["q_mean_word_len"] = (
             (n_chars - t.str.count(r"\s")) / n_words.clip(lower=1)
         ).round(6)
-        sw = _STOPWORDS["en"]
-        lowered = t.str.lower().str.findall(self.word)
-        batch["q_stop_ratio"] = lowered.map(
-            lambda ws: round(sum(1 for w in ws if w in sw) / max(1, len(ws)), 6)
-        )
+        n_stop = t.str.lower().str.count(self.stop_re)
+        batch["q_stop_ratio"] = (n_stop / n_words.clip(lower=1)).round(6)
         # simple score in [0,1]
         ok_len = ((n_chars >= 50) & (n_chars <= 100_000)).astype(float)
         ok_punct = (batch["q_punct_ratio"] < 0.3).astype(float)
