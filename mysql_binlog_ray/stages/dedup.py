@@ -57,11 +57,17 @@ def exact_dedup_stats(
         return out.reset_index()
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    from ray.data.aggregate import Min, Sum
+    from .relational import keyed_reduce
 
-    return partials.groupby("text_md5").aggregate(
-        Min("keep_id", alias_name="keep_id"), Sum("n_copies", alias_name="n_copies")
-    )
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("text_md5", sort=False).agg(
+            keep_id=("keep_id", "min"), n_copies=("n_copies", "sum")
+        )
+        return out.reset_index()
+
+    # hash-partitioned reduce: key cardinality (distinct contents) never
+    # hits a per-group Python loop
+    return keyed_reduce(partials, ["text_md5"], combine)
 
 
 def exact_dedup(
@@ -76,11 +82,14 @@ def exact_dedup(
         return batch
 
     hashed = ds.map_batches(add_hash, batch_format="pandas")
+    from .relational import keyed_reduce
 
     def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_col).head(1).drop(columns=["_h"])
+        # vectorized group-first across every key in this hash partition
+        keep = group.sort_values([id_col]).drop_duplicates("_h", keep="first")
+        return keep.drop(columns=["_h"])
 
-    return hashed.groupby("_h").map_groups(first, batch_format="pandas")
+    return keyed_reduce(hashed, ["_h"], first)
 
 
 # ---------------------------------------------------------------------------
@@ -193,45 +202,51 @@ def minhash_lsh_pairs(
 
     Scale shape (nothing O(corpus) ever reaches the driver):
 
-    1. slim ``(doc_id, bucket)`` rows from a vectorized signature stage;
-    2. bucket occupancy via a **distributed** ``groupby("bucket").count()``
-       — the shuffle carries (bucket, 1) rows, the driver sees only the
-       filtered collision buckets (count > 1), whose number is bounded by
-       near-dup density, not corpus size;
-    3. the collision-bucket set is broadcast once (``ray.put``) and
-       semi-joined back onto the (id, bucket) rows with a vectorized
-       ``np.isin`` per batch;
-    4. candidate pairs are generated per bucket in a distributed
-       ``groupby("bucket").map_groups`` (in-bucket work is quadratic, so
-       degenerate buckets above ``max_bucket_size`` are skipped — counted,
-       never silent);
-    5. only candidate documents have their signatures recomputed (again
-       distributed, broadcast id set) for the Jaccard estimate.
+    1. slim ``(doc_id, bucket)`` rows from a vectorized signature stage
+       (stateless tasks; the hasher builds once per worker process);
+    2. ONE hash-partitioned exchange keyed on ``bucket % P``
+       (``keyed_reduce``): every bucket's rows co-locate in exactly one
+       partition, where a vectorized combine counts occupancy AND emits
+       pairs for collision buckets in the same pass — no separate count
+       aggregate, no driver-side occupancy table, no second shuffle.
+       In-bucket work is quadratic, so degenerate buckets above
+       ``max_bucket_size`` are skipped (counted, never silent);
+    3. only candidate documents have their signatures recomputed
+       (distributed, ``ray.put``-broadcast id set) for the Jaccard
+       estimate; the collected pair/signature sets are bounded by
+       near-dup density, not corpus size.
 
     Document bodies never enter any shuffle; signatures never leave the
     stage that computed them.
     """
     import ray
 
+    from .relational import keyed_reduce
+
     hasher_kwargs = dict(
         text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
     )
-    sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=hasher_kwargs,
-        batch_format="pandas",
-        concurrency=concurrency or (1, 8),
-    )
-    mat = sigs.materialize()  # slim (id, bucket) rows, reused twice below
+    cache: dict = {}
 
-    # (2) distributed occupancy count; only collision buckets leave the
-    # cluster.  `count()`'s key column survives the float64 round-trip
-    # because bucket keys are capped at 53 bits (see MinHasher).
-    counts = mat.groupby("bucket").count()
-    hot_tbl = counts.map_batches(
-        lambda t: t.filter(pa.compute.greater(t.column("count()"), 1)).select(["bucket"]),
-        batch_format="pyarrow",
-    ).to_pandas()  # bounded by collision-bucket count (near-dup density)
+    def sig_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        mh = cache.get("m")
+        if mh is None:
+            mh = cache["m"] = MinHasher(**hasher_kwargs)
+        return mh(batch)
+
+    if concurrency is not None:
+        # explicit actor pool (callers pinning resources); default is
+        # stateless tasks with a per-worker cached hasher — same setup
+        # amortization without actor-pool ramp-up variance
+        sigs = ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs=hasher_kwargs,
+            batch_format="pandas",
+            concurrency=concurrency,
+        )
+    else:
+        sigs = ds.map_batches(sig_fn, batch_format="pandas")
+
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
@@ -239,35 +254,38 @@ def minhash_lsh_pairs(
             "est_jaccard": pa.array([], pa.float64()),
         }
     )
-    if hot_tbl.empty:
-        return empty
-    hot_ref = ray.put(np.sort(hot_tbl["bucket"].to_numpy()))
 
-    # (3) broadcast semi-join: one object-store read per worker
-    def in_hot(batch: pd.DataFrame) -> pd.DataFrame:
-        hot = ray.get(hot_ref)
-        return batch[np.isin(batch["bucket"].to_numpy(), hot, assume_unique=False)]
-
-    cand = mat.map_batches(in_hot, batch_format="pandas")
-
-    # (4) distributed per-bucket pair generation
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(id_col)
-        if len(g) > max_bucket_size:
-            # degenerate bucket: quadratic pair blowup — skip but surface
-            # a sentinel row so the cap is never silent
-            return pd.DataFrame({"doc_a": [-1], "doc_b": [int(len(g))]})
-        if len(g) < 2:
+    # (2) single keyed exchange + partition-local collision detection and
+    # pair generation (per-bucket work is a cheap pandas loop, never a
+    # Ray per-group call)
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("bucket", sort=False)[id_col].nunique()
+        hot = sizes.index[sizes > 1]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        sub = g[g["bucket"].isin(hot)]
+        for _, grp in sub.groupby("bucket", sort=False):
+            ids = grp[id_col].drop_duplicates().to_numpy()
+            if len(ids) > max_bucket_size:
+                # degenerate bucket: quadratic pair blowup — skip but
+                # surface a sentinel row so the cap is never silent
+                out_a.append(np.array([-1]))
+                out_b.append(np.array([len(ids)]))
+                continue
+            ids = np.sort(ids)
+            iu = np.triu_indices(len(ids), 1)
+            out_a.append(ids[iu[0]])
+            out_b.append(ids[iu[1]])
+        if not out_a:
             return pd.DataFrame(
                 {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
             )
-        ids = np.sort(g[id_col].to_numpy())
-        iu = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"doc_a": ids[iu[0]], "doc_b": ids[iu[1]]})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
 
     pairs = (
-        cand.groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        keyed_reduce(sigs, ["bucket"], pairs_in_part)
         .to_pandas()  # bounded: pairs within collision buckets only
         .drop_duplicates()
     )
@@ -291,24 +309,19 @@ def minhash_lsh_pairs(
         np.unique(np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()]))
     )
 
-    class CandSigner(MinHasher):
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:  # type: ignore[override]
-            cand_ids = ray.get(cand_ids_ref)
-            sub = batch[np.isin(batch[self.id_col].to_numpy(), cand_ids)]
-            word_cache: dict = {}
-            out_sigs = [
-                self.signature(t, word_cache) for t in sub[self.text_col].fillna("")
-            ]
-            return pd.DataFrame(
-                {self.id_col: sub[self.id_col].to_numpy(), "sig": [s.tolist() for s in out_sigs]}
-            )
+    def cand_sign(batch: pd.DataFrame) -> pd.DataFrame:
+        mh = cache.get("m")
+        if mh is None:
+            mh = cache["m"] = MinHasher(**hasher_kwargs)
+        cand_ids = ray.get(cand_ids_ref)
+        sub = batch[np.isin(batch[id_col].to_numpy(), cand_ids)]
+        word_cache: dict = {}
+        out_sigs = [mh.signature(t, word_cache) for t in sub[text_col].fillna("")]
+        return pd.DataFrame(
+            {id_col: sub[id_col].to_numpy(), "sig": [s.tolist() for s in out_sigs]}
+        )
 
-    sig_df = ds.map_batches(
-        CandSigner,
-        fn_constructor_kwargs=hasher_kwargs,
-        batch_format="pandas",
-        concurrency=concurrency or (1, 8),
-    ).to_pandas()
+    sig_df = ds.map_batches(cand_sign, batch_format="pandas").to_pandas()
     sig_map = {i: np.asarray(s) for i, s in zip(sig_df[id_col], sig_df["sig"])}
     est = [
         float((sig_map[x] == sig_map[y]).mean())
@@ -422,47 +435,69 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
     max_bucket_size: int = 10_000,
 ) -> pa.Table:
     """Near-dup pairs with Hamming(simhash) <= max_hamming (<= 3 for the
     exactness guarantee — see SimHasher's two-level pigeonhole).
 
-    Scale shape: slim (id, bucket, simhash) rows -> distributed
-    groupby(bucket) pair generation with a vectorized popcount -> pairs
-    deduplicated distributed (min-hamming per pair) before the bounded
-    driver collect."""
-    sigs = ds.map_batches(
-        SimHasher,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
-        batch_format="pandas",
-        concurrency=concurrency,
-    )
+    Scale shape: slim (id, bucket, simhash) rows -> ONE hash-partitioned
+    exchange with partition-local pair generation (vectorized popcount)
+    -> distributed min-hamming pair dedupe -> density-bounded collect."""
+    cache: dict = {}
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(id_col).sort_values(id_col)
-        if len(g) < 2 or len(g) > max_bucket_size:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series(dtype="int64"),
-                    "doc_b": pd.Series(dtype="int64"),
-                    "hamming": pd.Series(dtype="int64"),
-                }
-            )
-        ids = g[id_col].to_numpy()
-        sims = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        iu, ju = np.triu_indices(len(ids), 1)
-        hd = popcount64(sims[iu] ^ sims[ju])
-        keep = hd <= max_hamming
-        return pd.DataFrame(
-            {"doc_a": ids[iu[keep]], "doc_b": ids[ju[keep]], "hamming": hd[keep]}
+    def sig_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        sh = cache.get("s")
+        if sh is None:
+            sh = cache["s"] = SimHasher(text_col=text_col, id_col=id_col)
+        return sh(batch)
+
+    if concurrency is not None:
+        sigs = ds.map_batches(
+            SimHasher,
+            fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+            batch_format="pandas",
+            concurrency=concurrency,
         )
+    else:
+        sigs = ds.map_batches(sig_fn, batch_format="pandas")
 
-    pairs = sigs.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    from .relational import keyed_reduce
+
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "hamming": pd.Series(dtype="int64"),
+            }
+        )
+        out = []
+        for _, grp in g.groupby("bucket", sort=False):
+            gg = grp.drop_duplicates(id_col)
+            if len(gg) < 2 or len(gg) > max_bucket_size:
+                continue
+            gg = gg.sort_values(id_col)
+            ids = gg[id_col].to_numpy()
+            sims = gg["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+            iu, ju = np.triu_indices(len(ids), 1)
+            hd = popcount64(sims[iu] ^ sims[ju])
+            keep = hd <= max_hamming
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {"doc_a": ids[iu[keep]], "doc_b": ids[ju[keep]], "hamming": hd[keep]}
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    pairs = keyed_reduce(sigs, ["bucket"], pairs_in_part)
+
     # distributed pair dedupe (each pair appears in up to 16 buckets)
-    from ray.data.aggregate import Min
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["doc_a", "doc_b"], sort=False)["hamming"].min().reset_index()
 
-    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    uniq = keyed_reduce(pairs, ["doc_a", "doc_b"], dedupe)
     pdf = uniq.to_pandas()  # bounded by near-dup pair density
     if pdf.empty:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())})

@@ -257,7 +257,9 @@ def detect_hot_keys(
     ``threshold`` is a fan-in bound (rows converging on the key's final
     partition), which is exactly the quantity salting exists to cap.
     """
-    import ray.data  # noqa: F401  (flat is a ray.data.Dataset)
+    import pandas as pd
+
+    from .relational import keyed_reduce
 
     def partial(batch: pa.Table) -> pa.Table:
         uniq, cnt = np.unique(_key_hash53(batch, key_cols), return_counts=True)
@@ -265,11 +267,15 @@ def detect_hot_keys(
             {"khash": pa.array(uniq, pa.int64()), "n": pa.array(cnt, pa.int64())}
         )
 
-    counts = flat.map_batches(partial, batch_format="pyarrow").groupby("khash").sum("n")
-    hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t.column("sum(n)"), threshold)).select(["khash"]),
-        batch_format="pyarrow",
-    ).to_pandas()
+    partials = flat.map_batches(partial, batch_format="pyarrow")
+
+    def hot_only(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("khash", sort=False)["n"].sum()
+        return pd.DataFrame({"khash": tot.index[tot > threshold].to_numpy()})
+
+    # hash-partitioned reduce (keyed_reduce): key cardinality never hits
+    # a per-group Python loop; only the hot set reaches the driver
+    hot = keyed_reduce(partials, ["khash"], hot_only).to_pandas()
     if hot.empty or "khash" not in hot.columns:
         return np.zeros(0, dtype=np.int64)
     return np.sort(hot["khash"].to_numpy().astype(np.int64))

@@ -63,6 +63,39 @@ def preagg_groupby(ds: rd.Dataset, keys: list[str], spec: AggSpec) -> rd.Dataset
     return partials.groupby(keys).aggregate(*aggs)
 
 
+def keyed_reduce(
+    ds: rd.Dataset,
+    keys: list[str],
+    combine: Callable[[pd.DataFrame], pd.DataFrame],
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Hash-partitioned reduce for HIGH-cardinality keys.
+
+    ``groupby(keys).aggregate(...)`` / ``map_groups`` pay Python-level
+    cost per distinct key (measured ~13k groups/s/core) — fine for a few
+    hundred groups, pathological for millions.  This routes rows through
+    the same single shuffle but keyed on ``hash(keys) % num_parts``, then
+    runs ONE vectorized ``combine`` (pandas/arrow groupby inside) per
+    partition.  ``combine`` sees every row of each key it receives and
+    must output the per-key reduction; key cardinality no longer appears
+    in any per-group Python loop.
+    """
+    from .merge import key_hash64
+
+    kt = tuple(keys)
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = (key_hash64(b, kt) % np.uint64(num_parts)).astype(np.int64)
+        return b.append_column("_rp", pa.array(h))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        return combine(g.drop(columns=["_rp"]))
+
+    return tagged.groupby("_rp").map_groups(per_part, batch_format="pandas")
+
+
 def broadcast_join(
     ds: rd.Dataset,
     small_df: pd.DataFrame,
