@@ -7,8 +7,6 @@ mergeable, so the shuffle carries kilobytes regardless of input size.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -43,15 +41,14 @@ class HyperLogLog:
         np.maximum.at(self.registers, idx, ranks)
 
     def add_strings(self, values) -> None:
-        hs = np.fromiter(
-            (
-                int.from_bytes(hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "big")
-                for v in values
-            ),
-            dtype=np.uint64,
-            count=len(values),
-        )
-        self.add_hashes(hs)
+        """Add raw values: vectorized siphash (pandas C kernel with a
+        fixed key — deterministic across processes), no per-value Python
+        hashing loop."""
+        s = pd.Series(values, dtype="object").astype(str)
+        hs = pd.util.hash_pandas_object(
+            s, index=False, hash_key="mysql_binlog_hll!"[:16]
+        ).to_numpy()
+        self.add_hashes(hs.astype(np.uint64))
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         return HyperLogLog(self.p, np.maximum(self.registers, other.registers))

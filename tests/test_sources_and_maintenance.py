@@ -3,6 +3,7 @@ compaction."""
 
 import hashlib
 import json
+import time
 
 import pyarrow.parquet as pq
 import pytest
@@ -162,3 +163,68 @@ class TestSelectiveResume:
         exp["stars"] = exp["stars"].astype("float64")
         exp = exp.sort_values(["repo", "path"]).reset_index(drop=True)
         assert got.equals(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFollowDaemon:
+    def test_daemon_tails_growing_stream(self, small_stream, tmp_path):
+        """The follow daemon catches up a growing stream manifest: each
+        iteration applies only the new shards (idempotent resume) and
+        reports per-interval stats like the reference's 1s
+        StatisticsCollector; an idle iteration is a watermark no-op."""
+        import threading
+
+        from mysql_binlog_ray.pipelines.cdc import CdcConfig, read_lake, run_to_lake
+        from mysql_binlog_ray.pipelines.tailer import FollowDaemon
+
+        spec, out, manifest = small_stream
+        lake = str(tmp_path / "lake")
+        mpath = str(tmp_path / "stream_manifest.json")
+
+        # stream starts with 1 shard
+        grown = json.loads(json.dumps(manifest))
+        grown["shards"] = manifest["shards"][:1]
+        json.dump(grown, open(mpath, "w"))
+
+        seen = []
+        daemon = FollowDaemon(
+            manifest_path=mpath,
+            lake_dir=lake,
+            cfg=CdcConfig(num_partitions=8),
+            interval_sec=0.05,
+            on_stats=seen.append,
+        )
+        t = threading.Thread(target=daemon.run, daemon=True)
+        t.start()
+        try:
+            deadline = time.time() + 60
+            while not seen and time.time() < deadline:
+                time.sleep(0.05)
+            assert seen, "daemon produced no stats"
+            first_wm = seen[-1].watermark
+
+            # the stream grows: full manifest published
+            json.dump(manifest, open(mpath, "w"))
+            while time.time() < deadline:
+                if seen and seen[-1].watermark > first_wm:
+                    break
+                time.sleep(0.05)
+            assert seen[-1].watermark > first_wm, "daemon never saw new shards"
+            # let one idle iteration happen, then stop
+            n = len(seen)
+            while len(seen) <= n and time.time() < deadline:
+                time.sleep(0.05)
+        finally:
+            daemon.stop()
+            t.join(timeout=120)
+        assert not t.is_alive()
+
+        # idle iterations are watermark no-ops with zero row delta
+        idle = [s for s in seen if not s.advanced]
+        assert idle and all(s.rows_delta == 0 for s in idle)
+        # caught-up lake equals a clean full run
+        lake_clean = str(tmp_path / "clean")
+        run_to_lake(manifest, lake_clean, CdcConfig(num_partitions=8))
+        a = read_lake(lake).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        b = read_lake(lake_clean).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        assert a.equals(b)
