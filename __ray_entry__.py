@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_md5_documents": Q.doc_md5_documents,
         "ann_ivf_embeddings": Q.ann_ivf_embeddings,
         "embedding_neardup": Q.embedding_neardup_embeddings,
+        "embedding_neardup_exact": Q.embedding_neardup_exact_embeddings,
+        "ngram_neardup_documents": Q.ngram_neardup_documents,
         "multimodal_image_pipeline": Q.multimodal_image_pipeline,
         # the CDC pipeline itself (oracle = replay tests, rows-only here)
         "cdc_final_state": Q.cdc_final_state,
@@ -155,6 +157,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_md5_documents": """
             SELECT doc_id, md5(text) AS content_md5 FROM documents
+        """,
+        "embedding_neardup_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+        """,
+        "ngram_neardup_documents": """
+            WITH words AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(w, i, i + 4), ' ') AS s
+              FROM words, unnest(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+            )
+            SELECT doc_a, doc_b,
+                   round(ni / (sa.n + sb.n - ni), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE ni / (sa.n + sb.n - ni) >= 0.5
         """,
         "quality_documents": """
             WITH q AS (

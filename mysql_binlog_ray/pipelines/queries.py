@@ -282,6 +282,27 @@ def ann_ivf_embeddings(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def ngram_neardup_documents(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs (distributed inverted-index
+    join — deterministic, unlike the MinHash estimate, so it carries a
+    full SQL oracle)."""
+    from ..stages.dedup import ngram_jaccard_dedup
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ngram_jaccard_dedup(ds, threshold=0.5)
+
+
+def embedding_neardup_exact_embeddings(sf_dir: str):
+    """EXACT cosine near-dup pairs (broadcast-corpus matmul, pair ids
+    only — similarity values differ from DuckDB's float32 kernel in the
+    7th decimal, so the oracle compares the pair set)."""
+    from ..stages.similarity import embedding_neardup_exact
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = embedding_neardup_exact(ds, threshold=0.42)
+    return pa.Table.from_pandas(out[["id_a", "id_b"]], preserve_index=False)
+
+
 def multimodal_image_pipeline(sf_dir: str):
     """Multimodal plumbing demo: synthesize binary 'images' from document
     text bytes, then run the decode->resize actor stages (fake codec)."""

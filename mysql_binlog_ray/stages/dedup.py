@@ -506,6 +506,131 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram Jaccard dedup (distributed inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> pa.Table:
+    """EXACT word-k-shingle Jaccard near-dup pairs (no LSH probability):
+    the classic inverted-index self-join, distributed.
+
+    Scale shape: (1) per-doc distinct shingle hashes (vectorized
+    polynomial hashing, one slim (shingle, doc) row each); (2) ONE keyed
+    exchange on the shingle hash; partition-locally every co-occurring
+    doc pair emits a count-1 row (document-frequency-bounded — pass
+    ``max_shingle_df`` to cap degenerate boilerplate shingles, default
+    exact); (3) a second keyed exchange sums intersection sizes per
+    pair; (4) per-doc set sizes join in via the native hash join; the
+    Jaccard filter is vectorized.  Unlike the MinHash path this is
+    deterministic and exhaustive — the SQL-oracle-able exact baseline,
+    with LSH as the probabilistic scale path.
+    """
+    from .relational import keyed_reduce
+
+    def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids_out: list[np.ndarray] = []
+        sh_out: list[np.ndarray] = []
+        word_cache: dict = {}
+        for doc_id, text in zip(batch[id_col], batch[text_col].fillna("")):
+            sh = np.unique(_shingle_hashes(text, shingle_k, word_cache))
+            ids_out.append(np.full(len(sh), doc_id, dtype=np.int64))
+            # 53-bit hashes survive every float64 round-trip in the plan
+            sh_out.append((sh >> np.uint64(11)).astype(np.int64))
+        return pd.DataFrame(
+            {id_col: np.concatenate(ids_out), "sh": np.concatenate(sh_out)}
+        )
+
+    shingles = ds.map_batches(shingle_rows, batch_format="pandas")
+
+    def cooccur(g: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for _, grp in g.groupby("sh", sort=False):
+            ids = np.unique(grp[id_col].to_numpy())
+            if len(ids) < 2 or (max_shingle_df is not None and len(ids) > max_shingle_df):
+                continue
+            iu = np.triu_indices(len(ids), 1)
+            out_a.append(ids[iu[0]])
+            out_b.append(ids[iu[1]])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
+    pair_hits = keyed_reduce(shingles, ["sh"], cooccur)
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["doc_a", "doc_b"], sort=False).size().rename("ni").reset_index()
+        )
+
+    inter = keyed_reduce(pair_hits, ["doc_a", "doc_b"], count_pairs)
+
+    def doc_sizes(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(id_col, sort=False).size().rename("n").reset_index()
+
+    sizes = keyed_reduce(shingles, [id_col], doc_sizes)
+
+    # per-pair set sizes: distributed union-join (size rows union pair
+    # rows, one keyed reduce per side attaches the size — avoids any
+    # driver-side size table, robust to tiny partitions)
+    def _attach(side: str):
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            szs = g[g["doc_b"] == -1].set_index("doc_a")["ni"]
+            pairs_g = g[g["doc_b"] != -1].copy()
+            pairs_g[f"n{side}"] = pairs_g["doc_a"].map(szs).to_numpy()
+            return pairs_g
+
+        return combine
+
+    size_rows = sizes.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_a": b[id_col].to_numpy(),
+                "doc_b": np.full(len(b), -1, dtype=np.int64),
+                "ni": b["n"].to_numpy(),
+            }
+        ),
+        batch_format="pandas",
+    )
+    with_a = keyed_reduce(inter.union(size_rows), ["doc_a"], _attach("a"))
+
+    def swap(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.rename(columns={"doc_a": "doc_b", "doc_b": "doc_a"})
+        rest = [c for c in out.columns if c not in ("doc_a", "doc_b")]
+        return out[["doc_a", "doc_b", *rest]]  # stable order for union
+
+    with_b = keyed_reduce(
+        with_a.map_batches(swap, batch_format="pandas").union(
+            size_rows.map_batches(
+                lambda b: b.assign(na=np.int64(0)), batch_format="pandas"
+            )
+        ),
+        ["doc_a"],
+        _attach("b"),
+    ).map_batches(swap, batch_format="pandas")
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        j = batch["ni"] / (batch["na"] + batch["nb"] - batch["ni"])
+        out = batch.assign(jaccard=np.round(j, 6))[j >= threshold]
+        return out[["doc_a", "doc_b", "jaccard"]]
+
+    pdf = with_b.map_batches(finish, batch_format="pandas").to_pandas()
+    pdf = pdf.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
 # brute-force n-gram Jaccard (small inputs / test oracle)
 # ---------------------------------------------------------------------------
 

@@ -176,6 +176,57 @@ class IvfIndex:
         return out
 
 
+def embedding_neardup_exact(
+    ds: rd.Dataset,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (id_a < id_b): the
+    deterministic, SQL-oracle-able baseline next to the IVF-clustered
+    scale path (``embedding_neardup_pairs``).
+
+    Scale shape: the normalized corpus matrix is broadcast once
+    (``ray.put``); every batch does one matmul of its rows against the
+    corpus and emits only its above-threshold pairs, so the driver
+    collect is bounded by true near-dup density.  At corpora beyond
+    broadcast size, tile the corpus (outer loop of broadcasts) or use
+    the IVF variant."""
+    mat = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {id_col: b[id_col], vec_col: b[vec_col]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()  # corpus ids+vectors for the broadcast side
+    ids_all = mat[id_col].to_numpy()
+    corpus = _normalize(_stack(mat[vec_col]).astype(np.float64))
+    order = np.argsort(ids_all)
+    ids_all, corpus = ids_all[order], corpus[order]
+    bc = ray.put((ids_all, corpus))
+    cache: dict = {}
+
+    def pairs_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        state = cache.get("c")
+        if state is None:
+            state = cache["c"] = ray.get(bc)
+        cid, cm = state
+        m = _normalize(_stack(batch[vec_col]).astype(np.float64))
+        bid = batch[id_col].to_numpy()
+        sims = m @ cm.T  # (batch, corpus)
+        keep = (sims >= threshold) & (bid[:, None] < cid[None, :])
+        bi, ci = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "id_a": bid[bi],
+                "id_b": cid[ci],
+                "sim": np.round(sims[bi, ci], 6),
+            }
+        )
+
+    pdf = ds.map_batches(pairs_fn, batch_format="pandas").to_pandas()
+    return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def embedding_neardup_pairs(
     ds: rd.Dataset,
     threshold: float = 0.95,

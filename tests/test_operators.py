@@ -310,3 +310,39 @@ class TestJoinsAndSketches:
         out = stratified_first_n(rd.from_pandas(df), "g", "id", 5).to_pandas()
         assert len(out[out["g"] == "a"]) == 5 and len(out[out["g"] == "b"]) == 3
         assert sorted(out[out["g"] == "a"]["id"]) == [0, 1, 2, 3, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactNearDup:
+    def test_ngram_jaccard_dedup_matches_bruteforce(self):
+        """The distributed inverted-index join must reproduce the O(n^2)
+        brute-force Jaccard pairs exactly (pair set AND values)."""
+        from mysql_binlog_ray.stages.dedup import ngram_jaccard_dedup
+
+        df = _doc_corpus()
+        oracle = ngram_jaccard_pairs(df, threshold=0.5)
+        got = ngram_jaccard_dedup(rd.from_pandas(df), threshold=0.5).to_pandas()
+        m = got.merge(
+            oracle, on=["doc_a", "doc_b"], how="outer", indicator=True, suffixes=("_g", "_o")
+        )
+        assert (m["_merge"] == "both").all()
+        assert (m["jaccard_g"] == m["jaccard_o"]).all()
+
+    def test_embedding_neardup_exact_matches_numpy(self):
+        from mysql_binlog_ray.stages.similarity import embedding_neardup_exact
+
+        rng = np.random.default_rng(9)
+        base = rng.normal(size=(40, 16))
+        # plant near-dups: rows 50..59 are noisy copies of 0..9
+        dups = base[:10] + rng.normal(scale=0.01, size=(10, 16))
+        vecs = np.vstack([base, dups])
+        df = pd.DataFrame({"vec_id": np.arange(len(vecs)), "embedding": list(vecs)})
+        got = embedding_neardup_exact(rd.from_pandas(df), threshold=0.95)
+        # oracle
+        mn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = mn @ mn.T
+        iu = np.triu_indices(len(vecs), 1)
+        mask = sims[iu] >= 0.95
+        exp = set(zip(iu[0][mask], iu[1][mask]))
+        assert set(zip(got["id_a"], got["id_b"])) == exp
+        assert {(i, i + 40) for i in range(10)} <= exp  # planted pairs found
