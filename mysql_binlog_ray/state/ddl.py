@@ -13,6 +13,8 @@ TABLE_MAP late binding, exactly the reference's behavior):
 - ``ALTER TABLE t ADD COLUMN name TYPE``
 - ``ALTER TABLE t MODIFY COLUMN name TYPE`` (type widen/change)
 - ``ALTER TABLE t DROP COLUMN name``
+- ``ALTER TABLE t RENAME COLUMN a TO b``
+- ``ALTER TABLE t RENAME TO t2`` / ``RENAME TABLE t TO t2``
 - ``DROP TABLE t``
 """
 
@@ -37,6 +39,14 @@ _MODIFY = re.compile(
     r"ALTER\s+TABLE\s+`?(?P<table>\w+)`?\s+MODIFY\s+(?:COLUMN\s+)?`?(?P<col>\w+)`?\s+(?P<type>\w+)(?:\((?P<args>[\d,\s]+)\))?",
     re.IGNORECASE,
 )
+_RENAME_COL = re.compile(
+    r"ALTER\s+TABLE\s+`?(?P<table>\w+)`?\s+RENAME\s+COLUMN\s+`?(?P<old>\w+)`?\s+TO\s+`?(?P<new>\w+)`?",
+    re.IGNORECASE,
+)
+_RENAME_TABLE = re.compile(
+    r"(?:ALTER\s+TABLE\s+`?(?P<table>\w+)`?\s+RENAME\s+(?:TO\s+)?(?!COLUMN\b)|RENAME\s+TABLE\s+`?(?P<table2>\w+)`?\s+TO\s+)`?(?P<new>\w+)`?",
+    re.IGNORECASE,
+)
 
 _SQL_TYPES: dict[str, dict] = {
     "TINYINT": {"type": ColumnType.TINY},
@@ -55,6 +65,8 @@ _SQL_TYPES: dict[str, dict] = {
     "DATETIME": {"type": ColumnType.DATETIME2, "fsp": 0},
     "TIMESTAMP": {"type": ColumnType.TIMESTAMP2, "fsp": 0},
     "TIME": {"type": ColumnType.TIME2, "fsp": 0},
+    "JSON": {"type": ColumnType.JSON, "length_bytes": 4},
+    "BLOB": {"type": ColumnType.BLOB, "length_bytes": 2},
 }
 
 
@@ -110,6 +122,30 @@ def apply_ddl(
             current,
             table_id=next_table_id,
             columns=cols,
+            schema_ver=current.schema_ver + 1,
+        )
+    m = _RENAME_COL.search(sql)
+    if m and current is not None and m.group("table") == current.table_name:
+        old, new = m.group("old"), m.group("new")
+        if old not in [c.name for c in current.columns]:
+            return None
+        cols = tuple(
+            replace(c, name=new) if c.name == old else c for c in current.columns
+        )
+        return replace(
+            current,
+            table_id=next_table_id,
+            columns=cols,
+            schema_ver=current.schema_ver + 1,
+        )
+    m = _RENAME_TABLE.search(sql)
+    if m and current is not None and (
+        (m.group("table") or m.group("table2")) == current.table_name
+    ):
+        return replace(
+            current,
+            table_id=next_table_id,
+            table_name=m.group("new"),
             schema_ver=current.schema_ver + 1,
         )
     m = _DROP_COL.search(sql)

@@ -736,3 +736,35 @@ class TestMultiTableOplogAlignment:
         sample = merged[merged["op_op"] != 2].head(200)
         for _, r in sample.iterrows():
             assert r["after"]["commit"] == fac.commit(int(r["key"]), int(r["version"]))
+
+
+class TestDdlExtensions:
+    from mysql_binlog_ray.fixtures.generator import repos_table_map
+
+    BASE = repos_table_map(False)
+
+    def test_rename_column(self):
+        tm = apply_ddl("ALTER TABLE repos RENAME COLUMN lang TO language", "code", self.BASE, 21)
+        assert tm is not None
+        assert [c.name for c in tm.columns] == ["repo", "path", "commit", "language", "content"]
+        assert tm.schema_ver == self.BASE.schema_ver + 1
+
+    def test_rename_table_alter_form(self):
+        tm = apply_ddl("ALTER TABLE repos RENAME TO repos_v2", "code", self.BASE, 22)
+        assert tm is not None and tm.table_name == "repos_v2"
+
+    def test_rename_table_rename_form(self):
+        tm = apply_ddl("RENAME TABLE repos TO archived_repos", "code", self.BASE, 23)
+        assert tm is not None and tm.table_name == "archived_repos"
+
+    def test_rename_column_not_confused_with_rename_table(self):
+        tm = apply_ddl("ALTER TABLE repos RENAME COLUMN lang TO language", "code", self.BASE, 24)
+        assert tm.table_name == "repos"  # table name untouched
+
+    def test_add_json_column(self):
+        from mysql_binlog_ray.protocol.constants import ColumnType
+
+        tm = apply_ddl("ALTER TABLE repos ADD COLUMN meta JSON", "code", self.BASE, 25)
+        assert tm is not None
+        assert tm.columns[-1].type is ColumnType.JSON
+        assert tm.columns[-1].length_bytes == 4
