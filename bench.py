@@ -76,6 +76,9 @@ def run_bench() -> dict:
         "doc_token_stats",
         "knn_embeddings",
         "minhash_neardup_documents",
+        "simhash_neardup_documents",
+        "ngram_neardup_documents",
+        "embedding_neardup_exact",
         "quality_documents",
     ]
     import __ray_entry__ as entry_mod

@@ -522,110 +522,101 @@ def ngram_jaccard_dedup(
     the classic inverted-index self-join, distributed.
 
     Scale shape: (1) per-doc distinct shingle hashes (vectorized
-    polynomial hashing, one slim (shingle, doc) row each); (2) ONE keyed
-    exchange on the shingle hash; partition-locally every co-occurring
-    doc pair emits a count-1 row (document-frequency-bounded — pass
-    ``max_shingle_df`` to cap degenerate boilerplate shingles, default
-    exact); (3) a second keyed exchange sums intersection sizes per
-    pair; (4) per-doc set sizes join in via the native hash join; the
-    Jaccard filter is vectorized.  Unlike the MinHash path this is
-    deterministic and exhaustive — the SQL-oracle-able exact baseline,
-    with LSH as the probabilistic scale path.
+    polynomial hashing) emitted as slim ``(doc, shingle, doc_set_size)``
+    rows — the set size is known locally, so it rides along instead of
+    needing its own join; (2) ONE keyed exchange on the shingle hash;
+    partition-locally every co-occurring doc pair emits a hit row
+    (document-frequency-bounded — pass ``max_shingle_df`` to cap
+    degenerate boilerplate shingles, default exact; the df==2 common
+    case is fully vectorized); (3) a second keyed exchange sums
+    intersection counts per pair and applies the Jaccard filter.
+    Unlike the MinHash path this is deterministic and exhaustive — the
+    SQL-oracle-able exact baseline, with LSH as the probabilistic scale
+    path.
     """
     from .relational import keyed_reduce
 
     def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
         ids_out: list[np.ndarray] = []
         sh_out: list[np.ndarray] = []
+        nd_out: list[np.ndarray] = []
         word_cache: dict = {}
         for doc_id, text in zip(batch[id_col], batch[text_col].fillna("")):
             sh = np.unique(_shingle_hashes(text, shingle_k, word_cache))
             ids_out.append(np.full(len(sh), doc_id, dtype=np.int64))
             # 53-bit hashes survive every float64 round-trip in the plan
             sh_out.append((sh >> np.uint64(11)).astype(np.int64))
+            nd_out.append(np.full(len(sh), len(sh), dtype=np.int64))
         return pd.DataFrame(
-            {id_col: np.concatenate(ids_out), "sh": np.concatenate(sh_out)}
+            {
+                id_col: np.concatenate(ids_out),
+                "sh": np.concatenate(sh_out),
+                "nd": np.concatenate(nd_out),
+            }
         )
 
     shingles = ds.map_batches(shingle_rows, batch_format="pandas")
 
     def cooccur(g: pd.DataFrame) -> pd.DataFrame:
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        for _, grp in g.groupby("sh", sort=False):
-            ids = np.unique(grp[id_col].to_numpy())
-            if len(ids) < 2 or (max_shingle_df is not None and len(ids) > max_shingle_df):
-                continue
-            iu = np.triu_indices(len(ids), 1)
-            out_a.append(ids[iu[0]])
-            out_b.append(ids[iu[1]])
-        if not out_a:
-            return pd.DataFrame(
-                {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
-            )
-        return pd.DataFrame(
-            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "na": pd.Series(dtype="int64"),
+                "nb": pd.Series(dtype="int64"),
+            }
         )
+        # drop singleton shingles vectorized before any per-group work
+        g2 = g[g.duplicated("sh", keep=False)]
+        if g2.empty:
+            return empty
+        counts = g2["sh"].value_counts()
+        out = []
+        # df == 2 (the overwhelmingly common collision) fully vectorized
+        sh2 = counts.index[counts == 2]
+        if len(sh2):
+            p2 = g2[g2["sh"].isin(sh2)].sort_values(["sh", id_col])
+            ids = p2[id_col].to_numpy()
+            nds = p2["nd"].to_numpy()
+            out.append(
+                pd.DataFrame(
+                    {"doc_a": ids[0::2], "doc_b": ids[1::2], "na": nds[0::2], "nb": nds[1::2]}
+                )
+            )
+        # df >= 3: loop only these (rare outside exact-dup clusters)
+        shn = counts.index[counts > 2]
+        if len(shn):
+            sub = g2[g2["sh"].isin(shn)]
+            for _, grp in sub.groupby("sh", sort=False):
+                if max_shingle_df is not None and len(grp) > max_shingle_df:
+                    continue
+                grp = grp.sort_values(id_col)
+                ids = grp[id_col].to_numpy()
+                nds = grp["nd"].to_numpy()
+                iu = np.triu_indices(len(ids), 1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": ids[iu[0]],
+                            "doc_b": ids[iu[1]],
+                            "na": nds[iu[0]],
+                            "nb": nds[iu[1]],
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
 
     pair_hits = keyed_reduce(shingles, ["sh"], cooccur)
 
-    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return (
-            g.groupby(["doc_a", "doc_b"], sort=False).size().rename("ni").reset_index()
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["doc_a", "doc_b"], sort=False).agg(
+            ni=("na", "size"), na=("na", "first"), nb=("nb", "first")
         )
+        j = agg["ni"] / (agg["na"] + agg["nb"] - agg["ni"])
+        out = agg.assign(jaccard=np.round(j, 6))[j >= threshold]
+        return out.reset_index()[["doc_a", "doc_b", "jaccard"]]
 
-    inter = keyed_reduce(pair_hits, ["doc_a", "doc_b"], count_pairs)
-
-    def doc_sizes(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(id_col, sort=False).size().rename("n").reset_index()
-
-    sizes = keyed_reduce(shingles, [id_col], doc_sizes)
-
-    # per-pair set sizes: distributed union-join (size rows union pair
-    # rows, one keyed reduce per side attaches the size — avoids any
-    # driver-side size table, robust to tiny partitions)
-    def _attach(side: str):
-        def combine(g: pd.DataFrame) -> pd.DataFrame:
-            szs = g[g["doc_b"] == -1].set_index("doc_a")["ni"]
-            pairs_g = g[g["doc_b"] != -1].copy()
-            pairs_g[f"n{side}"] = pairs_g["doc_a"].map(szs).to_numpy()
-            return pairs_g
-
-        return combine
-
-    size_rows = sizes.map_batches(
-        lambda b: pd.DataFrame(
-            {
-                "doc_a": b[id_col].to_numpy(),
-                "doc_b": np.full(len(b), -1, dtype=np.int64),
-                "ni": b["n"].to_numpy(),
-            }
-        ),
-        batch_format="pandas",
-    )
-    with_a = keyed_reduce(inter.union(size_rows), ["doc_a"], _attach("a"))
-
-    def swap(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.rename(columns={"doc_a": "doc_b", "doc_b": "doc_a"})
-        rest = [c for c in out.columns if c not in ("doc_a", "doc_b")]
-        return out[["doc_a", "doc_b", *rest]]  # stable order for union
-
-    with_b = keyed_reduce(
-        with_a.map_batches(swap, batch_format="pandas").union(
-            size_rows.map_batches(
-                lambda b: b.assign(na=np.int64(0)), batch_format="pandas"
-            )
-        ),
-        ["doc_a"],
-        _attach("b"),
-    ).map_batches(swap, batch_format="pandas")
-
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        j = batch["ni"] / (batch["na"] + batch["nb"] - batch["ni"])
-        out = batch.assign(jaccard=np.round(j, 6))[j >= threshold]
-        return out[["doc_a", "doc_b", "jaccard"]]
-
-    pdf = with_b.map_batches(finish, batch_format="pandas").to_pandas()
+    pdf = keyed_reduce(pair_hits, ["doc_a", "doc_b"], finish).to_pandas()
     pdf = pdf.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
