@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_exact": Q.embedding_neardup_exact_embeddings,
         "ngram_neardup_documents": Q.ngram_neardup_documents,
         "multimodal_image_pipeline": Q.multimodal_image_pipeline,
+        "multimodal_av_pipeline": Q.multimodal_av_pipeline,
         # the CDC pipeline itself (oracle = replay tests, rows-only here)
         "cdc_final_state": Q.cdc_final_state,
         "cdc_changefeed_stats": Q.cdc_changefeed_stats,

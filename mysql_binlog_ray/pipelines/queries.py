@@ -329,6 +329,49 @@ def multimodal_image_pipeline(sf_dir: str):
     )
 
 
+def multimodal_av_pipeline(sf_dir: str):
+    """Audio + video plumbing demo: synthesize binary payloads from doc
+    text bytes, run featurize (audio) and frame-sample (video) actor
+    stages, emit flattened metadata."""
+    from ..stages.multimodal import AudioFeaturizer, VideoFrameSampler
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        payloads = [t.encode()[:8192] for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "audio": pa.array(payloads, pa.binary()),
+                "video": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    av = ds.map_batches(to_binary, batch_format="pyarrow")
+    feat = av.map_batches(
+        AudioFeaturizer, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+    sampled = feat.map_batches(
+        VideoFrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        n_frames = pc_.list_value_length(batch.column("frames"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "duration_sec": batch.column("duration_sec"),
+                "n_frames_audio": batch.column("n_frames"),
+                "energy": batch.column("energy"),
+                "n_frames_video": n_frames,
+            }
+        )
+
+    return sampled.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # the CDC pipeline itself (rows-only: its oracle is the replay in tests)
 # ---------------------------------------------------------------------------
