@@ -414,3 +414,33 @@ class TestAdviceFixes:
         nraw = _encode_decimal("-" + val, 20, 2)
         ngot, _ = D._decode_decimal(nraw, 0, 20, 2)
         assert ngot == "-" + val
+
+
+class TestJsonbProperty:
+    def test_jsonb_roundtrip_hypothesis(self):
+        from hypothesis import given, settings, strategies as st
+
+        from mysql_binlog_ray.protocol.jsonb import decode_jsonb, encode_jsonb
+
+        scalars = st.one_of(
+            st.none(),
+            st.booleans(),
+            st.integers(min_value=-(1 << 63), max_value=(1 << 64) - 1),
+            st.floats(allow_nan=False, allow_infinity=False),
+            st.text(max_size=40),
+        )
+        json_vals = st.recursive(
+            scalars,
+            lambda children: st.one_of(
+                st.lists(children, max_size=6),
+                st.dictionaries(st.text(max_size=12), children, max_size=6),
+            ),
+            max_leaves=20,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(json_vals)
+        def check(v):
+            assert decode_jsonb(encode_jsonb(v)) == v
+
+        check()
