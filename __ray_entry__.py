@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_table_stats": Q.cdc_table_stats,
         "cdc_changefeed_sequential": Q.cdc_changefeed_sequential,
         "cdc_issues_final_state": Q.cdc_issues_final_state,
+        "cdc_all_tables_changefeed": Q.cdc_all_tables_changefeed,
         "cdc_hot_keys": Q.cdc_hot_keys,
     }
 

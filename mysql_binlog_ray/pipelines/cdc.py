@@ -230,6 +230,43 @@ def decode_changefeed(
     return cf
 
 
+def decode_all_tables(
+    events: rd.Dataset,
+    registry_snapshot: list[dict[str, Any]],
+    cfg: CdcConfig | None = None,
+    start_after_seq: int | None = None,
+) -> rd.Dataset:
+    """Multi-table single-pass decode: ONE walk over the stream yields
+    every non-filtered table's row events as a JSON changefeed
+    ``(schema_name, table_name, op, seq..., before, after)`` — the
+    reference's all-tables iteration shape (`print-row-events.php:37-43`).
+    Table-targeted pipelines (``decode_changefeed`` / ``run_to_lake``)
+    stay the fast path for a single table; this is the fan-out source
+    when one stream must feed many per-table consumers."""
+    cfg = cfg or CdcConfig()
+    decoder_kwargs = dict(
+        registry_snapshot=registry_snapshot,
+        output="json",
+        databases=cfg.databases,
+        tables=cfg.tables,
+        exclude_databases=cfg.exclude_databases,
+        exclude_tables=cfg.exclude_tables,
+        verify_checksums=cfg.verify_checksums,
+        start_after_seq=start_after_seq,
+    )
+    cache: dict[str, BinlogDecoder] = {}
+
+    def decode_fn(batch: pa.Table) -> pa.Table:
+        dec = cache.get("d")
+        if dec is None:
+            dec = cache["d"] = BinlogDecoder(**decoder_kwargs)
+        return dec(batch)
+
+    return events.map_batches(
+        decode_fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def merge_lww(
     changefeed: rd.Dataset,
     cfg: CdcConfig,

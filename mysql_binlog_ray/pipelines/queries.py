@@ -446,6 +446,34 @@ def cdc_table_stats(sf_dir: str):
     )
 
 
+def cdc_all_tables_changefeed(sf_dir: str):
+    """Multi-table single-pass decode (reference parity: one stream walk
+    feeds every table): per-(schema, table, op) row counts + seq ranges
+    over BOTH `code.repos` and `code.issues` from one decode."""
+    from ..fixtures.generator import StreamSpec, generate_stream
+    from .cdc import CdcConfig, decode_all_tables, read_event_stream
+
+    sf = _sf_of(sf_dir)
+    base = _SF_SPECS.get(sf, _SF_SPECS["0.01"])
+    spec = StreamSpec(**base, issues_every=3)
+    manifest = generate_stream(spec, f"/tmp/mysql_binlog_ray/streams/sf{sf}_multi")
+    cf = decode_all_tables(
+        read_event_stream(manifest), manifest["table_maps"], CdcConfig()
+    )
+    return R.preagg_groupby(
+        cf.map_batches(
+            lambda b: b.select(["schema_name", "table_name", "op", "event_seq"]),
+            batch_format="pyarrow",
+        ),
+        ["schema_name", "table_name", "op"],
+        {
+            "n_rows": (None, "count"),
+            "min_seq": ("event_seq", "min"),
+            "max_seq": ("event_seq", "max"),
+        },
+    )
+
+
 def cdc_hot_keys(sf_dir: str):
     """M8 skew surface: per-key change frequency sketch (top 20 hottest
     primary keys by row-image count) — the input to hot-key salting

@@ -155,24 +155,37 @@ class BinlogDecoder:
         key_cols: tuple[str, ...] | None = None,
     ) -> None:
         maps = [TableMapDef.from_dict(d) for d in (registry_snapshot or [])]
-        if target_table is None:
-            if maps:
-                latest = max(maps, key=lambda m: (m.schema_ver, m.table_id))
-                target_table = (latest.schema_name, latest.table_name)
-            else:
-                raise ValueError("target_table required when no registry snapshot given")
-        self.target_table = target_table
-        candidates = [m for m in maps if (m.schema_name, m.table_name) == target_table]
-        if not candidates:
-            raise ValueError(f"no registry entry for target table {target_table}")
-        self.target_map = max(candidates, key=lambda m: (m.schema_ver, m.table_id))
-        self.target_names = tuple(c.name for c in self.target_map.columns)
-        self.struct_type = target_struct_type(self.target_map)
-        assert output in ("changefeed", "flat")
+        assert output in ("changefeed", "flat", "json")
         self.output = output
+        if output == "json":
+            # multi-table mode: every non-filtered table decodes in ONE
+            # pass (the reference's `foreach ($eventStream ...)` shape);
+            # rows render as JSON strings so one Arrow schema covers all
+            # tables.  No target table, no remap.
+            self.target_table = None
+            self.target_map = None
+            self.target_names = ()
+            self.struct_type = None
+        else:
+            if target_table is None:
+                if maps:
+                    latest = max(maps, key=lambda m: (m.schema_ver, m.table_id))
+                    target_table = (latest.schema_name, latest.table_name)
+                else:
+                    raise ValueError("target_table required when no registry snapshot given")
+            self.target_table = target_table
+            candidates = [m for m in maps if (m.schema_name, m.table_name) == target_table]
+            if not candidates:
+                raise ValueError(f"no registry entry for target table {target_table}")
+            self.target_map = max(candidates, key=lambda m: (m.schema_ver, m.table_id))
+            self.target_names = tuple(c.name for c in self.target_map.columns)
+            self.struct_type = target_struct_type(self.target_map)
         # merge-key columns: default = the table's SIMPLE_PRIMARY_KEY from
         # the TABLE_MAP metadata (ColumnMetadataFactory.php:290-296)
-        self.key_names = tuple(key_cols) if key_cols else self.target_map.pk_names
+        if key_cols:
+            self.key_names = tuple(key_cols)
+        else:
+            self.key_names = self.target_map.pk_names if self.target_map else ()
         if output == "flat":
             fields = [
                 pa.field(n, self.struct_type.field(i).type)
@@ -184,6 +197,21 @@ class BinlogDecoder:
                 pa.field("commit_seq", pa.int64()),
             ]
             self.out_schema = pa.schema(fields)
+        elif output == "json":
+            self.out_schema = pa.schema(
+                [
+                    pa.field("schema_name", pa.string()),
+                    pa.field("table_name", pa.string()),
+                    pa.field("op", pa.string()),
+                    pa.field("table_map_id", pa.int64()),
+                    pa.field("event_seq", pa.int64()),
+                    pa.field("row_seq", pa.int32()),
+                    pa.field("commit_seq", pa.int64()),
+                    pa.field("ts", pa.int64()),
+                    pa.field("before", pa.string()),
+                    pa.field("after", pa.string()),
+                ]
+            )
         else:
             self.out_schema = changefeed_schema(self.target_map)
         self._empty = self.out_schema.empty_table()
@@ -316,6 +344,8 @@ class BinlogDecoder:
         payloads = self._payload_views(batch)
         if self.output == "flat":
             return self._call_flat(shard_ids, event_seqs, payloads)
+        if self.output == "json":
+            return self._call_json(shard_ids, event_seqs, payloads)
 
         n_target = len(self.target_names)
         # accumulators (columnar; struct children + null masks)
@@ -542,6 +572,163 @@ class BinlogDecoder:
             after_null.extend([False] * n_rows)
         return n_rows
 
+
+    def _call_json(self, shard_ids, event_seqs, payloads) -> pa.Table:
+        """Multi-table single-pass decode: EVERY non-filtered table's row
+        events in one walk, rendered as JSON row images — the Ray batch
+        analog of the reference's all-tables event iteration
+        (`examples/print-row-events.php:37-43`, JSON shape per
+        `WriteRows.php:26-32` and friends)."""
+        import json as _json
+
+        schemas: list[str] = []
+        tables: list[str] = []
+        ops: list[str] = []
+        tm_ids: list[int] = []
+        ev_seqs: list[int] = []
+        row_seqs: list[int] = []
+        commit_seqs: list[int] = []
+        tss: list[int] = []
+        befores: list[str | None] = []
+        afters: list[str | None] = []
+
+        checksum_size = self.checksum_size
+        start_after = self.start_after_seq
+        cur_commit = -1
+        bound_this_block: set[int] = set()
+
+        for shard_id, event_seq, payload in zip(shard_ids, event_seqs, payloads):
+            if start_after is not None and event_seq <= start_after:
+                continue
+            etype = payload[5]
+            self.n_events += 1
+            self.n_bytes += len(payload)
+
+            if etype == EventType.FORMAT_DESCRIPTION:
+                payload = bytes(payload)
+                h = parse_header(payload, 0)
+                _, _, alg = parse_format_description(payload, h)
+                checksum_size = 4 if alg > 0 else 0
+                continue
+            if etype == EventType.ROTATE:
+                self._on_rotate(bound_this_block)
+                continue
+            if etype == EventType.MARIA_GTID:
+                cur_commit = int.from_bytes(payload[20:28], "little")
+                continue
+            if etype == EventType.TABLE_MAP:
+                tid = int.from_bytes(payload[20:26], "little")
+                if tid in bound_this_block:
+                    continue
+                payload = bytes(payload)
+                h = parse_header(payload, checksum_size)
+                if self.verify and not verify_checksum(payload, checksum_size):
+                    self.n_checksum_failures += 1
+                    continue
+                tm = parse_table_map(payload, h)
+                self._bind_table_map(tm)
+                bound_this_block.add(tid)
+                continue
+            if etype == EventType.XID:
+                xid = parse_xid(payload)
+                i = len(commit_seqs) - 1
+                while i >= 0 and commit_seqs[i] == -1:
+                    commit_seqs[i] = xid
+                    i -= 1
+                cur_commit = -1
+                continue
+            if etype in _ROWS_TYPES:
+                off = 20
+                table_id = int.from_bytes(payload[off : off + 6], "little")
+                if self.filtered.get(table_id):
+                    continue
+                st = self._resolve(table_id)
+                tm = st.plan.table_map
+                if self.verify and not verify_checksum(payload, checksum_size):
+                    self.n_checksum_failures += 1
+                    continue
+                h = parse_header(payload, checksum_size)
+                b_rows, a_rows = self._decode_rows_dicts(payload, h, etype, st)
+                op = _OP_BY_TYPE[etype]
+                n_rows = max(len(b_rows), len(a_rows))
+                for i in range(n_rows):
+                    b = b_rows[i] if i < len(b_rows) else None
+                    a = a_rows[i] if i < len(a_rows) else None
+                    befores.append(None if b is None else _json.dumps(b, ensure_ascii=False))
+                    afters.append(None if a is None else _json.dumps(a, ensure_ascii=False))
+                schemas.extend([tm.schema_name] * n_rows)
+                tables.extend([tm.table_name] * n_rows)
+                ops.extend([op] * n_rows)
+                tm_ids.extend([table_id] * n_rows)
+                ev_seqs.extend([int(event_seq)] * n_rows)
+                row_seqs.extend(range(n_rows))
+                commit_seqs.extend([cur_commit] * n_rows)
+                tss.extend([h.timestamp] * n_rows)
+                self.n_rows += n_rows
+                continue
+            continue
+
+        if not ops:
+            return self._empty
+        return pa.table(
+            {
+                "schema_name": pa.array(schemas, pa.string()),
+                "table_name": pa.array(tables, pa.string()),
+                "op": pa.array(ops, pa.string()),
+                "table_map_id": pa.array(tm_ids, pa.int64()),
+                "event_seq": pa.array(ev_seqs, pa.int64()),
+                "row_seq": pa.array(row_seqs, pa.int32()),
+                "commit_seq": pa.array(commit_seqs, pa.int64()),
+                "ts": pa.array(tss, pa.int64()),
+                "before": pa.array(befores, pa.string()),
+                "after": pa.array(afters, pa.string()),
+            },
+            schema=self.out_schema,
+        )
+
+    def _decode_rows_dicts(
+        self, payload, header, etype: int, st: _TableState
+    ) -> tuple[list, list]:
+        """Decode a ROWS event to per-row dicts in source column order
+        (no target remap — json mode serves every table)."""
+        op = _OP_BY_TYPE[etype]
+        off = 20 + 6 + 2
+        if etype in _V2_TYPES:
+            extra = int.from_bytes(payload[off : off + 2], "little")
+            off += 2 + extra // 8
+        n, off = read_coded_binary(payload, off)
+        bml = (n + 7) >> 3
+        off += bml
+        has_after = op == "update"
+        if has_after:
+            off += bml
+
+        plan = st.plan
+        readers = plan.readers
+        names = plan.names
+        n_src = len(readers)
+        end = header.payload_size
+        nbl = (n + 7) >> 3
+
+        images: list[dict] = []
+        while off < end:
+            null_bm = payload[off : off + nbl]
+            off += nbl
+            row: dict = {}
+            for i in range(n_src):
+                if null_bm[i >> 3] & (1 << (i & 7)):
+                    row[names[i]] = None
+                else:
+                    v, off = readers[i](payload, off)
+                    row[names[i]] = v
+            images.append(row)
+
+        if op == "insert":
+            return [None] * len(images), images
+        if op == "delete":
+            return images, [None] * len(images)
+        # update: images alternate before/after
+        return images[0::2], images[1::2]
 
     def _call_flat(self, shard_ids, event_seqs, payloads) -> pa.Table:
         """Flat decode path for the merge pipeline: one pass, no struct

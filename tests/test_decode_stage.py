@@ -2,6 +2,7 @@
 directly on pyarrow batches, as `map_batches` would)."""
 
 import pyarrow as pa
+import pytest
 import pyarrow.compute as pc
 
 from mysql_binlog_ray.fixtures.generator import (
@@ -238,3 +239,76 @@ class TestArrowViewSignedness:
         assert got["dt"] == "2024-12-31 23:59:59"
         assert got["big"] == (1 << 64) - 2
         assert got["k"] == -1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultiTableJsonDecode:
+    def test_json_changefeed_covers_all_tables_and_matches_targeted(self, tmp_path):
+        """One decode pass over a two-table stream must yield exactly the
+        union of the two targeted decodes (row counts, seqs, and row
+        images)."""
+        import json
+
+        import ray.data as rd
+
+        from mysql_binlog_ray.fixtures.generator import StreamSpec, generate_stream
+        from mysql_binlog_ray.pipelines.cdc import (
+            CdcConfig,
+            decode_all_tables,
+            decode_changefeed,
+            read_event_stream,
+        )
+
+        spec = StreamSpec(n_keys=120, n_ops=600, n_shards=2, issues_every=3)
+        manifest = generate_stream(spec, str(tmp_path / "stream"))
+        events = read_event_stream(manifest)
+        allcf = decode_all_tables(events, manifest["table_maps"]).to_pandas()
+        assert set(allcf["table_name"]) == {"repos", "issues"}
+
+        for table, key in [("repos", ("repo", "path")), ("issues", ("issue_id",))]:
+            targeted = decode_changefeed(
+                read_event_stream(manifest),
+                manifest["table_maps"],
+                CdcConfig(target_table=("code", table)),
+            ).to_pandas()
+            sub = allcf[allcf["table_name"] == table]
+            assert len(sub) == len(targeted)
+            assert set(zip(sub["event_seq"], sub["row_seq"])) == set(
+                zip(targeted["event_seq"], targeted["row_seq"])
+            )
+            # commit stamps identical between the two paths
+            a = sub.set_index(["event_seq", "row_seq"])["commit_seq"]
+            b = targeted.set_index(["event_seq", "row_seq"])["commit_seq"]
+            assert (a.sort_index() == b.sort_index()).all()
+
+        # spot-check row images: JSON after == targeted struct after
+        sub = allcf[(allcf["table_name"] == "repos") & (allcf["op"] == "insert")].head(20)
+        targeted = decode_changefeed(
+            read_event_stream(manifest),
+            manifest["table_maps"],
+            CdcConfig(target_table=("code", "repos")),
+        ).to_pandas()
+        tmap = targeted.set_index(["event_seq", "row_seq"])
+        for _, r in sub.iterrows():
+            got = json.loads(r["after"])
+            exp = tmap.loc[(r["event_seq"], r["row_seq"])]["after"]
+            for k in ("repo", "path", "commit", "content"):
+                assert got[k] == exp[k]
+            assert r["before"] is None
+
+    def test_json_mode_respects_filters(self, tmp_path):
+        from mysql_binlog_ray.fixtures.generator import StreamSpec, generate_stream
+        from mysql_binlog_ray.pipelines.cdc import (
+            CdcConfig,
+            decode_all_tables,
+            read_event_stream,
+        )
+
+        spec = StreamSpec(n_keys=80, n_ops=400, n_shards=2, issues_every=3)
+        manifest = generate_stream(spec, str(tmp_path / "stream"))
+        cf = decode_all_tables(
+            read_event_stream(manifest),
+            manifest["table_maps"],
+            CdcConfig(exclude_tables=["code.issues"]),
+        ).to_pandas()
+        assert set(cf["table_name"]) == {"repos"}
