@@ -52,21 +52,27 @@ def _inline_read(col: ColumnDef, idx: int) -> str | None:
         )
     if t in (ColumnType.VARCHAR, ColumnType.STRING) and col.charset in COLLATION_CODECS:
         codec = COLLATION_CODECS[col.charset]
+        # utf-8 text: append RAW BYTES — the Arrow build casts binary ->
+        # string, validating utf-8 once in C instead of a per-cell
+        # Python decode + re-encode round-trip (the decode hot path's
+        # single largest cost, measured)
+        cell = f"bytes(data[off:off+_l])" if codec == "utf-8" else f"str(data[off:off+_l], '{codec}')"
         if col.max_length > 255:
             return (
                 f"_l = data[off] | (data[off+1] << 8); off += 2; "
-                f"out_{idx}.append(str(data[off:off+_l], '{codec}')); off += _l"
+                f"out_{idx}.append({cell}); off += _l"
             )
         return (
             f"_l = data[off]; off += 1; "
-            f"out_{idx}.append(str(data[off:off+_l], '{codec}')); off += _l"
+            f"out_{idx}.append({cell}); off += _l"
         )
     if t is ColumnType.BLOB and col.charset in COLLATION_CODECS:
         codec = COLLATION_CODECS[col.charset]
+        cell = f"bytes(data[off:off+_l])" if codec == "utf-8" else f"str(data[off:off+_l], '{codec}')"
         lb = col.length_bytes
         return (
             f"_l = int.from_bytes(data[off:off+{lb}], 'little'); off += {lb}; "
-            f"out_{idx}.append(str(data[off:off+_l], '{codec}')); off += _l"
+            f"out_{idx}.append({cell}); off += _l"
         )
     if t is ColumnType.DOUBLE:
         return f"out_{idx}.append(_unpack_d(data, off)[0]); off += 8"

@@ -98,12 +98,24 @@ def changefeed_schema(tm: TableMapDef) -> pa.Schema:
 
 
 def _build_child(values: list, typ: pa.DataType) -> pa.Array:
-    """pa.array with the u64 parity quirk handled: the decoder emits
-    values >= 2^63 as decimal strings (reference GMP fallback,
-    `UIntLeReadTrait.php:133-138`); a uint64-typed Arrow column takes
-    them back as integers."""
+    """pa.array with two quirks handled:
+
+    - u64 parity: the decoder emits values >= 2^63 as decimal strings
+      (reference GMP fallback, `UIntLeReadTrait.php:133-138`); a
+      uint64-typed Arrow column takes them back as integers.
+    - utf-8 text fast path: the codegen flat decoder appends RAW BYTES
+      for utf-8-charset text cells; build as binary and cast, so utf-8
+      validation happens once in C (never a per-cell Python decode).
+    """
     if pa.types.is_uint64(typ):
         values = [int(v) if isinstance(v, str) else v for v in values]
+    elif pa.types.is_string(typ):
+        for v in values:
+            if v is None:
+                continue
+            if isinstance(v, bytes):
+                return pa.array(values, type=pa.binary()).cast(pa.string())
+            break
     return pa.array(values, type=typ)
 
 
