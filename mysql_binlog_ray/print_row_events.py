@@ -28,6 +28,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--exclude-tables", nargs="*", default=None)
     ap.add_argument("--exclude-databases", nargs="*", default=None)
     ap.add_argument("--target-table", default=None, help="schema.table to decode (default: latest in registry)")
+    ap.add_argument(
+        "--all-tables",
+        action="store_true",
+        help="decode EVERY non-filtered table in one pass (the reference's "
+        "behavior) via the multi-table JSON changefeed",
+    )
     ap.add_argument("--start-after-seq", type=int, default=None, help="replay-skip watermark (F2)")
     ap.add_argument("--limit", type=int, default=None, help="stop after N row events")
     ap.add_argument("--num-cpus", type=int, default=4)
@@ -50,19 +56,60 @@ def main(argv: list[str] | None = None) -> int:
         manifest = json.load(f)
 
     target = tuple(args.target_table.split(".", 1)) if args.target_table else None
-    from .pipelines.sequential import decode_shards_sequential
-    from .stages.json_sink import JsonProjector
+    if args.all_tables:
+        import pyarrow as pa
 
-    cf = decode_shards_sequential(
-        manifest,
-        start_after_seq=args.start_after_seq,
-        target_table=target,
-        databases=args.databases,
-        tables=args.tables,
-        exclude_databases=args.exclude_databases,
-        exclude_tables=args.exclude_tables,
-    )
-    docs = cf.map_batches(JsonProjector(), batch_format="pyarrow")
+        from .pipelines.cdc import CdcConfig, decode_all_tables, read_event_stream
+
+        cfg = CdcConfig(
+            databases=args.databases,
+            tables=args.tables,
+            exclude_databases=args.exclude_databases,
+            exclude_tables=args.exclude_tables,
+        )
+        cf = decode_all_tables(
+            read_event_stream(manifest, args.start_after_seq),
+            manifest["table_maps"],
+            cfg,
+            start_after_seq=args.start_after_seq,
+        )
+
+        def project(batch: pa.Table) -> pa.Table:
+            docs_out = []
+            for r in batch.to_pylist():
+                docs_out.append(
+                    json.dumps(
+                        {
+                            "schema": r["schema_name"],
+                            "table": r["table_name"],
+                            "action": r["op"],
+                            "event_seq": r["event_seq"],
+                            "row_seq": r["row_seq"],
+                            "commit_seq": r["commit_seq"],
+                            "ts": r["ts"],
+                            "before": None if r["before"] is None else json.loads(r["before"]),
+                            "after": None if r["after"] is None else json.loads(r["after"]),
+                        },
+                        ensure_ascii=False,
+                    )
+                )
+            return pa.table({"json": pa.array(docs_out, pa.string())})
+
+        docs = cf.map_batches(project, batch_format="pyarrow")
+    else:
+        from .pipelines.sequential import decode_shards_sequential
+        from .stages.json_sink import JsonProjector
+
+        cf = decode_shards_sequential(
+            manifest,
+            start_after_seq=args.start_after_seq,
+            target_table=target,
+            databases=args.databases,
+            tables=args.tables,
+            exclude_databases=args.exclude_databases,
+            exclude_tables=args.exclude_tables,
+        )
+        docs = cf.map_batches(JsonProjector(), batch_format="pyarrow")
 
     printed = 0
     # stream to stdout in (event_seq, row_seq) order per batch — the
