@@ -312,3 +312,40 @@ class TestMultiTableJsonDecode:
             CdcConfig(exclude_tables=["code.issues"]),
         ).to_pandas()
         assert set(cf["table_name"]) == {"repos"}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTruncatedEvent:
+    def test_truncated_tail_event_skipped_not_crash(self, small_stream):
+        """A partially-written (crash-truncated) event fails CRC verify
+        and is poison-skipped, like any corrupt event (E13) — the rest of
+        the stream decodes."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray.stages.decode_stage import BinlogDecoder
+
+        spec, out, manifest = small_stream
+        t = pq.read_table(manifest["shards"][0]["path"])
+        payloads = t.column("payload").to_pylist()
+        # truncate the LAST rows event to half its bytes
+        rows_idx = [i for i, p in enumerate(payloads) if p[5] in (0x1E, 0x1F, 0x20)]
+        cut = rows_idx[-1]
+        expected_lost = None
+        dec0 = BinlogDecoder(registry_snapshot=manifest["table_maps"])
+        full = dec0(t)
+        payloads[cut] = payloads[cut][: len(payloads[cut]) // 2]
+        t2 = pa.table(
+            {
+                "shard_id": t.column("shard_id"),
+                "event_seq": t.column("event_seq"),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+        dec = BinlogDecoder(registry_snapshot=manifest["table_maps"])
+        got = dec(t2)
+        assert dec.n_checksum_failures == 1
+        assert got.num_rows < full.num_rows  # only the truncated event lost
+        lost_seq = t.column("event_seq")[cut].as_py()
+        remaining = set(got.column("event_seq").to_pylist())
+        assert lost_seq not in remaining
