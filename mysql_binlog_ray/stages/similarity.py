@@ -181,47 +181,59 @@ def embedding_neardup_exact(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    tile_rows: int = 65_536,
 ) -> pd.DataFrame:
     """EXACT embedding-cosine near-duplicate pairs (id_a < id_b): the
     deterministic, SQL-oracle-able baseline next to the IVF-clustered
     scale path (``embedding_neardup_pairs``).
 
-    Scale shape: the normalized corpus matrix is broadcast once
-    (``ray.put``); every batch does one matmul of its rows against the
-    corpus and emits only its above-threshold pairs, so the driver
-    collect is bounded by true near-dup density.  At corpora beyond
-    broadcast size, tile the corpus (outer loop of broadcasts) or use
-    the IVF variant."""
-    mat = ds.map_batches(
-        lambda b: pd.DataFrame(
-            {id_col: b[id_col], vec_col: b[vec_col]}
-        ),
-        batch_format="pandas",
-    ).to_pandas()  # corpus ids+vectors for the broadcast side
-    ids_all = mat[id_col].to_numpy()
-    corpus = _normalize(_stack(mat[vec_col]).astype(np.float64))
-    order = np.argsort(ids_all)
-    ids_all, corpus = ids_all[order], corpus[order]
-    bc = ray.put((ids_all, corpus))
+    Scale shape: the corpus is broadcast as TILES of ``tile_rows``
+    normalized vectors (one ``ray.put`` per tile, streamed off
+    ``iter_batches`` so the driver holds one tile at a time — the full
+    corpus lives only in the object store, which is its job); every
+    batch matmuls against each tile in turn and emits only its
+    above-threshold pairs, so both the per-task working set
+    (batch x tile) and the driver collect (true near-dup density) stay
+    bounded.  Cost is the honest O(n^2/P) of an exact all-pairs scan —
+    use the IVF variant when approximate is acceptable."""
+    tile_refs: list = []
+    for b in ds.iter_batches(batch_size=tile_rows, batch_format="pandas"):
+        ids_t = b[id_col].to_numpy()
+        mat_t = _normalize(_stack(b[vec_col]).astype(np.float64))
+        tile_refs.append(ray.put((ids_t, mat_t)))
     cache: dict = {}
 
     def pairs_fn(batch: pd.DataFrame) -> pd.DataFrame:
-        state = cache.get("c")
-        if state is None:
-            state = cache["c"] = ray.get(bc)
-        cid, cm = state
         m = _normalize(_stack(batch[vec_col]).astype(np.float64))
         bid = batch[id_col].to_numpy()
-        sims = m @ cm.T  # (batch, corpus)
-        keep = (sims >= threshold) & (bid[:, None] < cid[None, :])
-        bi, ci = np.nonzero(keep)
-        return pd.DataFrame(
-            {
-                "id_a": bid[bi],
-                "id_b": cid[ci],
-                "sim": np.round(sims[bi, ci], 6),
-            }
-        )
+        out = []
+        for k, ref in enumerate(tile_refs):
+            tile = cache.get(k)
+            if tile is None:
+                tile = cache[k] = ray.get(ref)  # per-worker object-store read
+            cid, cm = tile
+            sims = m @ cm.T  # (batch, tile)
+            keep = (sims >= threshold) & (bid[:, None] < cid[None, :])
+            bi, ci = np.nonzero(keep)
+            if len(bi):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": bid[bi],
+                            "id_b": cid[ci],
+                            "sim": np.round(sims[bi, ci], 6),
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype=bid.dtype),
+                    "id_b": pd.Series(dtype=bid.dtype),
+                    "sim": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
 
     pdf = ds.map_batches(pairs_fn, batch_format="pandas").to_pandas()
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
