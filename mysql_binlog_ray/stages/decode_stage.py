@@ -241,6 +241,7 @@ class BinlogDecoder:
             m: s for m, s in zip(maps, self.states.values())
         }
         self.filtered: dict[int, bool] = {}
+        self._states_dirty = False
 
         self.databases = databases
         self.tables = tables
@@ -278,6 +279,19 @@ class BinlogDecoder:
             return True
         return False
 
+    def _begin_block(self) -> None:
+        """Reset per-block decode state.  Blocks are scheduled to workers
+        in arbitrary order across shards/files, so in-band bindings must
+        NEVER leak from one block into the next (a stale binding from
+        file 2 would mis-decode a file-1 block that starts mid-
+        transaction).  Every block starts from the broadcast snapshot —
+        the documented cross-file registry — exactly like a fresh
+        decoder."""
+        if self._states_dirty:
+            self.states = dict(self._snapshot_states)
+            self.filtered = {}
+            self._states_dirty = False
+
     def _bind_table_map(self, tm: TableMapDef) -> _TableState:
         """In-band TABLE_MAP binding: in-band wins over the snapshot for
         the current file (a real server reuses table ids across files
@@ -302,6 +316,7 @@ class BinlogDecoder:
             )
         self.states[tm.table_id] = st
         self.filtered[tm.table_id] = self._filtered(tm)
+        self._states_dirty = True
         return st
 
     def _on_rotate(self, bound_this_block: set[int]) -> None:
@@ -327,6 +342,7 @@ class BinlogDecoder:
                 tm = TableMapDef.from_dict(d)
                 st = _TableState(tm, self.target_names, self.key_names)
                 self.states[table_id] = st
+                self._states_dirty = True
                 return st
         raise KeyError(f"unknown table_map id {table_id}; no registry entry")
 
@@ -354,6 +370,7 @@ class BinlogDecoder:
         shard_ids = batch.column("shard_id").to_numpy(zero_copy_only=False)
         event_seqs = batch.column("event_seq").to_numpy(zero_copy_only=False)
         payloads = self._payload_views(batch)
+        self._begin_block()
         if self.output == "flat":
             return self._call_flat(shard_ids, event_seqs, payloads)
         if self.output == "json":

@@ -349,3 +349,78 @@ class TestTruncatedEvent:
         lost_seq = t.column("event_seq")[cut].as_py()
         remaining = set(got.column("event_seq").to_pylist())
         assert lost_seq not in remaining
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNoCrossBlockLeak:
+    def test_inband_binding_does_not_leak_into_next_block(self):
+        """Blocks are scheduled in arbitrary order across files: an
+        in-band TABLE_MAP binding from one block must not survive into
+        the next block (which may belong to a different file and start
+        mid-transaction).  Block 2 has a rows event with NO table map —
+        it must resolve against the broadcast snapshot, not block 1's
+        leaked layout."""
+        from mysql_binlog_ray.protocol import encode as E
+        from mysql_binlog_ray.protocol.constants import COLLATION_UTF8MB4
+        from mysql_binlog_ray.protocol.encode import BinlogWriter
+
+        def tmdef(cols, ver):
+            return TableMapDef(
+                table_id=300, schema_name="code", table_name="repos",
+                columns=tuple(cols), primary_key=(0,), schema_ver=ver,
+            )
+
+        base_cols = [
+            ColumnDef("repo", ColumnType.VARCHAR, nullable=False, max_length=255, charset=COLLATION_UTF8MB4),
+            ColumnDef("path", ColumnType.VARCHAR, nullable=False, max_length=255, charset=COLLATION_UTF8MB4),
+        ]
+        v2_cols = [ColumnDef("extra", ColumnType.LONG, nullable=True, signed=True), *base_cols]
+        tm_a, tm_b = tmdef(base_cols, 1), tmdef(v2_cols, 2)
+
+        def block(events, eseq0):
+            seqs = list(range(eseq0, eseq0 + len(events)))
+            return pa.table(
+                {
+                    "shard_id": pa.array([0] * len(events), pa.int32()),
+                    "event_seq": pa.array(seqs, pa.int64()),
+                    "payload": pa.array(events, pa.binary()),
+                }
+            )
+
+        w = BinlogWriter(server_id=1)
+        fd = w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body(), 1)
+        # block 1 (file 2): binds layout B in-band and decodes with it
+        blk1 = block(
+            [
+                fd,
+                w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm_b), 2),
+                w.packet(
+                    EventType.WRITE_ROWS_V2,
+                    E.encode_rows_body(tm_b, [{"repo": "r2", "path": "p2", "extra": 7}], "insert"),
+                    2,
+                ),
+            ],
+            1000,
+        )
+        # block 2 (file 1, mid-transaction): rows event only — layout A
+        blk2 = block(
+            [
+                fd,
+                w.packet(
+                    EventType.WRITE_ROWS_V2,
+                    E.encode_rows_body(tm_a, [{"repo": "r1", "path": "p1"}], "insert"),
+                    3,
+                ),
+            ],
+            1,
+        )
+        dec = BinlogDecoder(
+            registry_snapshot=[tm_a.to_dict()], target_table=("code", "repos")
+        )
+        out1 = dec(blk1)
+        assert out1.num_rows == 1  # layout B decoded via in-band map
+        out2 = dec(blk2)
+        got = out2.column("after").to_pylist()[0]
+        # snapshot layout A applies — a leaked layout B would shift every
+        # value (reading 'extra' bytes that aren't there)
+        assert (got["repo"], got["path"]) == ("r1", "p1")
