@@ -444,3 +444,38 @@ class TestJsonbProperty:
             assert decode_jsonb(encode_jsonb(v)) == v
 
         check()
+
+
+class TestGeometryColumn:
+    def test_geometry_roundtrips_as_tagged_base64(self):
+        import base64
+
+        from mysql_binlog_ray.protocol import decode as D
+        from mysql_binlog_ray.protocol import encode as E
+        from mysql_binlog_ray.protocol.constants import BINARY_TAG, EventType
+        from mysql_binlog_ray.protocol.encode import BinlogWriter
+
+        tm = TableMapDef(
+            table_id=401, schema_name="s", table_name="g",
+            columns=(
+                ColumnDef("id", ColumnType.LONG, nullable=False, signed=True),
+                ColumnDef("geom", ColumnType.GEOMETRY, nullable=True, length_bytes=4),
+            ),
+            primary_key=(0,), schema_ver=1,
+        )
+        wkb = bytes.fromhex("0101000000000000000000f03f0000000000000040")  # POINT(1 2)
+        w = BinlogWriter(server_id=1)
+        tmev = w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm))
+        wr = w.packet(
+            EventType.WRITE_ROWS_V2,
+            E.encode_rows_body(tm, [{"id": 1, "geom": wkb}, {"id": 2, "geom": None}], "insert"),
+        )
+        tm2 = D.parse_table_map(tmev, D.parse_header(tmev, 4))
+        ev = D.parse_rows_event(wr, D.parse_header(wr, 4), {tm2.table_id: D.DecodePlan.compile(tm2)})
+        assert ev.rows[0]["geom"] == BINARY_TAG + base64.b64encode(wkb).decode("ascii")
+        assert ev.rows[1]["geom"] is None
+        # skipper parity
+        plan = D.DecodePlan.compile(tm2)
+        cell = len(wkb).to_bytes(4, "little") + wkb
+        data = b"\x00" * 3 + cell + b"\xff"
+        assert plan.skippers[1](data, 3) == 3 + len(cell)
