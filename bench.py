@@ -9,7 +9,8 @@ Prints ONE JSON line:
   {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
    "sf": ..., "num_cpus": N, ...}
 
-``--scaling`` runs the headline twice in fresh processes (8 and 32 CPUs)
+``--scaling`` runs the headline twice in fresh processes (2 and 8 CPUs —
+see run_scaling's docstring for why this VM saturates at ~8 workers)
 on the same input and reports throughputs + scaling efficiency
 (sandbox proxy for the north rule's N->4N cluster criterion).
 """
