@@ -671,6 +671,31 @@ def run_to_lake(
     return m
 
 
+def run_tables_to_lakes(
+    manifest: dict[str, Any],
+    base_dir: str,
+    table_cfgs: dict[tuple[str, str], CdcConfig],
+    resume: bool = True,
+) -> dict[str, dict[str, Any]]:
+    """Fan one binlog stream out to per-table exactly-once lakes.
+
+    Each table runs the targeted flat-decode pipeline (fastest path;
+    other tables' row events are filtered BEFORE row decode, F1) into
+    ``base_dir/<schema>.<table>``; every lake keeps its own watermark
+    manifest, so each table resumes independently.  For a changefeed
+    consumer that wants every table from literally one decode pass, use
+    ``decode_all_tables`` instead.
+    """
+    from dataclasses import replace as _replace
+
+    results: dict[str, dict[str, Any]] = {}
+    for (schema, table), cfg in table_cfgs.items():
+        cfg = _replace(cfg, target_table=(schema, table))
+        lake = os.path.join(base_dir, f"{schema}.{table}")
+        results[f"{schema}.{table}"] = run_to_lake(manifest, lake, cfg, resume=resume)
+    return results
+
+
 def read_lake(lake_dir: str) -> rd.Dataset:
     m = read_manifest(lake_dir)
     if m is None:

@@ -327,3 +327,45 @@ class TestResumeRepartition:
         a = got.sort_values(["repo", "path"]).reset_index(drop=True)
         b = read_lake(lake_clean).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
         assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultiTableLakes:
+    def test_one_stream_two_lakes(self, tmp_path):
+        """run_tables_to_lakes: one binlog stream feeds independent
+        exactly-once lakes per table; repos matches the replay oracle,
+        issues carries its typed columns; incremental follow per table."""
+        from mysql_binlog_ray.fixtures.generator import final_state_oracle
+        from mysql_binlog_ray.pipelines.cdc import (
+            CdcConfig,
+            read_lake,
+            run_tables_to_lakes,
+        )
+
+        spec = StreamSpec(n_keys=150, n_ops=900, n_shards=3, issues_every=3)
+        out = str(tmp_path / "stream")
+        manifest = generate_stream(spec, out)
+        base = str(tmp_path / "lakes")
+        cfgs = {
+            ("code", "repos"): CdcConfig(num_partitions=8, key_cols=("repo", "path")),
+            ("code", "issues"): CdcConfig(num_partitions=4, key_cols=("issue_id",)),
+        }
+        # incremental: first 2 shards, then resume with all 3
+        prefix = json.loads(json.dumps(manifest))
+        prefix["shards"] = manifest["shards"][:2]
+        run_tables_to_lakes(prefix, base, cfgs)
+        res = run_tables_to_lakes(manifest, base, cfgs)
+        assert set(res) == {"code.repos", "code.issues"}
+
+        repos = _normalize(read_lake(f"{base}/code.repos").to_pandas())
+        exp = final_state_oracle(spec, out).to_pandas()
+        exp["stars"] = exp["stars"].astype("float64")
+        exp = exp.sort_values(["repo", "path"]).reset_index(drop=True)
+        assert repos.equals(exp)
+
+        issues = read_lake(f"{base}/code.issues").to_pandas()
+        assert len(issues) > 0
+        assert not issues.duplicated(["issue_id"]).any()
+        assert set(issues["state"]) <= {"open", "closed", "merged"}
+        # typed columns survived decode + merge + parquet round-trip
+        assert issues["n_comments"].dtype.kind == "i"
