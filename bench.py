@@ -53,12 +53,13 @@ def run_bench() -> dict:
     n_events = sum(s["events"] for s in manifest["shards"])
     lake_dir = f"/tmp/mysql_binlog_ray/bench_lake_{os.getpid()}"
     cfg = CdcConfig(num_partitions=max(16, num_cpus * 2))
-    # one untimed warm run (page cache + worker startup), then best-of-2
-    # timed runs — measures the pipeline, not process warmup
+    # one untimed warm run (page cache + worker startup), then best-of-3
+    # timed runs — measures the pipeline, not process warmup or this
+    # VM's +/-50% wall-clock drift (BASELINE.md)
     shutil.rmtree(lake_dir, ignore_errors=True)
     run_to_lake(manifest, lake_dir, cfg, resume=False)
     times = []
-    for _ in range(2):
+    for _ in range(3):
         shutil.rmtree(lake_dir, ignore_errors=True)
         t0 = time.time()
         run_to_lake(manifest, lake_dir, cfg, resume=False)
