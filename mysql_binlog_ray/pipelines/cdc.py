@@ -112,9 +112,10 @@ def read_event_stream(manifest: dict[str, Any], start_after_seq: int | None = No
     return rd.read_parquet(paths, override_num_blocks=nblocks)
 
 
-def build_xid_index(events: rd.Dataset) -> tuple[Any, Any]:
-    """(sorted XID event_seqs, XID values) via a distributed payload-prefix
-    scan — one byte peek per event, one output row per transaction.
+def build_xid_index(events: rd.Dataset) -> tuple[Any, Any, Any]:
+    """(sorted XID event_seqs, XID values, per-file seq boundaries) via a
+    distributed payload-prefix scan — one byte peek per event, one output
+    row per transaction plus one per file.
 
     Commit-stamping fallback for GTID-less streams: with GTIDs in the
     stream the decoder stamps exactly in-band and needs no index.  The
@@ -133,28 +134,55 @@ def build_xid_index(events: rd.Dataset) -> tuple[Any, Any]:
         seqs: list[int] = []
         vals: list[int] = []
         event_seqs = batch.column("event_seq").to_numpy(zero_copy_only=False)
+        shard_ids = batch.column("shard_id").to_numpy(zero_copy_only=False)
+        shard_lo: dict[int, int] = {}
+        for sid, seq in zip(shard_ids, event_seqs):
+            sid, seq = int(sid), int(seq)
+            if sid not in shard_lo or seq < shard_lo[sid]:
+                shard_lo[sid] = seq
         for seq, payload in zip(event_seqs, BinlogDecoder._payload_views(batch)):
             if payload[5] == EventType.XID:
                 seqs.append(int(seq))
                 vals.append(parse_xid(payload))
+        n = len(seqs)
+        lo_items = sorted(shard_lo.items())
         return pa.table(
-            {"xid_seq": pa.array(seqs, pa.int64()), "xid": pa.array(vals, pa.int64())}
+            {
+                "xid_seq": pa.array(seqs + [-1] * len(lo_items), pa.int64()),
+                "xid": pa.array(vals + [-1] * len(lo_items), pa.int64()),
+                "shard_id": pa.array([-1] * n + [sid for sid, _ in lo_items], pa.int64()),
+                "shard_lo": pa.array([-1] * n + [lo for _, lo in lo_items], pa.int64()),
+            }
         )
 
     idx = events.map_batches(extract, batch_format="pyarrow").to_pandas()
-    idx = idx.sort_values("xid_seq")
-    return idx["xid_seq"].to_numpy(), idx["xid"].to_numpy()
+    xids = idx[idx["xid_seq"] >= 0].sort_values("xid_seq")
+    # per-shard GLOBAL minimum event_seq = file boundaries (blocks split
+    # shards, so take the min across the per-block partials): a row must
+    # never be stamped by an XID from a different file (a truncated-tail
+    # transaction stays -1 rather than stealing the next file's commit)
+    lows = idx[idx["shard_id"] >= 0].groupby("shard_id")["shard_lo"].min()
+    bounds = lows.sort_values().to_numpy()
+    return xids["xid_seq"].to_numpy(), xids["xid"].to_numpy(), bounds
 
 
-def repair_commit_seqs(cf: rd.Dataset, xid_index: tuple[Any, Any]) -> rd.Dataset:
+def repair_commit_seqs(cf: rd.Dataset, xid_index: tuple[Any, Any, Any]) -> rd.Dataset:
     """Fill commit_seq = -1 rows with the first XID at-or-after their
     event_seq (transactions are contiguous within a binlog file, so that
     XID is exactly the row's commit marker).  Vectorized searchsorted per
-    batch against the broadcast index."""
+    batch against the broadcast index.  A row whose candidate XID lies
+    beyond its own file's boundary (truncated-tail transaction) stays -1
+    — unknown is honest; a foreign file's commit id is not."""
     import numpy as np
 
-    xid_seqs, xid_vals = xid_index
-    ref = ray.put((np.asarray(xid_seqs, dtype=np.int64), np.asarray(xid_vals, dtype=np.int64)))
+    xid_seqs, xid_vals, shard_bounds = xid_index
+    ref = ray.put(
+        (
+            np.asarray(xid_seqs, dtype=np.int64),
+            np.asarray(xid_vals, dtype=np.int64),
+            np.asarray(shard_bounds, dtype=np.int64),
+        )
+    )
     cache: dict = {}
 
     def fix(batch: pa.Table) -> pa.Table:
@@ -165,12 +193,18 @@ def repair_commit_seqs(cf: rd.Dataset, xid_index: tuple[Any, Any]) -> rd.Dataset
         state = cache.get("i")
         if state is None:
             state = cache["i"] = ray.get(ref)  # one object-store read per worker
-        xs, xv = state
+        xs, xv, bounds = state
         es = batch.column("event_seq").to_numpy(zero_copy_only=False)[mask]
         pos = np.searchsorted(xs, es, side="left")
         vals = np.full(len(es), -1, dtype=np.int64)
         in_range = pos < len(xs)
-        vals[in_range] = xv[pos[in_range]]
+        if in_range.any():
+            cand = np.minimum(pos, len(xs) - 1)
+            same_file = np.searchsorted(bounds, es, side="right") == np.searchsorted(
+                bounds, xs[cand], side="right"
+            )
+            ok = in_range & same_file
+            vals[ok] = xv[pos[ok]]
         commit[mask] = vals
         i = batch.column_names.index("commit_seq")
         return batch.set_column(i, "commit_seq", pa.array(commit, pa.int64()))
@@ -244,7 +278,10 @@ def decode_all_tables(
     stay the fast path for a single table; this is the fan-out source
     when one stream must feed many per-table consumers."""
     cfg = cfg or CdcConfig()
-    decoder_kwargs = dict(
+    decoder_kwargs = dict(cfg.decoder_kwargs)  # e.g. checksum_size overrides
+    decoder_kwargs.pop("output", None)
+    decoder_kwargs.pop("key_cols", None)
+    decoder_kwargs.update(
         registry_snapshot=registry_snapshot,
         output="json",
         databases=cfg.databases,
@@ -263,7 +300,10 @@ def decode_all_tables(
         return dec(batch)
 
     return events.map_batches(
-        decode_fn, batch_format="pyarrow", zero_copy_batch=True
+        decode_fn,
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+        zero_copy_batch=True,
     )
 
 

@@ -165,7 +165,25 @@ class BinlogDecoder:
         registry_actor_name: str | None = None,
         output: str = "changefeed",
         key_cols: tuple[str, ...] | None = None,
+        commit_source: str = "hybrid",
     ) -> None:
+        """``commit_source`` picks the commit-id numbering domain:
+
+        - ``"hybrid"`` (default): transactions whose XID lands in-block
+          are stamped with the XID value (the reference's commit marker,
+          overwriting any provisional GTID stamp so one transaction
+          never carries two ids); only a transaction spanning past the
+          block end keeps its MARIA_GTID sequence number.  Exact and
+          single-domain whenever GTID seqno == XID (as in the fixture
+          streams); on servers where they differ, cross-block tails are
+          GTID-domain — use ``"xid"`` + ``exact_commits`` for one strict
+          domain.
+        - ``"xid"``: strict XID domain; GTIDs only mark transaction
+          boundaries; rows whose XID is out-of-block stay -1 (repair
+          with ``decode_changefeed(exact_commits=True)``).
+        - ``"gtid"``: strict MariaDB GTID-seqno domain; rows whose GTID
+          is out-of-block stay -1.
+        """
         maps = [TableMapDef.from_dict(d) for d in (registry_snapshot or [])]
         assert output in ("changefeed", "flat", "json")
         self.output = output
@@ -242,6 +260,8 @@ class BinlogDecoder:
         }
         self.filtered: dict[int, bool] = {}
         self._states_dirty = False
+        assert commit_source in ("hybrid", "xid", "gtid")
+        self.commit_source = commit_source
 
         self.databases = databases
         self.tables = tables
@@ -326,6 +346,15 @@ class BinlogDecoder:
         self.filtered = {}
         bound_this_block.clear()
 
+    def _row_filtered(self, table_id: int, st: _TableState) -> bool:
+        """F1 filter status for a table resolved WITHOUT an in-band
+        TABLE_MAP in this block (snapshot/actor fallback): the filter
+        must still apply — a missing cache entry is not a pass."""
+        flt = self.filtered.get(table_id)
+        if flt is None:
+            flt = self.filtered[table_id] = self._filtered(st.plan.table_map)
+        return flt
+
     def _resolve(self, table_id: int) -> _TableState | None:
         """Registry lookup: in-band first, broadcast snapshot second, the
         registry actor last (M3)."""
@@ -393,13 +422,17 @@ class BinlogDecoder:
 
         checksum_size = self.checksum_size
         start_after = self.start_after_seq
-        # exact commit stamping (M4): a transaction's GTID event precedes
-        # its row events, its XID follows them — forward-stamp from GTID,
-        # backfill from XID, so a transaction spanning block boundaries in
-        # EITHER direction still gets its exact commit id.  Only a block
-        # that lies entirely inside one transaction (no marker at all)
+        # commit stamping (M4): a transaction's GTID event precedes its
+        # row events, its XID follows them.  Depending on commit_source,
+        # GTID forward-stamps (provisionally, in hybrid mode) and XID
+        # stamps the whole in-block transaction (overwriting provisional
+        # GTID stamps so one transaction never carries two ids); only a
+        # block lying entirely inside one transaction (no marker at all)
         # leaves commit_seq = -1.
         cur_commit = -1
+        txn_start = 0  # index in the row accumulator where the open txn began
+        use_gtid = self.commit_source in ("hybrid", "gtid")
+        use_xid = self.commit_source in ("hybrid", "xid")
         bound_this_block: set[int] = set()
 
         for shard_id, event_seq, payload in zip(shard_ids, event_seqs, payloads):
@@ -421,8 +454,10 @@ class BinlogDecoder:
             if etype == EventType.MARIA_GTID:
                 # u64 sequence number opens the transaction
                 # (`EventsIterator.php:244-254` skips these; we consume
-                # them as the commit-sequencing source SURVEY M4 asks for)
-                cur_commit = int.from_bytes(payload[20:28], "little")
+                # them as a commit-sequencing source, SURVEY M4)
+                if use_gtid:
+                    cur_commit = int.from_bytes(payload[20:28], "little")
+                txn_start = len(commit_seqs)
                 continue
             if etype == EventType.TABLE_MAP:
                 # table maps are re-sent per transaction; parse the full
@@ -441,14 +476,23 @@ class BinlogDecoder:
                 bound_this_block.add(tid)
                 continue
             if etype == EventType.XID:
-                xid = parse_xid(payload)
-                # backfill rows whose transaction opened before this block
-                # (no GTID seen for them)
-                i = len(commit_seqs) - 1
-                while i >= 0 and commit_seqs[i] == -1:
-                    commit_seqs[i] = xid
-                    i -= 1
+                if use_xid:
+                    xid = parse_xid(payload)
+                    # stamp THIS transaction's rows — from its GTID
+                    # boundary when seen (overwriting any provisional
+                    # GTID stamp: one txn, one id), else backfill the
+                    # -1 run (txn opened before this block; well-formed
+                    # streams terminate the previous txn's rows with
+                    # their own XID first, so the run never crosses a
+                    # transaction boundary)
+                    for i in range(txn_start, len(commit_seqs)):
+                        commit_seqs[i] = xid
+                    i = txn_start - 1
+                    while i >= 0 and commit_seqs[i] == -1:
+                        commit_seqs[i] = xid
+                        i -= 1
                 cur_commit = -1
+                txn_start = len(commit_seqs)
                 continue
             if etype in _ROWS_TYPES:
                 # cheap pre-checks before any row decode
@@ -462,6 +506,8 @@ class BinlogDecoder:
                     if self.filtered.get(table_id) is None:
                         self.filtered[table_id] = True
                     continue
+                if self._row_filtered(table_id, st):
+                    continue  # F1 applies even without an in-band map
                 if self.verify and not verify_checksum(payload, checksum_size):
                     self.n_checksum_failures += 1
                     continue
@@ -624,6 +670,9 @@ class BinlogDecoder:
         checksum_size = self.checksum_size
         start_after = self.start_after_seq
         cur_commit = -1
+        txn_start = 0
+        use_gtid = self.commit_source in ("hybrid", "gtid")
+        use_xid = self.commit_source in ("hybrid", "xid")
         bound_this_block: set[int] = set()
 
         for shard_id, event_seq, payload in zip(shard_ids, event_seqs, payloads):
@@ -643,7 +692,9 @@ class BinlogDecoder:
                 self._on_rotate(bound_this_block)
                 continue
             if etype == EventType.MARIA_GTID:
-                cur_commit = int.from_bytes(payload[20:28], "little")
+                if use_gtid:
+                    cur_commit = int.from_bytes(payload[20:28], "little")
+                txn_start = len(commit_seqs)
                 continue
             if etype == EventType.TABLE_MAP:
                 tid = int.from_bytes(payload[20:26], "little")
@@ -659,12 +710,23 @@ class BinlogDecoder:
                 bound_this_block.add(tid)
                 continue
             if etype == EventType.XID:
-                xid = parse_xid(payload)
-                i = len(commit_seqs) - 1
-                while i >= 0 and commit_seqs[i] == -1:
-                    commit_seqs[i] = xid
-                    i -= 1
+                if use_xid:
+                    xid = parse_xid(payload)
+                    # stamp THIS transaction's rows — from its GTID
+                    # boundary when seen (overwriting any provisional
+                    # GTID stamp: one txn, one id), else backfill the
+                    # -1 run (txn opened before this block; well-formed
+                    # streams terminate the previous txn's rows with
+                    # their own XID first, so the run never crosses a
+                    # transaction boundary)
+                    for i in range(txn_start, len(commit_seqs)):
+                        commit_seqs[i] = xid
+                    i = txn_start - 1
+                    while i >= 0 and commit_seqs[i] == -1:
+                        commit_seqs[i] = xid
+                        i -= 1
                 cur_commit = -1
+                txn_start = len(commit_seqs)
                 continue
             if etype in _ROWS_TYPES:
                 off = 20
@@ -673,6 +735,8 @@ class BinlogDecoder:
                     continue
                 st = self._resolve(table_id)
                 tm = st.plan.table_map
+                if self._row_filtered(table_id, st):
+                    continue  # F1 applies even without an in-band map
                 if self.verify and not verify_checksum(payload, checksum_size):
                     self.n_checksum_failures += 1
                     continue
@@ -773,7 +837,10 @@ class BinlogDecoder:
 
         checksum_size = self.checksum_size
         start_after = self.start_after_seq
-        cur_commit = -1  # GTID forward-stamp + XID backfill (see __call__)
+        cur_commit = -1  # commit stamping per self.commit_source (see __call__)
+        txn_start = 0
+        use_gtid = self.commit_source in ("hybrid", "gtid")
+        use_xid = self.commit_source in ("hybrid", "xid")
         bound_this_block: set[int] = set()
 
         for shard_id, event_seq, payload in zip(shard_ids, event_seqs, payloads):
@@ -793,7 +860,9 @@ class BinlogDecoder:
                 self._on_rotate(bound_this_block)
                 continue
             if etype == EventType.MARIA_GTID:
-                cur_commit = int.from_bytes(payload[20:28], "little")
+                if use_gtid:
+                    cur_commit = int.from_bytes(payload[20:28], "little")
+                txn_start = len(commit_seqs)
                 continue
             if etype == EventType.TABLE_MAP:
                 tid = int.from_bytes(payload[20:26], "little")
@@ -809,12 +878,23 @@ class BinlogDecoder:
                 bound_this_block.add(tid)
                 continue
             if etype == EventType.XID:
-                xid = parse_xid(payload)
-                i = len(commit_seqs) - 1
-                while i >= 0 and commit_seqs[i] == -1:
-                    commit_seqs[i] = xid
-                    i -= 1
+                if use_xid:
+                    xid = parse_xid(payload)
+                    # stamp THIS transaction's rows — from its GTID
+                    # boundary when seen (overwriting any provisional
+                    # GTID stamp: one txn, one id), else backfill the
+                    # -1 run (txn opened before this block; well-formed
+                    # streams terminate the previous txn's rows with
+                    # their own XID first, so the run never crosses a
+                    # transaction boundary)
+                    for i in range(txn_start, len(commit_seqs)):
+                        commit_seqs[i] = xid
+                    i = txn_start - 1
+                    while i >= 0 and commit_seqs[i] == -1:
+                        commit_seqs[i] = xid
+                        i -= 1
                 cur_commit = -1
+                txn_start = len(commit_seqs)
                 continue
             if etype in _ROWS_TYPES:
                 off = 20
@@ -827,6 +907,8 @@ class BinlogDecoder:
                     if self.filtered.get(table_id) is None:
                         self.filtered[table_id] = True
                     continue
+                if self._row_filtered(table_id, st):
+                    continue  # F1 applies even without an in-band map
                 if self.verify and not verify_checksum(payload, checksum_size):
                     self.n_checksum_failures += 1
                     continue

@@ -263,25 +263,38 @@ def minhash_lsh_pairs(
         hot = sizes.index[sizes > 1]
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
+        out_skip: list[np.ndarray] = []
         sub = g[g["bucket"].isin(hot)]
-        for _, grp in sub.groupby("bucket", sort=False):
+        for bucket, grp in sub.groupby("bucket", sort=False):
             ids = grp[id_col].drop_duplicates().to_numpy()
             if len(ids) > max_bucket_size:
                 # degenerate bucket: quadratic pair blowup — skip but
-                # surface a sentinel row so the cap is never silent
-                out_a.append(np.array([-1]))
-                out_b.append(np.array([len(ids)]))
+                # surface a sentinel row (skipped_size > 0, keyed by the
+                # bucket id so dedupe can't collapse distinct buckets
+                # and real doc ids can never collide with it)
+                out_a.append(np.array([int(bucket)]))
+                out_b.append(np.array([0]))
+                out_skip.append(np.array([len(ids)]))
                 continue
             ids = np.sort(ids)
             iu = np.triu_indices(len(ids), 1)
             out_a.append(ids[iu[0]])
             out_b.append(ids[iu[1]])
+            out_skip.append(np.zeros(len(iu[0]), dtype=np.int64))
         if not out_a:
             return pd.DataFrame(
-                {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "skipped_size": pd.Series(dtype="int64"),
+                }
             )
         return pd.DataFrame(
-            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "skipped_size": np.concatenate(out_skip),
+            }
         )
 
     pairs = (
@@ -289,16 +302,16 @@ def minhash_lsh_pairs(
         .to_pandas()  # bounded: pairs within collision buckets only
         .drop_duplicates()
     )
-    skipped = pairs[pairs["doc_a"] < 0]
+    skipped = pairs[pairs["skipped_size"] > 0]
     if not skipped.empty:
         import logging
 
         logging.getLogger(__name__).warning(
             "minhash_lsh_pairs: skipped %d bucket(s) larger than max_bucket_size=%d "
             "(largest had %d members); raise max_bucket_size to include them",
-            len(skipped), max_bucket_size, int(skipped["doc_b"].max()),
+            len(skipped), max_bucket_size, int(skipped["skipped_size"].max()),
         )
-        pairs = pairs[pairs["doc_a"] >= 0]
+    pairs = pairs[pairs["skipped_size"] == 0].drop(columns=["skipped_size"])
     if pairs.empty:
         return empty
 
@@ -473,9 +486,19 @@ def simhash_pairs(
             }
         )
         out = []
-        for _, grp in g.groupby("bucket", sort=False):
+        for bucket, grp in g.groupby("bucket", sort=False):
             gg = grp.drop_duplicates(id_col)
-            if len(gg) < 2 or len(gg) > max_bucket_size:
+            if len(gg) < 2:
+                continue
+            if len(gg) > max_bucket_size:
+                # degenerate bucket: surfaced via a sentinel row
+                # (hamming = -len) so the cap is never silent — the
+                # exactness guarantee only holds for uncapped runs
+                out.append(
+                    pd.DataFrame(
+                        {"doc_a": [int(bucket)], "doc_b": [0], "hamming": [-len(gg)]}
+                    )
+                )
                 continue
             gg = gg.sort_values(id_col)
             ids = gg[id_col].to_numpy()
@@ -493,12 +516,29 @@ def simhash_pairs(
 
     pairs = keyed_reduce(sigs, ["bucket"], pairs_in_part)
 
-    # distributed pair dedupe (each pair appears in up to 16 buckets)
+    # distributed pair dedupe (each pair appears in up to 16 buckets);
+    # sentinel rows (hamming < 0) are keyed by bucket id, so they pass
+    # through dedupe untouched
     def dedupe(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["doc_a", "doc_b"], sort=False)["hamming"].min().reset_index()
+        real = g[g["hamming"] >= 0]
+        out = real.groupby(["doc_a", "doc_b"], sort=False)["hamming"].min().reset_index()
+        return pd.concat([out, g[g["hamming"] < 0]], ignore_index=True)
 
     uniq = keyed_reduce(pairs, ["doc_a", "doc_b"], dedupe)
     pdf = uniq.to_pandas()  # bounded by near-dup pair density
+    if pdf.empty or "hamming" not in pdf.columns:
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())})
+    skipped = pdf[pdf["hamming"] < 0]
+    if not skipped.empty:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "simhash_pairs: skipped %d bucket(s) larger than max_bucket_size=%d "
+            "(largest had %d members) — pair set is NOT exhaustive; raise "
+            "max_bucket_size to restore the hamming<=%d exactness guarantee",
+            len(skipped), max_bucket_size, int(-skipped["hamming"].min()), max_hamming,
+        )
+        pdf = pdf[pdf["hamming"] >= 0]
     if pdf.empty:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())})
     out = pdf.sort_values(["doc_a", "doc_b"]).astype({"hamming": "int64"})

@@ -44,7 +44,7 @@ _RENAME_COL = re.compile(
     re.IGNORECASE,
 )
 _RENAME_TABLE = re.compile(
-    r"(?:ALTER\s+TABLE\s+`?(?P<table>\w+)`?\s+RENAME\s+(?:TO\s+)?(?!COLUMN\b)|RENAME\s+TABLE\s+`?(?P<table2>\w+)`?\s+TO\s+)`?(?P<new>\w+)`?",
+    r"(?:ALTER\s+TABLE\s+`?(?P<table>\w+)`?\s+RENAME\s+(?:TO\s+)?(?!COLUMN\b|INDEX\b|KEY\b)|RENAME\s+TABLE\s+`?(?P<table2>\w+)`?\s+TO\s+)`?(?P<new>\w+)`?",
     re.IGNORECASE,
 )
 

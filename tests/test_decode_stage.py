@@ -424,3 +424,184 @@ class TestNoCrossBlockLeak:
         # snapshot layout A applies — a leaked layout B would shift every
         # value (reading 'extra' bytes that aren't there)
         assert (got["repo"], got["path"]) == ("r1", "p1")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewFindings:
+    """Regression tests for the round-2 self-review findings."""
+
+    def _two_block_stream(self, gtid_seq, xid_val, exclude=None):
+        """One transaction split across two blocks: block 1 carries
+        FD/GTID/TABLE_MAP + first rows, block 2 the rest + XID."""
+        from mysql_binlog_ray.fixtures.generator import repos_table_map
+        from mysql_binlog_ray.protocol import encode as E
+        from mysql_binlog_ray.protocol.constants import EventType
+        from mysql_binlog_ray.protocol.encode import BinlogWriter
+
+        tm = repos_table_map(False)
+        w = BinlogWriter(server_id=1)
+
+        def row(i):
+            return {
+                "repo": f"org0/r{i}", "path": f"f{i}.py", "commit": "c" * 40,
+                "lang": "py", "content": f"body {i}",
+            }
+
+        evs1 = [
+            w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body(), 1),
+            w.packet(EventType.MARIA_GTID, E.encode_gtid_body(gtid_seq), 1),
+            w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm), 1),
+            w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(tm, [row(1)], "insert"), 1),
+        ]
+        evs2 = [
+            w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body(), 1),
+            w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(tm, [row(2)], "insert"), 1),
+            w.packet(EventType.XID, E.encode_xid_body(xid_val)),
+        ]
+
+        def block(events, eseq0):
+            return pa.table(
+                {
+                    "shard_id": pa.array([0] * len(events), pa.int32()),
+                    "event_seq": pa.array(list(range(eseq0, eseq0 + len(events))), pa.int64()),
+                    "payload": pa.array(events, pa.binary()),
+                }
+            )
+
+        return tm, block(evs1, 1), block(evs2, 10)
+
+    def test_one_transaction_one_commit_id_in_block(self):
+        """A transaction fully inside one block must carry ONE commit id
+        (the XID value), even when GTID seqno != XID."""
+        from mysql_binlog_ray.fixtures.generator import repos_table_map
+        from mysql_binlog_ray.protocol import encode as E
+        from mysql_binlog_ray.protocol.constants import EventType
+        from mysql_binlog_ray.protocol.encode import BinlogWriter
+
+        tm = repos_table_map(False)
+        w = BinlogWriter(server_id=1)
+        row = {"repo": "a/b", "path": "p", "commit": "c" * 40, "lang": "py", "content": "x"}
+        evs = [
+            w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body(), 1),
+            w.packet(EventType.MARIA_GTID, E.encode_gtid_body(100), 1),
+            w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm), 1),
+            w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(tm, [row], "insert"), 1),
+            w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(tm, [row], "insert"), 1),
+            w.packet(EventType.XID, E.encode_xid_body(5555)),
+        ]
+        t = pa.table(
+            {
+                "shard_id": pa.array([0] * len(evs), pa.int32()),
+                "event_seq": pa.array(list(range(1, len(evs) + 1)), pa.int64()),
+                "payload": pa.array(evs, pa.binary()),
+            }
+        )
+        dec = BinlogDecoder(registry_snapshot=[tm.to_dict()], target_table=("code", "repos"))
+        out = dec(t)
+        assert set(out.column("commit_seq").to_pylist()) == {5555}
+
+    def test_commit_source_strict_modes(self):
+        """Strict domains: 'xid' leaves GTID-only tails -1; 'gtid' uses
+        seqnos and leaves XID-only heads -1 — never a mixed domain."""
+        tm, b1, b2 = self._two_block_stream(gtid_seq=100, xid_val=5555)
+        for source, exp1, exp2 in [
+            ("xid", -1, 5555),
+            ("gtid", 100, -1),
+            ("hybrid", 100, 5555),  # documented cross-block mix when gtid != xid
+        ]:
+            dec = BinlogDecoder(
+                registry_snapshot=[tm.to_dict()],
+                target_table=("code", "repos"),
+                commit_source=source,
+            )
+            c1 = dec(b1).column("commit_seq").to_pylist()
+            c2 = dec(b2).column("commit_seq").to_pylist()
+            assert c1 == [exp1] and c2 == [exp2], (source, c1, c2)
+
+    def test_json_mode_filter_applies_without_inband_map(self):
+        """Excluded tables must stay excluded even when their TABLE_MAP
+        fell in a previous block (snapshot resolution path)."""
+        from mysql_binlog_ray.fixtures.generator import repos_table_map
+        from mysql_binlog_ray.protocol import encode as E
+        from mysql_binlog_ray.protocol.constants import EventType
+        from mysql_binlog_ray.protocol.encode import BinlogWriter
+
+        tm = repos_table_map(False)
+        w = BinlogWriter(server_id=1)
+        row = {"repo": "a/b", "path": "p", "commit": "c" * 40, "lang": "py", "content": "x"}
+        # block with rows but NO table map: decoder must fall back to the
+        # snapshot AND apply the exclude filter from there
+        evs = [
+            w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body(), 1),
+            w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(tm, [row], "insert"), 1),
+            w.packet(EventType.XID, E.encode_xid_body(7)),
+        ]
+        t = pa.table(
+            {
+                "shard_id": pa.array([0] * len(evs), pa.int32()),
+                "event_seq": pa.array([1, 2, 3], pa.int64()),
+                "payload": pa.array(evs, pa.binary()),
+            }
+        )
+        for kwargs in [
+            dict(output="json", exclude_databases=["code"]),
+            dict(output="json", exclude_tables=["code.repos"]),
+        ]:
+            dec = BinlogDecoder(registry_snapshot=[tm.to_dict()], **kwargs)
+            assert dec(t).num_rows == 0, kwargs
+        # targeted paths too
+        dec = BinlogDecoder(
+            registry_snapshot=[tm.to_dict()],
+            target_table=("code", "repos"),
+            exclude_tables=["code.repos"],
+        )
+        assert dec(t).num_rows == 0
+        # sanity: without the filter the row decodes
+        dec = BinlogDecoder(registry_snapshot=[tm.to_dict()], output="json")
+        assert dec(t).num_rows == 1
+
+    def test_repair_does_not_steal_next_files_xid(self, tmp_path):
+        """A truncated-tail transaction (XID lost) must stay -1 under
+        exact_commits, not get the next file's first XID."""
+        import json
+
+        import ray.data as rd
+
+        from mysql_binlog_ray.fixtures.generator import StreamSpec, generate_stream
+        from mysql_binlog_ray.pipelines.cdc import CdcConfig, decode_changefeed
+        import pyarrow.parquet as pq
+
+        spec = StreamSpec(n_keys=60, n_ops=300, n_shards=2, include_noise_events=False)
+        manifest = generate_stream(spec, str(tmp_path / "stream"))
+        # drop shard 0's trailing XID (simulated crash mid-write)
+        p0 = manifest["shards"][0]["path"]
+        t = pq.read_table(p0)
+        payloads = t.column("payload").to_pylist()
+        xid_idx = [i for i, p in enumerate(payloads) if p[5] == 0x10]
+        cut = xid_idx[-1]
+        t2 = t.take(list(range(cut)) + list(range(cut + 1, t.num_rows)))
+        p0b = str(tmp_path / "shard0-truncated.parquet")
+        pq.write_table(t2, p0b)
+        manifest = json.loads(json.dumps(manifest))
+        manifest["shards"][0]["path"] = p0b
+
+        paths = [s["path"] for s in manifest["shards"]]
+        events = rd.read_parquet(paths, override_num_blocks=16)
+        cf = decode_changefeed(
+            events, manifest["table_maps"], CdcConfig(), exact_commits=True
+        ).to_pandas()
+        # the orphaned transaction's rows stay -1 (honest unknown)...
+        orphans = cf[cf["commit_seq"] == -1]
+        assert len(orphans) > 0
+        # ...and every orphan belongs to shard 0's seq window, i.e. no
+        # shard-0 row was stamped with a shard-1 XID
+        s1_first = manifest["shards"][1]["first_event_seq"]
+        assert (orphans["event_seq"] < s1_first).all()
+        stamped = cf[cf["commit_seq"] != -1]
+        s0_rows = stamped[stamped["event_seq"] < s1_first]
+        s1_xids = set()
+        for p in pq.read_table(manifest["shards"][1]["path"]).column("payload").to_pylist():
+            if p[5] == 0x10:
+                import struct as _struct
+                s1_xids.add(_struct.unpack_from("<Q", p, 20)[0])
+        assert not (set(s0_rows["commit_seq"]) & s1_xids)

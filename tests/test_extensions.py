@@ -768,3 +768,12 @@ class TestDdlExtensions:
         assert tm is not None
         assert tm.columns[-1].type is ColumnType.JSON
         assert tm.columns[-1].length_bytes == 4
+
+
+class TestDdlRenameIndexNoOp:
+    def test_rename_index_and_key_do_not_rename_table(self):
+        from mysql_binlog_ray.fixtures.generator import repos_table_map
+
+        base = repos_table_map(False)
+        assert apply_ddl("ALTER TABLE repos RENAME INDEX idx_a TO idx_b", "code", base, 31) is None
+        assert apply_ddl("ALTER TABLE repos RENAME KEY k_a TO k_b", "code", base, 32) is None
