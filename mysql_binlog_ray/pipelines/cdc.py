@@ -136,10 +136,8 @@ def build_xid_index(events: rd.Dataset) -> tuple[Any, Any, Any]:
         event_seqs = batch.column("event_seq").to_numpy(zero_copy_only=False)
         shard_ids = batch.column("shard_id").to_numpy(zero_copy_only=False)
         shard_lo: dict[int, int] = {}
-        for sid, seq in zip(shard_ids, event_seqs):
-            sid, seq = int(sid), int(seq)
-            if sid not in shard_lo or seq < shard_lo[sid]:
-                shard_lo[sid] = seq
+        for sid in np.unique(shard_ids):  # few shards per batch; min is C
+            shard_lo[int(sid)] = int(event_seqs[shard_ids == sid].min())
         for seq, payload in zip(event_seqs, BinlogDecoder._payload_views(batch)):
             if payload[5] == EventType.XID:
                 seqs.append(int(seq))
@@ -223,7 +221,15 @@ def decode_changefeed(
 
     ``exact_commits=True`` adds the XID-index repair pass for GTID-less
     streams (see ``build_xid_index``); GTID streams are exact without it.
+    The repair stamps XID-domain values, so it refuses to combine with
+    ``commit_source="gtid"`` (it would silently mix numbering domains).
     """
+    if exact_commits and cfg.decoder_kwargs.get("commit_source") == "gtid":
+        raise ValueError(
+            "exact_commits repairs with XID-domain values; "
+            "commit_source='gtid' would mix numbering domains — "
+            "use 'xid' or 'hybrid'"
+        )
     decoder_kwargs = dict(
         registry_snapshot=registry_snapshot,
         target_table=cfg.target_table,
@@ -291,6 +297,19 @@ def decode_all_tables(
         verify_checksums=cfg.verify_checksums,
         start_after_seq=start_after_seq,
     )
+    kwargs: dict[str, Any] = dict(
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+        zero_copy_batch=True,
+    )
+    if cfg.decode_concurrency is not None:
+        # actor pool (registry-actor mode needs state to outlive tasks)
+        return events.map_batches(
+            BinlogDecoder,
+            fn_constructor_kwargs=decoder_kwargs,
+            concurrency=cfg.decode_concurrency,
+            **kwargs,
+        )
     cache: dict[str, BinlogDecoder] = {}
 
     def decode_fn(batch: pa.Table) -> pa.Table:
@@ -299,12 +318,7 @@ def decode_all_tables(
             dec = cache["d"] = BinlogDecoder(**decoder_kwargs)
         return dec(batch)
 
-    return events.map_batches(
-        decode_fn,
-        batch_format="pyarrow",
-        batch_size=cfg.decode_batch_size,
-        zero_copy_batch=True,
-    )
+    return events.map_batches(decode_fn, **kwargs)
 
 
 def merge_lww(
@@ -717,14 +731,17 @@ def run_tables_to_lakes(
     table_cfgs: dict[tuple[str, str], CdcConfig],
     resume: bool = True,
 ) -> dict[str, dict[str, Any]]:
-    """Fan one binlog stream out to per-table exactly-once lakes.
+    """Per-table exactly-once lakes from one binlog stream.
 
-    Each table runs the targeted flat-decode pipeline (fastest path;
-    other tables' row events are filtered BEFORE row decode, F1) into
-    ``base_dir/<schema>.<table>``; every lake keeps its own watermark
-    manifest, so each table resumes independently.  For a changefeed
-    consumer that wants every table from literally one decode pass, use
-    ``decode_all_tables`` instead.
+    Each table runs its own targeted flat-decode pipeline (one full
+    stream pass per table — other tables' row events are filtered
+    BEFORE row decode, so only the event walk repeats, not row decode)
+    into ``base_dir/<schema>.<table>``; every lake keeps its own
+    watermark manifest, so each table resumes independently, and the
+    per-table runs are independent (a caller may run them concurrently).
+    For every table from literally ONE stream pass, use
+    ``decode_all_tables`` — the trade is its JSON row rendering vs this
+    path's typed flat decode and exactly-once sinks.
     """
     from dataclasses import replace as _replace
 

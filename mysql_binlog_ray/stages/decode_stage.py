@@ -97,6 +97,22 @@ def changefeed_schema(tm: TableMapDef) -> pa.Schema:
 
 
 
+def _stamp_xid(commit_seqs: list, txn_start: int, xid: int) -> int:
+    """XID commit: stamp exactly the current transaction's rows
+    ([txn_start, end) — from the last marker boundary), overwriting any
+    provisional GTID stamp so one transaction carries one id.  Never
+    walks past txn_start: rows before the boundary either already carry
+    their own transaction's id or are honestly unknown (-1) — e.g. a
+    GTID-delimited group whose XID is absent, or a truncated
+    transaction — and stamping them with a LATER transaction's XID
+    would be silent corruption the repair pass cannot detect.  Returns
+    the new boundary.  One definition, used by all three decode modes.
+    """
+    for i in range(txn_start, len(commit_seqs)):
+        commit_seqs[i] = xid
+    return len(commit_seqs)
+
+
 def _build_child(values: list, typ: pa.DataType) -> pa.Array:
     """pa.array with two quirks handled:
 
@@ -450,6 +466,11 @@ class BinlogDecoder:
                 continue
             if etype == EventType.ROTATE:
                 self._on_rotate(bound_this_block)
+                # a new file starts: the open transaction (if any) ends
+                # here — its unstamped rows stay -1 rather than being
+                # claimed by the next file's first XID
+                cur_commit = -1
+                txn_start = len(commit_seqs)
                 continue
             if etype == EventType.MARIA_GTID:
                 # u64 sequence number opens the transaction
@@ -477,22 +498,10 @@ class BinlogDecoder:
                 continue
             if etype == EventType.XID:
                 if use_xid:
-                    xid = parse_xid(payload)
-                    # stamp THIS transaction's rows — from its GTID
-                    # boundary when seen (overwriting any provisional
-                    # GTID stamp: one txn, one id), else backfill the
-                    # -1 run (txn opened before this block; well-formed
-                    # streams terminate the previous txn's rows with
-                    # their own XID first, so the run never crosses a
-                    # transaction boundary)
-                    for i in range(txn_start, len(commit_seqs)):
-                        commit_seqs[i] = xid
-                    i = txn_start - 1
-                    while i >= 0 and commit_seqs[i] == -1:
-                        commit_seqs[i] = xid
-                        i -= 1
+                    txn_start = _stamp_xid(commit_seqs, txn_start, parse_xid(payload))
+                else:
+                    txn_start = len(commit_seqs)
                 cur_commit = -1
-                txn_start = len(commit_seqs)
                 continue
             if etype in _ROWS_TYPES:
                 # cheap pre-checks before any row decode
@@ -690,6 +699,11 @@ class BinlogDecoder:
                 continue
             if etype == EventType.ROTATE:
                 self._on_rotate(bound_this_block)
+                # a new file starts: the open transaction (if any) ends
+                # here — its unstamped rows stay -1 rather than being
+                # claimed by the next file's first XID
+                cur_commit = -1
+                txn_start = len(commit_seqs)
                 continue
             if etype == EventType.MARIA_GTID:
                 if use_gtid:
@@ -711,22 +725,10 @@ class BinlogDecoder:
                 continue
             if etype == EventType.XID:
                 if use_xid:
-                    xid = parse_xid(payload)
-                    # stamp THIS transaction's rows — from its GTID
-                    # boundary when seen (overwriting any provisional
-                    # GTID stamp: one txn, one id), else backfill the
-                    # -1 run (txn opened before this block; well-formed
-                    # streams terminate the previous txn's rows with
-                    # their own XID first, so the run never crosses a
-                    # transaction boundary)
-                    for i in range(txn_start, len(commit_seqs)):
-                        commit_seqs[i] = xid
-                    i = txn_start - 1
-                    while i >= 0 and commit_seqs[i] == -1:
-                        commit_seqs[i] = xid
-                        i -= 1
+                    txn_start = _stamp_xid(commit_seqs, txn_start, parse_xid(payload))
+                else:
+                    txn_start = len(commit_seqs)
                 cur_commit = -1
-                txn_start = len(commit_seqs)
                 continue
             if etype in _ROWS_TYPES:
                 off = 20
@@ -858,6 +860,11 @@ class BinlogDecoder:
                 continue
             if etype == EventType.ROTATE:
                 self._on_rotate(bound_this_block)
+                # a new file starts: the open transaction (if any) ends
+                # here — its unstamped rows stay -1 rather than being
+                # claimed by the next file's first XID
+                cur_commit = -1
+                txn_start = len(commit_seqs)
                 continue
             if etype == EventType.MARIA_GTID:
                 if use_gtid:
@@ -879,22 +886,10 @@ class BinlogDecoder:
                 continue
             if etype == EventType.XID:
                 if use_xid:
-                    xid = parse_xid(payload)
-                    # stamp THIS transaction's rows — from its GTID
-                    # boundary when seen (overwriting any provisional
-                    # GTID stamp: one txn, one id), else backfill the
-                    # -1 run (txn opened before this block; well-formed
-                    # streams terminate the previous txn's rows with
-                    # their own XID first, so the run never crosses a
-                    # transaction boundary)
-                    for i in range(txn_start, len(commit_seqs)):
-                        commit_seqs[i] = xid
-                    i = txn_start - 1
-                    while i >= 0 and commit_seqs[i] == -1:
-                        commit_seqs[i] = xid
-                        i -= 1
+                    txn_start = _stamp_xid(commit_seqs, txn_start, parse_xid(payload))
+                else:
+                    txn_start = len(commit_seqs)
                 cur_commit = -1
-                txn_start = len(commit_seqs)
                 continue
             if etype in _ROWS_TYPES:
                 off = 20

@@ -302,6 +302,8 @@ def minhash_lsh_pairs(
         .to_pandas()  # bounded: pairs within collision buckets only
         .drop_duplicates()
     )
+    if pairs.empty or "skipped_size" not in pairs.columns:
+        return empty
     skipped = pairs[pairs["skipped_size"] > 0]
     if not skipped.empty:
         import logging

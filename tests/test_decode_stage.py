@@ -430,7 +430,7 @@ class TestNoCrossBlockLeak:
 class TestReviewFindings:
     """Regression tests for the round-2 self-review findings."""
 
-    def _two_block_stream(self, gtid_seq, xid_val, exclude=None):
+    def _two_block_stream(self, gtid_seq, xid_val):
         """One transaction split across two blocks: block 1 carries
         FD/GTID/TABLE_MAP + first rows, block 2 the rest + XID."""
         from mysql_binlog_ray.fixtures.generator import repos_table_map
@@ -605,3 +605,79 @@ class TestReviewFindings:
                 import struct as _struct
                 s1_xids.add(_struct.unpack_from("<Q", p, 20)[0])
         assert not (set(s0_rows["commit_seq"]) & s1_xids)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestXidFence:
+    def test_gtid_group_without_xid_stays_unknown(self):
+        """A GTID-delimited group whose XID is absent (non-transactional
+        statement / truncated commit) must keep commit_seq = -1 in 'xid'
+        mode — never the NEXT transaction's XID."""
+        from mysql_binlog_ray.fixtures.generator import repos_table_map
+        from mysql_binlog_ray.protocol import encode as E
+        from mysql_binlog_ray.protocol.constants import EventType
+        from mysql_binlog_ray.protocol.encode import BinlogWriter
+
+        tm = repos_table_map(False)
+        w = BinlogWriter(server_id=1)
+
+        def row(i):
+            return {"repo": f"a/r{i}", "path": f"p{i}", "commit": "c" * 40, "lang": "py", "content": "x"}
+
+        evs = [
+            w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body(), 1),
+            w.packet(EventType.MARIA_GTID, E.encode_gtid_body(100), 1),
+            w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm), 1),
+            w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(tm, [row(1)], "insert"), 1),
+            # no XID for the first group
+            w.packet(EventType.MARIA_GTID, E.encode_gtid_body(101), 1),
+            w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm), 1),
+            w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(tm, [row(2)], "insert"), 1),
+            w.packet(EventType.XID, E.encode_xid_body(5555)),
+        ]
+        t = pa.table(
+            {
+                "shard_id": pa.array([0] * len(evs), pa.int32()),
+                "event_seq": pa.array(list(range(1, len(evs) + 1)), pa.int64()),
+                "payload": pa.array(evs, pa.binary()),
+            }
+        )
+        dec = BinlogDecoder(
+            registry_snapshot=[tm.to_dict()],
+            target_table=("code", "repos"),
+            commit_source="xid",
+        )
+        out = dec(t)
+        assert out.column("commit_seq").to_pylist() == [-1, 5555]
+
+    def test_rotate_closes_open_transaction(self):
+        """Rows before an in-block ROTATE must not be stamped by the next
+        file's first XID."""
+        from mysql_binlog_ray.fixtures.generator import repos_table_map
+        from mysql_binlog_ray.protocol import encode as E
+        from mysql_binlog_ray.protocol.constants import EventType
+        from mysql_binlog_ray.protocol.encode import BinlogWriter
+
+        tm = repos_table_map(False)
+        w = BinlogWriter(server_id=1)
+        row = {"repo": "a/b", "path": "p", "commit": "c" * 40, "lang": "py", "content": "x"}
+        evs = [
+            w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body(), 1),
+            w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm), 1),
+            w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(tm, [row], "insert"), 1),
+            # file ends mid-transaction (XID lost); next file begins
+            w.rotate("binlog.000002", timestamp=2),
+            w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm), 2),
+            w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(tm, [row], "insert"), 2),
+            w.packet(EventType.XID, E.encode_xid_body(777)),
+        ]
+        t = pa.table(
+            {
+                "shard_id": pa.array([0] * len(evs), pa.int32()),
+                "event_seq": pa.array(list(range(1, len(evs) + 1)), pa.int64()),
+                "payload": pa.array(evs, pa.binary()),
+            }
+        )
+        dec = BinlogDecoder(registry_snapshot=[tm.to_dict()], target_table=("code", "repos"))
+        out = dec(t)
+        assert out.column("commit_seq").to_pylist() == [-1, 777]
