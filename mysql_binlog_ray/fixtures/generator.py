@@ -552,8 +552,12 @@ def generate_stream(
     for e in manifest["shards"]:
         e["path"] = _fix(e["path"])
     manifest["oplog"] = _fix(manifest["oplog"])
-    with open(manifest_path, "w") as f:
+    # atomic republish: a concurrent reader (e.g. FollowDaemon) must
+    # never observe a half-written manifest
+    tmp = manifest_path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(manifest, f)
+    os.replace(tmp, manifest_path)
     return manifest
 
 

@@ -112,6 +112,38 @@ def read_event_stream(manifest: dict[str, Any], start_after_seq: int | None = No
     return rd.read_parquet(paths, override_num_blocks=nblocks)
 
 
+def _map_decoder(
+    events: rd.Dataset,
+    decoder_kwargs: dict[str, Any],
+    cfg: CdcConfig,
+) -> rd.Dataset:
+    """Shared decode-stage dispatch: actor pool when
+    ``cfg.decode_concurrency`` is set (registry-actor mode needs state to
+    outlive tasks), else stateless tasks with a per-worker cached decoder
+    (decoder setup is ~3 ms; actor ramp-up adds seconds of variance)."""
+    kwargs: dict[str, Any] = dict(
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+        zero_copy_batch=True,
+    )
+    if cfg.decode_concurrency is not None:
+        return events.map_batches(
+            BinlogDecoder,
+            fn_constructor_kwargs=decoder_kwargs,
+            concurrency=cfg.decode_concurrency,
+            **kwargs,
+        )
+    cache: dict[str, BinlogDecoder] = {}
+
+    def decode_fn(batch: pa.Table) -> pa.Table:
+        dec = cache.get("d")
+        if dec is None:
+            dec = cache["d"] = BinlogDecoder(**decoder_kwargs)
+        return dec(batch)
+
+    return events.map_batches(decode_fn, **kwargs)
+
+
 def build_xid_index(events: rd.Dataset) -> tuple[Any, Any, Any]:
     """(sorted XID event_seqs, XID values, per-file seq boundaries) via a
     distributed payload-prefix scan — one byte peek per event, one output
@@ -241,30 +273,7 @@ def decode_changefeed(
         start_after_seq=start_after_seq,
         **cfg.decoder_kwargs,
     )
-    kwargs: dict[str, Any] = dict(
-        batch_format="pyarrow",
-        batch_size=cfg.decode_batch_size,
-        zero_copy_batch=True,
-    )
-    if cfg.decode_concurrency is None:
-        # stateless tasks; the decoder is built once per worker process
-        # (the closure cache survives across tasks in a worker)
-        cache: dict[str, BinlogDecoder] = {}
-
-        def decode_fn(batch: pa.Table) -> pa.Table:
-            dec = cache.get("d")
-            if dec is None:
-                dec = cache["d"] = BinlogDecoder(**decoder_kwargs)
-            return dec(batch)
-
-        cf = events.map_batches(decode_fn, **kwargs)
-    else:
-        cf = events.map_batches(
-            BinlogDecoder,
-            fn_constructor_kwargs=decoder_kwargs,
-            concurrency=cfg.decode_concurrency,
-            **kwargs,
-        )
+    cf = _map_decoder(events, decoder_kwargs, cfg)
     if exact_commits:
         cf = repair_commit_seqs(cf, build_xid_index(events))
     return cf
@@ -297,28 +306,7 @@ def decode_all_tables(
         verify_checksums=cfg.verify_checksums,
         start_after_seq=start_after_seq,
     )
-    kwargs: dict[str, Any] = dict(
-        batch_format="pyarrow",
-        batch_size=cfg.decode_batch_size,
-        zero_copy_batch=True,
-    )
-    if cfg.decode_concurrency is not None:
-        # actor pool (registry-actor mode needs state to outlive tasks)
-        return events.map_batches(
-            BinlogDecoder,
-            fn_constructor_kwargs=decoder_kwargs,
-            concurrency=cfg.decode_concurrency,
-            **kwargs,
-        )
-    cache: dict[str, BinlogDecoder] = {}
-
-    def decode_fn(batch: pa.Table) -> pa.Table:
-        dec = cache.get("d")
-        if dec is None:
-            dec = cache["d"] = BinlogDecoder(**decoder_kwargs)
-        return dec(batch)
-
-    return events.map_batches(decode_fn, **kwargs)
+    return _map_decoder(events, decoder_kwargs, cfg)
 
 
 def merge_lww(

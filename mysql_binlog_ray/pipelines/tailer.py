@@ -57,7 +57,12 @@ class FollowDaemon:
     cfg: CdcConfig | None = None
     interval_sec: float = 1.0
     on_stats: Callable[[TailStats], Any] | None = None
+    # transient-error budget: a manifest being republished concurrently
+    # (partial JSON, shard paths mid-move) skips the tick; only
+    # max_consecutive_errors failures in a row abort the daemon
+    max_consecutive_errors: int = 30
     _stop: bool = field(default=False, repr=False)
+    _errors: int = field(default=0, repr=False)
 
     def stop(self) -> None:
         self._stop = True
@@ -73,12 +78,31 @@ class FollowDaemon:
         i = 0
         while not self._stop and (max_iterations is None or i < max_iterations):
             t0 = time.time()
-            stream = self._load_manifest()
+            try:
+                stream = self._load_manifest()
+            except (json.JSONDecodeError, OSError):
+                stream = None  # producer mid-publish: try next tick
+                self._errors += 1
             prior = read_manifest(self.lake_dir)
             prev_wm = prior["watermark"] if prior else None
             prev_rows = prior["totals"]["rows"] if prior else 0
             if stream is not None:
-                m = follow(stream, self.lake_dir, self.cfg)
+                try:
+                    m = follow(stream, self.lake_dir, self.cfg)
+                    self._errors = 0
+                except FileNotFoundError:
+                    # shard paths mid-move during a manifest republish;
+                    # follow is idempotent, so skipping the tick is safe
+                    self._errors += 1
+                    m = None
+            else:
+                m = None
+            if self._errors > self.max_consecutive_errors:
+                raise RuntimeError(
+                    f"FollowDaemon: {self._errors} consecutive manifest/"
+                    f"stream errors reading {self.manifest_path}"
+                )
+            if m is not None:
                 stats = TailStats(
                     iteration=i,
                     wall_time=t0,

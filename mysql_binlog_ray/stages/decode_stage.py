@@ -163,6 +163,21 @@ class _TableState:
         self.codegen = compile_flat_decoders(self.plan, self.key_src)
 
 
+class _BlockCtx:
+    """Per-block decode context threaded through the shared marker
+    handler: checksum size (set by FORMAT_DESCRIPTION), the open
+    transaction's provisional commit id and start index, and the
+    table ids bound in-band this block."""
+
+    __slots__ = ("checksum_size", "cur_commit", "txn_start", "bound")
+
+    def __init__(self, checksum_size: int) -> None:
+        self.checksum_size = checksum_size
+        self.cur_commit = -1
+        self.txn_start = 0
+        self.bound: set[int] = set()
+
+
 class BinlogDecoder:
     """map_batches callable: pa.Table(shard_id, event_seq, payload) ->
     changefeed pa.Table (one row per row image)."""
@@ -391,6 +406,57 @@ class BinlogDecoder:
                 return st
         raise KeyError(f"unknown table_map id {table_id}; no registry entry")
 
+    def _handle_marker(self, etype: int, payload, ctx: _BlockCtx, commit_seqs: list) -> None:
+        """ONE definition of the non-ROWS event semantics, shared by all
+        three decode modes (changefeed/flat/json) — commit stamping,
+        ROTATE, checksum gating and in-band TABLE_MAP binding must never
+        diverge between output modes.
+
+        - FORMAT_DESCRIPTION gates checksum handling
+          (`EventsIterator.php:141-151`).
+        - ROTATE drops in-band bindings AND closes the open transaction
+          (its unstamped rows stay -1 rather than being claimed by the
+          next file's first XID).
+        - MARIA_GTID opens a transaction: provisional forward stamp in
+          gtid/hybrid modes, boundary marker always.
+        - TABLE_MAP parses once per block per table id; in-band wins
+          over the snapshot for the current file.
+        - XID stamps exactly [txn_start, end) via _stamp_xid in
+          xid/hybrid modes (one transaction, one commit id).
+        """
+        if etype == EventType.FORMAT_DESCRIPTION:
+            payload = bytes(payload)
+            h = parse_header(payload, 0)
+            _, _, alg = parse_format_description(payload, h)
+            ctx.checksum_size = 4 if alg > 0 else 0
+        elif etype == EventType.ROTATE:
+            self._on_rotate(ctx.bound)
+            ctx.cur_commit = -1
+            ctx.txn_start = len(commit_seqs)
+        elif etype == EventType.MARIA_GTID:
+            if self.commit_source in ("hybrid", "gtid"):
+                ctx.cur_commit = int.from_bytes(payload[20:28], "little")
+            ctx.txn_start = len(commit_seqs)
+        elif etype == EventType.TABLE_MAP:
+            tid = int.from_bytes(payload[20:26], "little")
+            if tid in ctx.bound:
+                return
+            payload = bytes(payload)
+            h = parse_header(payload, ctx.checksum_size)
+            if self.verify and not verify_checksum(payload, ctx.checksum_size):
+                self.n_checksum_failures += 1
+                return
+            tm = parse_table_map(payload, h)
+            self._bind_table_map(tm)
+            ctx.bound.add(tid)
+        elif etype == EventType.XID:
+            if self.commit_source in ("hybrid", "xid"):
+                ctx.txn_start = _stamp_xid(commit_seqs, ctx.txn_start, parse_xid(payload))
+            else:
+                ctx.txn_start = len(commit_seqs)
+            ctx.cur_commit = -1
+        # QUERY / skip events: no state change, no output
+
     @staticmethod
     def _payload_views(batch: pa.Table):
         """Zero-copy memoryviews into the binary column's data buffer —
@@ -436,20 +502,10 @@ class BinlogDecoder:
         after_null: list[bool] = []
         commit_seqs: list[int] = []
 
-        checksum_size = self.checksum_size
         start_after = self.start_after_seq
-        # commit stamping (M4): a transaction's GTID event precedes its
-        # row events, its XID follows them.  Depending on commit_source,
-        # GTID forward-stamps (provisionally, in hybrid mode) and XID
-        # stamps the whole in-block transaction (overwriting provisional
-        # GTID stamps so one transaction never carries two ids); only a
-        # block lying entirely inside one transaction (no marker at all)
-        # leaves commit_seq = -1.
-        cur_commit = -1
-        txn_start = 0  # index in the row accumulator where the open txn began
-        use_gtid = self.commit_source in ("hybrid", "gtid")
-        use_xid = self.commit_source in ("hybrid", "xid")
-        bound_this_block: set[int] = set()
+        # commit stamping (M4) + marker semantics live in ONE place:
+        # _handle_marker (shared by all three decode modes)
+        ctx = _BlockCtx(self.checksum_size)
 
         for shard_id, event_seq, payload in zip(shard_ids, event_seqs, payloads):
             if start_after is not None and event_seq <= start_after:
@@ -458,92 +514,46 @@ class BinlogDecoder:
             self.n_events += 1
             self.n_bytes += len(payload)
 
-            if etype == EventType.FORMAT_DESCRIPTION:
-                payload = bytes(payload)
-                h = parse_header(payload, 0)
-                _, _, alg = parse_format_description(payload, h)
-                checksum_size = 4 if alg > 0 else 0
+            if etype not in _ROWS_TYPES:
+                self._handle_marker(etype, payload, ctx, commit_seqs)
                 continue
-            if etype == EventType.ROTATE:
-                self._on_rotate(bound_this_block)
-                # a new file starts: the open transaction (if any) ends
-                # here — its unstamped rows stay -1 rather than being
-                # claimed by the next file's first XID
-                cur_commit = -1
-                txn_start = len(commit_seqs)
+            # cheap pre-checks before any row decode
+            off = 20
+            table_id = int.from_bytes(payload[off : off + 6], "little")
+            if self.filtered.get(table_id):
+                continue  # F1: filtered tables never deserialized
+            st = self._resolve(table_id)
+            tm = st.plan.table_map
+            if (tm.schema_name, tm.table_name) != self.target_table:
+                if self.filtered.get(table_id) is None:
+                    self.filtered[table_id] = True
                 continue
-            if etype == EventType.MARIA_GTID:
-                # u64 sequence number opens the transaction
-                # (`EventsIterator.php:244-254` skips these; we consume
-                # them as a commit-sequencing source, SURVEY M4)
-                if use_gtid:
-                    cur_commit = int.from_bytes(payload[20:28], "little")
-                txn_start = len(commit_seqs)
+            if self._row_filtered(table_id, st):
+                continue  # F1 applies even without an in-band map
+            if self.verify and not verify_checksum(payload, ctx.checksum_size):
+                self.n_checksum_failures += 1
                 continue
-            if etype == EventType.TABLE_MAP:
-                # table maps are re-sent per transaction; parse the full
-                # metadata once per block per table id (in-band binding
-                # wins over the snapshot for the current file)
-                tid = int.from_bytes(payload[20:26], "little")
-                if tid in bound_this_block:
-                    continue
-                payload = bytes(payload)
-                h = parse_header(payload, checksum_size)
-                if self.verify and not verify_checksum(payload, checksum_size):
-                    self.n_checksum_failures += 1
-                    continue
-                tm = parse_table_map(payload, h)
-                self._bind_table_map(tm)
-                bound_this_block.add(tid)
-                continue
-            if etype == EventType.XID:
-                if use_xid:
-                    txn_start = _stamp_xid(commit_seqs, txn_start, parse_xid(payload))
-                else:
-                    txn_start = len(commit_seqs)
-                cur_commit = -1
-                continue
-            if etype in _ROWS_TYPES:
-                # cheap pre-checks before any row decode
-                off = 20
-                table_id = int.from_bytes(payload[off : off + 6], "little")
-                if self.filtered.get(table_id):
-                    continue  # F1: filtered tables never deserialized
-                st = self._resolve(table_id)
-                tm = st.plan.table_map
-                if (tm.schema_name, tm.table_name) != self.target_table:
-                    if self.filtered.get(table_id) is None:
-                        self.filtered[table_id] = True
-                    continue
-                if self._row_filtered(table_id, st):
-                    continue  # F1 applies even without an in-band map
-                if self.verify and not verify_checksum(payload, checksum_size):
-                    self.n_checksum_failures += 1
-                    continue
-                h = parse_header(payload, checksum_size)
-                n_rows = self._decode_rows_into(
-                    payload,
-                    h,
-                    etype,
-                    st,
-                    before_cols,
-                    after_cols,
-                    before_null,
-                    after_null,
-                )
-                op = _OP_BY_TYPE[etype]
-                ops.extend([op] * n_rows)
-                tm_ids.extend([table_id] * n_rows)
-                schema_vers.extend([st.schema_ver] * n_rows)
-                file_seqs.extend([int(shard_id)] * n_rows)
-                ev_seqs.extend([int(event_seq)] * n_rows)
-                row_seqs.extend(range(n_rows))
-                tss.extend([h.timestamp] * n_rows)
-                commit_seqs.extend([cur_commit] * n_rows)
-                self.n_rows += n_rows
-                continue
-            # QUERY / skip events: no changefeed output
-            continue
+            h = parse_header(payload, ctx.checksum_size)
+            n_rows = self._decode_rows_into(
+                payload,
+                h,
+                etype,
+                st,
+                before_cols,
+                after_cols,
+                before_null,
+                after_null,
+            )
+            op = _OP_BY_TYPE[etype]
+            ops.extend([op] * n_rows)
+            tm_ids.extend([table_id] * n_rows)
+            schema_vers.extend([st.schema_ver] * n_rows)
+            file_seqs.extend([int(shard_id)] * n_rows)
+            ev_seqs.extend([int(event_seq)] * n_rows)
+            row_seqs.extend(range(n_rows))
+            tss.extend([h.timestamp] * n_rows)
+            commit_seqs.extend([ctx.cur_commit] * n_rows)
+            self.n_rows += n_rows
 
         if not ops:
             return self._empty
@@ -676,13 +686,8 @@ class BinlogDecoder:
         befores: list[str | None] = []
         afters: list[str | None] = []
 
-        checksum_size = self.checksum_size
         start_after = self.start_after_seq
-        cur_commit = -1
-        txn_start = 0
-        use_gtid = self.commit_source in ("hybrid", "gtid")
-        use_xid = self.commit_source in ("hybrid", "xid")
-        bound_this_block: set[int] = set()
+        ctx = _BlockCtx(self.checksum_size)  # marker semantics: _handle_marker
 
         for shard_id, event_seq, payload in zip(shard_ids, event_seqs, payloads):
             if start_after is not None and event_seq <= start_after:
@@ -691,77 +696,38 @@ class BinlogDecoder:
             self.n_events += 1
             self.n_bytes += len(payload)
 
-            if etype == EventType.FORMAT_DESCRIPTION:
-                payload = bytes(payload)
-                h = parse_header(payload, 0)
-                _, _, alg = parse_format_description(payload, h)
-                checksum_size = 4 if alg > 0 else 0
+            if etype not in _ROWS_TYPES:
+                self._handle_marker(etype, payload, ctx, commit_seqs)
                 continue
-            if etype == EventType.ROTATE:
-                self._on_rotate(bound_this_block)
-                # a new file starts: the open transaction (if any) ends
-                # here — its unstamped rows stay -1 rather than being
-                # claimed by the next file's first XID
-                cur_commit = -1
-                txn_start = len(commit_seqs)
+            off = 20
+            table_id = int.from_bytes(payload[off : off + 6], "little")
+            if self.filtered.get(table_id):
                 continue
-            if etype == EventType.MARIA_GTID:
-                if use_gtid:
-                    cur_commit = int.from_bytes(payload[20:28], "little")
-                txn_start = len(commit_seqs)
+            st = self._resolve(table_id)
+            tm = st.plan.table_map
+            if self._row_filtered(table_id, st):
+                continue  # F1 applies even without an in-band map
+            if self.verify and not verify_checksum(payload, ctx.checksum_size):
+                self.n_checksum_failures += 1
                 continue
-            if etype == EventType.TABLE_MAP:
-                tid = int.from_bytes(payload[20:26], "little")
-                if tid in bound_this_block:
-                    continue
-                payload = bytes(payload)
-                h = parse_header(payload, checksum_size)
-                if self.verify and not verify_checksum(payload, checksum_size):
-                    self.n_checksum_failures += 1
-                    continue
-                tm = parse_table_map(payload, h)
-                self._bind_table_map(tm)
-                bound_this_block.add(tid)
-                continue
-            if etype == EventType.XID:
-                if use_xid:
-                    txn_start = _stamp_xid(commit_seqs, txn_start, parse_xid(payload))
-                else:
-                    txn_start = len(commit_seqs)
-                cur_commit = -1
-                continue
-            if etype in _ROWS_TYPES:
-                off = 20
-                table_id = int.from_bytes(payload[off : off + 6], "little")
-                if self.filtered.get(table_id):
-                    continue
-                st = self._resolve(table_id)
-                tm = st.plan.table_map
-                if self._row_filtered(table_id, st):
-                    continue  # F1 applies even without an in-band map
-                if self.verify and not verify_checksum(payload, checksum_size):
-                    self.n_checksum_failures += 1
-                    continue
-                h = parse_header(payload, checksum_size)
-                b_rows, a_rows = self._decode_rows_dicts(payload, h, etype, st)
-                op = _OP_BY_TYPE[etype]
-                n_rows = max(len(b_rows), len(a_rows))
-                for i in range(n_rows):
-                    b = b_rows[i] if i < len(b_rows) else None
-                    a = a_rows[i] if i < len(a_rows) else None
-                    befores.append(None if b is None else _json.dumps(b, ensure_ascii=False))
-                    afters.append(None if a is None else _json.dumps(a, ensure_ascii=False))
-                schemas.extend([tm.schema_name] * n_rows)
-                tables.extend([tm.table_name] * n_rows)
-                ops.extend([op] * n_rows)
-                tm_ids.extend([table_id] * n_rows)
-                ev_seqs.extend([int(event_seq)] * n_rows)
-                row_seqs.extend(range(n_rows))
-                commit_seqs.extend([cur_commit] * n_rows)
-                tss.extend([h.timestamp] * n_rows)
-                self.n_rows += n_rows
-                continue
-            continue
+            h = parse_header(payload, ctx.checksum_size)
+            b_rows, a_rows = self._decode_rows_dicts(payload, h, etype, st)
+            op = _OP_BY_TYPE[etype]
+            n_rows = max(len(b_rows), len(a_rows))
+            for i in range(n_rows):
+                b = b_rows[i] if i < len(b_rows) else None
+                a = a_rows[i] if i < len(a_rows) else None
+                befores.append(None if b is None else _json.dumps(b, ensure_ascii=False))
+                afters.append(None if a is None else _json.dumps(a, ensure_ascii=False))
+            schemas.extend([tm.schema_name] * n_rows)
+            tables.extend([tm.table_name] * n_rows)
+            ops.extend([op] * n_rows)
+            tm_ids.extend([table_id] * n_rows)
+            ev_seqs.extend([int(event_seq)] * n_rows)
+            row_seqs.extend(range(n_rows))
+            commit_seqs.extend([ctx.cur_commit] * n_rows)
+            tss.extend([h.timestamp] * n_rows)
+            self.n_rows += n_rows
 
         if not ops:
             return self._empty
@@ -837,13 +803,8 @@ class BinlogDecoder:
         row_seqs: list[int] = []
         commit_seqs: list[int] = []
 
-        checksum_size = self.checksum_size
         start_after = self.start_after_seq
-        cur_commit = -1  # commit stamping per self.commit_source (see __call__)
-        txn_start = 0
-        use_gtid = self.commit_source in ("hybrid", "gtid")
-        use_xid = self.commit_source in ("hybrid", "xid")
-        bound_this_block: set[int] = set()
+        ctx = _BlockCtx(self.checksum_size)  # marker semantics: _handle_marker
 
         for shard_id, event_seq, payload in zip(shard_ids, event_seqs, payloads):
             if start_after is not None and event_seq <= start_after:
@@ -852,71 +813,32 @@ class BinlogDecoder:
             self.n_events += 1
             self.n_bytes += len(payload)
 
-            if etype == EventType.FORMAT_DESCRIPTION:
-                payload = bytes(payload)
-                h = parse_header(payload, 0)
-                _, _, alg = parse_format_description(payload, h)
-                checksum_size = 4 if alg > 0 else 0
+            if etype not in _ROWS_TYPES:
+                self._handle_marker(etype, payload, ctx, commit_seqs)
                 continue
-            if etype == EventType.ROTATE:
-                self._on_rotate(bound_this_block)
-                # a new file starts: the open transaction (if any) ends
-                # here — its unstamped rows stay -1 rather than being
-                # claimed by the next file's first XID
-                cur_commit = -1
-                txn_start = len(commit_seqs)
+            off = 20
+            table_id = int.from_bytes(payload[off : off + 6], "little")
+            if self.filtered.get(table_id):
                 continue
-            if etype == EventType.MARIA_GTID:
-                if use_gtid:
-                    cur_commit = int.from_bytes(payload[20:28], "little")
-                txn_start = len(commit_seqs)
+            st = self._resolve(table_id)
+            tm = st.plan.table_map
+            if (tm.schema_name, tm.table_name) != self.target_table:
+                if self.filtered.get(table_id) is None:
+                    self.filtered[table_id] = True
                 continue
-            if etype == EventType.TABLE_MAP:
-                tid = int.from_bytes(payload[20:26], "little")
-                if tid in bound_this_block:
-                    continue
-                payload = bytes(payload)
-                h = parse_header(payload, checksum_size)
-                if self.verify and not verify_checksum(payload, checksum_size):
-                    self.n_checksum_failures += 1
-                    continue
-                tm = parse_table_map(payload, h)
-                self._bind_table_map(tm)
-                bound_this_block.add(tid)
+            if self._row_filtered(table_id, st):
+                continue  # F1 applies even without an in-band map
+            if self.verify and not verify_checksum(payload, ctx.checksum_size):
+                self.n_checksum_failures += 1
                 continue
-            if etype == EventType.XID:
-                if use_xid:
-                    txn_start = _stamp_xid(commit_seqs, txn_start, parse_xid(payload))
-                else:
-                    txn_start = len(commit_seqs)
-                cur_commit = -1
-                continue
-            if etype in _ROWS_TYPES:
-                off = 20
-                table_id = int.from_bytes(payload[off : off + 6], "little")
-                if self.filtered.get(table_id):
-                    continue
-                st = self._resolve(table_id)
-                tm = st.plan.table_map
-                if (tm.schema_name, tm.table_name) != self.target_table:
-                    if self.filtered.get(table_id) is None:
-                        self.filtered[table_id] = True
-                    continue
-                if self._row_filtered(table_id, st):
-                    continue  # F1 applies even without an in-band map
-                if self.verify and not verify_checksum(payload, checksum_size):
-                    self.n_checksum_failures += 1
-                    continue
-                h = parse_header(payload, checksum_size)
-                n_rows = self._decode_rows_flat(payload, h, etype, st, cols)
-                op = _OP_BY_TYPE[etype]
-                ops.extend([op] * n_rows)
-                ev_seqs.extend([int(event_seq)] * n_rows)
-                row_seqs.extend(range(n_rows))
-                commit_seqs.extend([cur_commit] * n_rows)
-                self.n_rows += n_rows
-                continue
-            continue
+            h = parse_header(payload, ctx.checksum_size)
+            n_rows = self._decode_rows_flat(payload, h, etype, st, cols)
+            op = _OP_BY_TYPE[etype]
+            ops.extend([op] * n_rows)
+            ev_seqs.extend([int(event_seq)] * n_rows)
+            row_seqs.extend(range(n_rows))
+            commit_seqs.extend([ctx.cur_commit] * n_rows)
+            self.n_rows += n_rows
 
         if not ops:
             return self._empty

@@ -380,13 +380,15 @@ class SimHasher:
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
         self.text_col, self.id_col = text_col, id_col
-        self._word_cache: dict[str, int] = {}
 
-    def simhash(self, text: str) -> int:
+    def simhash(self, text: str, word_cache: dict | None = None) -> int:
         words = set(text.split())
         if not words:
             return 0
-        cache = self._word_cache
+        # per-BATCH memo (passed in by __call__): instances live for the
+        # worker's lifetime, so an instance-level cache would grow with
+        # the corpus's total vocabulary and leak worker memory
+        cache = word_cache if word_cache is not None else {}
         hs = np.empty(len(words), dtype=np.uint64)
         for i, w in enumerate(words):
             v = cache.get(w)
@@ -409,8 +411,9 @@ class SimHasher:
         n = len(batch)
         sims = np.empty(n, dtype=np.uint64)
         texts = batch[self.text_col].fillna("")
+        word_cache: dict = {}  # per-batch word-hash memo
         for i, text in enumerate(texts):
-            sims[i] = self.simhash(text)
+            sims[i] = self.simhash(text, word_cache)
         ids = batch[self.id_col].to_numpy()
         out_id, out_key, out_sim = [], [], []
         for band in range(self.BANDS):
@@ -659,6 +662,14 @@ def ngram_jaccard_dedup(
         return out.reset_index()[["doc_a", "doc_b", "jaccard"]]
 
     pdf = keyed_reduce(pair_hits, ["doc_a", "doc_b"], finish).to_pandas()
+    if pdf.empty or "doc_a" not in pdf.columns:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
     pdf = pdf.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(pdf, preserve_index=False)
 

@@ -82,12 +82,23 @@ class IvfIndex:
         concurrency: int | tuple[int, int] = (1, 8),
     ) -> "IvfIndex":
         # centroid training on a bounded sample (driver-side numpy Lloyd).
-        # random_sample(frac) keeps the scan streaming and materializes
-        # only ~2x sample_size rows (frac sized from the dataset count,
-        # which is metadata-cheap on parquet); limit() caps it exactly.
-        n = ds.count()
-        frac = min(1.0, (2.0 * sample_size) / max(n, 1))
-        sample = ds.random_sample(frac, seed=seed).limit(sample_size).to_pandas()
+        # One streaming pass: each block contributes a deterministic
+        # random quota of rows and limit() stops the scan early — no
+        # ds.count() pre-pass (which would execute the whole upstream
+        # pipeline once just to size a fraction).
+        per_block = max(8, sample_size // 8)
+
+        def block_sample(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) <= per_block:
+                return b
+            rng_b = np.random.default_rng(seed ^ len(b))
+            return b.iloc[np.sort(rng_b.choice(len(b), per_block, replace=False))]
+
+        sample = (
+            ds.map_batches(block_sample, batch_format="pandas")
+            .limit(sample_size)
+            .to_pandas()
+        )
         x = _normalize(_stack(sample[vec_col]).astype(np.float64))
         rng = np.random.default_rng(seed)
         cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
