@@ -45,6 +45,12 @@ from .constants import (
 )
 from .model import ColumnDef, EventHeader, RowsEvent, TableMapDef
 
+NUMERIC_TYPES = INTEGER_TYPES | {
+    ColumnType.FLOAT,
+    ColumnType.DOUBLE,
+    ColumnType.NEWDECIMAL,
+}
+
 _DIG_PER_DEC = 9
 _DIG2BYTES = (0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
 
@@ -172,16 +178,35 @@ def _decode_timestamp2(data: bytes, off: int, fsp: int) -> tuple[str, int]:
 
 
 def _decode_time2(data: bytes, off: int, fsp: int) -> tuple[str, int]:
-    b0, b1, b2 = data[off : off + 3]
-    s = "%02d:%02d:%02d" % (
-        ((b1 & 0xF0) >> 4) + ((b0 & 0x01) << 4),
-        (b2 >> 6) + ((b1 & 0x0F) << 2),
-        b2 & 0x3F,
-    )
+    """MySQL TIME2: 3 bytes big-endian offset-binary — bit 23 set means
+    non-negative; hour is 10 bits (21..12), minute 6 (11..6), second 6
+    (5..0); negative values are stored as 0x800000 - magnitude with the
+    fractional bytes complemented.  DOCUMENTED DIVERGENCE from the
+    reference, which reads only 5 hour bits and no sign
+    (`DateTimeReadTrait.php:75-87`): real TIME values >= 32:00:00 and
+    all negative TIMEs silently corrupt there; here they decode
+    exactly (-838:59:59 .. 838:59:59)."""
+    v = int.from_bytes(data[off : off + 3], "big")
     off += 3
+    if v & 0x800000:  # non-negative
+        ipart = v & 0x7FFFFF
+        s = "%02d:%02d:%02d" % ((ipart >> 12) & 0x3FF, (ipart >> 6) & 0x3F, ipart & 0x3F)
+        if fsp:
+            frac, off = _frac_str(data, off, fsp)
+            return s + frac, off
+        return s, off
+    # negative: stored = 2^(23+8*nb) - magnitude (offset binary across
+    # the intpart + fractional bytes, mysqld my_time_packed_to_binary)
+    nb = (fsp + 1) >> 1 if fsp else 0
+    frac_raw = int.from_bytes(data[off : off + nb], "big") if nb else 0
+    off += nb
+    magnitude = (1 << (23 + 8 * nb)) - ((v << (8 * nb)) | frac_raw)
+    ipart = (magnitude >> (8 * nb)) & 0x7FFFFF
+    s = "-%02d:%02d:%02d" % ((ipart >> 12) & 0x3FF, (ipart >> 6) & 0x3F, ipart & 0x3F)
     if fsp:
-        frac, off = _frac_str(data, off, fsp)
-        return s + frac, off
+        frac_mag = magnitude & ((1 << (8 * nb)) - 1)
+        fs = str(frac_mag)
+        s += "." + (fs + "000")[:3]  # same render quirk as _frac_str
     return s, off
 
 
@@ -409,14 +434,42 @@ class DecodePlan:
     names: tuple[str, ...]
     readers: tuple[CellReader, ...]
     skippers: tuple[CellSkipper, ...]
+    full_bitmap: bytes = b""  # columns-present bitmap with every column sent
 
     @staticmethod
     def compile(tm: TableMapDef) -> "DecodePlan":
+        n = len(tm.columns)
+        full = bytearray((n + 7) >> 3)
+        for i in range(n):
+            full[i >> 3] |= 1 << (i & 7)
         return DecodePlan(
             table_map=tm,
             names=tuple(c.name for c in tm.columns),
             readers=tuple(make_cell_reader(c) for c in tm.columns),
             skippers=tuple(make_cell_skipper(c) for c in tm.columns),
+            full_bitmap=bytes(full),
+        )
+
+
+def check_full_row_image(payload, off: int, plan: DecodePlan) -> None:
+    """The row decoders assume binlog_row_image=FULL (every column in
+    every image).  A MINIMAL/NOBLOB image has a different cell layout
+    and would mis-decode silently — refuse loudly instead.  (The
+    reference never checks either: it requires FULL server-side via
+    config; our raw-file source can ingest anything.)"""
+    full = plan.full_bitmap
+    bml = len(full)
+    got = bytes(payload[off : off + bml])
+    # padding bits beyond the n-th column are writer-defined — compare
+    # only the meaningful bits (the encoder pads with 1s, mysqld varies)
+    if (
+        got[: bml - 1] != full[: bml - 1]
+        or (got[bml - 1] & full[bml - 1]) != full[bml - 1]
+    ):
+        raise ValueError(
+            f"non-FULL row image for table "
+            f"{plan.table_map.schema_name}.{plan.table_map.table_name}: "
+            "binlog_row_image=FULL is required"
         )
 
 
@@ -518,8 +571,18 @@ def parse_table_map(payload: bytes, header: EventHeader) -> TableMapDef:
         if tag == OptMeta.SIGNEDNESS:
             meta[tag] = sub
         elif tag in (OptMeta.DEFAULT_CHARSET, OptMeta.ENUM_AND_SET_DEFAULT_CHARSET):
-            v, _ = read_coded_binary(sub, 0)
-            meta[tag] = v
+            # default collation, then (character-column ordinal,
+            # collation) override pairs for columns whose charset
+            # differs.  The reference keeps only the default and drops
+            # the pairs (`ColumnMetadataFactory.php:107-112`) —
+            # DOCUMENTED DIVERGENCE: we honor the overrides.
+            v, p = read_coded_binary(sub, 0)
+            pairs: dict[int, int] = {}
+            while p < len(sub):
+                ci, p = read_coded_binary(sub, p)
+                coll, p = read_coded_binary(sub, p)
+                pairs[ci] = coll
+            meta[tag] = (v, pairs)
         elif tag in (OptMeta.COLUMN_CHARSET, OptMeta.ENUM_AND_SET_COLUMN_CHARSET):
             ids, p = [], 0
             while p < len(sub):
@@ -563,8 +626,16 @@ def parse_table_map(payload: bytes, header: EventHeader) -> TableMapDef:
 
     # phase 3: bind names / signedness / charsets / values
     # (`ColumnMetadataFactory.php:163-288`)
+    def _enumset_charset(ordinal: int) -> int | None:
+        if OptMeta.ENUM_AND_SET_DEFAULT_CHARSET in meta:
+            default, pairs = meta[OptMeta.ENUM_AND_SET_DEFAULT_CHARSET]
+            return pairs.get(ordinal, default)
+        if OptMeta.ENUM_AND_SET_COLUMN_CHARSET in meta:
+            return meta[OptMeta.ENUM_AND_SET_COLUMN_CHARSET][ordinal]
+        return None
+
     columns: list[ColumnDef] = []
-    int_i = char_i = enum_i = set_i = enumset_i = 0
+    num_i = char_i = enum_i = set_i = enumset_i = 0
     for i, rc in enumerate(raw_cols):
         ct = rc["type"]
         kw: dict[str, Any] = {
@@ -573,33 +644,33 @@ def parse_table_map(payload: bytes, header: EventHeader) -> TableMapDef:
             "nullable": bool(nullable_bm[i >> 3] & (1 << (i & 7))),
         }
         kw.update({k: v for k, v in rc.items() if k != "type"})
-        if ct in INTEGER_TYPES:
+        if ct in NUMERIC_TYPES:
+            # the SIGNEDNESS bitmap holds one bit per NUMERIC column
+            # (ints, FLOAT, DOUBLE, NEWDECIMAL — mysqld's
+            # init_signedness_field iterates is_numeric_type()); the
+            # reference indexes it by integer columns only
+            # (`ColumnMetadataFactory.php:176-185`) — DOCUMENTED
+            # DIVERGENCE: a table mixing floats and unsigned ints
+            # misaligns there.  The flag is only *applied* to ints.
             bm = meta[OptMeta.SIGNEDNESS]
-            kw["signed"] = not (bm[int_i >> 3] & (1 << (7 - (int_i & 7))))
-            int_i += 1
-        elif ct in CHARACTER_TYPES:
+            unsigned = bool(bm[num_i >> 3] & (1 << (7 - (num_i & 7))))
+            if ct in INTEGER_TYPES:
+                kw["signed"] = not unsigned
+            num_i += 1
+        if ct in CHARACTER_TYPES:
             if OptMeta.DEFAULT_CHARSET in meta:
-                kw["charset"] = meta[OptMeta.DEFAULT_CHARSET]
+                default, pairs = meta[OptMeta.DEFAULT_CHARSET]
+                kw["charset"] = pairs.get(char_i, default)
             else:
                 kw["charset"] = meta[OptMeta.COLUMN_CHARSET][char_i]
             char_i += 1
         elif ct is ColumnType.ENUM:
-            kw["charset"] = meta.get(
-                OptMeta.ENUM_AND_SET_DEFAULT_CHARSET,
-                (meta.get(OptMeta.ENUM_AND_SET_COLUMN_CHARSET) or [None])[enumset_i]
-                if OptMeta.ENUM_AND_SET_COLUMN_CHARSET in meta
-                else None,
-            )
+            kw["charset"] = _enumset_charset(enumset_i)
             kw["values"] = tuple(meta[OptMeta.ENUM_STR_VALUE][enum_i])
             enum_i += 1
             enumset_i += 1
         elif ct is ColumnType.SET:
-            kw["charset"] = meta.get(
-                OptMeta.ENUM_AND_SET_DEFAULT_CHARSET,
-                (meta.get(OptMeta.ENUM_AND_SET_COLUMN_CHARSET) or [None])[enumset_i]
-                if OptMeta.ENUM_AND_SET_COLUMN_CHARSET in meta
-                else None,
-            )
+            kw["charset"] = _enumset_charset(enumset_i)
             kw["values"] = tuple(meta[OptMeta.SET_STR_VALUE][set_i])
             set_i += 1
             enumset_i += 1
@@ -661,15 +732,19 @@ def parse_rows_event(
     if v2:
         extra = _u16.unpack_from(payload, off)[0]
         off += 2
-        off += extra // 8  # reference skips u16/8 bytes (`EventsIterator.php:408`)
+        # extra_row_info length INCLUDES its own two bytes (spec); the
+        # reference divides by 8 instead (`EventsIterator.php:408`) —
+        # DOCUMENTED DIVERGENCE, identical when extra == 2 (no info)
+        off += max(0, extra - 2)
     n, off = read_coded_binary(payload, off)
     assert n is not None
     bml = (n + 7) >> 3
-    off += bml  # columns-present bitmap (FULL image: all set)
-    if has_after:
-        off += bml  # after-image bitmap
-
     plan = plans[table_id]
+    check_full_row_image(payload, off, plan)
+    off += bml  # columns-present bitmap (verified: all set)
+    if has_after:
+        check_full_row_image(payload, off, plan)
+        off += bml  # after-image bitmap
     rows: list[dict[str, Any]] = []
     end = header.payload_size
     if has_after:

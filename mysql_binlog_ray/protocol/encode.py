@@ -205,7 +205,16 @@ def encode_value(col: ColumnDef, value: Any) -> bytes:
         frac = ""
         if "." in s:
             s, frac = s.split(".")
-        return _encode_time2(s) + (_encode_frac(frac, col.fsp) if col.fsp else b"")
+        neg = s.startswith("-")
+        if not neg:
+            return _encode_time2(s) + (_encode_frac(frac, col.fsp) if col.fsp else b"")
+        # negative TIME: stored = 2^(23+8*nb) - magnitude (offset binary
+        # across intpart + frac bytes, mysqld my_time_packed_to_binary)
+        h, mi, sec = (int(x) for x in s[1:].split(":"))
+        nb = (col.fsp + 1) >> 1 if col.fsp else 0
+        magnitude = (((h << 12) | (mi << 6) | sec) << (8 * nb)) | int(frac or "0")
+        stored = (1 << (23 + 8 * nb)) - magnitude
+        return stored.to_bytes(3 + nb, "big")
     if t is ColumnType.ENUM:
         idx = col.values.index(value) + 1 if value in col.values else 0
         return idx.to_bytes(col.size, "little")
@@ -282,13 +291,18 @@ def encode_table_map_body(tm: TableMapDef) -> bytes:
     out += bytes(nullable)
 
     # --- optional metadata TLVs ---
-    int_cols = [c for c in tm.columns if c.type in INTEGER_TYPES]
-    if int_cols:
-        # SIGNEDNESS: MSB-first within byte, indexed by integer-column
-        # ordinal; bit set == unsigned (`ColumnMetadataFactory.php:183`).
+    from .decode import NUMERIC_TYPES
+
+    num_cols = [c for c in tm.columns if c.type in NUMERIC_TYPES]
+    if num_cols:
+        # SIGNEDNESS: MSB-first within byte, one bit per NUMERIC column
+        # (ints + FLOAT/DOUBLE/NEWDECIMAL — mysqld's
+        # init_signedness_field); bit set == unsigned.  The reference
+        # indexes integer columns only (`ColumnMetadataFactory.php:183`)
+        # — we emit and parse the real layout.
         bm = bytearray((n + 7) >> 3)
-        for j, c in enumerate(int_cols):
-            if not c.signed:
+        for j, c in enumerate(num_cols):
+            if c.type in INTEGER_TYPES and not c.signed:
                 bm[j >> 3] |= 1 << (7 - (j & 7))
         out += _opt_meta_tlv(OptMeta.SIGNEDNESS, bytes(bm))
 

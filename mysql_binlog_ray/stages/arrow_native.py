@@ -76,19 +76,43 @@ def cast_column_native(arr: pa.Array, col: ColumnDef) -> pa.Array:
         return pc.cast(ts, pa.date32())
     if t in (ColumnType.DATETIME2, ColumnType.TIMESTAMP2):
         arr = _zero_to_null(arr, "0000-00-00")
-        # pandas parses both with and without fractional seconds
-        s = pd.to_datetime(arr.to_pandas(), format="mixed", errors="coerce")
-        return pa.Array.from_pandas(s).cast(pa.timestamp("ms"))
+        # Arrow strptime, NOT pandas to_datetime: pandas parses at ns
+        # resolution, which silently nulls valid MySQL datetimes outside
+        # 1677-2262 (DATETIME spans 1000-9999).  Parse the seconds part
+        # with Arrow (timestamp('ms') spans the full range) and add the
+        # millisecond fraction arithmetically.
+        base = pc.utf8_slice_codeunits(arr, 0, 19)
+        ts = pc.strptime(base, format="%Y-%m-%d %H:%M:%S", unit="ms", error_is_null=True)
+        frac = pc.utf8_slice_codeunits(arr, 20, 23)  # '' when no fraction
+        frac_ms = pc.cast(
+            pc.if_else(pc.equal(frac, pa.scalar("")), pa.scalar("0"), frac), pa.int64()
+        )
+        # frac digits render left-justified to 3 chars upstream => ms
+        return pc.cast(
+            pc.add(pc.cast(ts, pa.int64()), pc.coalesce(frac_ms, pa.scalar(0, pa.int64()))),
+            pa.timestamp("ms"),
+        )
     if t is ColumnType.TIME2:
         td = pd.to_timedelta(arr.to_pandas(), errors="coerce")
         micros = (td / pd.Timedelta(microseconds=1)).astype("float64")
         out = pa.array(micros, pa.float64())
-        return pc.cast(pc.round(out), pa.int64()).cast(pa.time64("us"))
+        us = pc.cast(pc.round(out), pa.int64())
+        # time64('us') is a time-of-day: values outside [0, 86400s) have
+        # no representation — null them explicitly instead of emitting
+        # invalid Arrow data (MySQL TIME spans -838:59:59..838:59:59)
+        in_range = pc.and_(
+            pc.greater_equal(us, pa.scalar(0, pa.int64())),
+            pc.less(us, pa.scalar(86_400_000_000, pa.int64())),
+        )
+        return pc.if_else(in_range, us, pa.scalar(None, pa.int64())).cast(pa.time64("us"))
     if t is ColumnType.BIT:
         vals = [int(v, 2) if v is not None else None for v in arr.to_pylist()]
         return pa.array(vals, pa.uint64())
     if t is ColumnType.SET:
-        return pc.split_pattern(arr, ",")
+        # the empty set ('') must become [], not [''] (split's behavior)
+        lists = pc.split_pattern(arr, ",")
+        empty = pa.scalar([], pa.list_(pa.string()))
+        return pc.if_else(pc.equal(arr, pa.scalar("")), empty, lists)  # null stays null
     if t is ColumnType.LONGLONG and not col.signed:
         # decode emits int for < 2^63, decimal string above (GMP fallback)
         vals = [int(v) if v is not None else None for v in arr.to_pylist()]

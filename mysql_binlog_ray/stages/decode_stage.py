@@ -37,6 +37,7 @@ import pyarrow as pa
 from ..protocol.constants import ColumnType, EventType
 from ..protocol.decode import (
     DecodePlan,
+    check_full_row_image,
     parse_format_description,
     parse_header,
     parse_table_map,
@@ -606,12 +607,16 @@ class BinlogDecoder:
         off = 20 + 6 + 2  # OK byte + header + table id + row-event flags
         if etype in _V2_TYPES:
             extra = int.from_bytes(payload[off : off + 2], "little")
-            off += 2 + extra // 8  # reference skips u16/8 (`EventsIterator.php:408`)
+            # extra length includes its own 2 bytes (spec; diverges from
+            # the reference's /8 bug — identical when extra == 2)
+            off += max(2, extra)
         n, off = read_coded_binary(payload, off)
         bml = (n + 7) >> 3
+        check_full_row_image(payload, off, st.plan)
         off += bml
         has_after = op == "update"
         if has_after:
+            check_full_row_image(payload, off, st.plan)
             off += bml
 
         plan = st.plan
@@ -756,12 +761,16 @@ class BinlogDecoder:
         off = 20 + 6 + 2
         if etype in _V2_TYPES:
             extra = int.from_bytes(payload[off : off + 2], "little")
-            off += 2 + extra // 8
+            # extra length includes its own 2 bytes (spec; diverges from
+            # the reference's /8 bug — identical when extra == 2)
+            off += max(2, extra)
         n, off = read_coded_binary(payload, off)
         bml = (n + 7) >> 3
+        check_full_row_image(payload, off, st.plan)
         off += bml
         has_after = op == "update"
         if has_after:
+            check_full_row_image(payload, off, st.plan)
             off += bml
 
         plan = st.plan
@@ -865,12 +874,16 @@ class BinlogDecoder:
         off = 20 + 6 + 2
         if etype in _V2_TYPES:
             extra = int.from_bytes(payload[off : off + 2], "little")
-            off += 2 + extra // 8
+            # extra length includes its own 2 bytes (spec; diverges from
+            # the reference's /8 bug — identical when extra == 2)
+            off += max(2, extra)
         n, off = read_coded_binary(payload, off)
         bml = (n + 7) >> 3
+        check_full_row_image(payload, off, st.plan)
         off += bml
         is_update = op == "update"
         if is_update:
+            check_full_row_image(payload, off, st.plan)
             off += bml
 
         plan = st.plan

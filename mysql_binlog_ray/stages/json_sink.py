@@ -61,4 +61,6 @@ class JsonProjector:
 
 def write_changefeed_json(changefeed: rd.Dataset, out_dir: str) -> None:
     """Debug/compat sink: the changefeed as JSON-lines files."""
-    changefeed.map_batches(JsonProjector, batch_format="pyarrow").write_json(out_dir)
+    # instance, not class: a bare callable class requires `concurrency`
+    # on Ray >= 2.44 and the projector is stateless anyway
+    changefeed.map_batches(JsonProjector(), batch_format="pyarrow").write_json(out_dir)

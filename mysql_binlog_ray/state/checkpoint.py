@@ -58,11 +58,22 @@ def commit_manifest(
     try:
         with os.fdopen(fd, "w") as f:
             json.dump(m, f)
+            f.flush()
+            os.fsync(f.fileno())  # data durable BEFORE the rename commits
         os.replace(tmp, manifest_path(lake_dir))
+        _fsync_dir(lake_dir)  # rename durable too (power-loss safety)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
     return m
+
+
+def _fsync_dir(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
 
 
 def atomic_write_parquet(table, path: str, **kwargs) -> int:
@@ -76,7 +87,13 @@ def atomic_write_parquet(table, path: str, **kwargs) -> int:
     try:
         pq.write_table(table, tmp, **kwargs)
         size = os.path.getsize(tmp)
+        fd2 = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(fd2)  # data durable before the rename commits
+        finally:
+            os.close(fd2)
         os.replace(tmp, path)
+        _fsync_dir(d)
         return size
     finally:
         if os.path.exists(tmp):

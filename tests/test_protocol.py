@@ -479,3 +479,129 @@ class TestGeometryColumn:
         cell = len(wkb).to_bytes(4, "little") + wkb
         data = b"\x00" * 3 + cell + b"\xff"
         assert plan.skippers[1](data, 3) == 3 + len(cell)
+
+
+class TestWireFormatFixes:
+    """Round-2 review pass 4: real-MySQL wire-format correctness the
+    reference gets wrong (each a documented divergence)."""
+
+    @pytest.mark.parametrize(
+        "fsp,value",
+        [
+            (0, "32:00:00"),      # > 5-bit hour (reference corrupts)
+            (0, "838:59:59"),     # max TIME
+            (0, "-01:00:00"),     # negative
+            (0, "-838:59:59"),
+            (3, "100:30:15.250"),
+            (3, "-02:00:00.500"),
+        ],
+    )
+    def test_time2_wide_and_negative(self, fsp, value):
+        cols = [ColumnDef("t", ColumnType.TIME2, fsp=fsp)]
+        one_row_roundtrip(cols, {"t": value})
+
+    def test_signedness_bitmap_spans_all_numeric_columns(self):
+        """One SIGNEDNESS bit per NUMERIC column (floats/decimals
+        included): an unsigned int AFTER a float must still decode
+        unsigned (the reference's int-only indexing shifts this bit)."""
+        cols = [
+            ColumnDef("price", ColumnType.FLOAT, size=4),
+            ColumnDef("qty", ColumnType.LONG, signed=False),
+            ColumnDef("w", ColumnType.NEWDECIMAL, precision=6, scale=2),
+            ColumnDef("delta", ColumnType.LONG, signed=True),
+        ]
+        row = {"price": 1.5, "qty": (1 << 32) - 1, "w": "12.34", "delta": -5}
+        one_row_roundtrip(cols, row)
+
+    def test_default_charset_override_pairs(self):
+        """DEFAULT_CHARSET TLV: (char-column ordinal, collation) override
+        pairs must be honored — a latin1 column among utf8mb4 ones."""
+        from mysql_binlog_ray.protocol import decode as D
+        from mysql_binlog_ray.protocol import encode as E
+        from mysql_binlog_ray.protocol.constants import EventType, OptMeta
+        from mysql_binlog_ray.protocol.encode import (
+            BinlogWriter,
+            _opt_meta_tlv,
+            write_coded_binary,
+        )
+
+        tm = TableMapDef(
+            table_id=77, schema_name="s", table_name="t",
+            columns=(
+                ColumnDef("a", ColumnType.VARCHAR, max_length=50, charset=COLLATION_UTF8MB4),
+                ColumnDef("b", ColumnType.VARCHAR, max_length=50, charset=COLLATION_LATIN1),
+            ),
+            primary_key=(0,), schema_ver=1,
+        )
+        # hand-build a TABLE_MAP whose charsets use DEFAULT_CHARSET+pair
+        # (the encoder normally emits COLUMN_CHARSET)
+        w = BinlogWriter(server_id=1)
+        body = bytearray(E.encode_table_map_body(tm))
+        # rebuild: swap the COLUMN_CHARSET TLV for DEFAULT_CHARSET+pair
+        raw = bytes(body)
+        cc_tlv = _opt_meta_tlv(
+            OptMeta.COLUMN_CHARSET,
+            write_coded_binary(COLLATION_UTF8MB4) + write_coded_binary(COLLATION_LATIN1),
+        )
+        assert cc_tlv in raw
+        dc_payload = (
+            write_coded_binary(COLLATION_UTF8MB4)
+            + write_coded_binary(1)  # char-column ordinal 1 ('b')
+            + write_coded_binary(COLLATION_LATIN1)
+        )
+        raw = raw.replace(cc_tlv, _opt_meta_tlv(OptMeta.DEFAULT_CHARSET, dc_payload))
+        pkt = w.packet(EventType.TABLE_MAP, raw)
+        tm2 = D.parse_table_map(pkt, D.parse_header(pkt, 4))
+        assert tm2.columns[0].charset == COLLATION_UTF8MB4
+        assert tm2.columns[1].charset == COLLATION_LATIN1
+
+    def test_extra_row_info_skipped_by_length(self):
+        """v2 extra data longer than 2 (e.g. partition info) must be
+        skipped by its full length (the reference's /8 mis-frames it)."""
+        from mysql_binlog_ray.protocol import decode as D
+        from mysql_binlog_ray.protocol import encode as E
+        from mysql_binlog_ray.protocol.constants import EventType
+        from mysql_binlog_ray.protocol.encode import BinlogWriter
+
+        tm = TableMapDef(
+            table_id=88, schema_name="s", table_name="t",
+            columns=(ColumnDef("k", ColumnType.LONG, signed=True),),
+            primary_key=(0,), schema_ver=1,
+        )
+        w = BinlogWriter(server_id=1)
+        tmev = w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm))
+        body = bytearray(E.encode_rows_body(tm, [{"k": 7}], "insert", v2=True))
+        # inject 3 bytes of extra row info: length field 2 -> 5
+        import struct as _struct
+        assert _struct.unpack_from("<H", body, 8)[0] == 2
+        _struct.pack_into("<H", body, 8, 5)
+        body[10:10] = b"\xaa\xbb\xcc"
+        wr = w.packet(EventType.WRITE_ROWS_V2, bytes(body))
+        tm2 = D.parse_table_map(tmev, D.parse_header(tmev, 4))
+        ev = D.parse_rows_event(wr, D.parse_header(wr, 4), {tm2.table_id: D.DecodePlan.compile(tm2)})
+        assert ev.rows == [{"k": 7}]
+
+    def test_minimal_row_image_rejected_loudly(self):
+        """A non-FULL columns-present bitmap must raise, never mis-decode."""
+        from mysql_binlog_ray.protocol import decode as D
+        from mysql_binlog_ray.protocol import encode as E
+        from mysql_binlog_ray.protocol.constants import EventType
+        from mysql_binlog_ray.protocol.encode import BinlogWriter
+
+        tm = TableMapDef(
+            table_id=89, schema_name="s", table_name="t",
+            columns=(
+                ColumnDef("k", ColumnType.LONG, signed=True),
+                ColumnDef("v", ColumnType.LONG, signed=True),
+            ),
+            primary_key=(0,), schema_ver=1,
+        )
+        w = BinlogWriter(server_id=1)
+        body = bytearray(E.encode_rows_body(tm, [{"k": 1, "v": 2}], "insert", v2=True))
+        # clear column 1's present bit (simulate binlog_row_image=MINIMAL)
+        bitmap_off = 6 + 2 + 2 + 1  # table id + flags + extra-len + colcount varint
+        body[bitmap_off] &= ~0x02
+        wr = w.packet(EventType.WRITE_ROWS_V2, bytes(body))
+        plan = D.DecodePlan.compile(tm)
+        with pytest.raises(ValueError, match="FULL"):
+            D.parse_rows_event(wr, D.parse_header(wr, 4), {tm.table_id: plan})
