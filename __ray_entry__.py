@@ -141,13 +141,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT lang, source FROM documents
         """,
         "dedup_exact_documents": """
-            SELECT md5(array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 8), ' ')) AS text_md5,
+            SELECT md5(array_to_string(list_slice(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+'), 1, 8), ' ')) AS text_md5,
                    min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY text_md5
         """,
         "doc_token_stats": """
             SELECT doc_id,
-                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+                   len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')) AS n_tokens
             FROM documents
         """,
         "knn_embeddings": """
@@ -167,7 +167,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_neardup_documents": """
             WITH words AS (
-              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') AS w
               FROM documents
             ), sh AS (
               SELECT DISTINCT doc_id,

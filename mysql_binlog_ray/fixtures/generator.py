@@ -532,9 +532,18 @@ def generate_stream(
         + ([issues_table_map().to_dict()] if spec.issues_every else []),
         "target_table_id": REPOS_TABLE_ID_V2 if spec.ddl_op is not None else REPOS_TABLE_ID_V1,
     }
+    # write the manifest with the FINAL paths BEFORE the rename: the
+    # single os.rename then atomically publishes a fully-consistent
+    # directory (no crash/reader window where manifest.json points at
+    # the build dir)
+    def _fix(p: str) -> str:
+        return os.path.join(out_dir, os.path.basename(p))
+
+    for e in manifest["shards"]:
+        e["path"] = _fix(e["path"])
+    manifest["oplog"] = _fix(manifest["oplog"])
     with open(os.path.join(build_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
-    # atomic publish; fix paths to the final location
     import shutil as _shutil
 
     if force:
@@ -545,19 +554,6 @@ def generate_stream(
         _shutil.rmtree(build_dir, ignore_errors=True)  # racer won; use theirs
         with open(manifest_path) as f:
             return json.load(f)
-
-    def _fix(p: str) -> str:
-        return os.path.join(out_dir, os.path.basename(p))
-
-    for e in manifest["shards"]:
-        e["path"] = _fix(e["path"])
-    manifest["oplog"] = _fix(manifest["oplog"])
-    # atomic republish: a concurrent reader (e.g. FollowDaemon) must
-    # never observe a half-written manifest
-    tmp = manifest_path + f".tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, manifest_path)
     return manifest
 
 

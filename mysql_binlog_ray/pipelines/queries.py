@@ -401,6 +401,17 @@ def cdc_manifest(sf_dir: str):
     return spec, generate_stream(spec, cdc_stream_dir(sf_dir))
 
 
+def cdc_multi_manifest(sf_dir: str):
+    """The two-table (repos + issues) stream — ONE definition so every
+    multi-table query decodes the same stream."""
+    from ..fixtures.generator import StreamSpec, generate_stream
+
+    sf = _sf_of(sf_dir)
+    base = _SF_SPECS.get(sf, _SF_SPECS["0.01"])
+    spec = StreamSpec(**base, issues_every=3)
+    return spec, generate_stream(spec, f"/tmp/mysql_binlog_ray/streams/sf{sf}_multi")
+
+
 def cdc_final_state(sf_dir: str):
     """Flagship: full binlog decode -> LWW merge; returns the final table
     with content reduced to its sha256 (stable, compact)."""
@@ -450,13 +461,9 @@ def cdc_all_tables_changefeed(sf_dir: str):
     """Multi-table single-pass decode (reference parity: one stream walk
     feeds every table): per-(schema, table, op) row counts + seq ranges
     over BOTH `code.repos` and `code.issues` from one decode."""
-    from ..fixtures.generator import StreamSpec, generate_stream
     from .cdc import CdcConfig, decode_all_tables, read_event_stream
 
-    sf = _sf_of(sf_dir)
-    base = _SF_SPECS.get(sf, _SF_SPECS["0.01"])
-    spec = StreamSpec(**base, issues_every=3)
-    manifest = generate_stream(spec, f"/tmp/mysql_binlog_ray/streams/sf{sf}_multi")
+    _, manifest = cdc_multi_manifest(sf_dir)
     cf = decode_all_tables(
         read_event_stream(manifest), manifest["table_maps"], CdcConfig()
     )
@@ -619,13 +626,9 @@ def cdc_issues_final_state(sf_dir: str):
     """Multi-table stream: second pipeline off the same binlog shards
     targeting the typed `code.issues` table (unsigned int PK, ENUM,
     DATETIME2, NEWDECIMAL columns), LWW keyed on issue_id."""
-    from ..fixtures.generator import StreamSpec, generate_stream
     from .cdc import CdcConfig, run_to_dataset
 
-    sf = _sf_of(sf_dir)
-    base = _SF_SPECS.get(sf, _SF_SPECS["0.01"])
-    spec = StreamSpec(**base, issues_every=3)
-    manifest = generate_stream(spec, f"/tmp/mysql_binlog_ray/streams/sf{sf}_multi")
+    _, manifest = cdc_multi_manifest(sf_dir)
     cfg = CdcConfig(
         num_partitions=8, key_cols=("issue_id",), target_table=("code", "issues")
     )

@@ -93,14 +93,14 @@ def decode_shards_sequential(
             )
             t = pq.read_table(path, columns=["shard_id", "event_seq", "payload"])
             if strict:
-                for p in t.column("payload").to_pylist():
+                # zero-copy memoryviews — the integrity walk peeks a few
+                # header bytes per event, never copies the payloads
+                for p in BinlogDecoder._payload_views(t):
                     dec.check_event(p)
                 if dec.n_position_errors:
                     raise ValueError(
                         f"{dec.n_position_errors} event-position discontinuities in {path}"
                     )
-                dec._seen_fd = False
-                dec._expected_offset = None
             tables.append(dec(t))
         return pa.concat_tables(tables)
 

@@ -48,7 +48,14 @@ def exact_dedup_stats(
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         t = batch[text_col].fillna("")
         if npt is not None:
-            t = t.str.split().str[:npt].str.join(" ")
+            # ASCII strip+split for DuckDB oracle parity (RE2 \s is
+            # ASCII-only; trim(text, ' \t\n\r\f\v') on the SQL side)
+            t = (
+                t.str.strip(" \t\n\r\f\v")
+                .str.split(r"(?a)\s+", regex=True)
+                .str[:npt]
+                .str.join(" ")
+            )
         h = _md5_series(t)
         g = pd.DataFrame({"text_md5": h, id_col: batch[id_col]}).groupby(
             "text_md5", sort=False
@@ -109,11 +116,20 @@ def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarra
 _POLY_B = np.uint64(1099511628211)
 
 
+_ASCII_WS_RE = __import__("re").compile(r"\s+", __import__("re").ASCII)
+
+
+def _ascii_words(text: str) -> list[str]:
+    """ASCII-whitespace tokenization (oracle parity: DuckDB RE2 \s)."""
+    stripped = text.strip(" \t\n\r\f\v")
+    return [w for w in _ASCII_WS_RE.split(stripped) if w]
+
+
 def _shingle_hashes(text: str, k: int, _word_cache: dict | None = None) -> np.ndarray:
     """64-bit hashes of word k-shingles, vectorized: each word hashed once
     (cached), shingle hash = degree-k polynomial over the word hashes —
     no per-shingle cryptographic hashing."""
-    words = text.split()
+    words = _ascii_words(text)
     if not words:
         return np.zeros(1, dtype=np.uint64)
     cache = _word_cache if _word_cache is not None else {}

@@ -45,15 +45,19 @@ def preagg_groupby(ds: rd.Dataset, keys: list[str], spec: AggSpec) -> rd.Dataset
             batch = batch.append_column(
                 "_one", pa.array(np.ones(batch.num_rows, dtype=np.int64))
             )
-        aggs = []
-        rename: dict[str, str] = {}
+        # dedupe (col, fn) pairs: two spec outputs sharing the same
+        # source aggregate must not collapse into one renamed column
+        srcs: dict[str, tuple[str, str]] = {}
         for out_col, (in_col, kind) in spec.items():
             col = "_one" if kind == "count" else in_col
             fn = "sum" if kind == "count" else kind
-            aggs.append((col, fn))
-            rename[f"{col}_{fn}"] = out_col
+            srcs[out_col] = (col, fn)
+        aggs = list(dict.fromkeys(srcs.values()))
         res = batch.group_by(keys, use_threads=False).aggregate(aggs)
-        return res.rename_columns([rename.get(c, c) for c in res.column_names])
+        cols = {k: res.column(k) for k in keys}
+        for out_col, (col, fn) in srcs.items():
+            cols[out_col] = res.column(f"{col}_{fn}")
+        return pa.table(cols)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     aggs = [
@@ -132,6 +136,11 @@ def top_k(ds: rd.Dataset, sort_cols: list[tuple[str, bool]], k: int) -> pa.Table
         return batch.sort_values(by, ascending=ascending).head(k)
 
     small = ds.map_batches(local, batch_format="pandas").take_all()
+    if not small:  # empty input: keep the schema, return zero rows
+        schema = getattr(ds.schema(), "base_schema", None)
+        if schema is not None:
+            return schema.empty_table()
+        return pa.table({c: [] for c in by})
     df = pd.DataFrame(small).sort_values(by, ascending=ascending).head(k)
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 

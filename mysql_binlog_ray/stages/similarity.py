@@ -49,10 +49,13 @@ def brute_force_topk(
         out_q, out_id, out_s = [], [], []
         kk = min(k, len(ids))
         for qi in range(q.shape[0]):
-            part = np.argpartition(-sims[:, qi], kk - 1)[:kk]
+            # deterministic local top-k: ties at the boundary resolve by
+            # lowest id (the global reduce tie-breaks the same way, so a
+            # tied-but-dropped smaller id must never be lost per-batch)
+            order = np.lexsort((ids, -sims[:, qi]))[:kk]
             out_q.extend([qi] * kk)
-            out_id.extend(ids[part])
-            out_s.extend(sims[part, qi])
+            out_id.extend(ids[order])
+            out_s.extend(sims[order, qi])
         return pd.DataFrame({"query_id": out_q, id_col: out_id, "sim": out_s})
 
     local = ds.map_batches(scorer, batch_format="pandas")

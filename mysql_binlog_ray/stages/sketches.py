@@ -29,12 +29,11 @@ class HyperLogLog:
         """Add pre-hashed uint64 values (vectorized)."""
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = h << np.uint64(self.p)
-        # rank = leading zeros of the remaining bits + 1 (cap 64-p+1)
-        nz = np.where(rest == 0, np.uint64(64 - self.p), np.uint64(0))
-        ranks = np.ones(len(h), dtype=np.uint8)
-        v = rest.copy()
-        shift = np.uint64(63)
-        # vectorized leading-zero count via float log2 (exact for uint64 top bits)
+        # vectorized leading-zero count via float log2.  float64 rounding
+        # can over-estimate log2 by one for values within half an ULP of
+        # a power of two (~2^-53 probability per value) — an off-by-one
+        # rank the HLL estimate absorbs; not bit-exact, good enough.
+        v = rest
         with np.errstate(divide="ignore"):
             lz = np.where(v == 0, 64 - self.p, 63 - np.floor(np.log2(v.astype(np.float64) + 0.5)).astype(np.int64))
         ranks = (np.minimum(lz, 64 - self.p) + 1).astype(np.uint8)
@@ -44,7 +43,8 @@ class HyperLogLog:
         """Add raw values: vectorized siphash (pandas C kernel with a
         fixed key — deterministic across processes), no per-value Python
         hashing loop."""
-        s = pd.Series(values, dtype="object").astype(str)
+        s = pd.Series(values, dtype="object")
+        s = s[s.notna()].astype(str)  # NULLs are not members (count-DISTINCT semantics)
         hs = pd.util.hash_pandas_object(
             s, index=False, hash_key="mysql_binlog_hll!"[:16]
         ).to_numpy()

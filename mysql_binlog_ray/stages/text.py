@@ -19,14 +19,21 @@ class TokenCounter:
     """Whitespace token count + a BPE-ish subword estimate (word chunks of
     <=4 chars + digits/punct singles), vectorized."""
 
+    # ASCII character classes THROUGHOUT this module where a DuckDB
+    # oracle exists: DuckDB's RE2 \w/\s are ASCII-only, while Python's
+    # are Unicode-aware — the oracle comparison must not depend on
+    # whether the corpus contains accented letters
+    ASCII_WS = " \t\n\r\f\v"
+
     def __init__(self, text_col: str = "text") -> None:
         self.text_col = text_col
-        self.ws = re.compile(r"\s+")
-        self.bpe = re.compile(r"[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]")
+        self.ws = re.compile(r"\s+", re.ASCII)
+        self.bpe = re.compile(r"[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]", re.ASCII)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         t = batch[self.text_col].fillna("")
-        stripped = t.str.strip()
+        # strip ASCII whitespace only (SQL: trim(text, ' \t\n\r\f\v'))
+        stripped = t.str.strip(self.ASCII_WS)
         batch = batch.copy()
         # tokens = whitespace runs + 1 (matches SQL string_split_regex len)
         batch["n_tokens"] = stripped.str.count(self.ws) + 1
@@ -76,12 +83,13 @@ class QualityScorer:
 
     def __init__(self, text_col: str = "text") -> None:
         self.text_col = text_col
-        self.word = re.compile(r"\w+")
-        self.punct = re.compile(r"[^\w\s]")
+        # ASCII classes: the DuckDB oracle's RE2 \w is ASCII-only
+        self.word = re.compile(r"\w+", re.ASCII)
+        self.punct = re.compile(r"[^\w\s]", re.ASCII)
         # one compiled alternation counts every stopword occurrence as a
         # standalone \w+ run (vectorized str.count — no per-row Python)
         self.stop_re = re.compile(
-            r"\b(?:" + "|".join(sorted(_STOPWORDS["en"])) + r")\b"
+            r"\b(?:" + "|".join(sorted(_STOPWORDS["en"])) + r")\b", re.ASCII
         )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:

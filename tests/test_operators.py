@@ -346,3 +346,85 @@ class TestExactNearDup:
         exp = set(zip(iu[0][mask], iu[1][mask]))
         assert set(zip(got["id_a"], got["id_b"])) == exp
         assert {(i, i + 40) for i in range(10)} <= exp  # planted pairs found
+
+
+class TestOracleParityEdgeCases:
+    """Pass-5 review: query/oracle drift on inputs the clean ASCII
+    testdata never exercises — verified directly against DuckDB."""
+
+    def _docs(self):
+        return pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "text": [
+                    "\thello world\n",
+                    "a b  c",
+                    "",
+                    "   ",
+                    "ends with n\n",
+                    "café né — naïve",  # non-ASCII letters
+                ],
+            }
+        )
+
+    def test_token_and_quality_oracle_parity_on_nasty_text(self):
+        import duckdb
+
+        import __ray_entry__ as e
+        from mysql_binlog_ray.stages.text import QualityScorer, TokenCounter
+
+        docs = self._docs()
+        con = duckdb.connect()
+        con.register("documents", docs)
+
+        orc = con.sql(e.oracle_sql()["doc_token_stats"]).df().sort_values("doc_id")
+        got = TokenCounter()(docs.copy())[["doc_id", "n_tokens"]].sort_values("doc_id")
+        assert orc["n_tokens"].tolist() == got["n_tokens"].tolist()
+
+        orc_q = con.sql(e.oracle_sql()["quality_documents"]).df().sort_values("doc_id").reset_index(drop=True)
+        got_q = QualityScorer()(docs.copy())[
+            ["doc_id", "q_n_chars", "q_punct_ratio", "q_stop_ratio", "q_score"]
+        ].sort_values("doc_id").reset_index(drop=True)
+        for c in ["q_n_chars", "q_punct_ratio", "q_stop_ratio", "q_score"]:
+            assert (got_q[c].to_numpy() == orc_q[c].to_numpy()).all(), c
+
+    def test_preagg_groupby_duplicate_source_aggregates(self):
+        ds = rd.from_pandas(pd.DataFrame({"k": ["a", "a", "b"], "x": [1, 5, 3]}))
+        from mysql_binlog_ray.stages.relational import preagg_groupby
+
+        out = (
+            preagg_groupby(ds, ["k"], {"lo": ("x", "min"), "lo2": ("x", "min"), "n": (None, "count")})
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert out["lo"].tolist() == [1, 3]
+        assert out["lo2"].tolist() == [1, 3]
+        assert out["n"].tolist() == [2, 1]
+
+    def test_top_k_empty_input(self):
+        from mysql_binlog_ray.stages.relational import top_k
+
+        ds = rd.from_pandas(pd.DataFrame({"a": [1, 2], "b": [3, 4]})).filter(
+            lambda r: r["a"] > 10
+        )
+        out = top_k(ds, [("a", True)], 5)
+        assert out.num_rows == 0
+
+    def test_brute_force_topk_tie_break_within_batch(self):
+        from mysql_binlog_ray.stages.similarity import brute_force_topk
+
+        # duplicate embeddings straddling the k boundary: the LOWER id
+        # must win, exactly like the SQL ORDER BY sim DESC, vec_id
+        vecs = [[1.0, 0.0], [0.5, 0.5], [0.5, 0.5], [0.0, 1.0]]
+        df = pd.DataFrame({"vec_id": [10, 3, 1, 7], "embedding": vecs})
+        out = brute_force_topk(rd.from_pandas(df), np.array([[1.0, 0.0]]), k=2)
+        assert out["vec_id"].tolist() == [10, 1]
+
+    def test_hll_ignores_nulls(self):
+        from mysql_binlog_ray.stages.sketches import HyperLogLog
+
+        h = HyperLogLog()
+        h.add_strings(["a", None, "b", None, "a"])
+        est = h.estimate()
+        assert 1.5 < est < 2.5  # two members, never three
