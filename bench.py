@@ -151,14 +151,17 @@ def run_scaling() -> dict:
     lo, hi = 2, 8
 
     def once(ncpu: int) -> dict:
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, "-c", _SCALING_RUNNER, str(ncpu)],
             capture_output=True,
             text=True,
-            check=True,
             env=dict(os.environ),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if proc.returncode != 0:
+            # surface the child's traceback before failing
+            sys.stderr.write(proc.stderr)
+            raise RuntimeError(f"scaling child (num_cpus={ncpu}) exited {proc.returncode}")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     r_lo = once(lo)
     r_hi = once(hi)

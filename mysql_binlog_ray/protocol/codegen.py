@@ -100,12 +100,14 @@ def compile_flat_decoder(
     op: str,
     key_src: frozenset[int],
 ) -> Callable:
-    """Build decode_rows(data, off, end, cols) -> (n_rows, off) for one
-    (table, op) pair, matching `_decode_rows_flat` semantics exactly:
+    """Build decode_rows(data, off, end, cols, bcols) -> (n_rows, off)
+    for one (table, op) pair, matching `_decode_rows_flat` semantics:
 
-    - insert: decode the full image
-    - update: byte-skip the before-image, decode the after-image
-    - delete: decode merge-key columns of the before-image, skip the rest
+    - insert: decode the full after image
+    - update: decode merge-KEY columns of the before image into
+      ``bcols`` (so key-changing updates can tombstone the old key),
+      byte-skip the rest, then decode the after image
+    - delete: decode merge-key columns of the before image, skip the rest
     """
     cols = plan.table_map.columns
     n = len(cols)
@@ -115,11 +117,17 @@ def compile_flat_decoder(
         return f"(nb{i >> 3} & {1 << (i & 7)})"
 
     lines = [
-        "def decode_rows(data, off, end, cols, readers, skippers):",
+        "def decode_rows(data, off, end, cols, bcols, readers, skippers):",
         " import struct",
         " _unpack_d = struct.Struct('<d').unpack_from",
         " " + ", ".join(f"out_{i}" for i in range(n)) + ("," if n == 1 else "") + " = cols",
     ]
+    if op == "update" and key_src:
+        lines.append(
+            " " + ", ".join(f"bout_{i}" for i in sorted(key_src))
+            + ("," if len(key_src) == 1 else "") + " = "
+            + ("(" + ", ".join(f"bcols[{i}]" for i in sorted(key_src)) + ("," if len(key_src) == 1 else "") + ")")
+        )
     lines.append(" n_rows = 0")
     lines.append(" while off < end:")
 
@@ -130,9 +138,24 @@ def compile_flat_decoder(
 
     indent = "  "
     if op == "update":
-        # skip before image
+        # before image: decode merge-key columns, skip everything else
         emit_bitmap(indent)
         for i, c in enumerate(cols):
+            if i in key_src:
+                read = _inline_read(c, i)
+                if read is None:
+                    lines.append(
+                        f"{indent}if {null_test(i)}: bout_{i}.append(None)\n"
+                        f"{indent}else:\n"
+                        f"{indent} _v, off = readers[{i}](data, off)\n"
+                        f"{indent} bout_{i}.append(_v)"
+                    )
+                else:
+                    lines.append(
+                        f"{indent}if {null_test(i)}: bout_{i}.append(None)\n"
+                        f"{indent}else: {read.replace(f'out_{i}.append', f'bout_{i}.append')}"
+                    )
+                continue
             skip = _inline_skip(c)
             if skip is None:
                 lines.append(f"{indent}if not {null_test(i)}: off = skippers[{i}](data, off)")

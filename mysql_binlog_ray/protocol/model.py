@@ -11,7 +11,7 @@ that is broadcast to decode workers.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields
 from typing import Any
 
 from .constants import COLLATION_UTF8MB4, ColumnType
@@ -74,7 +74,11 @@ class ColumnDef:
 
     @staticmethod
     def from_dict(d: dict[str, Any]) -> "ColumnDef":
-        d = dict(d)
+        # keep only known fields: a snapshot/manifest written by a newer
+        # build with extra per-column keys must still load (forward
+        # compatibility on rolling upgrade / cross-version resume)
+        known = {f.name for f in fields(ColumnDef)}
+        d = {k: v for k, v in d.items() if k in known}
         d["type"] = ColumnType(d["type"])
         d["values"] = tuple(d.get("values") or ())
         return ColumnDef(**d)

@@ -802,9 +802,10 @@ class BinlogDecoder:
 
     def _call_flat(self, shard_ids, event_seqs, payloads) -> pa.Table:
         """Flat decode path for the merge pipeline: one pass, no struct
-        images.  Update before-images are SKIPPED byte-wise (compiled
-        skippers), delete before-images decode only the merge-key columns
-        — the dominant memory-bandwidth saving at scale."""
+        images.  Update before-images decode ONLY the merge-key columns
+        (so key-changing updates tombstone the old key) and byte-skip the
+        rest; delete before-images decode only the merge-key columns —
+        the dominant memory-bandwidth saving at scale."""
         n_target = len(self.target_names)
         cols: list[list] = [[] for _ in range(n_target)]
         ops: list[str] = []
@@ -841,12 +842,16 @@ class BinlogDecoder:
                 self.n_checksum_failures += 1
                 continue
             h = parse_header(payload, ctx.checksum_size)
-            n_rows = self._decode_rows_flat(payload, h, etype, st, cols)
+            n_rows, n_tomb = self._decode_rows_flat(payload, h, etype, st, cols)
             op = _OP_BY_TYPE[etype]
             ops.extend([op] * n_rows)
-            ev_seqs.extend([int(event_seq)] * n_rows)
-            row_seqs.extend(range(n_rows))
-            commit_seqs.extend([ctx.cur_commit] * n_rows)
+            # tombstones for key-changing updates: same event, row_seq
+            # continues after the main rows (deterministic, no collision)
+            ops.extend(["delete"] * n_tomb)
+            total = n_rows + n_tomb
+            ev_seqs.extend([int(event_seq)] * total)
+            row_seqs.extend(range(total))
+            commit_seqs.extend([ctx.cur_commit] * total)
             self.n_rows += n_rows
 
         if not ops:
@@ -891,12 +896,31 @@ class BinlogDecoder:
         end = header.payload_size
 
         scratch: list[list] = [[] for _ in range(n_src)]
+        bscratch: list[list] = [[] for _ in range(n_src)]
         n_rows, off = st.codegen[op](
-            payload, off, end, scratch, plan.readers, plan.skippers
+            payload, off, end, scratch, bscratch, plan.readers, plan.skippers
         )
         remap = st.remap
 
         nones = [None] * n_rows
         for t_i, s_i in enumerate(remap):
             cols[t_i].extend(scratch[s_i] if s_i is not None else nones)
-        return n_rows
+        if not is_update or not st.key_src:
+            return n_rows, 0
+        # key-CHANGING updates: the OLD key needs a tombstone row or its
+        # stale image survives the merge (codegen decoded before-image
+        # key columns into bscratch)
+        key_src = sorted(st.key_src)
+        moved = [
+            r
+            for r in range(n_rows)
+            if any(bscratch[s][r] != scratch[s][r] for s in key_src)
+        ]
+        if not moved:
+            return n_rows, 0
+        for t_i, s_i in enumerate(remap):
+            if s_i is not None and s_i in st.key_src:
+                cols[t_i].extend(bscratch[s_i][r] for r in moved)
+            else:
+                cols[t_i].extend([None] * len(moved))
+        return n_rows, len(moved)

@@ -62,6 +62,7 @@ def flatten_changefeed(batch: pa.Table, key_cols: tuple[str, ...]) -> pa.Table:
         after = after.combine_chunks()
         before = before.combine_chunks()
     is_delete = pc.equal(batch.column("op"), pa.scalar("delete"))
+    is_update = pc.equal(batch.column("op"), pa.scalar("update"))
 
     out: dict[str, pa.Array] = {}
     struct_type = after.type
@@ -77,32 +78,67 @@ def flatten_changefeed(batch: pa.Table, key_cols: tuple[str, ...]) -> pa.Table:
     out["event_seq"] = batch.column("event_seq")
     out["row_seq"] = batch.column("row_seq")
     out["commit_seq"] = batch.column("commit_seq")
-    return pa.table(out)
+    main = pa.table(out)
+
+    # a key-CHANGING update (e.g. a file rename when the key is
+    # (repo, path)) must also tombstone the OLD key, or the stale row
+    # survives the merge forever
+    changed = None
+    for name in key_cols:
+        i = struct_type.get_field_index(name)
+        diff = pc.not_equal(before.field(i), after.field(i))
+        diff = pc.fill_null(diff, False)
+        changed = diff if changed is None else pc.or_(changed, diff)
+    if changed is not None:
+        key_moved = pc.and_(is_update, changed)
+        if pc.any(key_moved).as_py():
+            sub = batch.filter(key_moved)
+            b = sub.column("before")
+            if isinstance(b, pa.ChunkedArray):
+                b = b.combine_chunks()
+            tomb: dict[str, pa.Array] = {}
+            for i in range(struct_type.num_fields):
+                name = struct_type.field(i).name
+                if name in key_cols:
+                    tomb[name] = b.field(i)
+                else:
+                    tomb[name] = pa.nulls(sub.num_rows, struct_type.field(i).type)
+            tomb["op"] = pa.array(["delete"] * sub.num_rows, pa.string())
+            tomb["event_seq"] = sub.column("event_seq")
+            tomb["row_seq"] = sub.column("row_seq")
+            tomb["commit_seq"] = sub.column("commit_seq")
+            main = pa.concat_tables([main, pa.table(tomb)])
+    return main
 
 
 def _winner_indices(table: pa.Table, key_cols: tuple[str, ...]) -> np.ndarray:
     """Indices of the newest row per key (vectorized, no Python loop).
 
-    Keys are dictionary-encoded to integer codes, then a single lexsort on
-    (key_code, event_seq, row_seq) + boundary mask picks each key's last
-    row — the within-group-order trap called out in SURVEY §7.3 is handled
-    here by always sorting on the sequence tuple, never trusting block
-    arrival order.
+    Each key column is dictionary-encoded to integer codes and ALL code
+    columns join the single lexsort with (event_seq, row_seq) — exact
+    for any number of columns and any cardinality (no combined-code
+    multiply that could wrap uint64 and silently merge two keys); null
+    key values get code -1.  The within-group-order trap called out in
+    SURVEY §7.3 is handled by always sorting on the sequence tuple,
+    never trusting block arrival order.
     """
-    n = table.num_rows
-    codes = np.zeros(n, dtype=np.uint64)
-    mult = np.uint64(1)
+    code_cols: list[np.ndarray] = []
     for kc in key_cols:
         dict_arr = pc.dictionary_encode(table.column(kc).combine_chunks())
-        idx = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
-        card = np.uint64(len(dict_arr.dictionary))
-        codes = codes * card + idx
+        idx = dict_arr.indices
+        if idx.null_count:
+            idx = idx.fill_null(-1)
+        code_cols.append(idx.to_numpy(zero_copy_only=False).astype(np.int64))
     ev = table.column("event_seq").to_numpy(zero_copy_only=False)
     rs = table.column("row_seq").to_numpy(zero_copy_only=False)
-    order = np.lexsort((rs, ev, codes))
-    sorted_codes = codes[order]
-    is_last = np.r_[sorted_codes[1:] != sorted_codes[:-1], True]
-    return order[is_last]
+    # lexsort: last key varies slowest -> (code_1, ..., code_k, ev, rs)
+    order = np.lexsort((rs, ev, *reversed(code_cols)))
+    same_as_next = np.ones(len(order), dtype=bool)
+    for cc in code_cols:
+        sc = cc[order]
+        same = np.r_[sc[1:] == sc[:-1], False]
+        same_as_next &= same
+    return order[~same_as_next]
 
 
 def lww_partial(batch: pa.Table, key_cols: tuple[str, ...]) -> pa.Table:
@@ -197,10 +233,12 @@ def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if pa.types.is_floating(t):
         v = arr.to_numpy(zero_copy_only=False).astype(np.float64).view(np.uint64)
     else:
-        if arr.null_count:
-            filled = arr.cast(pa.int64(), safe=False).fill_null(0)
-        else:
-            filled = arr.cast(pa.int64(), safe=False)
+        try:
+            widened = arr.cast(pa.int64(), safe=False)
+        except pa.lib.ArrowNotImplementedError:
+            # date32 and friends only widen via their storage type
+            widened = arr.cast(pa.int32()).cast(pa.int64())
+        filled = widened.fill_null(0) if arr.null_count else widened
         v = filled.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
     h = _mix64(v.copy())
     if arr.null_count:

@@ -75,7 +75,8 @@ class ImageResizer:
         for p in batch.column(self.data_col).to_pylist():
             if not self.fake:
                 raise NotImplementedError("image resize codec not available")
-            out.append(hashlib.blake2b((p or b"") + bytes([tw, th]), digest_size=32).digest())
+            dims = tw.to_bytes(2, "little") + th.to_bytes(2, "little")
+            out.append(hashlib.blake2b((p or b"") + dims, digest_size=32).digest())
         return (
             batch.append_column("thumb", pa.array(out, pa.binary()))
             .append_column("thumb_w", pa.array([tw] * batch.num_rows, pa.int32()))

@@ -52,11 +52,12 @@ class SchemaRegistry:
 
 
 def get_or_create_registry(name: str = REGISTRY_ACTOR_NAME):
-    """Named detached-within-job actor; safe to call from driver code."""
-    try:
-        return ray.get_actor(name)
-    except ValueError:
-        return SchemaRegistry.options(name=name, lifetime=None).remote()
+    """Named detached-within-job actor; safe to call from driver code.
+    ``get_if_exists`` makes concurrent creation race-free (two callers
+    both missing ``get_actor`` would otherwise collide on the name)."""
+    return SchemaRegistry.options(
+        name=name, get_if_exists=True, lifetime=None
+    ).remote()
 
 
 def snapshot_to_defs(snapshot: list[dict[str, Any]]) -> list[TableMapDef]:

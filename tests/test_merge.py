@@ -179,3 +179,104 @@ def test_flatten_changefeed_empty_batch_column_order():
     )
     out_full = flatten_changefeed(nonempty, KEYS)
     assert out_empty.column_names == out_full.column_names
+
+
+def test_key_changing_update_tombstones_old_key_changefeed():
+    """A PK-changing UPDATE (rename) must remove the OLD key: the
+    changefeed flatten emits a tombstone for the before-image key."""
+    from mysql_binlog_ray.stages.merge import flatten_changefeed
+
+    st = pa.struct([("repo", pa.string()), ("path", pa.string()), ("v", pa.string())])
+    schema = pa.schema(
+        [
+            ("op", pa.string()),
+            ("event_seq", pa.int64()),
+            ("row_seq", pa.int32()),
+            ("commit_seq", pa.int64()),
+            ("before", st),
+            ("after", st),
+        ]
+    )
+    batch = pa.table(
+        {
+            "op": ["insert", "update"],
+            "event_seq": pa.array([1, 2], pa.int64()),
+            "row_seq": pa.array([0, 0], pa.int32()),
+            "commit_seq": pa.array([1, 2], pa.int64()),
+            "before": pa.array([None, {"repo": "r", "path": "a", "v": "v1"}], st),
+            "after": pa.array(
+                [{"repo": "r", "path": "a", "v": "v1"}, {"repo": "r", "path": "b", "v": "v2"}], st
+            ),
+        },
+        schema=schema,
+    )
+    flat = flatten_changefeed(batch, KEYS)
+    final = lww_final(flat, KEYS).to_pylist()
+    keys = {(r["repo"], r["path"]) for r in final}
+    assert keys == {("r", "b")}, keys  # old key (r, a) is gone
+
+
+def test_key_changing_update_end_to_end_both_paths():
+    """Full pipeline: a stream whose update renames the key converges to
+    ONLY the new key, in the flat decode path (run_to_dataset) AND the
+    sequential path."""
+    import pytest
+
+    pytest.importorskip("ray")
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False, ignore_reinit_error=True)
+    import pyarrow.parquet as pq
+    import tempfile
+
+    from mysql_binlog_ray.fixtures.generator import repos_table_map
+    from mysql_binlog_ray.pipelines.cdc import CdcConfig, run_to_dataset
+    from mysql_binlog_ray.protocol import encode as E
+    from mysql_binlog_ray.protocol.constants import EventType
+    from mysql_binlog_ray.protocol.encode import BinlogWriter
+
+    tm = repos_table_map(False)
+    w = BinlogWriter(server_id=1)
+
+    def row(path, v):
+        return {"repo": "org/r", "path": path, "commit": "c" * 40, "lang": "py", "content": v}
+
+    evs = [
+        w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body(), 1),
+        w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm), 1),
+        w.packet(EventType.WRITE_ROWS_V2, E.encode_rows_body(tm, [row("old.py", "v1")], "insert"), 1),
+        w.packet(EventType.XID, E.encode_xid_body(1)),
+        w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm), 2),
+        w.packet(
+            EventType.UPDATE_ROWS_V2,
+            E.encode_rows_body(
+                tm,
+                [{"before": row("old.py", "v1"), "after": row("new.py", "v2")}],
+                "update",
+            ),
+            2,
+        ),
+        w.packet(EventType.XID, E.encode_xid_body(2)),
+    ]
+    d = tempfile.mkdtemp()
+    path = f"{d}/events-00000.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "shard_id": pa.array([0] * len(evs), pa.int32()),
+                "event_seq": pa.array(list(range(1, len(evs) + 1)), pa.int64()),
+                "payload": pa.array(evs, pa.binary()),
+            }
+        ),
+        path,
+    )
+    manifest = {
+        "shards": [
+            {"shard_id": 0, "path": path, "events": len(evs), "first_event_seq": 1, "last_event_seq": len(evs)}
+        ],
+        "table_maps": [tm.to_dict()],
+    }
+    out = run_to_dataset(manifest, CdcConfig(num_partitions=4)).to_pandas()
+    assert out["path"].tolist() == ["new.py"], out[["repo", "path"]].to_dict()
+    assert out["content"].tolist() == ["v2"]

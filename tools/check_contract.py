@@ -64,6 +64,12 @@ def main() -> None:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    unknown = only - set(qs)
+    if unknown:
+        raise SystemExit(
+            f"unknown query name(s): {sorted(unknown)} — nothing was checked"
+        )
+
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -91,10 +97,20 @@ def main() -> None:
         # float-tolerant compare
         ok = True
         for c in got.columns:
-            if str(got[c].dtype).startswith("float"):
+            # numeric compare must tolerate int-vs-float dtype skew on
+            # EITHER side (e.g. DuckDB SUM returning float where the
+            # engine returns int64) — branch on both dtypes
+            g_float = str(got[c].dtype).startswith("float")
+            e_float = str(exp[c].dtype).startswith("float")
+            if g_float or e_float:
                 import numpy as np
 
-                if not np.allclose(got[c].fillna(-1e18), exp[c].fillna(-1e18), rtol=1e-9, atol=1e-9):
+                if not np.allclose(
+                    got[c].astype("float64").fillna(-1e18),
+                    exp[c].astype("float64").fillna(-1e18),
+                    rtol=1e-9,
+                    atol=1e-9,
+                ):
                     ok = False
             else:
                 if not got[c].equals(exp[c]):
