@@ -643,5 +643,7 @@ def embedding_neardup_embeddings(sf_dir: str):
     # the "near-dup" threshold here is calibrated to that distribution;
     # real corpora would use ~0.9+
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    out = embedding_neardup_pairs(ds, threshold=0.42, nlist=8)
+    # nlist=None auto-scales cluster count with corpus size (min 8 — at
+    # testdata scale this resolves to 8, matching the prior fixed value)
+    out = embedding_neardup_pairs(ds, threshold=0.42, nlist=None)
     return pa.Table.from_pandas(out, preserve_index=False)

@@ -842,15 +842,21 @@ class BinlogDecoder:
                 self.n_checksum_failures += 1
                 continue
             h = parse_header(payload, ctx.checksum_size)
-            n_rows, n_tomb = self._decode_rows_flat(payload, h, etype, st, cols)
+            n_rows, tomb_rows = self._decode_rows_flat(payload, h, etype, st, cols)
             op = _OP_BY_TYPE[etype]
             ops.extend([op] * n_rows)
-            # tombstones for key-changing updates: same event, row_seq
-            # continues after the main rows (deterministic, no collision)
-            ops.extend(["delete"] * n_tomb)
-            total = n_rows + n_tomb
+            # tombstones for key-changing updates reuse their SOURCE row's
+            # row_seq (as flatten_changefeed does): a later row in the same
+            # UPDATE event may re-fill the vacated key, and its after-image
+            # must outrank the tombstone in the merge's (event_seq, row_seq)
+            # lexsort.  No tie is possible: a tombstone's key always differs
+            # from its own row's after-image key, and row_seq is unique per
+            # row within the event.
+            ops.extend(["delete"] * len(tomb_rows))
+            total = n_rows + len(tomb_rows)
             ev_seqs.extend([int(event_seq)] * total)
-            row_seqs.extend(range(total))
+            row_seqs.extend(range(n_rows))
+            row_seqs.extend(tomb_rows)
             commit_seqs.extend([ctx.cur_commit] * total)
             self.n_rows += n_rows
 
@@ -874,7 +880,7 @@ class BinlogDecoder:
         etype: int,
         st: _TableState,
         cols: list[list],
-    ) -> int:
+    ) -> tuple[int, list[int]]:
         op = _OP_BY_TYPE[etype]
         off = 20 + 6 + 2
         if etype in _V2_TYPES:
@@ -906,10 +912,11 @@ class BinlogDecoder:
         for t_i, s_i in enumerate(remap):
             cols[t_i].extend(scratch[s_i] if s_i is not None else nones)
         if not is_update or not st.key_src:
-            return n_rows, 0
+            return n_rows, []
         # key-CHANGING updates: the OLD key needs a tombstone row or its
         # stale image survives the merge (codegen decoded before-image
-        # key columns into bscratch)
+        # key columns into bscratch).  Returns the SOURCE row index of each
+        # tombstone so the caller can reuse that row's row_seq.
         key_src = sorted(st.key_src)
         moved = [
             r
@@ -917,10 +924,10 @@ class BinlogDecoder:
             if any(bscratch[s][r] != scratch[s][r] for s in key_src)
         ]
         if not moved:
-            return n_rows, 0
+            return n_rows, []
         for t_i, s_i in enumerate(remap):
             if s_i is not None and s_i in st.key_src:
                 cols[t_i].extend(bscratch[s_i][r] for r in moved)
             else:
                 cols[t_i].extend([None] * len(moved))
-        return n_rows, len(moved)
+        return n_rows, moved

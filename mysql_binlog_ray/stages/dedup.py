@@ -605,13 +605,22 @@ def ngram_jaccard_dedup(
         for doc_id, text in zip(batch[id_col], batch[text_col].fillna("")):
             sh = np.unique(_shingle_hashes(text, shingle_k, word_cache))
             ids_out.append(np.full(len(sh), doc_id, dtype=np.int64))
-            # 53-bit hashes survive every float64 round-trip in the plan
-            sh_out.append((sh >> np.uint64(11)).astype(np.int64))
+            # FULL 64-bit shingle hash rides as the row value (int64
+            # reinterpret — bijective), preserving the exactness claim;
+            # truncation-collided shingles could otherwise inflate pair
+            # intersections or emit self-pairs in the df==2 fast path
+            sh_out.append(sh.view(np.int64))
             nd_out.append(np.full(len(sh), len(sh), dtype=np.int64))
+        full = np.concatenate(sh_out)
         return pd.DataFrame(
             {
                 id_col: np.concatenate(ids_out),
-                "sh": np.concatenate(sh_out),
+                "sh": full,
+                # 53-bit derivation used ONLY as the exchange key (safe
+                # through any float64 round-trip a shuffle might take);
+                # same full hash => same partition key, so co-location of
+                # full-hash groups is preserved
+                "shp": (full.view(np.uint64) >> np.uint64(11)).astype(np.int64),
                 "nd": np.concatenate(nd_out),
             }
         )
@@ -627,7 +636,10 @@ def ngram_jaccard_dedup(
                 "nb": pd.Series(dtype="int64"),
             }
         )
-        # drop singleton shingles vectorized before any per-group work
+        # group on the FULL 64-bit hash (the exchange key `shp` only
+        # co-located the rows); drop singleton shingles vectorized
+        # before any per-group work
+        g = g.drop(columns=["shp"])
         g2 = g[g.duplicated("sh", keep=False)]
         if g2.empty:
             return empty
@@ -667,7 +679,7 @@ def ngram_jaccard_dedup(
                 )
         return pd.concat(out, ignore_index=True) if out else empty
 
-    pair_hits = keyed_reduce(shingles, ["sh"], cooccur)
+    pair_hits = keyed_reduce(shingles, ["shp"], cooccur)
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(["doc_a", "doc_b"], sort=False).agg(

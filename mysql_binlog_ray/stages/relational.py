@@ -67,11 +67,24 @@ def preagg_groupby(ds: rd.Dataset, keys: list[str], spec: AggSpec) -> rd.Dataset
     return partials.groupby(keys).aggregate(*aggs)
 
 
+def adaptive_num_parts(
+    size_bytes: int,
+    target_part_bytes: int = 256 << 20,
+    min_parts: int = 64,
+    max_parts: int = 1 << 18,
+) -> int:
+    """Partition fanout sized to the INPUT (~256 MB per partition), not a
+    constant: each reduce task materializes one whole partition, so a
+    fixed fanout means O(corpus / constant) rows per task at 100 TB."""
+    return max(min_parts, min(max_parts, -(-int(size_bytes) // target_part_bytes)))
+
+
 def keyed_reduce(
     ds: rd.Dataset,
     keys: list[str],
     combine: Callable[[pd.DataFrame], pd.DataFrame],
-    num_parts: int = 64,
+    num_parts: int | None = None,
+    target_part_bytes: int = 256 << 20,
 ) -> rd.Dataset:
     """Hash-partitioned reduce for HIGH-cardinality keys.
 
@@ -83,16 +96,42 @@ def keyed_reduce(
     partition.  ``combine`` sees every row of each key it receives and
     must output the per-key reduction; key cardinality no longer appears
     in any per-group Python loop.
+
+    ``num_parts=None`` (the default) derives the fanout from the input:
+    the tagged input is materialized once (it is about to be shuffled
+    anyway — this avoids executing the upstream plan twice), its byte
+    size picks ``ceil(bytes / target_part_bytes)`` partitions, so no
+    reduce task ever materializes more than ~``target_part_bytes`` of
+    rows regardless of corpus size.  Pass an explicit ``num_parts`` to
+    skip the sizing materialization when the scale is known.
     """
     from .merge import key_hash64
 
     kt = tuple(keys)
 
-    def tag(b: pa.Table) -> pa.Table:
-        h = (key_hash64(b, kt) % np.uint64(num_parts)).astype(np.int64)
-        return b.append_column("_rp", pa.array(h))
+    if num_parts is None:
+        def tag_full(b: pa.Table) -> pa.Table:
+            # full 64-bit key hash now; the mod is applied after sizing
+            h = key_hash64(b, kt).view(np.int64)
+            return b.append_column("_rph", pa.array(h))
 
-    tagged = ds.map_batches(tag, batch_format="pyarrow")
+        tagged_full = ds.map_batches(tag_full, batch_format="pyarrow").materialize()
+        parts = adaptive_num_parts(
+            tagged_full.size_bytes() or 0, target_part_bytes
+        )
+
+        def mod(b: pa.Table) -> pa.Table:
+            h = b.column("_rph").to_numpy().view(np.uint64)
+            rp = (h % np.uint64(parts)).astype(np.int64)
+            return b.drop_columns(["_rph"]).append_column("_rp", pa.array(rp))
+
+        tagged = tagged_full.map_batches(mod, batch_format="pyarrow")
+    else:
+        def tag(b: pa.Table) -> pa.Table:
+            h = (key_hash64(b, kt) % np.uint64(num_parts)).astype(np.int64)
+            return b.append_column("_rp", pa.array(h))
+
+        tagged = ds.map_batches(tag, batch_format="pyarrow")
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         return combine(g.drop(columns=["_rp"]))
@@ -198,8 +237,9 @@ def asof_join(
     by: str,
     on: str,
     right_cols: list[str],
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
     suffix: str = "_r",
+    target_part_bytes: int = 256 << 20,
 ) -> rd.Dataset:
     """As-of (backward) join: for each left row, the newest right row of
     the same ``by`` key with ``right.on <= left.on``.
@@ -208,6 +248,9 @@ def asof_join(
     one shuffle co-locates each bucket; inside a bucket a single
     ``pd.merge_asof(by=...)`` handles all its keys vectorized.  The
     operator the reference ecosystem lacks entirely (SURVEY §2.7).
+    ``num_buckets=None`` derives the fanout from the combined input size
+    (~256 MB per bucket) the same way ``keyed_reduce`` does, so no join
+    task materializes O(corpus / constant) rows.
 
     Ties on equal ``on`` values resolve to the right row latest in sort
     order (callers wanting determinism should pre-dedupe the right side).
@@ -218,7 +261,8 @@ def asof_join(
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
             batch = batch.copy()
             h = pd.util.hash_pandas_object(batch[by].astype(str), index=False, hash_key="mysql_binlog_ray")
-            batch["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+            # full 64-bit hash; the bucket mod is applied after sizing
+            batch["_bh"] = h.to_numpy().view(np.int64)
             batch["_side"] = side
             return batch
 
@@ -227,8 +271,8 @@ def asof_join(
     l = left_ds.map_batches(tag("l"), batch_format="pandas")
     r = right_ds.map_batches(tag("r"), batch_format="pandas")
     # align schemas for union: null-fill the other side's columns
-    l_cols = [c for c in l.schema().names if c not in ("_bucket", "_side")]
-    r_cols = [c for c in r.schema().names if c not in ("_bucket", "_side")]
+    l_cols = [c for c in l.schema().names if c not in ("_bh", "_side")]
+    r_cols = [c for c in r.schema().names if c not in ("_bh", "_side")]
 
     def align(cols_missing):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
@@ -242,6 +286,21 @@ def asof_join(
     l = l.map_batches(align([c for c in r_cols if c not in l_cols]), batch_format="pandas")
     r = r.map_batches(align([c for c in l_cols if c not in r_cols]), batch_format="pandas")
     both = l.union(r)
+
+    if num_buckets is None:
+        both = both.materialize()  # about to be shuffled anyway
+        buckets = adaptive_num_parts(both.size_bytes() or 0, target_part_bytes, min_parts=16)
+    else:
+        buckets = num_buckets
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_bucket"] = (
+            batch["_bh"].to_numpy().view(np.uint64) % np.uint64(buckets)
+        ).astype(np.int32)
+        return batch.drop(columns=["_bh"])
+
+    both = both.map_batches(add_bucket, batch_format="pandas")
 
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
         lg = group[group["_side"] == "l"][l_cols].sort_values([on])

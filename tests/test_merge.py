@@ -280,3 +280,81 @@ def test_key_changing_update_end_to_end_both_paths():
     out = run_to_dataset(manifest, CdcConfig(num_partitions=4)).to_pandas()
     assert out["path"].tolist() == ["new.py"], out[["repo", "path"]].to_dict()
     assert out["content"].tolist() == ["v2"]
+
+
+def test_key_vacated_then_refilled_within_one_update_event():
+    """One multi-row UPDATE event that shifts keys down (2->1, 3->2):
+    row 0 vacates key 2, row 1 re-fills it.  The tombstone for key 2 must
+    reuse its SOURCE row's row_seq (0) so row 1's after-image (row_seq 1)
+    outranks it — the flat path used to append tombstone row_seqs after
+    all main rows, silently deleting the re-filled key."""
+    import pytest
+
+    pytest.importorskip("ray")
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False, ignore_reinit_error=True)
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from mysql_binlog_ray.fixtures.generator import repos_table_map
+    from mysql_binlog_ray.pipelines.cdc import CdcConfig, run_to_dataset
+    from mysql_binlog_ray.protocol import encode as E
+    from mysql_binlog_ray.protocol.constants import EventType
+    from mysql_binlog_ray.protocol.encode import BinlogWriter
+
+    tm = repos_table_map(False)
+    w = BinlogWriter(server_id=1)
+
+    def row(path, v):
+        return {"repo": "org/r", "path": path, "commit": "c" * 40, "lang": "py", "content": v}
+
+    evs = [
+        w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body(), 1),
+        w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm), 1),
+        w.packet(
+            EventType.WRITE_ROWS_V2,
+            E.encode_rows_body(tm, [row("2.py", "a"), row("3.py", "b")], "insert"),
+            1,
+        ),
+        w.packet(EventType.XID, E.encode_xid_body(1)),
+        w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm), 2),
+        # ONE event, two rows, binlogged in ascending key order like
+        # `UPDATE t SET pk = pk - 1`:
+        w.packet(
+            EventType.UPDATE_ROWS_V2,
+            E.encode_rows_body(
+                tm,
+                [
+                    {"before": row("2.py", "a"), "after": row("1.py", "a2")},
+                    {"before": row("3.py", "b"), "after": row("2.py", "b2")},
+                ],
+                "update",
+            ),
+            2,
+        ),
+        w.packet(EventType.XID, E.encode_xid_body(2)),
+    ]
+    d = tempfile.mkdtemp()
+    path = f"{d}/events-00000.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "shard_id": pa.array([0] * len(evs), pa.int32()),
+                "event_seq": pa.array(list(range(1, len(evs) + 1)), pa.int64()),
+                "payload": pa.array(evs, pa.binary()),
+            }
+        ),
+        path,
+    )
+    manifest = {
+        "shards": [
+            {"shard_id": 0, "path": path, "events": len(evs), "first_event_seq": 1, "last_event_seq": len(evs)}
+        ],
+        "table_maps": [tm.to_dict()],
+    }
+    out = run_to_dataset(manifest, CdcConfig(num_partitions=4)).to_pandas()
+    got = dict(zip(out["path"], out["content"]))
+    assert got == {"1.py": "a2", "2.py": "b2"}, got

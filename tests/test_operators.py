@@ -428,3 +428,120 @@ class TestOracleParityEdgeCases:
         h.add_strings(["a", None, "b", None, "a"])
         est = h.estimate()
         assert 1.5 < est < 2.5  # two members, never three
+
+
+class TestRound3Scale:
+    """Round-3 asks: adaptive reduce fanout, tiled IVF-clustered near-dup
+    (skew + cap sentinel), IVF search tie-break."""
+
+    def test_keyed_reduce_adaptive_fanout_matches_single_partition(self):
+        from mysql_binlog_ray.stages.relational import keyed_reduce
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 200, 5000),
+                "v": rng.normal(size=5000),
+            }
+        )
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("k", sort=False)["v"].agg(["sum", "size"])
+            return agg.reset_index().rename(columns={"sum": "s", "size": "n"})
+
+        one = (
+            keyed_reduce(rd.from_pandas(df), ["k"], combine, num_parts=1)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        # tiny per-partition target -> adaptive path forces MANY partitions
+        many = (
+            keyed_reduce(rd.from_pandas(df), ["k"], combine, target_part_bytes=4096)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert one["k"].tolist() == many["k"].tolist()
+        assert np.allclose(one["s"].to_numpy(), many["s"].to_numpy())
+        assert one["n"].tolist() == many["n"].tolist()
+
+    def test_asof_join_adaptive_matches_fixed(self):
+        from mysql_binlog_ray.stages.relational import asof_join
+
+        rng = np.random.default_rng(7)
+        left = pd.DataFrame(
+            {"k": rng.integers(0, 20, 400).astype(str), "t": rng.integers(0, 1000, 400)}
+        )
+        right = pd.DataFrame(
+            {"k": rng.integers(0, 20, 200).astype(str), "t": rng.integers(0, 1000, 200),
+             "rv": rng.normal(size=200)}
+        ).drop_duplicates(["k", "t"])
+
+        def run(**kw):
+            return (
+                asof_join(rd.from_pandas(left), rd.from_pandas(right), by="k", on="t",
+                          right_cols=["rv"], suffix="", **kw)
+                .to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+            )
+
+        fixed = run(num_buckets=1)
+        auto = run(target_part_bytes=4096)
+        assert fixed["k"].tolist() == auto["k"].tolist()
+        assert np.allclose(
+            fixed["rv"].fillna(-1).to_numpy(), auto["rv"].fillna(-1).to_numpy()
+        )
+
+    def _skewed_vecs(self, n_big=80, n_small=20, dim=16, seed=13):
+        rng = np.random.default_rng(seed)
+        big = rng.normal(scale=0.05, size=(n_big, dim)) + np.eye(dim)[0] * 2
+        small = rng.normal(scale=0.05, size=(n_small, dim)) + np.eye(dim)[1] * 2
+        vecs = np.vstack([big, small])
+        return pd.DataFrame({"vec_id": np.arange(len(vecs)), "embedding": list(vecs)})
+
+    def test_embedding_neardup_pairs_skewed_cluster_tiled(self):
+        """One cluster holds 80% of vectors; tiny tiles force many
+        (batch x tile) steps — the pair set must still equal the exact
+        all-pairs scan (near-dups never straddle these two clusters)."""
+        from mysql_binlog_ray.stages.similarity import (
+            embedding_neardup_exact,
+            embedding_neardup_pairs,
+        )
+
+        df = self._skewed_vecs()
+        got = embedding_neardup_pairs(
+            rd.from_pandas(df), threshold=0.995, nlist=2, tile_rows=16
+        )
+        exp = embedding_neardup_exact(rd.from_pandas(df), threshold=0.995, tile_rows=16)
+        assert set(zip(got["id_a"], got["id_b"])) == set(zip(exp["id_a"], exp["id_b"]))
+        assert len(exp) > 10  # the clusters are tight: plenty of real pairs
+        assert (got["skipped_size"] == 0).all()
+
+    def test_embedding_neardup_pairs_cap_sentinel(self):
+        from mysql_binlog_ray.stages.similarity import embedding_neardup_pairs
+
+        df = self._skewed_vecs()
+        with pytest.warns(UserWarning, match="max_cluster_size"):
+            got = embedding_neardup_pairs(
+                rd.from_pandas(df), threshold=0.995, nlist=2, tile_rows=16,
+                max_cluster_size=50,
+            )
+        sent = got[got["skipped_size"] > 0]
+        assert len(sent) == 1 and (sent["id_b"] == -1).all()
+        assert int(sent["skipped_size"].iloc[0]) == 80
+        # real pairs from the surviving small cluster only
+        real = got[got["skipped_size"] == 0]
+        assert (real["id_a"] >= 80).all() and (real["id_b"] >= 80).all()
+        assert len(real) > 0
+
+    def test_ivf_search_tie_break_within_batch(self):
+        """Duplicate embeddings at the k boundary: the LOWER id must win
+        inside each batch's local top-k (mirrors brute_force_topk)."""
+        vecs = [[1.0, 0.0], [0.5, 0.5], [0.5, 0.5], [0.0, 1.0]]
+        df = pd.DataFrame({"vec_id": [10, 3, 1, 7], "embedding": vecs})
+        idx = IvfIndex.build(rd.from_pandas(df), nlist=1, sample_size=4)
+        out = idx.search(np.array([[1.0, 0.0]]), k=2, nprobe=1)
+        assert out["vec_id"].tolist() == [10, 1]
+
+    def test_ngram_dedup_no_self_pairs_and_full_hash(self):
+        from mysql_binlog_ray.stages.dedup import ngram_jaccard_dedup
+
+        df = _doc_corpus()
+        got = ngram_jaccard_dedup(rd.from_pandas(df), threshold=0.3).to_pandas()
+        assert (got["doc_a"] < got["doc_b"]).all()
