@@ -160,6 +160,54 @@ def oracle_sql() -> dict[str, str]:
         "doc_md5_documents": """
             SELECT doc_id, md5(text) AS content_md5 FROM documents
         """,
+        "langid_documents": """
+            WITH w AS (
+              SELECT doc_id, lang,
+                     regexp_extract_all(substr(lower(coalesce(text,'')), 1, 2000), '[a-zà-ÿ]+') AS words,
+                     CASE WHEN len(regexp_extract_all(coalesce(text,''), '[一-鿿]')) * 1.0
+                               / greatest(length(coalesce(text,'')), 1) > 0.05
+                          THEN 1 ELSE 0 END AS is_zh
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang, is_zh,
+                len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS n_en,
+                len(list_filter(words, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], x))) AS n_fr,
+                len(list_filter(words, x -> list_contains(['el','la','los','de','y','un','una','es','que','por'], x))) AS n_es,
+                len(list_filter(words, x -> list_contains(['der','die','das','und','ein','eine','ist','zu','den','von'], x))) AS n_de
+              FROM w
+            )
+            SELECT doc_id, lang,
+              CASE WHEN is_zh = 1 THEN 'zh'
+                   WHEN n_en >= n_fr AND n_en >= n_es AND n_en >= n_de THEN 'en'
+                   WHEN n_fr >= n_es AND n_fr >= n_de THEN 'fr'
+                   WHEN n_es >= n_de THEN 'es'
+                   ELSE 'de' END AS pred_lang
+            FROM c
+        """,
+        "fingerprint_documents": """
+            WITH t AS (
+              SELECT doc_id, coalesce(text,'') AS s,
+                     md5(coalesce(text,'')) AS content_md5
+              FROM documents
+            ), win AS (
+              -- 8-byte-window polynomial rolling hash mod 2^64 (testdata
+              -- is ASCII so ord(char) == byte); min window hash >> 1
+              SELECT doc_id, content_md5,
+                ((((((((((((((
+                  CAST(ord(substr(s, i, 1)) AS HUGEINT)
+                  * 1099511628211 + ord(substr(s, i+1, 1))) % 18446744073709551616)
+                  * 1099511628211 + ord(substr(s, i+2, 1))) % 18446744073709551616)
+                  * 1099511628211 + ord(substr(s, i+3, 1))) % 18446744073709551616)
+                  * 1099511628211 + ord(substr(s, i+4, 1))) % 18446744073709551616)
+                  * 1099511628211 + ord(substr(s, i+5, 1))) % 18446744073709551616)
+                  * 1099511628211 + ord(substr(s, i+6, 1))) % 18446744073709551616)
+                  * 1099511628211 + ord(substr(s, i+7, 1))) % 18446744073709551616) AS h
+              FROM t, unnest(generate_series(1, length(s) - 7)) AS g(i)
+              WHERE length(s) > 8
+            )
+            SELECT doc_id, CAST(min(h) // 2 AS BIGINT) AS fingerprint, content_md5
+            FROM win GROUP BY doc_id, content_md5
+        """,
         "embedding_neardup_exact": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -41,6 +41,7 @@ from ..protocol.encode import (
     BinlogWriter,
     encode_format_description_body,
     encode_gtid_body,
+    encode_mysql_gtid_body,
     encode_query_body,
     encode_rows_body,
     encode_table_map_body,
@@ -115,7 +116,11 @@ class StreamSpec:
     repos_per_org: int = 10
     zipf_a: float = 1.4           # key-pick skew (hot repos)
     mean_content_lines: float = 28.0
-    include_noise_events: bool = True  # HEARTBEAT / MARIA_GTID interleave
+    include_noise_events: bool = True  # HEARTBEAT / GTID interleave
+    # "mariadb" emits MARIA_GTID (0xA2); "mysql" emits GTID_LOG_EVENT
+    # (0x21) with GNO == commit_seq — both are consumed as the
+    # transaction-sequencing source by the decoder
+    gtid_flavor: str = "mariadb"
     # emit a second table's transactions every N repos-txns (0 = off);
     # exercises multi-table streams + include/exclude filters (F1)
     issues_every: int = 0
@@ -329,7 +334,10 @@ def encode_shard(
         tm = tm_v2 if with_stars else tm_v1
         commit_seq += 1
         if noise:
-            emit(w.packet(EventType.MARIA_GTID, encode_gtid_body(commit_seq), ts))
+            if spec.gtid_flavor == "mysql":
+                emit(w.packet(EventType.GTID, encode_mysql_gtid_body(commit_seq), ts))
+            else:
+                emit(w.packet(EventType.MARIA_GTID, encode_gtid_body(commit_seq), ts))
         emit(w.packet(EventType.TABLE_MAP, encode_table_map_body(tm), ts))
         # one transaction: up to events_per_txn row events
         for _ in range(spec.events_per_txn):

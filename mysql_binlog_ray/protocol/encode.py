@@ -439,6 +439,22 @@ def encode_gtid_body(seq_no: int, domain: int = 0) -> bytes:
     return struct.pack("<QIB", seq_no, domain, 0)
 
 
+def encode_mysql_gtid_body(
+    gno: int, sid: bytes = b"\x11" * 16, last_committed: int = 0
+) -> bytes:
+    """MySQL-flavor GTID_LOG_EVENT (0x21) body: commit-flag(1) + SID(16)
+    + GNO(8 LE) + logical-clock suffix (type byte 0x02 + last_committed
+    + sequence_number, as written by 5.7+).  The decoder reads only
+    flags/SID/GNO; the suffix exercises the ignored-tail framing."""
+    assert len(sid) == 16
+    return (
+        struct.pack("<B", 1)
+        + sid
+        + struct.pack("<Q", gno)
+        + struct.pack("<Bqq", 0x02, last_committed, gno)
+    )
+
+
 class BinlogWriter:
     """Stateful per-"file" event writer tracking byte positions so headers
     carry consistent ``log_pos`` values (`EventsIterator.php:285-299`)."""

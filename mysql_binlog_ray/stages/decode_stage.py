@@ -438,6 +438,15 @@ class BinlogDecoder:
             if self.commit_source in ("hybrid", "gtid"):
                 ctx.cur_commit = int.from_bytes(payload[20:28], "little")
             ctx.txn_start = len(commit_seqs)
+        elif etype == EventType.GTID:
+            # MySQL-flavor GTID_LOG_EVENT (0x21): flags(1) + SID(16) +
+            # GNO(8 LE) [+ logical-clock suffix, ignored].  The GNO is
+            # per-source-UUID monotone, so it serves as the provisional
+            # commit id exactly like the MariaDB seqno (reference skips
+            # this family entirely, `EventsIterator.php:244-254`).
+            if self.commit_source in ("hybrid", "gtid"):
+                ctx.cur_commit = int.from_bytes(payload[37:45], "little")
+            ctx.txn_start = len(commit_seqs)
         elif etype == EventType.TABLE_MAP:
             tid = int.from_bytes(payload[20:26], "little")
             if tid in ctx.bound:

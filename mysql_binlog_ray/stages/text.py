@@ -52,27 +52,38 @@ _STOPWORDS = {
 class LangId:
     """n-gram/stopword heuristic language ID over {en,fr,es,de,zh}:
     CJK char ratio decides zh; otherwise the stopword-set with the most
-    hits wins (ties -> 'en')."""
+    hits wins (ties -> first of en,fr,es,de).  Fully vectorized: one
+    compiled alternation per language counted via ``str.count`` — the
+    lookarounds reproduce set-membership over ``[a-zà-ÿ]+`` word runs
+    exactly (word boundaries are the letter class, NOT ``\\w``: in
+    "1a1" the run "a" counts as a word)."""
+
+    LANGS = ("en", "fr", "es", "de")
 
     def __init__(self, text_col: str = "text") -> None:
         self.text_col = text_col
-        self.word = re.compile(r"[a-zà-ÿ]+")
         self.cjk = re.compile(r"[一-鿿]")
-
-    def _score(self, text: str) -> str:
-        if text and len(self.cjk.findall(text)) / max(1, len(text)) > 0.05:
-            return "zh"
-        words = self.word.findall(text.lower()[:2000])
-        best, best_n = "en", 0
-        for lang, sw in _STOPWORDS.items():
-            n = sum(1 for w in words if w in sw)
-            if n > best_n:
-                best, best_n = lang, n
-        return best
+        self.stop_res = [
+            re.compile(
+                r"(?<![a-zà-ÿ])(?:"
+                + "|".join(sorted(_STOPWORDS[lang]))
+                + r")(?![a-zà-ÿ])"
+            )
+            for lang in self.LANGS
+        ]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[self.text_col].fillna("")
+        # zh decision on the RAW text (codepoint ratio)
+        zh = (t.str.count(self.cjk) / t.str.len().clip(lower=1)) > 0.05
+        head = t.str.lower().str.slice(0, 2000)
+        counts = np.stack(
+            [head.str.count(rx).to_numpy() for rx in self.stop_res], axis=1
+        )
+        # first-max tie-break == the strict-> scan over en,fr,es,de
+        pred = np.asarray(self.LANGS, dtype=object)[np.argmax(counts, axis=1)]
         batch = batch.copy()
-        batch["pred_lang"] = batch[self.text_col].fillna("").map(self._score)
+        batch["pred_lang"] = np.where(zh.to_numpy(), "zh", pred)
         return batch
 
 
@@ -122,23 +133,42 @@ class Fingerprinter:
         self.text_col = text_col
         self.k = k
 
-    def _fp(self, text: str) -> int:
-        data = text.encode("utf-8", "ignore")
-        k = self.k
-        if len(data) <= k:
-            h = hashlib.blake2b(data, digest_size=8).digest()
-            return int.from_bytes(h, "big") >> 1
-        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-        # polynomial rolling hash over k-byte windows, vectorized
-        h = np.zeros(len(arr) - k + 1, dtype=np.uint64)
-        B = np.uint64(1099511628211)
-        for i in range(k):
-            h = h * B + arr[i : len(arr) - k + 1 + i]
-        return int(h.min() >> np.uint64(1))
+    _B = np.uint64(1099511628211)
+
+    def _fp_small(self, data: bytes) -> int:
+        h = hashlib.blake2b(data, digest_size=8).digest()
+        return int.from_bytes(h, "big") >> 1
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         t = batch[self.text_col].fillna("")
+        k = self.k
+        enc = [s.encode("utf-8", "ignore") for s in t]
+        lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+        fps = np.zeros(len(enc), dtype=np.uint64)
+        big = lens > k
+        if big.any():
+            # ONE rolling-hash pass over the whole batch's concatenated
+            # bytes; windows crossing a document boundary are masked out,
+            # then per-doc mins come from a single reduceat
+            blob = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+            n = len(blob)
+            h = np.zeros(n - k + 1, dtype=np.uint64)
+            for i in range(k):
+                h = h * self._B + blob[i : n - k + 1 + i]
+            starts = np.zeros(len(enc), dtype=np.int64)
+            starts[1:] = np.cumsum(lens)[:-1]
+            doc_of = np.repeat(np.arange(len(enc)), lens)
+            mx = np.uint64(0xFFFFFFFFFFFFFFFF)
+            valid = doc_of[: n - k + 1] == doc_of[k - 1 :]
+            h = np.where(valid, h, mx)
+            # pad with MAX so every starts[] index is in range (short or
+            # empty docs at the tail are overridden by _fp_small anyway)
+            h = np.concatenate([h, np.full(k, mx, dtype=np.uint64)])
+            mins = np.minimum.reduceat(h, starts)
+            fps[big] = mins[big] >> np.uint64(1)
+        for d in np.nonzero(~big)[0]:
+            fps[d] = self._fp_small(enc[d])
         batch = batch.copy()
-        batch["fingerprint"] = t.map(self._fp)
+        batch["fingerprint"] = fps.astype(np.int64)
         batch["content_md5"] = t.map(lambda s: hashlib.md5(s.encode()).hexdigest())
         return batch

@@ -511,6 +511,22 @@ class TestParallelCommitStamping:
         assert (par["commit_seq"] != -1).all()
         self._assert_matches_sequential(manifest, par)
 
+    def test_mysql_flavor_gtid_stamping_exact_across_blocks(self, tmp_path):
+        """MySQL-flavor (0x21 GTID_LOG_EVENT) streams: the GNO must be
+        consumed as the sequencing source exactly like MARIA_GTID —
+        parallel == sequential with no -1 even when transactions span
+        block boundaries."""
+        from mysql_binlog_ray.fixtures.generator import StreamSpec, generate_stream
+
+        spec = StreamSpec(
+            n_keys=150, n_ops=900, n_shards=2, gtid_flavor="mysql"
+        )
+        manifest = generate_stream(spec, str(tmp_path / "mysql_stream"))
+        total_events = sum(s["events"] for s in manifest["shards"])
+        par = self._parallel_cf(manifest, num_blocks=max(4, total_events // 30))
+        assert (par["commit_seq"] != -1).all()
+        self._assert_matches_sequential(manifest, par)
+
     def test_gtidless_stream_repaired_by_xid_index(self, tmp_path):
         """GTID-less streams at pathologically tiny blocks (smaller than
         a transaction): the XID-index repair pass restores exactness."""
