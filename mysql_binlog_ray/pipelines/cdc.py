@@ -429,6 +429,15 @@ def read_lake_as_flat(lake_dir: str, cfg: CdcConfig) -> rd.Dataset | None:
     return ds.map_batches(_as_upserts, batch_format="pyarrow")
 
 
+def _group_rgs(entries: list[tuple[str, int]]) -> list[tuple[str, list[int]]]:
+    """Group (path, row_group) pairs by path so each segment file is
+    opened once per reader."""
+    by_path: dict[str, list[int]] = {}
+    for path, rg in entries:
+        by_path.setdefault(path, []).append(rg)
+    return [(p, sorted(rgs)) for p, rgs in sorted(by_path.items())]
+
+
 def _external_shuffle_merge(
     parted: rd.Dataset,
     lake_dir: str,
@@ -456,32 +465,51 @@ def _external_shuffle_merge(
     shutil_token = uuid.uuid4().hex[:8]
 
     def spill(batch: pa.Table) -> pa.Table:
-        parts_col = batch.column("_part").to_numpy(zero_copy_only=False)
-        out_parts, out_paths, out_rows = [], [], []
+        """ONE segment file per task, ONE row group per touched partition
+        (plus an index of (part, path, row_group)) — a task touching 64
+        partitions costs 1 file + 64 row groups instead of 64 small
+        files, which is the difference between ~N_tasks and
+        ~N_tasks x N_parts filesystem ops on the shared scratch dir."""
         import numpy as np
 
-        for part in np.unique(parts_col):
-            sub = batch.filter(pc.equal(batch.column("_part"), pa.scalar(int(part))))
-            path = os.path.join(
-                spill_dir, f"part={int(part):05d}", f"chunk-{uuid.uuid4().hex}.parquet"
+        pn = batch.column("_part").to_numpy(zero_copy_only=False)
+        if not len(pn):
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "chunk": pa.array([], pa.string()),
+                    "rg": pa.array([], pa.int32()),
+                    "rows": pa.array([], pa.int64()),
+                }
             )
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            pq.write_table(sub.drop_columns(["_part"]), path, compression="lz4")
-            out_parts.append(int(part))
-            out_paths.append(path)
-            out_rows.append(sub.num_rows)
+        order = np.argsort(pn, kind="stable")
+        sorted_tab = batch.take(pa.array(order)).drop_columns(["_part"])
+        uniq, bounds = np.unique(pn[order], return_index=True)
+        bounds = np.append(bounds, len(pn))
+        path = os.path.join(spill_dir, f"chunk-{uuid.uuid4().hex}.parquet")
+        os.makedirs(spill_dir, exist_ok=True)
+        out_parts, out_rgs, out_rows = [], [], []
+        with pq.ParquetWriter(path, sorted_tab.schema, compression="lz4") as w:
+            for i, part in enumerate(uniq):
+                n = int(bounds[i + 1] - bounds[i])
+                # row_group_size >= n guarantees exactly one row group
+                w.write_table(sorted_tab.slice(int(bounds[i]), n), row_group_size=n)
+                out_parts.append(int(part))
+                out_rgs.append(i)
+                out_rows.append(n)
         return pa.table(
             {
                 "part": pa.array(out_parts, pa.int32()),
-                "chunk": pa.array(out_paths, pa.string()),
+                "chunk": pa.array([path] * len(out_parts), pa.string()),
+                "rg": pa.array(out_rgs, pa.int32()),
                 "rows": pa.array(out_rows, pa.int64()),
             }
         )
 
     chunk_index = parted.map_batches(spill, batch_format="pyarrow").take_all()
-    by_part: dict[int, list[str]] = {}
+    by_part: dict[int, list[tuple[str, int]]] = {}
     for r in chunk_index:
-        by_part.setdefault(int(r["part"]), []).append(r["chunk"])
+        by_part.setdefault(int(r["part"]), []).append((r["chunk"], int(r["rg"])))
 
     def merge_one(batch: dict) -> pa.Table:
         import numpy as np
@@ -489,7 +517,9 @@ def _external_shuffle_merge(
         out = []
         for part in batch["part"]:
             part = int(part)
-            chunks = [pq.read_table(p) for p in by_part[part]]
+            chunks = []
+            for path, rgs in _group_rgs(by_part[part]):
+                chunks.append(pq.ParquetFile(path).read_row_groups(rgs))
             group = pa.concat_tables(chunks, promote_options="default")
             final = lww_final(group, key_cols)
             final = final.take(
@@ -554,15 +584,30 @@ def run_to_lake(
     def _flatten_combine(batch: pa.Table) -> pa.Table:
         return lww_partial(batch, key_cols)
 
-    flat = cf.map_batches(_flatten_combine, batch_format="pyarrow")
-
     if cfg.salt_hot_keys:
-        from ..stages.merge import detect_hot_keys, salted_presqueeze
+        import ray
 
-        flat = flat.materialize()  # consumed by the sketch AND the merge
-        hot = detect_hot_keys(flat, key_cols, cfg.salt_threshold)
+        from ..stages.merge import (
+            _CountAccumulator,
+            collect_hot_keys,
+            make_counting_combine,
+            salted_presqueeze,
+        )
+
+        # the hot-key sketch PIGGYBACKS on the combine pass (per-batch
+        # count partials stream to a small accumulator-actor pool) — no
+        # separate detection scan; the one materialize is still needed
+        # because the cold/hot split consumes the stream twice
+        actors = [_CountAccumulator.remote() for _ in range(4)]
+        counting = make_counting_combine(_flatten_combine, key_cols, actors)
+        flat = cf.map_batches(counting, batch_format="pyarrow").materialize()
+        hot = collect_hot_keys(actors, cfg.salt_threshold)
+        for a in actors:
+            ray.kill(a)
         if len(hot):
             flat = salted_presqueeze(flat, key_cols, hot, cfg.n_salts)
+    else:
+        flat = cf.map_batches(_flatten_combine, batch_format="pyarrow")
 
     # selective (O(increment)) resume requires the prior lake's partition
     # layout to be reproducible: same partition count AND same hash

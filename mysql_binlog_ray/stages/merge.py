@@ -33,6 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 SEQ_COLS = ("event_seq", "row_seq")
 
@@ -282,6 +283,75 @@ def _key_hash53(batch: pa.Table, key_cols: tuple[str, ...]) -> np.ndarray:
     return (key_hash64(batch, key_cols) >> np.uint64(11)).astype(np.int64)
 
 
+@ray.remote(num_cpus=0)
+class _CountAccumulator:
+    """Shard of the piggybacked hot-key sketch: receives (hash, count)
+    partials from combine tasks (keys pre-partitioned by hash so each
+    key's totals live on exactly one shard) and compacts periodically so
+    memory stays O(distinct keys / shards), not O(partials)."""
+
+    def __init__(self) -> None:
+        self._h: list[np.ndarray] = []
+        self._n: list[np.ndarray] = []
+        self._buf = 0
+
+    def add(self, hashes: np.ndarray, counts: np.ndarray) -> None:
+        self._h.append(hashes)
+        self._n.append(counts)
+        self._buf += len(hashes)
+        if self._buf > 2_000_000:
+            self._compact()
+
+    def _compact(self) -> None:
+        if not self._h:
+            return
+        h = np.concatenate(self._h)
+        n = np.concatenate(self._n)
+        uniq, inv = np.unique(h, return_inverse=True)
+        tot = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
+        self._h, self._n, self._buf = [uniq], [tot], len(uniq)
+
+    def hot(self, threshold: int) -> np.ndarray:
+        self._compact()
+        if not self._h:
+            return np.zeros(0, dtype=np.int64)
+        return self._h[0][self._n[0] > threshold]
+
+
+def make_counting_combine(
+    combine_fn, key_cols: tuple[str, ...], actors: list
+):
+    """Wrap the per-batch LWW combine so it ALSO emits its (key hash,
+    count) partial to the sketch shards — the hot-key detection rides the
+    combine pass instead of costing its own scan of the materialized
+    stream.  The ray.get ensures counts land before the pass finishes; a
+    re-executed task double-counts, which can only over-salt (correctness
+    is independent of WHICH keys get salted)."""
+    n_shards = len(actors)
+
+    def counting(batch: pa.Table) -> pa.Table:
+        out = combine_fn(batch)
+        if out.num_rows:
+            uniq, cnt = np.unique(_key_hash53(out, key_cols), return_counts=True)
+            shard = uniq % n_shards
+            refs = []
+            for i, a in enumerate(actors):
+                m = shard == i
+                if m.any():
+                    refs.append(a.add.remote(uniq[m], cnt[m].astype(np.int64)))
+            if refs:
+                ray.get(refs)
+        return out
+
+    return counting
+
+
+def collect_hot_keys(actors: list, threshold: int) -> np.ndarray:
+    """Gather + sort the hot set from the sketch shards."""
+    parts = ray.get([a.hot.remote(threshold) for a in actors])
+    return np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+
+
 def detect_hot_keys(
     flat, key_cols: tuple[str, ...], threshold: int
 ) -> np.ndarray:
@@ -312,8 +382,14 @@ def detect_hot_keys(
         return pd.DataFrame({"khash": tot.index[tot > threshold].to_numpy()})
 
     # hash-partitioned reduce (keyed_reduce): key cardinality never hits
-    # a per-group Python loop; only the hot set reaches the driver
-    hot = keyed_reduce(partials, ["khash"], hot_only).to_pandas()
+    # a per-group Python loop; only the hot set reaches the driver.
+    # Explicit fanout (partials are slim (hash, n) rows — ~1/100th of the
+    # stream bytes) skips the adaptive path's sizing materialization.
+    try:
+        n_parts = max(64, flat.num_blocks() // 8)  # materialized input
+    except Exception:
+        n_parts = 64
+    hot = keyed_reduce(partials, ["khash"], hot_only, num_parts=n_parts).to_pandas()
     if hot.empty or "khash" not in hot.columns:
         return np.zeros(0, dtype=np.int64)
     return np.sort(hot["khash"].to_numpy().astype(np.int64))
@@ -349,7 +425,11 @@ def salted_presqueeze(
         spart = np.where(is_hot, (h >> 4) * np.int64(n_salts) + salt, np.int64(-1))
         return batch.append_column("_spart", pa.array(spart, pa.int64()))
 
-    tagged = flat.map_batches(tag, batch_format="pyarrow").materialize()
+    # NO materialize here: ``flat`` is already materialized by the caller
+    # (it feeds both the sketch and the merge), so running the cheap
+    # vectorized tag twice — once per consumer below — costs two scans of
+    # object-store blocks instead of a third full copy of the stream
+    tagged = flat.map_batches(tag, batch_format="pyarrow")
 
     def only_cold(batch: pa.Table) -> pa.Table:
         keep = batch.filter(pc.equal(batch.column("_spart"), pa.scalar(-1)))
@@ -361,8 +441,26 @@ def salted_presqueeze(
     cold = tagged.map_batches(only_cold, batch_format="pyarrow")
     hot_rows = tagged.map_batches(only_hot, batch_format="pyarrow")
 
-    def squeeze(group: pa.Table) -> pa.Table:
-        return lww_partial(group.drop_columns(["_spart"]), key_cols)
+    # hash-partitioned vectorized squeeze (keyed_reduce shape, arrow-
+    # native): a hot key's n_salts groups scatter across partitions, each
+    # partition runs ONE lww_partial over its co-located (key, salt)
+    # groups — no Ray per-group call, no sort shuffle.  Fanout is small:
+    # the hot subset is bounded by hot_keys x n_salts x upstream blocks.
+    n_parts = 32
 
-    squeezed = hot_rows.groupby("_spart").map_groups(squeeze, batch_format="pyarrow")
+    def tag_part(batch: pa.Table) -> pa.Table:
+        sp = batch.column("_spart").to_numpy(zero_copy_only=False)
+        rp = (sp.view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
+        return batch.drop_columns(["_spart"]).append_column(
+            "_rp", pa.array(rp, pa.int64())
+        )
+
+    def squeeze_part(group: pa.Table) -> pa.Table:
+        return lww_partial(group.drop_columns(["_rp"]), key_cols)
+
+    squeezed = (
+        hot_rows.map_batches(tag_part, batch_format="pyarrow")
+        .groupby("_rp")
+        .map_groups(squeeze_part, batch_format="pyarrow")
+    )
     return cold.union(squeezed)
