@@ -207,6 +207,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(min(h) // 2 AS BIGINT) AS fingerprint, content_md5
             FROM win GROUP BY doc_id, content_md5
+            UNION ALL
+            -- docs of <= 8 bytes have no 8-windows: same polynomial hash
+            -- folded over all bytes (matches Fingerprinter._fp_small)
+            SELECT doc_id,
+              CAST(CASE WHEN length(s) = 0 THEN 0 ELSE
+                list_reduce(
+                  list_transform(range(1, length(s) + 1),
+                                 i -> CAST(ord(substr(s, i, 1)) AS HUGEINT)),
+                  (a, b) -> ((a * 1099511628211 + b) % 18446744073709551616)
+                ) // 2
+              END AS BIGINT) AS fingerprint, content_md5
+            FROM t WHERE length(s) <= 8
         """,
         "embedding_neardup_exact": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -597,13 +597,17 @@ def run_to_lake(
         # the hot-key sketch PIGGYBACKS on the combine pass (per-batch
         # count partials stream to a small accumulator-actor pool) — no
         # separate detection scan; the one materialize is still needed
-        # because the cold/hot split consumes the stream twice
-        actors = [_CountAccumulator.remote() for _ in range(4)]
+        # because the cold/hot split consumes the stream twice.
+        # Shard count scales with the cluster; actors are NOT killed
+        # afterwards — the materialized dataset's lineage still closes
+        # over their handles, and a lineage reconstruction of a lost
+        # block must be able to re-run the counting combine (handles are
+        # dropped naturally with the dataset; the actors are num_cpus=0)
+        n_shards = min(64, max(4, int(ray.cluster_resources().get("CPU", 8)) // 8))
+        actors = [_CountAccumulator.remote() for _ in range(n_shards)]
         counting = make_counting_combine(_flatten_combine, key_cols, actors)
         flat = cf.map_batches(counting, batch_format="pyarrow").materialize()
         hot = collect_hot_keys(actors, cfg.salt_threshold)
-        for a in actors:
-            ray.kill(a)
         if len(hot):
             flat = salted_presqueeze(flat, key_cols, hot, cfg.n_salts)
     else:

@@ -679,7 +679,16 @@ def ngram_jaccard_dedup(
                 )
         return pd.concat(out, ignore_index=True) if out else empty
 
-    pair_hits = keyed_reduce(shingles, ["shp"], cooccur)
+    # size the exchange from the SOURCE bytes (metadata-cheap for parquet
+    # reads) x the shingle expansion factor (~32 B of (id, hash, key, nd)
+    # per ~6 B word) instead of materializing the exploded shingle stream
+    # just to measure it — the explosion is the largest intermediate in
+    # the repo and double-holding it in the object store forces spill
+    from .relational import metadata_size_bytes
+
+    src = metadata_size_bytes(ds)
+    est = src * 6 if src is not None else None
+    pair_hits = keyed_reduce(shingles, ["shp"], cooccur, est_input_bytes=est)
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(["doc_a", "doc_b"], sort=False).agg(

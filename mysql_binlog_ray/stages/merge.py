@@ -324,9 +324,14 @@ def make_counting_combine(
     """Wrap the per-batch LWW combine so it ALSO emits its (key hash,
     count) partial to the sketch shards — the hot-key detection rides the
     combine pass instead of costing its own scan of the materialized
-    stream.  The ray.get ensures counts land before the pass finishes; a
-    re-executed task double-counts, which can only over-salt (correctness
-    is independent of WHICH keys get salted)."""
+    stream.  The ray.get ensures counts land before the pass finishes
+    (the hot set read after materialize() is then complete, which the
+    byte-equality tests rely on); the round-trip is to at most
+    len(actors) shards IN PARALLEL and the caller scales the shard count
+    with the cluster, so the sketch adds ~one actor RPC of latency per
+    batch, not a fixed-size funnel.  A re-executed task double-counts,
+    which can only over-salt (correctness is independent of WHICH keys
+    get salted)."""
     n_shards = len(actors)
 
     def counting(batch: pa.Table) -> pa.Table:

@@ -67,6 +67,20 @@ def preagg_groupby(ds: rd.Dataset, keys: list[str], spec: AggSpec) -> rd.Dataset
     return partials.groupby(keys).aggregate(*aggs)
 
 
+def metadata_size_bytes(ds: rd.Dataset) -> int | None:
+    """Input byte size WITHOUT executing the plan: only answered for a
+    leaf read (parquet metadata); any transformed dataset returns None —
+    ``Dataset.size_bytes()`` on those would execute the whole upstream
+    pipeline just to measure it."""
+    try:
+        dag = ds._logical_plan.dag
+        if type(dag).__name__ in ("Read", "ReadFiles") and not dag.input_dependencies:
+            return ds.size_bytes()
+    except Exception:
+        pass
+    return None
+
+
 def adaptive_num_parts(
     size_bytes: int,
     target_part_bytes: int = 256 << 20,
@@ -85,6 +99,7 @@ def keyed_reduce(
     combine: Callable[[pd.DataFrame], pd.DataFrame],
     num_parts: int | None = None,
     target_part_bytes: int = 256 << 20,
+    est_input_bytes: int | None = None,
 ) -> rd.Dataset:
     """Hash-partitioned reduce for HIGH-cardinality keys.
 
@@ -103,11 +118,19 @@ def keyed_reduce(
     size picks ``ceil(bytes / target_part_bytes)`` partitions, so no
     reduce task ever materializes more than ~``target_part_bytes`` of
     rows regardless of corpus size.  Pass an explicit ``num_parts`` to
-    skip the sizing materialization when the scale is known.
+    skip the sizing materialization when the scale is known, or
+    ``est_input_bytes`` (e.g. source parquet bytes x a documented
+    expansion factor) to size adaptively WITHOUT materializing — the
+    materialize pins the tagged input in the object store for the whole
+    downstream shuffle (~2x peak footprint), which matters when the
+    reduce input is an exploded intermediate much larger than the corpus.
     """
     from .merge import key_hash64
 
     kt = tuple(keys)
+
+    if num_parts is None and est_input_bytes is not None:
+        num_parts = adaptive_num_parts(est_input_bytes, target_part_bytes)
 
     if num_parts is None:
         def tag_full(b: pa.Table) -> pa.Table:

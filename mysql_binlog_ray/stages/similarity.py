@@ -48,10 +48,13 @@ def _mat_from_arrow(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if pa.types.is_fixed_size_list(arr.type):
         dim = arr.type.list_size
         flat = arr.values.to_numpy(zero_copy_only=False)
-        # .values ignores the slice offset; re-window explicitly
+        # .values ignores the slice offset; re-window explicitly.
+        # copy=False keeps already-float64 buffers plasma-backed (the
+        # tile path stores float64, so a worker's cached tile is a view
+        # into the object store, not a private heap copy)
         off = arr.offset * dim
-        return flat[off : off + n * dim].astype(np.float64).reshape(n, dim)
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat[off : off + n * dim].astype(np.float64, copy=False).reshape(n, dim)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
     return flat.reshape(n, len(flat) // max(1, n))
 
 
@@ -284,19 +287,29 @@ def _tile_dataset(
     ).materialize()
 
 
+# max tiles a worker keeps decoded at once; evicted tiles re-fetch from
+# the object store (cheap — float64 tile buffers stay plasma-backed), so
+# a worker's heap never grows toward the whole corpus even when it pages
+# through every tile
+_TILE_CACHE_MAX = 16
+
+
 def _tile_cache_get(cache: dict, k: int, ref, vec_col: str, id_col: str, cluster_col: str | None = None):
-    """Per-worker tile cache: one object-store read + one reshape per
-    (worker, tile), reused across batches."""
+    """Per-worker BOUNDED (LRU) tile cache: one object-store read + one
+    reshape per (worker, tile) while resident, reused across batches."""
     tile = cache.get(k)
-    if tile is None:
-        tab = ray.get(ref)
-        ids = tab[id_col].to_numpy()
-        mat = _mat_from_arrow(tab[vec_col])
-        if cluster_col is not None:
-            tile = (ids, mat, tab[cluster_col].to_numpy())
-        else:
-            tile = (ids, mat)
-        cache[k] = tile
+    if tile is not None:
+        return tile
+    tab = ray.get(ref)
+    ids = tab[id_col].to_numpy()
+    mat = _mat_from_arrow(tab[vec_col])
+    if cluster_col is not None:
+        tile = (ids, mat, tab[cluster_col].to_numpy())
+    else:
+        tile = (ids, mat)
+    if len(cache) >= _TILE_CACHE_MAX:
+        cache.pop(next(iter(cache)))  # FIFO eviction (insertion-ordered dict)
+    cache[k] = tile
     return tile
 
 

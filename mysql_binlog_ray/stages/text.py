@@ -136,8 +136,14 @@ class Fingerprinter:
     _B = np.uint64(1099511628211)
 
     def _fp_small(self, data: bytes) -> int:
-        h = hashlib.blake2b(data, digest_size=8).digest()
-        return int.from_bytes(h, "big") >> 1
+        # docs of <= k bytes have no k-windows: fall back to the SAME
+        # polynomial hash folded over all bytes (SQL-expressible, unlike
+        # the blake2b this used to be — the oracle covers every doc now);
+        # empty text folds to 0
+        h = 0
+        for b in data:
+            h = (h * 1099511628211 + b) % (1 << 64)
+        return h >> 1
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         t = batch[self.text_col].fillna("")

@@ -388,6 +388,34 @@ class TestOracleParityEdgeCases:
         for c in ["q_n_chars", "q_punct_ratio", "q_stop_ratio", "q_score"]:
             assert (got_q[c].to_numpy() == orc_q[c].to_numpy()).all(), c
 
+    def test_fingerprint_oracle_parity_on_short_docs(self):
+        """Docs of <= 8 bytes (no 8-windows) take the fold path — the
+        oracle's UNION branch must match it exactly, including empty."""
+        import duckdb
+
+        import __ray_entry__ as e
+        from mysql_binlog_ray.stages.text import Fingerprinter
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "text": ["", "a", "abcdefgh", "abcdefghi", "12345678", "the cat sat"],
+            }
+        )
+        con = duckdb.connect()
+        con.register("documents", docs)
+        orc = (
+            con.sql(e.oracle_sql()["fingerprint_documents"]).df()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        got = (
+            Fingerprinter()(docs.copy())[["doc_id", "fingerprint", "content_md5"]]
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        assert len(orc) == len(got) == 6
+        assert orc["fingerprint"].tolist() == got["fingerprint"].tolist()
+        assert orc["content_md5"].tolist() == got["content_md5"].tolist()
+
     def test_preagg_groupby_duplicate_source_aggregates(self):
         ds = rd.from_pandas(pd.DataFrame({"k": ["a", "a", "b"], "x": [1, 5, 3]}))
         from mysql_binlog_ray.stages.relational import preagg_groupby
