@@ -36,6 +36,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": Q.join_orders_customer,
         "join_orders_lineitem": Q.join_orders_lineitem,
         "asof_clicks_purchases": Q.asof_clicks_purchases,
+        "sessionize_events": Q.sessionize_events,
+        "interval_click_in_purchase_window": Q.interval_click_in_purchase_window,
+        "heavy_hitter_users": Q.heavy_hitter_users,
         "topk_orders": Q.topk_orders,
         "distinct_users": Q.distinct_users,
         "stratified_sample_documents": Q.stratified_sample_documents,
@@ -130,6 +133,37 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(p.p_event_id, -1) AS prev_purchase_id
             FROM c ASOF LEFT JOIN p
               ON c.user_id = p.user_id AND p.ts <= c.ts
+        """,
+        "sessionize_events": """
+            WITH b AS (
+              SELECT user_id, ts, event_id,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                     > 1800000000 THEN 1 ELSE 0 END AS brk
+              FROM events
+            ), s AS (
+              SELECT user_id, ts,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM b
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   min(epoch_us(ts)) AS t_start_us, max(epoch_us(ts)) AS t_end_us
+            FROM s GROUP BY user_id, session_id
+        """,
+        "interval_click_in_purchase_window": """
+            WITH w AS (
+              SELECT user_id, min(ts) AS lo, max(ts) AS hi
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id
+            )
+            SELECT e.event_id AS click_id, e.user_id
+            FROM events e JOIN w USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts BETWEEN w.lo AND w.hi
+        """,
+        "heavy_hitter_users": """
+            SELECT user_id, count(*) AS n FROM events
+            GROUP BY user_id HAVING count(*) > 70
         """,
         "stratified_sample_documents": """
             SELECT doc_id, lang FROM (

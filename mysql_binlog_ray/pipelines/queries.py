@@ -647,3 +647,63 @@ def embedding_neardup_embeddings(sf_dir: str):
     # testdata scale this resolves to 8, matching the prior fixed value)
     out = embedding_neardup_pairs(ds, threshold=0.42, nlist=None)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def sessionize_events(sf_dir: str):
+    """Gap-based sessionization of the event stream (30-min gap): one
+    row per (user, session) — the streaming-window operator class next
+    to window_events_hourly, distributed via one keyed exchange."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    out = R.sessionize(ds, "user_id", "ts", gap_sec=1800)
+    return out.map_batches(
+        lambda b: b.select(["user_id", "session_id", "n_events", "t_start_us", "t_end_us"]),
+        batch_format="pyarrow",
+    )
+
+
+def interval_click_in_purchase_window(sf_dir: str):
+    """RANGE join: clicks falling inside each user's [first, last]
+    purchase-timestamp window (intervals computed distributed, then
+    broadcast to the fact scan — no shuffle)."""
+    ev_cols = ["event_id", "user_id", "ts", "event_type"]
+    purchases = rd.read_parquet(_t(sf_dir, "events"), columns=ev_cols)
+    purchases = R.filter_project(
+        purchases,
+        lambda b: pc.equal(b.column("event_type"), pa.scalar("purchase")),
+        ["user_id", "ts"],
+    )
+    windows = R.preagg_groupby(
+        purchases, ["user_id"], {"lo": ("ts", "min"), "hi": ("ts", "max")}
+    ).to_pandas()  # one row per user: the broadcast side
+    clicks = rd.read_parquet(_t(sf_dir, "events"), columns=ev_cols)
+    clicks = R.filter_project(
+        clicks,
+        lambda b: pc.equal(b.column("event_type"), pa.scalar("click")),
+        ["event_id", "user_id", "ts"],
+    )
+    joined = R.interval_join(clicks, windows, by="user_id", ts_col="ts", lo_col="lo", hi_col="hi")
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "click_id": b.column("event_id").cast(pa.int64()),
+                "user_id": b.column("user_id").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def heavy_hitter_users(sf_dir: str):
+    """EXACT frequent-items: users with > 70 events, via the two-pass
+    Space-Saving sketch -> candidate superset -> exact count of
+    candidates only (the shuffle never carries the full key space)."""
+    from ..stages.sketches import exact_heavy_hitters
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    out = exact_heavy_hitters(ds, "user_id", threshold=70)
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"].astype("int64")),
+            "n": pa.array(out["n"].astype("int64")),
+        }
+    )

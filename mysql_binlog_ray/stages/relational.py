@@ -339,6 +339,82 @@ def asof_join(
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def interval_join(
+    ds: rd.Dataset,
+    intervals: pd.DataFrame,
+    by: str,
+    ts_col: str,
+    lo_col: str,
+    hi_col: str,
+    take_cols: list[str] | None = None,
+) -> rd.Dataset:
+    """Keyed RANGE (interval-containment) join: every left row pairs with
+    every interval of the same ``by`` key whose [lo, hi] contains its
+    ``ts`` (inner semantics, multiplicity preserved).  The operator the
+    brief lists next to as-of join; neither exists in Ray Data.
+
+    Scale shape: the interval side is broadcast (``ray.put`` once, one
+    object-store read per worker) — the standard case, since interval
+    sets (maintenance windows, promo periods, user episodes) are orders
+    of magnitude smaller than the fact stream.  For interval sides too
+    big to broadcast, bucket both sides by ``by`` with ``keyed_reduce``
+    and run this join per partition."""
+    cols = [by, lo_col, hi_col, *(take_cols or [])]
+    small_ref = ray.put(intervals[cols])
+    cache: dict = {}
+
+    def joiner(batch: pd.DataFrame) -> pd.DataFrame:
+        small = cache.get("s")
+        if small is None:
+            small = cache["s"] = ray.get(small_ref)
+        out = batch.merge(small, on=by, how="inner")
+        mask = (out[ts_col] >= out[lo_col]) & (out[ts_col] <= out[hi_col])
+        return out[mask]
+
+    return ds.map_batches(joiner, batch_format="pandas")
+
+
+def sessionize(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    gap_sec: float,
+) -> rd.Dataset:
+    """Gap-based sessionization (the streaming-window operator class the
+    reference lacks, next to ``tumbling_window``): per key, a new session
+    starts when the time since the previous event exceeds ``gap_sec``.
+    Returns one row per (key, session_id) with n_events / t_start_us /
+    t_end_us (epoch microseconds — exact at the column's precision).
+
+    Scale shape: ONE keyed exchange (``keyed_reduce`` — adaptive fanout,
+    vectorized per partition: sort, diff, cumsum, groupby-agg; no
+    per-key Python).  session_id is 0-based per key and deterministic:
+    breaks depend only on the sorted timestamp sequence."""
+    gap_us = int(gap_sec * 1_000_000)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        k = g[key_col].to_numpy()
+        t = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(g)
+        newkey = np.ones(n, dtype=bool)
+        newkey[1:] = k[1:] != k[:-1]
+        brk = newkey.copy()
+        brk[1:] |= (t[1:] - t[:-1]) > gap_us
+        sid_g = np.cumsum(brk)
+        first = np.flatnonzero(newkey)
+        base = np.repeat(sid_g[first], np.diff(np.append(first, n)))
+        out = pd.DataFrame(
+            {key_col: k, "session_id": (sid_g - base).astype(np.int64), "_t": t}
+        )
+        agg = out.groupby([key_col, "session_id"], sort=False).agg(
+            n_events=("_t", "size"), t_start_us=("_t", "min"), t_end_us=("_t", "max")
+        )
+        return agg.reset_index()
+
+    return keyed_reduce(ds, [key_col], combine)
+
+
 def hash_join(
     left_ds: rd.Dataset,
     right_ds: rd.Dataset,

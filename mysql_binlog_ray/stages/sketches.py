@@ -86,3 +86,101 @@ def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
     for r in parts:
         acc = acc.merge(HyperLogLog.from_bytes(r["sketch"], p))
     return acc.estimate()
+
+
+class SpaceSaving:
+    """Space-Saving heavy-hitters sketch (Metwally, Agrawal, El Abbadi
+    2005 — public algorithm): at most ``k`` counters; when a new item
+    arrives at capacity it evicts the min counter and inherits its count
+    as over-estimation error.  Guarantees: every item with true count
+    > N/k is present, and each counter over-estimates by <= N/k."""
+
+    def __init__(self, k: int = 4096) -> None:
+        self.k = k
+        self.counts: dict = {}  # value -> [count_upper_bound, err]
+        self.n = 0  # total items observed
+
+    def add_counts(self, values, counts) -> None:
+        """Bulk-add pre-aggregated (value, count) pairs (e.g. one
+        ``value_counts`` per batch — the per-batch side stays fully
+        vectorized; this dict walk touches distinct values only)."""
+        c = self.counts
+        for v, cnt in zip(values, counts):
+            cnt = int(cnt)
+            self.n += cnt
+            cur = c.get(v)
+            if cur is not None:
+                cur[0] += cnt
+            elif len(c) < self.k:
+                c[v] = [cnt, 0]
+            else:
+                mv = min(c, key=lambda x: c[x][0])
+                mc = c.pop(mv)[0]
+                c[v] = [mc + cnt, mc]
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        out = SpaceSaving(self.k)
+        out.counts = {v: list(ce) for v, ce in self.counts.items()}
+        out.n = self.n
+        out.add_counts(
+            list(other.counts.keys()), [ce[0] for ce in other.counts.values()]
+        )
+        out.n = self.n + other.n  # add_counts already added upper bounds
+        return out
+
+    def candidates(self, threshold: int) -> list:
+        """Values whose count UPPER bound exceeds threshold — a superset
+        of the true heavy hitters whenever threshold > N/k."""
+        return [v for v, (cnt, _) in self.counts.items() if cnt > threshold]
+
+
+def exact_heavy_hitters(
+    ds: rd.Dataset, col: str, threshold: int, k: int = 4096
+) -> pd.DataFrame:
+    """EXACT frequent items via the classic two-pass shape: pass 1 is a
+    Space-Saving sketch (per-batch ``value_counts`` partials, kilobytes
+    to the driver) that yields a candidate SUPERSET; pass 2 exact-counts
+    only the candidates (broadcast membership filter + pre-aggregated
+    groupby).  Output == ``GROUP BY col HAVING count(*) > threshold``
+    with the shuffle carrying candidates only — never the full key space.
+
+    Falls back to a full exact groupby when the sketch guarantee
+    (threshold > N/k) does not hold for the observed N."""
+    import ray
+
+    from .relational import preagg_groupby
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[col].value_counts()
+        return pd.DataFrame({"v": vc.index.to_numpy(), "c": vc.to_numpy()})
+
+    sk = SpaceSaving(k)
+    for b in ds.map_batches(partial, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        sk.add_counts(b["v"].to_numpy(), b["c"].to_numpy())
+
+    if threshold <= sk.n // k:
+        cand = None  # guarantee void: exact-count everything (rare; means
+        # k was sized too small for this threshold/N)
+    else:
+        cand = set(sk.candidates(threshold))
+        if not cand:
+            return pd.DataFrame({col: pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")})
+
+    filtered = ds
+    if cand is not None:
+        ref = ray.put(np.array(sorted(cand)))
+        cache: dict = {}
+
+        def keep(batch: pd.DataFrame) -> pd.DataFrame:
+            arr = cache.get("a")
+            if arr is None:
+                arr = cache["a"] = ray.get(ref)
+            return batch[np.isin(batch[col].to_numpy(), arr)]
+
+        filtered = ds.map_batches(keep, batch_format="pandas")
+
+    counts = preagg_groupby(filtered, [col], {"n": (None, "count")}).to_pandas()
+    out = counts[counts["n"] > threshold].sort_values(col).reset_index(drop=True)
+    return out

@@ -573,3 +573,79 @@ class TestRound3Scale:
         df = _doc_corpus()
         got = ngram_jaccard_dedup(rd.from_pandas(df), threshold=0.3).to_pandas()
         assert (got["doc_a"] < got["doc_b"]).all()
+
+
+class TestRound3NewOperators:
+    """sessionize / interval_join / exact heavy hitters."""
+
+    def test_sessionize_gap_edges(self):
+        from mysql_binlog_ray.stages.relational import sessionize
+
+        ts = pd.to_datetime(
+            [
+                "2024-01-01 00:00:00",  # u1 s0
+                "2024-01-01 00:29:59",  # u1 s0 (within gap)
+                "2024-01-01 00:59:59",  # u1 s0 (exactly gap -> NOT a break)
+                "2024-01-01 01:30:00",  # u1 s1 (> gap)
+                "2024-01-01 05:00:00",  # u2 s0 (new key)
+            ]
+        )
+        df = pd.DataFrame({"u": [1, 1, 1, 1, 2], "ts": ts})
+        out = (
+            sessionize(rd.from_pandas(df), "u", "ts", gap_sec=1800)
+            .to_pandas().sort_values(["u", "session_id"]).reset_index(drop=True)
+        )
+        assert out[["u", "session_id", "n_events"]].values.tolist() == [
+            [1, 0, 3],
+            [1, 1, 1],
+            [2, 0, 1],
+        ]
+
+    def test_interval_join_multiplicity_and_bounds(self):
+        from mysql_binlog_ray.stages.relational import interval_join
+
+        left = pd.DataFrame({"k": [1, 1, 2], "t": [5, 11, 5]})
+        ivals = pd.DataFrame(
+            {"k": [1, 1, 2], "lo": [0, 5, 6], "hi": [5, 10, 9], "tag": ["a", "b", "c"]}
+        )
+        out = (
+            interval_join(rd.from_pandas(left), ivals, by="k", ts_col="t", lo_col="lo", hi_col="hi", take_cols=["tag"])
+            .to_pandas().sort_values(["k", "t", "tag"]).reset_index(drop=True)
+        )
+        # k=1 t=5 matches BOTH [0,5] and [5,10] (inclusive bounds);
+        # t=11 matches none; k=2 t=5 outside [6,9]
+        assert out[["k", "t", "tag"]].values.tolist() == [[1, 5, "a"], [1, 5, "b"]]
+
+    def test_space_saving_guarantee_and_exact_hh(self):
+        from mysql_binlog_ray.stages.sketches import SpaceSaving, exact_heavy_hitters
+
+        rng = np.random.default_rng(2)
+        vals = rng.zipf(1.6, 20_000).clip(max=5000)
+        true = pd.Series(vals).value_counts()
+        sk = SpaceSaving(k=64)
+        # feed in chunks like per-batch partials
+        for chunk in np.array_split(vals, 13):
+            vc = pd.Series(chunk).value_counts()
+            sk.add_counts(vc.index.to_numpy(), vc.to_numpy())
+        assert sk.n == len(vals)
+        thr = len(vals) // 64 + 1  # guarantee regime
+        cand = set(sk.candidates(thr))
+        truth = set(true.index[true > thr])
+        assert truth <= cand  # superset guarantee
+        # end-to-end exact two-pass equals groupby-having
+        df = pd.DataFrame({"v": vals})
+        out = exact_heavy_hitters(rd.from_pandas(df), "v", threshold=int(thr), k=64)
+        exp = true[true > thr]
+        assert dict(zip(out["v"], out["n"])) == {int(k): int(v) for k, v in exp.items()}
+
+    def test_exact_heavy_hitters_fallback_when_guarantee_void(self):
+        from mysql_binlog_ray.stages.sketches import exact_heavy_hitters
+
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, 50, 4000)
+        df = pd.DataFrame({"v": vals})
+        # k=8 << distinct: threshold below n/k voids the sketch guarantee
+        out = exact_heavy_hitters(rd.from_pandas(df), "v", threshold=85, k=8)
+        true = pd.Series(vals).value_counts()
+        exp = true[true > 85]
+        assert dict(zip(out["v"], out["n"])) == {int(k): int(v) for k, v in exp.items()}
