@@ -666,7 +666,9 @@ def interval_click_in_purchase_window(sf_dir: str):
     purchase-timestamp window (intervals computed distributed, then
     broadcast to the fact scan — no shuffle)."""
     ev_cols = ["event_id", "user_id", "ts", "event_type"]
-    purchases = rd.read_parquet(_t(sf_dir, "events"), columns=ev_cols)
+    purchases = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    )
     purchases = R.filter_project(
         purchases,
         lambda b: pc.equal(b.column("event_type"), pa.scalar("purchase")),

@@ -162,6 +162,25 @@ def keyed_reduce(
     return tagged.groupby("_rp").map_groups(per_part, batch_format="pandas")
 
 
+def broadcast_once(obj, prepare: Callable | None = None) -> Callable[[], object]:
+    """``ray.put`` once, read once per worker process: returns a getter
+    whose closure cache persists across tasks (map fns are deserialized
+    once per worker), so the object is never re-shipped per batch.
+    ``prepare`` runs on the fetched object once per worker (e.g. building
+    an index)."""
+    ref = ray.put(obj)
+    cache: dict = {}
+
+    def get() -> object:
+        out = cache.get("o")
+        if out is None:
+            out = ray.get(ref)
+            out = cache["o"] = prepare(out) if prepare is not None else out
+        return out
+
+    return get
+
+
 def broadcast_join(
     ds: rd.Dataset,
     small_df: pd.DataFrame,
@@ -173,16 +192,12 @@ def broadcast_join(
     """Join against a small dimension table by broadcasting it: the table
     is ``ray.put`` once; every map task reads the same object-store copy
     (zero per-batch reshipping) and merges per batch.  No shuffle."""
-    small_ref = ray.put(small_df[[right_on, *take_cols]])
-    cache: dict = {}
+    get_small = broadcast_once(
+        small_df[[right_on, *take_cols]], lambda d: d.set_index(right_on)
+    )
 
     def joiner(batch: pd.DataFrame) -> pd.DataFrame:
-        small = cache.get("s")
-        if small is None:
-            # one object-store read per worker process (fn is deserialized
-            # once per worker; the closure cache persists across tasks)
-            small = cache["s"] = ray.get(small_ref).set_index(right_on)
-        return batch.merge(small, left_on=left_on, right_index=True, how=how)
+        return batch.merge(get_small(), left_on=left_on, right_index=True, how=how)
 
     return ds.map_batches(joiner, batch_format="pandas")
 
@@ -347,6 +362,7 @@ def interval_join(
     lo_col: str,
     hi_col: str,
     take_cols: list[str] | None = None,
+    max_intermediate_rows: int = 4 << 20,
 ) -> rd.Dataset:
     """Keyed RANGE (interval-containment) join: every left row pairs with
     every interval of the same ``by`` key whose [lo, hi] contains its
@@ -354,22 +370,43 @@ def interval_join(
     brief lists next to as-of join; neither exists in Ray Data.
 
     Scale shape: the interval side is broadcast (``ray.put`` once, one
-    object-store read per worker) — the standard case, since interval
-    sets (maintenance windows, promo periods, user episodes) are orders
-    of magnitude smaller than the fact stream.  For interval sides too
-    big to broadcast, bucket both sides by ``by`` with ``keyed_reduce``
-    and run this join per partition."""
+    object-store read per worker via :func:`broadcast_once`) — the
+    standard case, since interval sets (maintenance windows, promo
+    periods, user episodes) are orders of magnitude smaller than the
+    fact stream.  For interval sides too big to broadcast, bucket both
+    sides by ``by`` with ``keyed_reduce`` and run this join per
+    partition.
+
+    The pre-mask cross product is BOUNDED: each batch is processed in
+    row chunks sized so the per-key cross product (sum of interval
+    counts over the chunk's rows) stays under ``max_intermediate_rows``
+    — a skewed key carrying many intervals can't blow up one task's
+    heap."""
     cols = [by, lo_col, hi_col, *(take_cols or [])]
-    small_ref = ray.put(intervals[cols])
-    cache: dict = {}
+    get_small = broadcast_once(
+        intervals[cols], lambda d: (d, d[by].value_counts())
+    )
 
     def joiner(batch: pd.DataFrame) -> pd.DataFrame:
-        small = cache.get("s")
-        if small is None:
-            small = cache["s"] = ray.get(small_ref)
-        out = batch.merge(small, on=by, how="inner")
-        mask = (out[ts_col] >= out[lo_col]) & (out[ts_col] <= out[hi_col])
-        return out[mask]
+        small, per_key = get_small()
+        est = per_key.reindex(batch[by]).fillna(0).to_numpy(dtype=np.float64)
+        cum = np.cumsum(est)
+        total = cum[-1] if len(cum) else 0.0
+
+        def one(chunk: pd.DataFrame) -> pd.DataFrame:
+            out = chunk.merge(small, on=by, how="inner")
+            mask = (out[ts_col] >= out[lo_col]) & (out[ts_col] <= out[hi_col])
+            return out[mask]
+
+        if total <= max_intermediate_rows:
+            return one(batch)
+        splits = np.searchsorted(
+            cum, np.arange(max_intermediate_rows, total, max_intermediate_rows)
+        )
+        parts = np.split(np.arange(len(batch)), np.unique(splits))
+        return pd.concat(
+            [one(batch.iloc[idx]) for idx in parts if len(idx)], ignore_index=True
+        )
 
     return ds.map_batches(joiner, batch_format="pandas")
 
@@ -389,12 +426,17 @@ def sessionize(
     Scale shape: ONE keyed exchange (``keyed_reduce`` — adaptive fanout,
     vectorized per partition: sort, diff, cumsum, groupby-agg; no
     per-key Python).  session_id is 0-based per key and deterministic:
-    breaks depend only on the sorted timestamp sequence."""
+    breaks depend only on the sorted timestamp sequence.  NULL keys form
+    ONE group (SQL PARTITION BY parity — the key hash routes all NULLs
+    to one partition, and factorize codes them as one key here)."""
     gap_us = int(gap_sec * 1_000_000)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, ts_col], kind="mergesort")
-        k = g[key_col].to_numpy()
+        # factorize so all NULLs share one code (NaN != NaN would both
+        # split them pre-sort and drop them in the groupby below)
+        codes, _ = pd.factorize(g[key_col], use_na_sentinel=True)
+        g = g.assign(_kc=codes).sort_values(["_kc", ts_col], kind="mergesort")
+        k = g["_kc"].to_numpy()
         t = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
         n = len(g)
         newkey = np.ones(n, dtype=bool)
@@ -405,12 +447,22 @@ def sessionize(
         first = np.flatnonzero(newkey)
         base = np.repeat(sid_g[first], np.diff(np.append(first, n)))
         out = pd.DataFrame(
-            {key_col: k, "session_id": (sid_g - base).astype(np.int64), "_t": t}
+            {
+                "_kc": k,
+                key_col: g[key_col].to_numpy(),
+                "session_id": (sid_g - base).astype(np.int64),
+                "_t": t,
+            }
         )
-        agg = out.groupby([key_col, "session_id"], sort=False).agg(
-            n_events=("_t", "size"), t_start_us=("_t", "min"), t_end_us=("_t", "max")
+        agg = out.groupby(["_kc", "session_id"], sort=False).agg(
+            **{key_col: (key_col, "first")},
+            n_events=("_t", "size"),
+            t_start_us=("_t", "min"),
+            t_end_us=("_t", "max"),
         )
-        return agg.reset_index()
+        return agg.reset_index()[
+            [key_col, "session_id", "n_events", "t_start_us", "t_end_us"]
+        ]
 
     return keyed_reduce(ds, [key_col], combine)
 

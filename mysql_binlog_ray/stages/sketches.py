@@ -88,85 +88,204 @@ def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
     return acc.estimate()
 
 
+# -- Heavy hitters: Space-Saving summaries (mergeable) ----------------------
+#
+# Summary semantics (Metwally, Agrawal, El Abbadi 2005; mergeability per
+# Agarwal et al. 2013 "Mergeability of Summaries" — public algorithms):
+#
+#   - ``counts[v] = [u, e]``: upper/lower bracket of v's true count,
+#     ``u - e <= true_count(v) <= u``.
+#   - ``m``: the ABSENT bound — any value not tracked has true count
+#     <= m.  Streaming builds keep m = the largest counter ever evicted;
+#     merges add the two sides' absent bounds (and raise m when the
+#     merged union is truncated back to k).
+#
+# Completeness: if ``m <= threshold`` then every value with true count
+# > threshold is tracked with u >= true count, so ``candidates()`` is a
+# guaranteed SUPERSET of the heavy hitters.
+
+# Hashable sentinel standing in for NULL so NaN (NaN != NaN) can be a
+# dict key / heavy-hitter candidate; SQL GROUP BY counts the NULL group.
+_NULL = ("__mysql_binlog_ray_null__",)
+
+
 class SpaceSaving:
-    """Space-Saving heavy-hitters sketch (Metwally, Agrawal, El Abbadi
-    2005 — public algorithm): at most ``k`` counters; when a new item
-    arrives at capacity it evicts the min counter and inherits its count
-    as over-estimation error.  Guarantees: every item with true count
-    > N/k is present, and each counter over-estimates by <= N/k."""
+    """Bounded heavy-hitters summary: at most ``k`` counters.  Streaming
+    inserts via :meth:`add_counts` (classic eviction, lazy-deletion heap
+    so eviction is O(log k) amortized, not an O(k) min scan); distributed
+    use via :meth:`merge` (upper bounds of values absent from one side
+    are inflated by that side's absent bound, preserving the superset
+    guarantee — the summaries are provably mergeable)."""
 
     def __init__(self, k: int = 4096) -> None:
         self.k = k
-        self.counts: dict = {}  # value -> [count_upper_bound, err]
+        self.counts: dict = {}  # value -> [upper_bound, err]
         self.n = 0  # total items observed
+        self.m = 0  # absent bound: any untracked value's count <= m
+        self._heap: list = []  # lazy-deletion min-heap of (u, value)
 
     def add_counts(self, values, counts) -> None:
         """Bulk-add pre-aggregated (value, count) pairs (e.g. one
         ``value_counts`` per batch — the per-batch side stays fully
-        vectorized; this dict walk touches distinct values only)."""
-        c = self.counts
+        vectorized; this walk touches distinct values only)."""
+        import heapq
+
+        c, heap = self.counts, self._heap
         for v, cnt in zip(values, counts):
             cnt = int(cnt)
             self.n += cnt
             cur = c.get(v)
             if cur is not None:
                 cur[0] += cnt
-            elif len(c) < self.k:
-                c[v] = [cnt, 0]
+                heapq.heappush(heap, (cur[0], id(v), v))
             else:
-                mv = min(c, key=lambda x: c[x][0])
-                mc = c.pop(mv)[0]
-                c[v] = [mc + cnt, mc]
+                if len(c) >= self.k:
+                    # evict the current min-u entry (skip stale heap rows)
+                    while True:
+                        u, _, w = heapq.heappop(heap)
+                        ce = c.get(w)
+                        if ce is not None and ce[0] == u:
+                            del c[w]
+                            self.m = max(self.m, u)
+                            break
+                u = cnt + self.m
+                c[v] = [u, self.m]
+                heapq.heappush(heap, (u, id(v), v))
+        if len(heap) > 8 * self.k:  # compact stale entries
+            heap[:] = [(ce[0], id(v), v) for v, ce in c.items()]
+            heapq.heapify(heap)
 
     def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        """Mergeable-summaries fold: a value absent from one side may
+        have had up to that side's absent bound there, so its merged
+        upper bound (and err) absorb it; truncating the union back to k
+        raises the absent bound to the largest dropped upper bound."""
         out = SpaceSaving(self.k)
-        out.counts = {v: list(ce) for v, ce in self.counts.items()}
-        out.n = self.n
-        out.add_counts(
-            list(other.counts.keys()), [ce[0] for ce in other.counts.values()]
-        )
-        out.n = self.n + other.n  # add_counts already added upper bounds
+        out.n = self.n + other.n
+        a, b, ma, mb = self.counts, other.counts, self.m, other.m
+        comb: dict = {}
+        for v, (u, e) in a.items():
+            ub, eb = b.get(v, (mb, mb))
+            comb[v] = [u + ub, e + eb]
+        for v, (u, e) in b.items():
+            if v not in a:
+                comb[v] = [u + ma, e + ma]
+        m = ma + mb
+        if len(comb) > out.k:
+            ordered = sorted(comb.items(), key=lambda kv: kv[1][0], reverse=True)
+            m = max(m, ordered[out.k][1][0])
+            comb = dict(ordered[: out.k])
+        out.counts = comb
+        out.m = m
         return out
 
     def candidates(self, threshold: int) -> list:
-        """Values whose count UPPER bound exceeds threshold — a superset
-        of the true heavy hitters whenever threshold > N/k."""
-        return [v for v, (cnt, _) in self.counts.items() if cnt > threshold]
+        """Values whose count UPPER bound exceeds threshold — a
+        guaranteed superset of the true heavy hitters whenever
+        :meth:`is_complete_above` holds."""
+        return [v for v, (u, _) in self.counts.items() if u > threshold]
+
+    def is_complete_above(self, threshold: int) -> bool:
+        """True iff no untracked value can exceed ``threshold`` (absent
+        bound m <= threshold) — the exact validity condition for the
+        two-pass exact heavy-hitter plan."""
+        return self.m <= threshold
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps(
+            (self.k, list(self.counts.items()), self.n, self.m), protocol=4
+        )
+
+    @staticmethod
+    def from_bytes(b: bytes) -> "SpaceSaving":
+        import pickle
+
+        k, items, n, m = pickle.loads(b)
+        out = SpaceSaving(k)
+        out.counts = {v: list(ue) for v, ue in items}
+        out.n, out.m = n, m
+        return out
+
+
+def _fold_sketches(payloads, k: int) -> SpaceSaving:
+    acc = SpaceSaving(k)
+    for b in payloads:
+        acc = acc.merge(SpaceSaving.from_bytes(b))
+    return acc
+
+
+def space_saving_sketch(ds: rd.Dataset, col: str, k: int = 4096) -> SpaceSaving:
+    """Distributed Space-Saving sketch of ``col``: one EXACT top-k
+    summary per block (``value_counts`` is exact within a block, so the
+    block summary has err 0 and absent bound = the largest dropped
+    count), one tree-merge level in tasks, then a driver fold over the
+    per-task partials — the driver sees O(tasks x k) counters, never the
+    distinct-value space.  NULL rows count as one group (SQL GROUP BY
+    parity), carried as the hashable ``_NULL`` sentinel."""
+
+    def block_summary(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[col].value_counts(dropna=False)  # sorted desc
+        sk = SpaceSaving(k)
+        sk.n = int(vc.sum())
+        if len(vc) > k:
+            sk.m = int(vc.iloc[k])  # largest dropped exact count
+            vc = vc.iloc[:k]
+        vals = vc.index.to_numpy(dtype=object)
+        nulls = pd.isna(vals)
+        if nulls.any():
+            vals = vals.copy()
+            # value_counts(dropna=False) folds all NAs into one entry;
+            # per-index assignment (vals[nulls] = _NULL would broadcast
+            # the tuple's ELEMENTS into the object array)
+            for i in np.flatnonzero(nulls):
+                vals[i] = _NULL
+        sk.counts = {v: [int(c), 0] for v, c in zip(vals, vc.to_numpy())}
+        return pd.DataFrame({"sketch": [sk.to_bytes()]})
+
+    def tree_merge(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"sketch": [_fold_sketches(batch["sketch"].tolist(), k).to_bytes()]}
+        )
+
+    partials = ds.map_batches(block_summary, batch_format="pandas").map_batches(
+        tree_merge, batch_format="pandas", batch_size=64
+    )
+    rows = partials.take_all()
+    return _fold_sketches((r["sketch"] for r in rows), k)
 
 
 def exact_heavy_hitters(
     ds: rd.Dataset, col: str, threshold: int, k: int = 4096
 ) -> pd.DataFrame:
     """EXACT frequent items via the classic two-pass shape: pass 1 is a
-    Space-Saving sketch (per-batch ``value_counts`` partials, kilobytes
-    to the driver) that yields a candidate SUPERSET; pass 2 exact-counts
-    only the candidates (broadcast membership filter + pre-aggregated
-    groupby).  Output == ``GROUP BY col HAVING count(*) > threshold``
-    with the shuffle carrying candidates only — never the full key space.
+    distributed Space-Saving sketch (kilobytes per task to the driver)
+    yielding a candidate SUPERSET; pass 2 exact-counts only the
+    candidates (broadcast membership filter + pre-aggregated groupby).
+    Output == ``GROUP BY col HAVING count(*) > threshold`` including the
+    NULL group (returned as NaN).
 
-    Falls back to a full exact groupby when the sketch guarantee
-    (threshold > N/k) does not hold for the observed N."""
+    Falls back to a full exact groupby when the sketch's absent bound
+    exceeds the threshold (candidate set provably complete otherwise)."""
     import ray
 
     from .relational import preagg_groupby
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        vc = batch[col].value_counts()
-        return pd.DataFrame({"v": vc.index.to_numpy(), "c": vc.to_numpy()})
-
-    sk = SpaceSaving(k)
-    for b in ds.map_batches(partial, batch_format="pandas").iter_batches(
-        batch_format="pandas"
-    ):
-        sk.add_counts(b["v"].to_numpy(), b["c"].to_numpy())
-
-    if threshold <= sk.n // k:
-        cand = None  # guarantee void: exact-count everything (rare; means
-        # k was sized too small for this threshold/N)
-    else:
+    sk = space_saving_sketch(ds, col, k)
+    null_hh = False
+    if sk.is_complete_above(threshold):
         cand = set(sk.candidates(threshold))
-        if not cand:
-            return pd.DataFrame({col: pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")})
+        if _NULL in cand:
+            cand.discard(_NULL)
+            null_hh = True  # candidate only; exact-counted below
+        if not cand and not null_hh:
+            return pd.DataFrame(
+                {col: pd.Series(dtype="float64"), "n": pd.Series(dtype="int64")}
+            )
+    else:
+        cand = None  # guarantee void: exact-count everything (means k was
+        null_hh = True  # sized too small for this threshold/N)
 
     filtered = ds
     if cand is not None:
@@ -180,7 +299,30 @@ def exact_heavy_hitters(
             return batch[np.isin(batch[col].to_numpy(), arr)]
 
         filtered = ds.map_batches(keep, batch_format="pandas")
+    else:
+
+        def keep(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch[col].notna()]
+
+        filtered = ds.map_batches(keep, batch_format="pandas")
 
     counts = preagg_groupby(filtered, [col], {"n": (None, "count")}).to_pandas()
-    out = counts[counts["n"] > threshold].sort_values(col).reset_index(drop=True)
-    return out
+    if counts.empty:
+        counts = pd.DataFrame({col: pd.Series(dtype="float64"), "n": pd.Series(dtype="int64")})
+    out = counts[counts["n"] > threshold]
+    if null_hh:
+        # exact NULL count via a tiny per-batch partial sum (NULL group
+        # keys don't round-trip Ray's groupby; count it out-of-band)
+        n_null = sum(
+            int(b["c"].sum())
+            for b in ds.map_batches(
+                lambda b: pd.DataFrame({"c": [int(b[col].isna().sum())]}),
+                batch_format="pandas",
+            ).iter_batches(batch_format="pandas")
+        )
+        if n_null > threshold:
+            out = pd.concat(
+                [out, pd.DataFrame({col: [np.nan], "n": [n_null]})],
+                ignore_index=True,
+            )
+    return out.sort_values(col).reset_index(drop=True)

@@ -649,3 +649,91 @@ class TestRound3NewOperators:
         true = pd.Series(vals).value_counts()
         exp = true[true > 85]
         assert dict(zip(out["v"], out["n"])) == {int(k): int(v) for k, v in exp.items()}
+
+    def test_sessionize_null_keys_one_group(self):
+        from mysql_binlog_ray.stages.relational import sessionize
+
+        ts = pd.to_datetime(
+            [
+                "2024-01-01 00:00:00",  # NULL s0
+                "2024-01-01 00:10:00",  # NULL s0
+                "2024-01-01 02:00:00",  # NULL s1
+                "2024-01-01 00:00:00",  # u1 s0
+            ]
+        )
+        df = pd.DataFrame({"u": pd.array([None, None, None, 1], dtype="Int64"), "ts": ts})
+        out = (
+            sessionize(rd.from_pandas(df), "u", "ts", gap_sec=1800)
+            .to_pandas().sort_values(["u", "session_id"], na_position="last")
+            .reset_index(drop=True)
+        )
+        # SQL PARTITION BY parity: all NULL keys are ONE partition
+        nulls = out[out["u"].isna()]
+        assert len(nulls) == 2
+        assert sorted(nulls["n_events"].tolist()) == [1, 2]
+        assert len(out[out["u"].notna()]) == 1
+
+    def test_interval_join_chunked_matches_unchunked(self):
+        from mysql_binlog_ray.stages import relational as R
+
+        rng = np.random.default_rng(7)
+        # one hot key holding most intervals (the skew the chunking bounds)
+        ivals = pd.DataFrame(
+            {
+                "k": np.r_[np.full(200, 1), rng.integers(2, 10, 40)],
+                "lo": rng.integers(0, 50, 240),
+            }
+        )
+        ivals["hi"] = ivals["lo"] + rng.integers(0, 30, 240)
+        left = pd.DataFrame(
+            {"k": rng.integers(1, 10, 500), "t": rng.integers(0, 90, 500)}
+        )
+
+        def run(cap):
+            return (
+                R.interval_join(
+                    rd.from_pandas(left), ivals, by="k", ts_col="t",
+                    lo_col="lo", hi_col="hi", max_intermediate_rows=cap,
+                )
+                .to_pandas().sort_values(["k", "t", "lo", "hi"]).reset_index(drop=True)
+            )
+
+        pd.testing.assert_frame_equal(run(4 << 20), run(64))
+
+    def test_exact_heavy_hitters_null_group(self):
+        from mysql_binlog_ray.stages.sketches import exact_heavy_hitters
+
+        vals = pd.array([1] * 50 + [2] * 5 + [None] * 60, dtype="Int64")
+        df = pd.DataFrame({"v": vals})
+        out = exact_heavy_hitters(rd.from_pandas(df), "v", threshold=40, k=16)
+        # SQL GROUP BY HAVING parity: NULL group (60) and 1 (50) qualify
+        got = {(-1 if pd.isna(v) else int(v)): int(n) for v, n in zip(out["v"], out["n"])}
+        assert got == {1: 50, -1: 60}
+
+    def test_space_saving_merge_superset_guarantee(self):
+        from mysql_binlog_ray.stages.sketches import SpaceSaving
+
+        rng = np.random.default_rng(11)
+        vals = rng.zipf(1.5, 30_000).clip(max=8000)
+        halves = np.array_split(vals, 7)
+        sketches = []
+        for h in halves:
+            vc = pd.Series(h).value_counts()
+            sk = SpaceSaving(k=64)
+            sk.add_counts(vc.index.to_numpy(), vc.to_numpy())
+            sketches.append(sk)
+        acc = sketches[0]
+        for s in sketches[1:]:
+            acc = acc.merge(s)
+        assert acc.n == len(vals)
+        true = pd.Series(vals).value_counts()
+        thr = len(vals) // 64 + 1
+        if acc.is_complete_above(thr):
+            truth = set(true.index[true > thr])
+            assert truth <= set(acc.candidates(thr))
+        # upper bounds never understate true counts
+        for v, (u, e) in acc.counts.items():
+            assert u >= int(true.get(v, 0))
+            assert u - e <= int(true.get(v, 0))
+
+
