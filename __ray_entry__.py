@@ -39,6 +39,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": Q.sessionize_events,
         "interval_click_in_purchase_window": Q.interval_click_in_purchase_window,
         "heavy_hitter_users": Q.heavy_hitter_users,
+        "hopping_window_events": Q.hopping_window_events,
+        "percentiles_lineitem": Q.percentiles_lineitem,
+        "top3_orders_per_customer": Q.top3_orders_per_customer,
+        "customers_without_orders": Q.customers_without_orders,
+        "pivot_user_event_counts": Q.pivot_user_event_counts,
+        "term_frequency_documents": Q.term_frequency_documents,
         "topk_orders": Q.topk_orders,
         "distinct_users": Q.distinct_users,
         "stratified_sample_documents": Q.stratified_sample_documents,
@@ -164,6 +170,49 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_users": """
             SELECT user_id, count(*) AS n FROM events
             GROUP BY user_id HAVING count(*) > 70
+        """,
+        "hopping_window_events": """
+            SELECT ws AS window_start, count(*) AS n FROM (
+              SELECT unnest(generate_series(
+                (epoch_us(ts) // 1000000 // 900) * 900 - 2700,
+                (epoch_us(ts) // 1000000 // 900) * 900,
+                900)) AS ws
+              FROM events)
+            GROUP BY ws
+        """,
+        "percentiles_lineitem": """
+            SELECT l_returnflag,
+                   quantile_disc(l_extendedprice, 0.5) AS p50,
+                   quantile_disc(l_extendedprice, 0.95) AS p95
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "top3_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders) WHERE rn <= 3
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        """,
+        "pivot_user_event_counts": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "term_frequency_documents": """
+            SELECT term, count(*) AS n FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents)
+            GROUP BY term ORDER BY n DESC, term ASC LIMIT 50
         """,
         "stratified_sample_documents": """
             SELECT doc_id, lang FROM (

@@ -709,3 +709,76 @@ def heavy_hitter_users(sf_dir: str):
             "n": pa.array(out["n"].astype("int64")),
         }
     )
+
+
+def hopping_window_events(sf_dir: str):
+    """Hopping (sliding) window count: 1-hour windows every 15 min —
+    each event lands in 4 overlapping windows (vectorized explode +
+    pre-aggregated groupby; the shuffle carries per-window partials)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+    out = R.hopping_window(ds, "ts", [], width_sec=3600, hop_sec=900,
+                           spec={"n": (None, "count")})
+    return out.map_batches(
+        lambda b: b.select(["window_start", "n"]), batch_format="pyarrow"
+    )
+
+
+def percentiles_lineitem(sf_dir: str):
+    """Exact per-group discrete percentiles (p50/p95 of extendedprice
+    per returnflag) — one keyed exchange, vectorized offset pick."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_extendedprice"]
+    )
+    out = R.group_percentiles(ds, ["l_returnflag"], "l_extendedprice", [0.5, 0.95])
+    return out.map_batches(
+        lambda b: b.select(["l_returnflag", "p50", "p95"]), batch_format="pyarrow"
+    )
+
+
+def top3_orders_per_customer(sf_dir: str):
+    """Per-group top-N (ROW_NUMBER window pattern): each customer's 3
+    most expensive orders, deterministic (price desc, orderkey asc)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    out = R.grouped_top_n(
+        ds, ["o_custkey"], [("o_totalprice", True), ("o_orderkey", False)], 3
+    )
+    return out.map_batches(
+        lambda b: b.select(["o_custkey", "o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti join (NOT EXISTS): customers who never placed a big
+    (>300k) order — right side filtered then reduced to distinct keys,
+    broadcast once, vectorized isin-negation probe."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+    big = R.filter_project(
+        orders,
+        lambda b: pc.greater(b.column("o_totalprice"), pa.scalar(300000.0)),
+        ["o_custkey"],
+    )
+    return R.broadcast_anti_join(cust, big, "c_custkey", "o_custkey")
+
+
+def pivot_user_event_counts(sf_dir: str):
+    """Pivot: per-user count of each event type as fixed columns
+    (count FILTER pattern) — per-batch crosstab, per-category Sum."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    cats = ["click", "error", "purchase", "signup", "view"]
+    return R.pivot_counts(ds, "user_id", "event_type", cats)
+
+
+def term_frequency_documents(sf_dir: str):
+    """Corpus-wide term-frequency top-50 (ascii [a-z0-9]+ tokens):
+    one findall+unique pass per batch, vocabulary reduce through one
+    keyed exchange, bounded top-k."""
+    from ..stages.text import term_frequency_topk
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    return term_frequency_topk(ds, "text", k=50)

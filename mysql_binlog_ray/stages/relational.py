@@ -497,3 +497,142 @@ def stratified_first_n(
         return group.sort_values(order_col).head(n)
 
     return ds.groupby(strata_col).map_groups(head, batch_format="pandas")
+
+
+def hopping_window(
+    ds: rd.Dataset,
+    ts_col: str,
+    key_cols: list[str],
+    width_sec: int,
+    hop_sec: int,
+    spec: AggSpec,
+) -> rd.Dataset:
+    """Hopping (sliding) event-time window aggregate: windows of
+    ``width_sec`` starting every ``hop_sec`` — each event lands in
+    ``width/hop`` overlapping windows.  The explode is vectorized
+    (``np.repeat`` + per-copy window offsets, no per-row Python), then
+    the same pre-aggregated groupby as :func:`tumbling_window`, so the
+    shuffle carries per-(key, window) partials, not the exploded rows."""
+    assert width_sec % hop_sec == 0, "width must be a multiple of hop"
+    fan = width_sec // hop_sec
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        sec = batch[ts_col].to_numpy().astype("datetime64[s]").astype("int64")
+        last = (sec // hop_sec) * hop_sec  # latest window containing t
+        idx = np.repeat(np.arange(len(batch)), fan)
+        off = np.tile(np.arange(fan, dtype=np.int64) * hop_sec, len(batch))
+        out = batch.iloc[idx].reset_index(drop=True)
+        out["window_start"] = np.repeat(last, fan) - off
+        return out
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    return preagg_groupby(exploded, [*key_cols, "window_start"], spec)
+
+
+def group_percentiles(
+    ds: rd.Dataset,
+    keys: list[str],
+    val_col: str,
+    qs: list[float],
+    out_cols: list[str] | None = None,
+) -> rd.Dataset:
+    """EXACT per-group discrete percentiles (SQL ``percentile_disc`` /
+    DuckDB ``quantile_disc`` semantics: the smallest element whose
+    cumulative rank reaches q, i.e. sorted index ``ceil(q*n)-1``).
+
+    Scale shape: ONE keyed exchange (``keyed_reduce``); the per-partition
+    combine is a single vectorized sort + ``np.searchsorted``-free offset
+    pick — no per-group Python, no global sort of the whole input."""
+    out_cols = out_cols or [f"p{int(q * 100)}" for q in qs]
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([*keys, val_col], kind="mergesort")
+        vals = g[val_col].to_numpy()
+        n = len(g)
+        newkey = np.ones(n, dtype=bool)
+        if n > 1:
+            acc = np.zeros(n - 1, dtype=bool)
+            for kc in keys:
+                # factorize codes: NULL keys form one group (NaN != NaN
+                # would split them), and != is dtype-safe
+                a, _ = pd.factorize(g[kc], use_na_sentinel=True)
+                acc |= a[1:] != a[:-1]
+            newkey[1:] = acc
+        starts = np.flatnonzero(newkey)
+        ends = np.append(starts[1:], len(g))
+        sizes = ends - starts
+        cols = {kc: g[kc].to_numpy()[starts] for kc in keys}
+        for q, oc in zip(qs, out_cols):
+            pick = starts + np.ceil(q * sizes).astype(np.int64).clip(1) - 1
+            cols[oc] = vals[pick]
+        return pd.DataFrame(cols)
+
+    return keyed_reduce(ds, keys, combine)
+
+
+def grouped_top_n(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    sort_cols: list[tuple[str, bool]],
+    n: int,
+) -> rd.Dataset:
+    """Per-group top-N (the ``ROW_NUMBER() OVER (PARTITION BY ...) <= n``
+    window pattern): ONE keyed exchange, then a vectorized per-partition
+    sort + ``groupby.head(n)`` (pandas C kernels; no per-group Python).
+    ``sort_cols`` is [(col, descending)] and must be a total order for
+    deterministic output (include a unique id as the last tie-break)."""
+    by = [c for c, _ in sort_cols]
+    ascending = [not d for _, d in sort_cols]
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(by, ascending=ascending, kind="mergesort")
+        return g.groupby(group_cols, sort=False, dropna=False).head(n)
+
+    return keyed_reduce(ds, group_cols, combine)
+
+
+def broadcast_anti_join(
+    ds: rd.Dataset,
+    right_ds: rd.Dataset,
+    left_on: str,
+    right_on: str,
+) -> rd.Dataset:
+    """Anti join (``NOT EXISTS``): keep left rows whose key never occurs
+    on the right.  The right side is reduced to its DISTINCT keys first
+    (pre-aggregated — the shuffle carries per-batch distinct partials),
+    then broadcast once; the probe is a vectorized ``isin`` negation.
+    For right key sets too large to broadcast, route both sides through
+    ``keyed_reduce`` and anti-join per partition."""
+    keys = preagg_groupby(right_ds, [right_on], {"_n": (None, "count")}).to_pandas()
+    get_keys = broadcast_once(keys[right_on].to_numpy())
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[~batch[left_on].isin(get_keys())]
+
+    return ds.map_batches(probe, batch_format="pandas")
+
+
+def pivot_counts(
+    ds: rd.Dataset,
+    key_col: str,
+    cat_col: str,
+    categories: list[str],
+) -> rd.Dataset:
+    """Pivot a categorical column into per-category count columns
+    (``count(*) FILTER (WHERE cat = c)``): the per-batch combiner
+    crosstabs (vectorized), the global groupby sums one int64 column per
+    category — so the shuffle carries |keys|x|batches| rows of small
+    fixed width regardless of input size.  ``categories`` is the fixed
+    output column set (discover it with a tiny distinct query first);
+    unseen categories are ignored."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(batch[key_col], batch[cat_col])
+        ct = ct.reindex(columns=categories, fill_value=0)
+        ct.columns = [f"n_{c}" for c in categories]
+        return ct.reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(key_col).aggregate(
+        *[Sum(f"n_{c}", alias_name=f"n_{c}") for c in categories]
+    )

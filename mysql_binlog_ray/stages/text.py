@@ -178,3 +178,37 @@ class Fingerprinter:
         batch["fingerprint"] = fps.astype(np.int64)
         batch["content_md5"] = t.map(lambda s: hashlib.md5(s.encode()).hexdigest())
         return batch
+
+
+def term_frequency_topk(ds, text_col: str, k: int = 50):
+    """Corpus-wide term frequency top-k: tokenize (lowercase ASCII
+    ``[a-z0-9]+`` runs), count, return the k most frequent terms with
+    deterministic (count desc, term asc) tie-break.
+
+    Scale shape: per batch, ALL texts are joined with a separator and
+    tokenized in ONE ``re.findall`` + ``np.unique`` pass (no per-row
+    Python), emitting (term, n) partials — one row per distinct term per
+    batch.  The vocabulary-cardinality reduce goes through ONE keyed
+    exchange (``keyed_reduce``, adaptive fanout, vectorized per-partition
+    sum), then the standard bounded local-top-k + tiny driver sort.
+    Returns a pyarrow table (term, n)."""
+    import pyarrow as pa
+
+    from .relational import keyed_reduce, top_k
+
+    tok = re.compile(r"[a-z0-9]+", re.ASCII)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # "\n" can't occur inside a token, so joining is boundary-safe
+        blob = "\n".join(batch[text_col].fillna("").str.lower())
+        terms, counts = np.unique(tok.findall(blob), return_counts=True)
+        return pd.DataFrame({"term": terms, "n": counts.astype(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def sum_terms(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("term", sort=False)["n"].sum()
+        return agg.reset_index()
+
+    totals = keyed_reduce(partials, ["term"], sum_terms)
+    return top_k(totals, [("n", True), ("term", False)], k)

@@ -737,3 +737,99 @@ class TestRound3NewOperators:
             assert u - e <= int(true.get(v, 0))
 
 
+
+
+class TestRelationalBreadth2:
+    """hopping window / percentiles / grouped top-N / anti join / pivot /
+    term frequency."""
+
+    def test_hopping_window_membership(self):
+        from mysql_binlog_ray.stages.relational import hopping_window
+
+        ts = pd.to_datetime(["2024-01-01 00:00:05", "2024-01-01 00:00:35"])
+        df = pd.DataFrame({"ts": ts})
+        out = (
+            hopping_window(rd.from_pandas(df), "ts", [], width_sec=60, hop_sec=30,
+                           spec={"n": (None, "count")})
+            .to_pandas().sort_values("window_start").reset_index(drop=True)
+        )
+        base = int(ts[0].timestamp()) // 30 * 30
+        # t=5 covers windows [-30, 0]; t=35 covers [0, 30]
+        got = dict(zip(out["window_start"], out["n"]))
+        assert got == {base - 30: 1, base: 2, base + 30: 1}
+
+    def test_group_percentiles_matches_duckdb(self):
+        import duckdb
+
+        from mysql_binlog_ray.stages.relational import group_percentiles
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame(
+            {"g": rng.integers(0, 7, 500), "x": rng.normal(size=500).round(3)}
+        )
+        got = (
+            group_percentiles(rd.from_pandas(df), ["g"], "x", [0.25, 0.5, 0.95])
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            """SELECT g, quantile_disc(x, 0.25) AS p25, quantile_disc(x, 0.5) AS p50,
+                      quantile_disc(x, 0.95) AS p95 FROM df GROUP BY g ORDER BY g"""
+        ).df()
+        pd.testing.assert_frame_equal(
+            got[["g", "p25", "p50", "p95"]].astype({"g": "int64"}), exp.astype({"g": "int64"})
+        )
+
+    def test_grouped_top_n_matches_pandas(self):
+        from mysql_binlog_ray.stages.relational import grouped_top_n
+
+        rng = np.random.default_rng(6)
+        df = pd.DataFrame(
+            {
+                "g": rng.integers(0, 20, 300),
+                "v": rng.integers(0, 50, 300),
+                "id": np.arange(300),
+            }
+        )
+        got = (
+            grouped_top_n(rd.from_pandas(df), ["g"], [("v", True), ("id", False)], 2)
+            .to_pandas().sort_values(["g", "id"]).reset_index(drop=True)
+        )
+        exp = (
+            df.sort_values(["v", "id"], ascending=[False, True])
+            .groupby("g", sort=False).head(2)
+            .sort_values(["g", "id"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["g", "v", "id"]], exp[["g", "v", "id"]])
+
+    def test_broadcast_anti_join(self):
+        from mysql_binlog_ray.stages.relational import broadcast_anti_join
+
+        left = pd.DataFrame({"k": [1, 2, 3, 4], "v": list("abcd")})
+        right = pd.DataFrame({"r": [2, 2, 4]})
+        got = (
+            broadcast_anti_join(rd.from_pandas(left), rd.from_pandas(right), "k", "r")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert got["k"].tolist() == [1, 3]
+
+    def test_pivot_counts(self):
+        from mysql_binlog_ray.stages.relational import pivot_counts
+
+        df = pd.DataFrame(
+            {"u": [1, 1, 1, 2, 2], "c": ["a", "a", "b", "b", "zzz"]}
+        )
+        got = (
+            pivot_counts(rd.from_pandas(df), "u", "c", ["a", "b"])
+            .to_pandas().sort_values("u").reset_index(drop=True)
+        )
+        assert got[["u", "n_a", "n_b"]].values.tolist() == [[1, 2, 1], [2, 0, 1]]
+
+    def test_term_frequency_topk_tiebreak(self):
+        from mysql_binlog_ray.stages.text import term_frequency_topk
+
+        df = pd.DataFrame(
+            {"text": ["b a a", "c b X!", None, "d d d"]}
+        )
+        got = term_frequency_topk(rd.from_pandas(df), "text", k=3).to_pandas()
+        # counts: d=3, a=2, b=2, c=1, x=1; ties by term asc
+        assert list(zip(got["term"], got["n"])) == [("d", 3), ("a", 2), ("b", 2)]
