@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_issues_final_state": Q.cdc_issues_final_state,
         "cdc_all_tables_changefeed": Q.cdc_all_tables_changefeed,
         "cdc_hot_keys": Q.cdc_hot_keys,
+        "cdc_windowed_activity": Q.cdc_windowed_activity,
     }
 
 

@@ -767,6 +767,7 @@ def run_tables_to_lakes(
     base_dir: str,
     table_cfgs: dict[tuple[str, str], CdcConfig],
     resume: bool = True,
+    concurrency: int = 1,
 ) -> dict[str, dict[str, Any]]:
     """Per-table exactly-once lakes from one binlog stream.
 
@@ -774,20 +775,68 @@ def run_tables_to_lakes(
     stream pass per table — other tables' row events are filtered
     BEFORE row decode, so only the event walk repeats, not row decode)
     into ``base_dir/<schema>.<table>``; every lake keeps its own
-    watermark manifest, so each table resumes independently, and the
-    per-table runs are independent (a caller may run them concurrently).
-    For every table from literally ONE stream pass, use
+    watermark manifest, so each table resumes independently.  With
+    ``concurrency > 1``, that many tables run AT ONCE from driver
+    threads — each thread drives its own Ray Data streaming executor, so
+    their stages interleave on the cluster (per-table state is fully
+    disjoint: lake dir, spill dir, watermark manifest; the pipelines
+    only share the immutable input shards).  Useful when tables are
+    small enough that per-pipeline setup/latency dominates a sequential
+    walk.  For every table from literally ONE stream pass, use
     ``decode_all_tables`` — the trade is its JSON row rendering vs this
     path's typed flat decode and exactly-once sinks.
     """
     from dataclasses import replace as _replace
 
-    results: dict[str, dict[str, Any]] = {}
-    for (schema, table), cfg in table_cfgs.items():
+    def one(schema: str, table: str, cfg: CdcConfig) -> dict[str, Any]:
         cfg = _replace(cfg, target_table=(schema, table))
         lake = os.path.join(base_dir, f"{schema}.{table}")
-        results[f"{schema}.{table}"] = run_to_lake(manifest, lake, cfg, resume=resume)
-    return results
+        return run_to_lake(manifest, lake, cfg, resume=resume)
+
+    if concurrency <= 1:
+        return {
+            f"{schema}.{table}": one(schema, table, cfg)
+            for (schema, table), cfg in table_cfgs.items()
+        }
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    undo = _pin_fsspec_http_module()
+    try:
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            futs = {
+                f"{schema}.{table}": pool.submit(one, schema, table, cfg)
+                for (schema, table), cfg in table_cfgs.items()
+            }
+            return {name: f.result() for name, f in futs.items()}
+    finally:
+        undo()
+
+
+def _pin_fsspec_http_module():
+    """Ray's read path lazily imports ``fsspec.implementations.http`` and
+    treats ModuleNotFoundError (no aiohttp) as "not an http filesystem".
+    A FAILED import is removed from ``sys.modules``, so two driver
+    threads racing that import can observe each other's half-initialized
+    module and get a bare ImportError Ray does NOT catch.  When the real
+    import fails, pin an inert placeholder for the duration of the
+    threaded section (isinstance against the placeholder class is False
+    — identical semantics to the ModuleNotFoundError path).  Returns an
+    undo callable."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+
+        return lambda: None
+    except Exception:
+        pass
+    name = "fsspec.implementations.http"
+    mod = types.ModuleType(name)
+    mod.HTTPFileSystem = type("HTTPFileSystem", (), {})
+    sys.modules[name] = mod
+    return lambda: sys.modules.pop(name, None)
 
 
 def read_lake(lake_dir: str) -> rd.Dataset:

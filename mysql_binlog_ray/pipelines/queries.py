@@ -782,3 +782,38 @@ def term_frequency_documents(sf_dir: str):
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
     return term_frequency_topk(ds, "text", k=50)
+
+
+def cdc_windowed_activity(sf_dir: str):
+    """Tumbling-window aggregate OVER THE DECODED CHANGEFEED (the
+    streaming-window analog of the reference's 1 s StatisticsCollector
+    timer, `src/Statistic/StatisticCollector.php` semantics widened to
+    event-time): per (table, op, 60 s window of binlog header ts), row
+    count + event_seq range.  Windowing is vectorized per batch; the
+    shuffle carries per-window partials.  Oracle: sequential-replay
+    pytest parity (binlog wire format is not SQL-expressible)."""
+    from .cdc import CdcConfig, decode_changefeed, read_event_stream
+
+    _, manifest = cdc_manifest(sf_dir)
+    cf = decode_changefeed(read_event_stream(manifest), manifest["table_maps"], CdcConfig())
+
+    def win(b: pa.Table) -> pa.Table:
+        ws = (b.column("ts").to_numpy() // 60) * 60
+        return pa.table(
+            {
+                "table_name": b.column("table_name"),
+                "op": b.column("op"),
+                "window_start": pa.array(ws),
+                "event_seq": b.column("event_seq"),
+            }
+        )
+
+    return R.preagg_groupby(
+        cf.map_batches(win, batch_format="pyarrow"),
+        ["table_name", "op", "window_start"],
+        {
+            "n_rows": (None, "count"),
+            "min_seq": ("event_seq", "min"),
+            "max_seq": ("event_seq", "max"),
+        },
+    )

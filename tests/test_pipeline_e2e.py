@@ -369,3 +369,99 @@ class TestMultiTableLakes:
         assert set(issues["state"]) <= {"open", "closed", "merged"}
         # typed columns survived decode + merge + parquet round-trip
         assert issues["n_comments"].dtype.kind == "i"
+
+    def test_concurrent_tables_equal_sequential(self, tmp_path):
+        """concurrency=2 runs both tables' pipelines from driver threads;
+        lakes are identical to the sequential run (disjoint lake/spill
+        state; only the immutable input shards are shared)."""
+        from mysql_binlog_ray.pipelines.cdc import (
+            CdcConfig,
+            read_lake,
+            run_tables_to_lakes,
+        )
+
+        spec = StreamSpec(n_keys=120, n_ops=700, n_shards=3, issues_every=3)
+        out = str(tmp_path / "stream")
+        manifest = generate_stream(spec, out)
+        cfgs = {
+            ("code", "repos"): CdcConfig(num_partitions=8, key_cols=("repo", "path")),
+            ("code", "issues"): CdcConfig(num_partitions=4, key_cols=("issue_id",)),
+        }
+        seq = str(tmp_path / "seq")
+        conc = str(tmp_path / "conc")
+        run_tables_to_lakes(manifest, seq, cfgs)
+        res = run_tables_to_lakes(manifest, conc, cfgs, concurrency=2)
+        assert set(res) == {"code.repos", "code.issues"}
+        for name, keys in [("code.repos", ["repo", "path"]), ("code.issues", ["issue_id"])]:
+            a = read_lake(f"{seq}/{name}").to_pandas().sort_values(keys).reset_index(drop=True)
+            b = read_lake(f"{conc}/{name}").to_pandas().sort_values(keys).reset_index(drop=True)
+            assert a.equals(b), name
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCdcWindowedActivity:
+    def test_windowed_activity_matches_sequential_replay(self, tmp_path):
+        """Tumbling-window aggregate over the parallel changefeed equals
+        the same aggregation over the single-threaded sequential decode
+        (the replay oracle for non-SQL-expressible CDC operators)."""
+        import pandas as pd
+        import pyarrow as pa
+
+        from mysql_binlog_ray.pipelines.cdc import (
+            CdcConfig,
+            decode_changefeed,
+            read_event_stream,
+        )
+        from mysql_binlog_ray.pipelines.sequential import decode_shards_sequential
+        from mysql_binlog_ray.stages import relational as R
+
+        spec = StreamSpec(n_keys=100, n_ops=600, n_shards=3)
+        manifest = generate_stream(spec, str(tmp_path / "stream"))
+
+        cf = decode_changefeed(
+            read_event_stream(manifest), manifest["table_maps"], CdcConfig()
+        )
+
+        def win(b):
+            ws = (b.column("ts").to_numpy() // 60) * 60
+            return pa.table(
+                {
+                    "table_name": b.column("table_name"),
+                    "op": b.column("op"),
+                    "window_start": pa.array(ws),
+                    "event_seq": b.column("event_seq"),
+                }
+            )
+
+        got = (
+            R.preagg_groupby(
+                cf.map_batches(win, batch_format="pyarrow"),
+                ["table_name", "op", "window_start"],
+                {
+                    "n_rows": (None, "count"),
+                    "min_seq": ("event_seq", "min"),
+                    "max_seq": ("event_seq", "max"),
+                },
+            )
+            .to_pandas()
+            .sort_values(["table_name", "op", "window_start"])
+            .reset_index(drop=True)
+        )
+
+        seq = decode_shards_sequential(manifest).to_pandas()
+        seq["window_start"] = (seq["ts"] // 60) * 60
+        exp = (
+            seq.groupby(["table_name", "op", "window_start"])
+            .agg(
+                n_rows=("event_seq", "size"),
+                min_seq=("event_seq", "min"),
+                max_seq=("event_seq", "max"),
+            )
+            .reset_index()
+            .sort_values(["table_name", "op", "window_start"])
+            .reset_index(drop=True)
+        )
+        assert got["window_start"].nunique() > 1  # window grid is real
+        pd.testing.assert_frame_equal(
+            got.astype({"n_rows": "int64"}), exp.astype({"n_rows": "int64"})
+        )
