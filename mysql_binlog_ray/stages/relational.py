@@ -512,11 +512,26 @@ def hopping_window(
     ``width/hop`` overlapping windows.  The explode is vectorized
     (``np.repeat`` + per-copy window offsets, no per-row Python), then
     the same pre-aggregated groupby as :func:`tumbling_window`, so the
-    shuffle carries per-(key, window) partials, not the exploded rows."""
+    shuffle carries per-(key, window) partials, not the exploded rows.
+
+    NULL timestamps emit no windows (SQL parity — NaT would otherwise
+    decode to INT64_MIN-sized windows).  Window alignment is FLOOR
+    division (pre-epoch timestamps round toward -inf); a trunc-division
+    oracle only agrees on post-epoch data."""
     assert width_sec % hop_sec == 0, "width must be a multiple of hop"
     fan = width_sec // hop_sec
+    # project to the columns the aggregate can see BEFORE the fan-times
+    # explode — never duplicate payload columns the spec ignores
+    need = list(
+        dict.fromkeys(
+            [ts_col, *key_cols]
+            + [in_col for in_col, _ in spec.values() if in_col is not None]
+        )
+    )
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[need]
+        batch = batch[batch[ts_col].notna()]
         sec = batch[ts_col].to_numpy().astype("datetime64[s]").astype("int64")
         last = (sec // hop_sec) * hop_sec  # latest window containing t
         idx = np.repeat(np.arange(len(batch)), fan)
