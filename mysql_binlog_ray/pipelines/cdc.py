@@ -830,7 +830,9 @@ def _pin_fsspec_http_module():
         import fsspec.implementations.http  # noqa: F401
 
         return lambda: None
-    except Exception:
+    except ModuleNotFoundError:
+        # the documented no-aiohttp case; anything else (broken fsspec,
+        # SyntaxError) must propagate, not be masked by an inert stub
         pass
     name = "fsspec.implementations.http"
     mod = types.ModuleType(name)

@@ -784,21 +784,16 @@ def term_frequency_documents(sf_dir: str):
     return term_frequency_topk(ds, "text", k=50)
 
 
-def cdc_windowed_activity(sf_dir: str):
-    """Tumbling-window aggregate OVER THE DECODED CHANGEFEED (the
-    streaming-window analog of the reference's 1 s StatisticsCollector
-    timer, `src/Statistic/StatisticCollector.php` semantics widened to
-    event-time): per (table, op, 60 s window of binlog header ts), row
-    count + event_seq range.  Windowing is vectorized per batch; the
-    shuffle carries per-window partials.  Oracle: sequential-replay
-    pytest parity (binlog wire format is not SQL-expressible)."""
-    from .cdc import CdcConfig, decode_changefeed, read_event_stream
-
-    _, manifest = cdc_manifest(sf_dir)
-    cf = decode_changefeed(read_event_stream(manifest), manifest["table_maps"], CdcConfig())
+def windowed_changefeed_activity(cf, width_sec: int = 60):
+    """Tumbling-window aggregate over a decoded changefeed dataset: per
+    (table, op, ``width_sec`` window of binlog header ts), row count +
+    event_seq range.  Windowing is vectorized per batch; the shuffle
+    carries per-window partials.  Shared by :func:`cdc_windowed_activity`
+    and its sequential-replay pytest oracle — the test must exercise THIS
+    body, not a copy of it."""
 
     def win(b: pa.Table) -> pa.Table:
-        ws = (b.column("ts").to_numpy() // 60) * 60
+        ws = (b.column("ts").to_numpy() // width_sec) * width_sec
         return pa.table(
             {
                 "table_name": b.column("table_name"),
@@ -817,3 +812,17 @@ def cdc_windowed_activity(sf_dir: str):
             "max_seq": ("event_seq", "max"),
         },
     )
+
+
+def cdc_windowed_activity(sf_dir: str):
+    """Tumbling-window aggregate OVER THE DECODED CHANGEFEED (the
+    streaming-window analog of the reference's 1 s StatisticsCollector
+    timer, `src/Statistic/StatisticCollector.php` semantics widened to
+    event-time): per (table, op, 60 s window of binlog header ts), row
+    count + event_seq range.  Oracle: sequential-replay pytest parity
+    (binlog wire format is not SQL-expressible)."""
+    from .cdc import CdcConfig, decode_changefeed, read_event_stream
+
+    _, manifest = cdc_manifest(sf_dir)
+    cf = decode_changefeed(read_event_stream(manifest), manifest["table_maps"], CdcConfig())
+    return windowed_changefeed_activity(cf)

@@ -555,13 +555,18 @@ def group_percentiles(
     DuckDB ``quantile_disc`` semantics: the smallest element whose
     cumulative rank reaches q, i.e. sorted index ``ceil(q*n)-1``).
 
+    NULL values are ignored (SQL aggregate semantics); a group whose
+    values are ALL NULL is still emitted, with NULL percentiles.
+
     Scale shape: ONE keyed exchange (``keyed_reduce``); the per-partition
     combine is a single vectorized sort + ``np.searchsorted``-free offset
     pick — no per-group Python, no global sort of the whole input."""
     out_cols = out_cols or [f"p{int(q * 100)}" for q in qs]
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([*keys, val_col], kind="mergesort")
+        # NaN sorts last within each group, so the non-null values of a
+        # group are contiguous from its start offset
+        g = g.sort_values([*keys, val_col], kind="mergesort", na_position="last")
         vals = g[val_col].to_numpy()
         n = len(g)
         newkey = np.ones(n, dtype=bool)
@@ -574,12 +579,23 @@ def group_percentiles(
                 acc |= a[1:] != a[:-1]
             newkey[1:] = acc
         starts = np.flatnonzero(newkey)
-        ends = np.append(starts[1:], len(g))
-        sizes = ends - starts
+        # SQL aggregates ignore NULL values: rank over the group's
+        # non-null count, not its row count
+        nonnull = g[val_col].notna().to_numpy(dtype=np.int64)
+        sizes = np.add.reduceat(nonnull, starts) if n else np.array([], dtype=np.int64)
+        empty = sizes == 0
         cols = {kc: g[kc].to_numpy()[starts] for kc in keys}
         for q, oc in zip(qs, out_cols):
-            pick = starts + np.ceil(q * sizes).astype(np.int64).clip(1) - 1
-            cols[oc] = vals[pick]
+            # -1e-9 tolerance: ceil(0.07 * 100) must be 7, not 8 — q*n
+            # can carry upward float error past the integer
+            rank = np.ceil(q * sizes - 1e-9).astype(np.int64).clip(1) - 1
+            picked = pd.Series(vals[starts + np.minimum(rank, np.maximum(sizes - 1, 0))])
+            if empty.any():
+                # all-NULL group: emit the group with a NULL percentile
+                # (nullable dtype maps to the same Arrow type)
+                picked = picked.convert_dtypes()
+                picked[empty] = pd.NA
+            cols[oc] = picked
         return pd.DataFrame(cols)
 
     return keyed_reduce(ds, keys, combine)
@@ -619,6 +635,10 @@ def broadcast_anti_join(
     For right key sets too large to broadcast, route both sides through
     ``keyed_reduce`` and anti-join per partition."""
     keys = preagg_groupby(right_ds, [right_on], {"_n": (None, "count")}).to_pandas()
+    # NOT EXISTS semantics: a NULL right key matches nothing (NULL = x is
+    # never true), but pandas isin treats NaN == NaN — drop NULLs from
+    # the probe set so NULL-keyed left rows are kept, as SQL does
+    keys = keys[keys[right_on].notna()]
     get_keys = broadcast_once(keys[right_on].to_numpy())
 
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
@@ -642,10 +662,15 @@ def pivot_counts(
     unseen categories are ignored."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        ct = pd.crosstab(batch[key_col], batch[cat_col])
-        ct = ct.reindex(columns=categories, fill_value=0)
-        ct.columns = [f"n_{c}" for c in categories]
-        return ct.reset_index()
+        # NOT crosstab: it silently drops NaN from both index and columns,
+        # losing NULL keys and keys whose categories are all NULL.  A
+        # boolean column per category (NaN == c is False) + dropna=False
+        # groupby keeps both, matching count(*) FILTER GROUP BY.
+        tmp = pd.DataFrame(
+            {f"n_{c}": (batch[cat_col] == c).to_numpy(dtype=np.int64) for c in categories}
+        )
+        tmp[key_col] = batch[key_col].to_numpy()
+        return tmp.groupby(key_col, sort=False, dropna=False).sum().reset_index()
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.groupby(key_col).aggregate(

@@ -192,8 +192,6 @@ def term_frequency_topk(ds, text_col: str, k: int = 50):
     exchange (``keyed_reduce``, adaptive fanout, vectorized per-partition
     sum), then the standard bounded local-top-k + tiny driver sort.
     Returns a pyarrow table (term, n)."""
-    import pyarrow as pa
-
     from .relational import keyed_reduce, top_k
 
     tok = re.compile(r"[a-z0-9]+", re.ASCII)
@@ -201,8 +199,15 @@ def term_frequency_topk(ds, text_col: str, k: int = 50):
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         # "\n" can't occur inside a token, so joining is boundary-safe
         blob = "\n".join(batch[text_col].fillna("").str.lower())
-        terms, counts = np.unique(tok.findall(blob), return_counts=True)
-        return pd.DataFrame({"term": terms, "n": counts.astype(np.int64)})
+        # object dtype: np.unique([]) would otherwise default to float64
+        # and poison the shuffle schema when a batch yields no tokens
+        toks = np.array(tok.findall(blob), dtype=object)
+        terms, counts = np.unique(toks, return_counts=True)
+        return pd.DataFrame(
+            # explicit string dtype: an all-empty batch must still emit
+            # (term: string, n: int64), not (null, int64)
+            {"term": pd.array(terms, dtype="string"), "n": counts.astype(np.int64)}
+        )
 
     partials = ds.map_batches(partial, batch_format="pandas")
 

@@ -833,3 +833,85 @@ class TestRelationalBreadth2:
         got = term_frequency_topk(rd.from_pandas(df), "text", k=3).to_pandas()
         # counts: d=3, a=2, b=2, c=1, x=1; ties by term asc
         assert list(zip(got["term"], got["n"])) == [("d", 3), ("a", 2), ("b", 2)]
+
+    def test_term_frequency_tokenless_block(self):
+        """A block whose texts yield ZERO ascii tokens must not poison the
+        shuffle schema (np.unique([]) defaults to float64)."""
+        from mysql_binlog_ray.stages.text import term_frequency_topk
+
+        empty = pd.DataFrame({"text": ["漢字テキスト", None, "!!!"]})
+        full = pd.DataFrame({"text": ["a b a"]})
+        # two separate blocks: one token-free, one normal
+        got = term_frequency_topk(
+            rd.from_pandas([empty, full]), "text", k=5
+        ).to_pandas()
+        assert list(zip(got["term"], got["n"])) == [("a", 2), ("b", 1)]
+
+    def test_broadcast_anti_join_null_keys(self):
+        """NOT EXISTS semantics: NULL = NULL is never true, so a NULL-keyed
+        left row survives even when the right side contains NULL keys."""
+        from mysql_binlog_ray.stages.relational import broadcast_anti_join
+
+        left = pd.DataFrame({"k": [1.0, np.nan, 3.0], "v": list("abc")})
+        right = pd.DataFrame({"r": [np.nan, 3.0]})
+        got = (
+            broadcast_anti_join(rd.from_pandas(left), rd.from_pandas(right), "k", "r")
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        )
+        assert got["v"].tolist() == ["a", "b"]  # NaN row kept, k=3 dropped
+
+    def test_pivot_counts_null_key_and_category(self):
+        """GROUP BY emits the NULL-key group and keys whose categories are
+        all NULL (zero counts) — crosstab would drop both."""
+        from mysql_binlog_ray.stages.relational import pivot_counts
+
+        df = pd.DataFrame(
+            {
+                "u": [1.0, np.nan, 7.0, 7.0],
+                "c": ["a", "a", None, None],
+            }
+        )
+        got = (
+            pivot_counts(rd.from_pandas(df), "u", "c", ["a", "b"])
+            .to_pandas().sort_values("u").reset_index(drop=True)
+        )
+        by_key = {
+            ("nan" if pd.isna(r["u"]) else r["u"]): (r["n_a"], r["n_b"])
+            for _, r in got.iterrows()
+        }
+        assert by_key == {1.0: (1, 0), 7.0: (0, 0), "nan": (1, 0)}
+
+    def test_group_percentiles_null_values(self):
+        """NULL values are ignored in the rank (SQL aggregate semantics);
+        an all-NULL group still appears, with NULL percentiles."""
+        import duckdb
+
+        from mysql_binlog_ray.stages.relational import group_percentiles
+
+        df = pd.DataFrame(
+            {
+                "g": [1, 1, 1, 1, 2, 2],
+                "x": [1.0, 2.0, np.nan, np.nan, np.nan, np.nan],
+            }
+        )
+        got = (
+            group_percentiles(rd.from_pandas(df), ["g"], "x", [0.5, 0.95])
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            """SELECT g, quantile_disc(x, 0.5) AS p50, quantile_disc(x, 0.95) AS p95
+               FROM df GROUP BY g ORDER BY g"""
+        ).df()
+        pd.testing.assert_frame_equal(
+            got[["g", "p50", "p95"]].astype({"g": "int64", "p50": "float64", "p95": "float64"}),
+            exp.astype({"g": "int64"}),
+        )
+
+    def test_group_percentiles_rank_rounding(self):
+        """ceil(q*n) float error must not shift the discrete rank:
+        quantile_disc(x, 0.07) over 100 rows picks the 7th smallest."""
+        from mysql_binlog_ray.stages.relational import group_percentiles
+
+        df = pd.DataFrame({"g": np.zeros(100, dtype=np.int64), "x": np.arange(100.0)})
+        got = group_percentiles(rd.from_pandas(df), ["g"], "x", [0.07]).to_pandas()
+        assert got["p7"].tolist() == [6.0]  # 7th smallest of 0..99

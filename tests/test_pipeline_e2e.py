@@ -405,15 +405,14 @@ class TestCdcWindowedActivity:
         the same aggregation over the single-threaded sequential decode
         (the replay oracle for non-SQL-expressible CDC operators)."""
         import pandas as pd
-        import pyarrow as pa
 
         from mysql_binlog_ray.pipelines.cdc import (
             CdcConfig,
             decode_changefeed,
             read_event_stream,
         )
+        from mysql_binlog_ray.pipelines.queries import windowed_changefeed_activity
         from mysql_binlog_ray.pipelines.sequential import decode_shards_sequential
-        from mysql_binlog_ray.stages import relational as R
 
         spec = StreamSpec(n_keys=100, n_ops=600, n_shards=3)
         manifest = generate_stream(spec, str(tmp_path / "stream"))
@@ -422,27 +421,9 @@ class TestCdcWindowedActivity:
             read_event_stream(manifest), manifest["table_maps"], CdcConfig()
         )
 
-        def win(b):
-            ws = (b.column("ts").to_numpy() // 60) * 60
-            return pa.table(
-                {
-                    "table_name": b.column("table_name"),
-                    "op": b.column("op"),
-                    "window_start": pa.array(ws),
-                    "event_seq": b.column("event_seq"),
-                }
-            )
-
+        # the PRODUCTION aggregation body — not a copy of it
         got = (
-            R.preagg_groupby(
-                cf.map_batches(win, batch_format="pyarrow"),
-                ["table_name", "op", "window_start"],
-                {
-                    "n_rows": (None, "count"),
-                    "min_seq": ("event_seq", "min"),
-                    "max_seq": ("event_seq", "max"),
-                },
-            )
+            windowed_changefeed_activity(cf)
             .to_pandas()
             .sort_values(["table_name", "op", "window_start"])
             .reset_index(drop=True)
