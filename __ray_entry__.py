@@ -45,6 +45,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": Q.customers_without_orders,
         "pivot_user_event_counts": Q.pivot_user_event_counts,
         "term_frequency_documents": Q.term_frequency_documents,
+        "json_field_stats_events": Q.json_field_stats_events,
+        "repetition_documents": Q.repetition_documents,
+        "contamination_documents": Q.contamination_documents,
+        "redact_customer_names": Q.redact_customer_names,
         "topk_orders": Q.topk_orders,
         "distinct_users": Q.distinct_users,
         "stratified_sample_documents": Q.stratified_sample_documents,
@@ -214,6 +218,67 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
               FROM documents)
             GROUP BY term ORDER BY n DESC, term ASC LIMIT 50
+        """,
+        "json_field_stats_events": """
+            SELECT event_type, count(*) AS n,
+                   min(CAST(props->>'$.k' AS DOUBLE)) AS min_k,
+                   max(CAST(props->>'$.k' AS DOUBLE)) AS max_k,
+                   sum(CAST(props->>'$.k' AS DOUBLE)) AS sum_k
+            FROM events GROUP BY event_type
+        """,
+        "repetition_documents": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(replace(lower(coalesce(text,'')), chr(10), ' '),
+                                        '[a-z0-9]+') AS ws
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(ws) AS word FROM w
+            ), wc AS (
+              SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word
+            ), per AS (
+              SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct_words,
+                     max(c) AS top_word_n
+              FROM wc GROUP BY doc_id
+            ), gram AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+              FROM w, unnest(range(1, len(ws))) AS t(i)
+            ), gc AS (
+              SELECT doc_id, g, count(*) AS c FROM gram GROUP BY doc_id, g
+            ), gm AS (
+              SELECT doc_id, max(c) AS top_2gram_n FROM gc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(coalesce(per.n_distinct_words, 0) AS BIGINT) AS n_distinct_words,
+                   CAST(coalesce(per.top_word_n, 0) AS BIGINT) AS top_word_n,
+                   CAST(coalesce(gm.top_2gram_n, 0) AS BIGINT) AS top_2gram_n
+            FROM documents d
+            LEFT JOIN per ON per.doc_id = d.doc_id
+            LEFT JOIN gm ON gm.doc_id = d.doc_id
+        """,
+        "contamination_documents": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(replace(lower(coalesce(text,'')), chr(10), ' '),
+                                        '[a-z0-9]+') AS ws
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+              FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+            ), bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id < 25
+            )
+            SELECT grams.doc_id, count(*) AS n_contaminated
+            FROM grams JOIN bench USING (g)
+            WHERE grams.doc_id >= 25
+            GROUP BY grams.doc_id
+        """,
+        "redact_customer_names": """
+            SELECT c_custkey,
+                   regexp_replace(c_name, '#[0-9]+', '#[ID]', 'g') AS c_name_redacted,
+                   len(regexp_extract_all(c_name, '#[0-9]+')) AS n_redacted
+            FROM customer
         """,
         "stratified_sample_documents": """
             SELECT doc_id, lang FROM (

@@ -814,6 +814,67 @@ def windowed_changefeed_activity(cf, width_sec: int = 60):
     )
 
 
+def json_field_stats_events(sf_dir: str):
+    """Vectorized JSON scalar extraction over the events ``props`` column
+    (regex fast path + json.loads fallback), then per-event-type stats of
+    the extracted field — metadata extraction, a standard training-data
+    prep step over crawled/props columns."""
+    from ..stages.jsonx import add_json_number_field
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+    ds = add_json_number_field(ds, "props", "k")
+    return R.preagg_groupby(
+        ds,
+        ["event_type"],
+        {"n": (None, "count"), "min_k": ("k", "min"), "max_k": ("k", "max"), "sum_k": ("k", "sum")},
+    )
+
+
+def repetition_documents(sf_dir: str):
+    """Gopher-style per-document repetition counts (word / distinct-word /
+    top-word / top-2-gram) — integer outputs for exact oracle parity."""
+    from ..stages.text import repetition_stats
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return repetition_stats(ds, "text", "doc_id")
+
+
+def contamination_documents(sf_dir: str):
+    """Benchmark-contamination screen: training docs (doc_id >= 25)
+    sharing any word 3-gram with the benchmark slice (doc_id < 25),
+    with the count of distinct overlapping grams.  Benchmark grams are
+    broadcast once; the corpus probe is shuffle-free."""
+    import pyarrow.dataset as pds
+
+    from ..stages.dedup import contamination_check
+
+    # pushed-down row filter: benchmark row groups are pruned at the read
+    bench = rd.read_parquet(
+        _t(sf_dir, "documents"),
+        columns=["doc_id", "text"],
+        filter=pds.field("doc_id") < 25,
+    )
+    corpus = rd.read_parquet(
+        _t(sf_dir, "documents"),
+        columns=["doc_id", "text"],
+        filter=pds.field("doc_id") >= 25,
+    )
+    return contamination_check(corpus, bench, "text", "doc_id", ngram=3)
+
+
+def redact_customer_names(sf_dir: str):
+    """PII/identifier scrub (Redactor stage, 'id' preset): anonymize the
+    numeric id embedded in customer names, counting redacted spans."""
+    from ..stages.text import Redactor
+
+    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    return ds.map_batches(
+        Redactor("c_name", ["id"], out_col="c_name_redacted"),
+        batch_format="pandas",
+        concurrency=4,
+    ).select_columns(["c_custkey", "c_name_redacted", "n_redacted"])
+
+
 def cdc_windowed_activity(sf_dir: str):
     """Tumbling-window aggregate OVER THE DECODED CHANGEFEED (the
     streaming-window analog of the reference's 1 s StatisticsCollector

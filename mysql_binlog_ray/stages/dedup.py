@@ -792,3 +792,78 @@ def minhash_dedup_clusters(
     pairs = minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col, threshold=threshold, **kwargs).to_pandas()
     comp = connected_components(pairs)
     return pa.Table.from_pandas(comp, preserve_index=False)
+
+
+def contamination_check(
+    ds: rd.Dataset,
+    bench_ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> rd.Dataset:
+    """Benchmark-contamination screen: flag training documents that share
+    any word ``ngram``-gram with a (small) benchmark/eval set, reporting
+    the number of DISTINCT overlapping grams per document (the standard
+    test-set decontamination pass; e.g. `Brown et al. 2020,
+    arXiv:2005.14165 §C` uses 13-gram overlap).
+
+    Scale shape: the benchmark side is collected and broadcast ONCE
+    (``ray.put`` + per-worker closure cache) — it is a benchmark, so it
+    is small by construction; the corpus side streams through one
+    ``map_batches`` probe with NO shuffle.  Grams are compared as
+    STRINGS (exact, SQL-oracle-parity), membership via a per-worker
+    ``pd.Index`` hash probe; only documents with >= 1 overlap are
+    emitted.  For a benchmark too large to broadcast, route both sides'
+    grams through ``relational.keyed_reduce`` instead.
+    """
+    import re
+
+    from .relational import broadcast_once
+
+    tok = re.compile(r"[a-z0-9]+|\n", re.ASCII)
+
+    def batch_grams(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_row_idx, gram_string) arrays, vectorized via the blob
+        trick (one findall; in-doc newlines flattened first)."""
+        texts = (
+            batch[text_col].fillna("").str.lower().str.replace("\n", " ", regex=False)
+        )
+        arr = np.array(tok.findall("\n".join(texts)), dtype=object)
+        is_sep = arr == "\n"
+        doc_idx = np.cumsum(is_sep)[~is_sep]
+        words = arr[~is_sep]
+        if len(words) < ngram:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
+        # windows fully inside one doc only
+        cols = [words[i : len(words) - (ngram - 1) + i] for i in range(ngram)]
+        same = doc_idx[: len(words) - (ngram - 1)] == doc_idx[ngram - 1 :]
+        grams = cols[0].copy()
+        for c in cols[1:]:
+            grams = grams + " " + c
+        return doc_idx[: len(words) - (ngram - 1)][same], grams[same]
+
+    def bench_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        _, grams = batch_grams(batch)
+        return pd.DataFrame({"g": pd.array(np.unique(grams), dtype="string")})
+
+    bench_grams = bench_ds.map_batches(bench_partial, batch_format="pandas").to_pandas()
+    get_index = broadcast_once(
+        bench_grams["g"].astype(object).unique(), prepare=pd.Index
+    )
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        d, grams = batch_grams(batch)
+        ids = batch[id_col].to_numpy()
+        if not len(grams):
+            return pd.DataFrame({id_col: ids[:0], "n_contaminated": np.empty(0, np.int64)})
+        hit = get_index().get_indexer(grams) >= 0
+        pairs = pd.DataFrame({"d": d[hit], "g": grams[hit]}).drop_duplicates()
+        per_doc = pairs.groupby("d", sort=False).size()
+        return pd.DataFrame(
+            {
+                id_col: ids[per_doc.index.to_numpy()],
+                "n_contaminated": per_doc.to_numpy(dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pandas")

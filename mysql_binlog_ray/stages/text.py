@@ -217,3 +217,119 @@ def term_frequency_topk(ds, text_col: str, k: int = 50):
 
     totals = keyed_reduce(partials, ["term"], sum_terms)
     return top_k(totals, [("n", True), ("term", False)], k)
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document word-repetition statistics (the Gopher-style
+    repetition filters: `Rae et al. 2021, arXiv:2112.11446 §A1.1` uses
+    duplicate-line/-n-gram fractions as quality gates): word count,
+    distinct-word count, the most frequent word's count and the most
+    frequent word-2-gram's count.  Counts, not fractions, so a DuckDB
+    oracle matches exactly with zero float-rounding risk; callers derive
+    `dup_word_frac = 1 - n_distinct_words/n_words` etc.
+
+    Fully vectorized per batch: ONE ``re.findall`` over the batch's
+    texts joined with a separator (same blob trick as
+    :func:`term_frequency_topk` / :class:`Fingerprinter`), doc
+    boundaries recovered by counting separator tokens, then pandas
+    C-kernel groupbys — no per-row Python.  Embarrassingly parallel
+    (no shuffle; each doc is scored within its batch)."""
+    tok = re.compile(r"[a-z0-9]+|\n", re.ASCII)
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        # in-document newlines would corrupt the separator-based doc
+        # boundaries; they are never part of a [a-z0-9]+ token, so
+        # flattening them to spaces changes nothing else
+        texts = batch[text_col].fillna("").str.lower().str.replace("\n", " ", regex=False)
+        n = len(batch)
+        parts = tok.findall("\n".join(texts))
+        arr = np.array(parts, dtype=object)
+        is_sep = arr == "\n"
+        doc_idx = np.cumsum(is_sep)  # 0-based doc index per token
+        words = arr[~is_sep]
+        doc_of_word = doc_idx[~is_sep]
+
+        n_words = np.zeros(n, dtype=np.int64)
+        n_distinct = np.zeros(n, dtype=np.int64)
+        top_word = np.zeros(n, dtype=np.int64)
+        top_gram = np.zeros(n, dtype=np.int64)
+        if len(words):
+            wf = pd.DataFrame({"d": doc_of_word, "w": pd.factorize(words)[0]})
+            per_word = wf.groupby(["d", "w"], sort=False).size()
+            agg = per_word.groupby(level="d").agg(["sum", "size", "max"])
+            di = agg.index.to_numpy()
+            n_words[di] = agg["sum"].to_numpy()
+            n_distinct[di] = agg["size"].to_numpy()
+            top_word[di] = agg["max"].to_numpy()
+            # 2-grams: consecutive word-code pairs within the same doc
+            same = doc_of_word[1:] == doc_of_word[:-1]
+            if same.any():
+                gf = pd.DataFrame(
+                    {
+                        "d": doc_of_word[1:][same],
+                        "a": wf["w"].to_numpy()[:-1][same],
+                        "b": wf["w"].to_numpy()[1:][same],
+                    }
+                )
+                pg = gf.groupby(["d", "a", "b"], sort=False).size()
+                gm = pg.groupby(level="d").max()
+                top_gram[gm.index.to_numpy()] = gm.to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "n_words": n_words,
+                "n_distinct_words": n_distinct,
+                "top_word_n": top_word,
+                "top_2gram_n": top_gram,
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+# PII / identifier scrub presets: RE2-compatible (no lookarounds, no
+# backrefs) so a DuckDB regexp_replace oracle runs the SAME pattern
+PII_PRESETS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ipv4": (r"\b(\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    "phone": (r"\+?\d[\d()\- ]{6,}\d\b", "[PHONE]"),
+    "id": (r"#[0-9]+", "#[ID]"),
+}
+
+
+class Redactor:
+    """Regex scrub stage (PII / identifier anonymization — the standard
+    pre-training privacy pass): applies an ordered list of
+    ``(pattern, replacement)`` rules to a string column and records how
+    many spans were redacted per row.  Patterns compile ONCE per worker
+    (callable-class contract); application is pandas vectorized
+    ``str.count`` + ``str.replace``.  Rule order matters when patterns
+    overlap (e.g. emails contain digits — redact emails before phones);
+    rules apply sequentially, each over the previous rule's output,
+    exactly like chained SQL ``regexp_replace`` calls."""
+
+    def __init__(
+        self,
+        col: str,
+        rules: list[str | tuple[str, str]],
+        out_col: str | None = None,
+        count_col: str = "n_redacted",
+    ) -> None:
+        self.col = col
+        self.out_col = out_col or f"{col}_redacted"
+        self.count_col = count_col
+        self.rules = [
+            (re.compile(p), r)
+            for p, r in (PII_PRESETS[x] if isinstance(x, str) else x for x in rules)
+        ]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.col].fillna("")
+        total = np.zeros(len(batch), dtype=np.int64)
+        for pat, repl in self.rules:
+            total += s.str.count(pat).to_numpy(dtype=np.int64)
+            s = s.str.replace(pat, repl, regex=True)
+        batch = batch.copy()
+        batch[self.out_col] = s
+        batch[self.count_col] = total
+        return batch

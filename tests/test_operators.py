@@ -915,3 +915,120 @@ class TestRelationalBreadth2:
         df = pd.DataFrame({"g": np.zeros(100, dtype=np.int64), "x": np.arange(100.0)})
         got = group_percentiles(rd.from_pandas(df), ["g"], "x", [0.07]).to_pandas()
         assert got["p7"].tolist() == [6.0]  # 7th smallest of 0..99
+
+
+class TestTrainingDataOps2:
+    """json extraction / repetition stats / contamination / redaction."""
+
+    def test_add_json_number_field_fallback_and_strict(self):
+        from mysql_binlog_ray.stages.jsonx import add_json_number_field
+
+        df = pd.DataFrame(
+            {
+                "p": [
+                    '{"k": 7}',
+                    '{"a": 1, "k": -2.5}',
+                    '{"k": "str"}',      # non-numeric -> NaN
+                    '{"a": 2}',          # absent -> NaN
+                    None,                # null -> NaN
+                    '{"k": 1e3}',
+                    '{ "k" :  42 }',
+                ]
+            }
+        )
+        for strict in (False, True):
+            got = add_json_number_field(
+                rd.from_pandas(df), "p", "k", strict=strict
+            ).to_pandas()["k"]
+            exp = [7.0, -2.5, np.nan, np.nan, np.nan, 1000.0, 42.0]
+            np.testing.assert_array_equal(got.to_numpy(), np.array(exp))
+
+    def test_add_json_number_field_nested_strict_only(self):
+        """A nested object carrying the same field name BEFORE the
+        top-level occurrence needs strict mode (documented limit of the
+        regex fast path)."""
+        from mysql_binlog_ray.stages.jsonx import add_json_number_field
+
+        df = pd.DataFrame({"p": ['{"sub": {"k": 1}, "k": 9}']})
+        strict = add_json_number_field(rd.from_pandas(df), "p", "k", strict=True).to_pandas()
+        assert strict["k"].tolist() == [9.0]
+
+    def test_repetition_stats_hand_example(self):
+        from mysql_binlog_ray.stages.text import repetition_stats
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13],
+                "text": [
+                    "a b a b a",       # 5 words, 2 distinct, top a=3, top gram "a b"=2
+                    "x",               # 1 word, no 2-grams
+                    "",                # empty
+                    "c c\nc c",        # newline inside doc: 4 words, gram "c c" x3
+                ],
+            }
+        )
+        got = (
+            repetition_stats(rd.from_pandas(df), "text", "doc_id")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert got.values.tolist() == [
+            [10, 5, 2, 3, 2],
+            [11, 1, 1, 1, 0],
+            [12, 0, 0, 0, 0],
+            [13, 4, 1, 4, 3],
+        ]
+
+    def test_contamination_check_hand_example(self):
+        from mysql_binlog_ray.stages.dedup import contamination_check
+
+        bench = pd.DataFrame({"doc_id": [0], "text": ["the quick brown fox jumps"]})
+        corpus = pd.DataFrame(
+            {
+                "doc_id": [100, 101, 102],
+                "text": [
+                    "a quick brown fox ran",   # grams: "quick brown fox" + "brown fox ran"(no) -> 1
+                    "nothing in common here at all",
+                    "the quick brown fox",     # "the quick brown", "quick brown fox" -> 2
+                ],
+            }
+        )
+        got = (
+            contamination_check(
+                rd.from_pandas(corpus), rd.from_pandas(bench), "text", "doc_id", ngram=3
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert got.values.tolist() == [[100, 1], [102, 2]]
+
+    def test_contamination_short_docs_and_block_boundary(self):
+        """Docs shorter than the gram width emit nothing; gram windows
+        never cross document boundaries."""
+        from mysql_binlog_ray.stages.dedup import contamination_check
+
+        bench = pd.DataFrame({"doc_id": [0], "text": ["b c d"]})
+        # two docs in ONE batch whose concatenation would fake "b c d"
+        corpus = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b c", "d e f", "b c"]})
+        got = contamination_check(
+            rd.from_pandas(corpus), rd.from_pandas(bench), "text", "doc_id", ngram=3
+        ).to_pandas()
+        assert len(got) == 0
+
+    def test_redactor_pii_presets(self):
+        from mysql_binlog_ray.stages.text import Redactor
+
+        df = pd.DataFrame(
+            {
+                "t": [
+                    "mail me at jo.doe+x@foo.org or call +1 555-123-4567",
+                    "server 10.0.255.3 ticket #991",
+                    None,
+                ]
+            }
+        )
+        out = Redactor("t", ["email", "ipv4", "phone", "id"], out_col="clean")(df)
+        assert out["clean"].tolist() == [
+            "mail me at [EMAIL] or call [PHONE]",
+            "server [IP] ticket #[ID]",
+            "",
+        ]
+        assert out["n_redacted"].tolist() == [2, 2, 0]
