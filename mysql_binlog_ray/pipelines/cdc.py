@@ -554,6 +554,54 @@ def _external_shuffle_merge(
     ]
 
 
+def _groupby_merge_parts(
+    parted: rd.Dataset, lake_dir: str, key_cols: tuple[str, ...]
+) -> list[dict[str, Any]]:
+    """Object-store keyed exchange: ``groupby('_part').map_groups`` with a
+    per-partition LWW merge + atomic lake-file write; returns the
+    manifest partition rows.  The ``shuffle='object_store'`` counterpart
+    of :func:`_external_shuffle_merge`."""
+
+    def _merge_and_write(group: pa.Table) -> pa.Table:
+        """Per-partition merge + atomic write; emits one manifest row.
+
+        Deterministic content: rows sorted by key so a rerun produces
+        byte-identical files (exactly-once via idempotence, SURVEY §7.3).
+        """
+        part = int(group.column("_part")[0].as_py())
+        final = lww_final(group, key_cols)
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            final, sort_keys=[(k, "ascending") for k in key_cols]
+        )
+        final = final.take(order)
+        path = _lake_partition_path(lake_dir, part)
+        size = atomic_write_parquet(final, path, compression="zstd")
+        max_seq = (
+            int(pc.max(final.column("event_seq")).as_py()) if final.num_rows else -1
+        )
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int32()),
+                "rows": pa.array([final.num_rows], pa.int64()),
+                "bytes": pa.array([size], pa.int64()),
+                "max_event_seq": pa.array([max_seq], pa.int64()),
+            }
+        )
+
+    stats = parted.groupby("_part").map_groups(_merge_and_write, batch_format="pyarrow")
+    return [
+        {
+            "part": int(r["part"]),
+            "rows": int(r["rows"]),
+            "bytes": int(r["bytes"]),
+            "max_event_seq": int(r["max_event_seq"]),
+        }
+        for r in stats.take_all()  # tiny: one row per partition
+    ]
+
+
 def run_to_lake(
     manifest: dict[str, Any],
     lake_dir: str,
@@ -698,49 +746,8 @@ def run_to_lake(
         _cleanup_orphan_parts(lake_dir, {p["part"] for p in parts})
         return m
 
-    def _merge_and_write(group: pa.Table) -> pa.Table:
-        """Per-partition merge + atomic write; emits one manifest row.
-
-        Deterministic content: rows sorted by key so a rerun produces
-        byte-identical files (exactly-once via idempotence, SURVEY §7.3).
-        """
-        part = int(group.column("_part")[0].as_py())
-        final = lww_final(group, key_cols)
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            final, sort_keys=[(k, "ascending") for k in key_cols]
-        )
-        final = final.take(order)
-        path = _lake_partition_path(lake, part)
-        size = atomic_write_parquet(final, path, compression="zstd")
-        max_seq = (
-            int(pc.max(final.column("event_seq")).as_py()) if final.num_rows else -1
-        )
-        return pa.table(
-            {
-                "part": pa.array([part], pa.int32()),
-                "rows": pa.array([final.num_rows], pa.int64()),
-                "bytes": pa.array([size], pa.int64()),
-                "max_event_seq": pa.array([max_seq], pa.int64()),
-            }
-        )
-
-    stats = parted.groupby("_part").map_groups(_merge_and_write, batch_format="pyarrow")
-    partition_rows = stats.take_all()  # tiny: one row per partition
-
-    # partitions with no rows this run keep their previous file (resume) or
-    # have no file; record zeros for completeness
-    seen = {int(r["part"]) for r in partition_rows}
-    parts = [
-        {
-            "part": int(r["part"]),
-            "rows": int(r["rows"]),
-            "bytes": int(r["bytes"]),
-            "max_event_seq": int(r["max_event_seq"]),
-        }
-        for r in partition_rows
-    ]
+    parts = _groupby_merge_parts(parted, lake, key_cols)
+    seen = {p["part"] for p in parts}
     if selective:
         for p in untouched_parts:
             if p["part"] not in seen:
@@ -760,6 +767,84 @@ def run_to_lake(
     )
     _cleanup_orphan_parts(lake_dir, {p["part"] for p in parts})
     return m
+
+
+def seed_lake_from_snapshot(
+    snapshot: rd.Dataset,
+    snapshot_seq: int,
+    lake_dir: str,
+    cfg: CdcConfig | None = None,
+) -> dict[str, Any]:
+    """Write a consistent table snapshot as a lake baseline at watermark
+    ``snapshot_seq`` (the Debezium-style *initial load*: reference users
+    bootstrap replicas by dump-then-stream; the reference itself only
+    streams, `README.md:60-66` assumes a server-given start position).
+
+    The snapshot must be transactionally consistent as of
+    ``snapshot_seq`` and must carry the stream's CURRENT decoded schema
+    (same value columns, same order — take the snapshot after any DDL,
+    or pre-align columns).  Snapshot rows get lineage
+    ``(event_seq=snapshot_seq, row_seq=0)``: any catch-up event is
+    strictly newer, and events at or before the watermark are skipped by
+    the normal resume path — so ``run_to_lake(..., resume=True)``
+    afterwards is an ordinary incremental step.  Scale shape: the
+    snapshot streams through the same partition hash + keyed exchange as
+    the CDC sink; nothing is driver-materialized.
+    """
+    cfg = cfg or CdcConfig()
+    if read_manifest(lake_dir) is not None:
+        raise ValueError(
+            f"lake {lake_dir} already has a manifest; "
+            "seed_lake_from_snapshot only initializes empty lakes"
+        )
+    key_cols = cfg.key_cols
+
+    def _as_flat(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        value_cols = [
+            c for c in batch.column_names
+            if c not in ("op", "event_seq", "row_seq", "commit_seq", "part")
+        ]
+        cols = {c: batch.column(c) for c in value_cols}
+        cols["op"] = pa.array(["insert"] * n, pa.string())
+        cols["event_seq"] = pa.array([snapshot_seq] * n, pa.int64())
+        cols["row_seq"] = pa.array([0] * n, pa.int32())
+        cols["commit_seq"] = pa.array([-1] * n, pa.int64())
+        return add_partition_column(pa.table(cols), key_cols, cfg.num_partitions)
+
+    parted = snapshot.map_batches(_as_flat, batch_format="pyarrow")
+    if cfg.shuffle == "external":
+        parts = _external_shuffle_merge(parted, lake_dir, cfg)
+    else:
+        parts = _groupby_merge_parts(parted, lake_dir, key_cols)
+    m = commit_manifest(
+        lake_dir,
+        snapshot_seq,
+        parts,
+        extra={
+            "key_cols": list(cfg.key_cols),
+            "num_partitions": cfg.num_partitions,
+            "hash_algo": PARTITION_HASH_ALGO,
+            "bootstrap": True,
+        },
+    )
+    _cleanup_orphan_parts(lake_dir, {p["part"] for p in parts})
+    return m
+
+
+def bootstrap_lake(
+    snapshot: rd.Dataset,
+    snapshot_seq: int,
+    manifest: dict[str, Any],
+    lake_dir: str,
+    cfg: CdcConfig | None = None,
+) -> dict[str, Any]:
+    """Initial load + binlog catch-up in one call: seed the lake from a
+    snapshot consistent at ``snapshot_seq``, then apply everything the
+    stream manifest holds beyond it.  The catch-up is the ordinary
+    idempotent resume — a crashed bootstrap can simply be re-run."""
+    seed_lake_from_snapshot(snapshot, snapshot_seq, lake_dir, cfg)
+    return run_to_lake(manifest, lake_dir, cfg, resume=True)
 
 
 def run_tables_to_lakes(

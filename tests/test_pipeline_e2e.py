@@ -446,3 +446,73 @@ class TestCdcWindowedActivity:
         pd.testing.assert_frame_equal(
             got.astype({"n_rows": "int64"}), exp.astype({"n_rows": "int64"})
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSnapshotBootstrap:
+    """Debezium-style initial load: seed the lake from a consistent
+    snapshot at a mid-stream watermark, then catch up from the binlog.
+    The bootstrapped lake must equal a clean full-stream lake on every
+    value column (lineage differs by construction: snapshot rows carry
+    (snapshot_seq, 0))."""
+
+    @pytest.mark.parametrize("shuffle", ["object_store", "external"])
+    def test_bootstrap_equals_full_replay(self, small_stream, tmp_path, shuffle):
+        from mysql_binlog_ray.pipelines.cdc import bootstrap_lake
+
+        spec, out, manifest = small_stream
+        # consistent snapshot at the 2-shard prefix watermark, built by
+        # the engine itself (merged state as of that point)
+        prefix = json.loads(json.dumps(manifest))
+        prefix["shards"] = manifest["shards"][:2]
+        snapshot_seq = max(s["last_event_seq"] for s in prefix["shards"])
+        snapshot = run_to_dataset(prefix, CdcConfig(num_partitions=8))
+
+        lake_boot = str(tmp_path / f"boot_{shuffle}")
+        cfg = CdcConfig(num_partitions=8, shuffle=shuffle)
+        m = bootstrap_lake(snapshot, snapshot_seq, manifest, lake_boot, cfg)
+        assert m["watermark"] == max(s["last_event_seq"] for s in manifest["shards"])
+
+        got = _normalize(read_lake(lake_boot).to_pandas())
+        exp = final_state_oracle(spec, out).to_pandas()
+        exp["stars"] = exp["stars"].astype("float64")
+        exp = exp.sort_values(["repo", "path"]).reset_index(drop=True)
+        assert got.equals(exp), "bootstrapped lake differs from replay oracle"
+
+    def test_catchup_delete_removes_snapshot_row(self, small_stream, tmp_path):
+        """A key deleted between snapshot and head must not survive: the
+        snapshot row's (snapshot_seq, 0) lineage loses to any catch-up
+        tombstone."""
+        from mysql_binlog_ray.pipelines.cdc import bootstrap_lake
+
+        spec, out, manifest = small_stream
+        prefix = json.loads(json.dumps(manifest))
+        prefix["shards"] = manifest["shards"][:2]
+        snapshot_seq = max(s["last_event_seq"] for s in prefix["shards"])
+        snapshot = run_to_dataset(prefix, CdcConfig(num_partitions=8))
+        snap_df = snapshot.to_pandas()
+        exp = final_state_oracle(spec, out).to_pandas()
+        snap_keys = set(zip(snap_df["repo"], snap_df["path"]))
+        final_keys = set(zip(exp["repo"], exp["path"]))
+        gone = snap_keys - final_keys
+        assert gone, "fixture must delete at least one snapshot key in the tail"
+
+        lake = str(tmp_path / "boot_del")
+        bootstrap_lake(
+            snapshot, snapshot_seq, manifest, lake, CdcConfig(num_partitions=8)
+        )
+        lake_keys = set(
+            zip(*(read_lake(lake).to_pandas()[c] for c in ("repo", "path")))
+        )
+        assert lake_keys == final_keys
+        assert not (gone & lake_keys)
+
+    def test_seed_refuses_nonempty_lake(self, small_stream, tmp_path):
+        from mysql_binlog_ray.pipelines.cdc import seed_lake_from_snapshot
+
+        spec, out, manifest = small_stream
+        lake = str(tmp_path / "seeded")
+        run_to_lake(manifest, lake, CdcConfig(num_partitions=4))
+        snap = run_to_dataset(manifest, CdcConfig(num_partitions=4))
+        with pytest.raises(ValueError, match="already has a manifest"):
+            seed_lake_from_snapshot(snap, 10, lake, CdcConfig(num_partitions=4))
