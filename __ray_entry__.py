@@ -221,9 +221,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_field_stats_events": """
             SELECT event_type, count(*) AS n,
-                   min(CAST(props->>'$.k' AS DOUBLE)) AS min_k,
-                   max(CAST(props->>'$.k' AS DOUBLE)) AS max_k,
-                   sum(CAST(props->>'$.k' AS DOUBLE)) AS sum_k
+                   min(TRY_CAST(props->>'$.k' AS DOUBLE)) AS min_k,
+                   max(TRY_CAST(props->>'$.k' AS DOUBLE)) AS max_k,
+                   sum(TRY_CAST(props->>'$.k' AS DOUBLE)) AS sum_k
             FROM events GROUP BY event_type
         """,
         "repetition_documents": """

@@ -842,8 +842,21 @@ def bootstrap_lake(
     """Initial load + binlog catch-up in one call: seed the lake from a
     snapshot consistent at ``snapshot_seq``, then apply everything the
     stream manifest holds beyond it.  The catch-up is the ordinary
-    idempotent resume — a crashed bootstrap can simply be re-run."""
-    seed_lake_from_snapshot(snapshot, snapshot_seq, lake_dir, cfg)
+    idempotent resume — a crashed bootstrap can simply be re-run: if the
+    seed already committed (manifest watermark >= snapshot_seq), seeding
+    is skipped and the catch-up resumes from the committed watermark.  A
+    pre-existing lake BEHIND the snapshot point is refused — it cannot
+    have come from this bootstrap, and resuming over it would interleave
+    two histories."""
+    prior = read_manifest(lake_dir)
+    if prior is None:
+        seed_lake_from_snapshot(snapshot, snapshot_seq, lake_dir, cfg)
+    elif prior["watermark"] < snapshot_seq:
+        raise ValueError(
+            f"lake {lake_dir} has a manifest at watermark "
+            f"{prior['watermark']} < snapshot_seq {snapshot_seq}; it was "
+            "not produced by this bootstrap — use a fresh lake_dir"
+        )
     return run_to_lake(manifest, lake_dir, cfg, resume=True)
 
 

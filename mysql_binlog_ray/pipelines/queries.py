@@ -869,7 +869,9 @@ def redact_customer_names(sf_dir: str):
 
     ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
     return ds.map_batches(
-        Redactor("c_name", ["id"], out_col="c_name_redacted"),
+        Redactor,  # class, not instance: patterns compile once per actor
+        fn_constructor_args=("c_name", ["id"]),
+        fn_constructor_kwargs={"out_col": "c_name_redacted"},
         batch_format="pandas",
         concurrency=4,
     ).select_columns(["c_custkey", "c_name_redacted", "n_redacted"])

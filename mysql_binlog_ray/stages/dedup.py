@@ -816,22 +816,13 @@ def contamination_check(
     emitted.  For a benchmark too large to broadcast, route both sides'
     grams through ``relational.keyed_reduce`` instead.
     """
-    import re
-
     from .relational import broadcast_once
-
-    tok = re.compile(r"[a-z0-9]+|\n", re.ASCII)
+    from .text import tokenize_with_doc_idx
 
     def batch_grams(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
-        """(doc_row_idx, gram_string) arrays, vectorized via the blob
-        trick (one findall; in-doc newlines flattened first)."""
-        texts = (
-            batch[text_col].fillna("").str.lower().str.replace("\n", " ", regex=False)
-        )
-        arr = np.array(tok.findall("\n".join(texts)), dtype=object)
-        is_sep = arr == "\n"
-        doc_idx = np.cumsum(is_sep)[~is_sep]
-        words = arr[~is_sep]
+        """(doc_row_idx, gram_string) arrays, vectorized via the shared
+        blob-trick tokenizer (one findall per batch)."""
+        words, doc_idx = tokenize_with_doc_idx(batch[text_col])
         if len(words) < ngram:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
         # windows fully inside one doc only

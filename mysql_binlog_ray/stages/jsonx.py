@@ -3,13 +3,13 @@ the reference decodes MySQL JSONB into JSON strings, `protocol/jsonb.py`;
 this stage consumes such columns relationally).
 
 Vectorized fast path + exact fallback: a compiled regex pulls flat
-scalar fields via ONE C-level ``pandas.str.extract`` pass; any row the
-regex misses (absent field, nested/escaped shapes) falls back to
-``json.loads`` — so the fallback cost is proportional to the odd rows,
-not the corpus.  Pass ``strict=True`` to force full JSON parsing on
-every row (needed only when a nested object can contain the same field
-name BEFORE the top-level occurrence, where the regex would match the
-wrong span).
+scalar fields via ONE C-level ``pandas.str.extract`` pass, applied only
+to rows that are single-level objects (exactly one ``{``) so a nested
+object can never shadow the top-level field; every other row (absent
+field, nested/quoted/odd shapes) falls back to ``json.loads`` — the
+fallback cost is proportional to the odd rows, not the corpus, and the
+result is exact either way.  ``strict=True`` forces full JSON parsing
+on every row (a debugging/parity knob, not required for correctness).
 """
 
 from __future__ import annotations
@@ -29,13 +29,18 @@ def add_json_number_field(
     out_col: str | None = None,
     strict: bool = False,
 ) -> rd.Dataset:
-    """Add ``out_col`` = the numeric value of ``field`` in the JSON
-    string column ``col`` (float64, NaN when absent/null/unparseable —
-    SQL ``CAST(json_extract(...) AS DOUBLE)`` semantics)."""
+    """Add ``out_col`` = the numeric value of the TOP-LEVEL ``field`` in
+    the JSON string column ``col`` (float64; NaN when absent / JSON null
+    / bool / non-numeric — SQL ``TRY_CAST(json ->> '$.field' AS
+    DOUBLE)`` semantics, so quoted numeric strings coerce)."""
     out = out_col or field
-    # first occurrence of "field": <number>; JSON strings are the only
-    # construct that could fake this, and only via a nested/escaped
-    # shape, which the fallback (or strict mode) handles
+    # fast path: "field": <number> in a FLAT object.  Restricted to rows
+    # with exactly one '{' — a nested object could contain the same
+    # field name before the top-level occurrence, and nothing else can
+    # fake the match (a quote inside a JSON string is always escaped, so
+    # the raw byte sequence "field": cannot occur within one).  Rows
+    # with nested objects (or a quoted/odd-shaped value) take the exact
+    # json.loads fallback, so the fast path is a pure optimization.
     pat = re.compile(r'"%s"\s*:\s*(-?\d+(?:\.\d+)?([eE][+-]?\d+)?)' % re.escape(field))
 
     def extract(batch: pd.DataFrame) -> pd.DataFrame:
@@ -43,8 +48,9 @@ def add_json_number_field(
         vals = np.full(len(batch), np.nan)
         notnull = s.notna().to_numpy()
         if not strict:
+            flat = s.str.count(r"\{").fillna(0).to_numpy() == 1
             m = s.str.extract(pat, expand=True)[0]
-            got = m.notna().to_numpy()
+            got = m.notna().to_numpy() & flat
             vals[got] = m[got].astype(np.float64)
             todo = notnull & ~got
         else:
@@ -55,7 +61,16 @@ def add_json_number_field(
                     v = json.loads(x).get(field)
                 except (ValueError, AttributeError):
                     return np.nan
-                return float(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else np.nan
+                if isinstance(v, bool):
+                    return np.nan
+                if isinstance(v, (int, float)):
+                    return float(v)
+                if isinstance(v, str):  # TRY_CAST('7' AS DOUBLE) -> 7.0
+                    try:
+                        return float(v)
+                    except ValueError:
+                        return np.nan
+                return np.nan
 
             vals[todo] = [slow(x) for x in s.to_numpy()[todo]]
         batch = batch.copy()

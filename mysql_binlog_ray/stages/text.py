@@ -14,6 +14,29 @@ import re
 import numpy as np
 import pandas as pd
 
+# shared ASCII word tokenizer: lowercase [a-z0-9]+ runs, with "\n" as a
+# document separator that can never be part of a token.  ALL blob-trick
+# tokenizations in the repo (repetition stats, term frequency,
+# contamination grams) go through tokenize_with_doc_idx so the token
+# definition can never silently diverge between operators that share
+# oracles.
+BLOB_TOKEN_RE = re.compile(r"[a-z0-9]+|\n", re.ASCII)
+
+
+def tokenize_with_doc_idx(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize a batch of texts in ONE ``re.findall`` pass (the blob
+    trick): join all texts with ``"\\n"`` separators, tokenize once,
+    recover each token's 0-based document index by counting separators.
+    In-document newlines are flattened to spaces first — they are never
+    part of a token, so this changes nothing except making the
+    separator-based boundaries exact.  Returns ``(words, doc_idx)`` as
+    object/int64 numpy arrays."""
+    texts = texts.fillna("").str.lower().str.replace("\n", " ", regex=False)
+    arr = np.array(BLOB_TOKEN_RE.findall("\n".join(texts)), dtype=object)
+    is_sep = arr == "\n"
+    doc_idx = np.cumsum(is_sep)
+    return arr[~is_sep], doc_idx[~is_sep]
+
 
 class TokenCounter:
     """Whitespace token count + a BPE-ish subword estimate (word chunks of
@@ -194,14 +217,12 @@ def term_frequency_topk(ds, text_col: str, k: int = 50):
     Returns a pyarrow table (term, n)."""
     from .relational import keyed_reduce, top_k
 
-    tok = re.compile(r"[a-z0-9]+", re.ASCII)
-
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        # "\n" can't occur inside a token, so joining is boundary-safe
-        blob = "\n".join(batch[text_col].fillna("").str.lower())
-        # object dtype: np.unique([]) would otherwise default to float64
-        # and poison the shuffle schema when a batch yields no tokens
-        toks = np.array(tok.findall(blob), dtype=object)
+        # corpus-wide counts don't need doc boundaries; the shared
+        # tokenizer keeps the token definition identical to the other
+        # blob-trick operators (object dtype guards np.unique([]) from
+        # defaulting to float64 and poisoning the shuffle schema)
+        toks, _ = tokenize_with_doc_idx(batch[text_col])
         terms, counts = np.unique(toks, return_counts=True)
         return pd.DataFrame(
             # explicit string dtype: an all-empty batch must still emit
@@ -229,25 +250,14 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     `dup_word_frac = 1 - n_distinct_words/n_words` etc.
 
     Fully vectorized per batch: ONE ``re.findall`` over the batch's
-    texts joined with a separator (same blob trick as
-    :func:`term_frequency_topk` / :class:`Fingerprinter`), doc
+    texts joined with a separator (:func:`tokenize_with_doc_idx`), doc
     boundaries recovered by counting separator tokens, then pandas
     C-kernel groupbys — no per-row Python.  Embarrassingly parallel
     (no shuffle; each doc is scored within its batch)."""
-    tok = re.compile(r"[a-z0-9]+|\n", re.ASCII)
 
     def stats(batch: pd.DataFrame) -> pd.DataFrame:
-        # in-document newlines would corrupt the separator-based doc
-        # boundaries; they are never part of a [a-z0-9]+ token, so
-        # flattening them to spaces changes nothing else
-        texts = batch[text_col].fillna("").str.lower().str.replace("\n", " ", regex=False)
         n = len(batch)
-        parts = tok.findall("\n".join(texts))
-        arr = np.array(parts, dtype=object)
-        is_sep = arr == "\n"
-        doc_idx = np.cumsum(is_sep)  # 0-based doc index per token
-        words = arr[~is_sep]
-        doc_of_word = doc_idx[~is_sep]
+        words, doc_of_word = tokenize_with_doc_idx(batch[text_col])
 
         n_words = np.zeros(n, dtype=np.int64)
         n_distinct = np.zeros(n, dtype=np.int64)

@@ -943,15 +943,33 @@ class TestTrainingDataOps2:
             exp = [7.0, -2.5, np.nan, np.nan, np.nan, 1000.0, 42.0]
             np.testing.assert_array_equal(got.to_numpy(), np.array(exp))
 
-    def test_add_json_number_field_nested_strict_only(self):
+    def test_add_json_number_field_nested_exact_without_strict(self):
         """A nested object carrying the same field name BEFORE the
-        top-level occurrence needs strict mode (documented limit of the
-        regex fast path)."""
+        top-level occurrence must NOT shadow it: rows with nested
+        objects bypass the regex fast path (single-'{' guard), so the
+        default mode is exact, matching the SQL '$.k' oracle."""
         from mysql_binlog_ray.stages.jsonx import add_json_number_field
 
-        df = pd.DataFrame({"p": ['{"sub": {"k": 1}, "k": 9}']})
-        strict = add_json_number_field(rd.from_pandas(df), "p", "k", strict=True).to_pandas()
-        assert strict["k"].tolist() == [9.0]
+        df = pd.DataFrame({"p": ['{"sub": {"k": 1}, "k": 9}', '{"sub": {"k": 1}}']})
+        for strict in (False, True):
+            got = add_json_number_field(
+                rd.from_pandas(df), "p", "k", strict=strict
+            ).to_pandas()["k"]
+            np.testing.assert_array_equal(got.to_numpy(), np.array([9.0, np.nan]))
+
+    def test_add_json_number_field_quoted_numeric_coerces(self):
+        """TRY_CAST(props->>'$.k' AS DOUBLE) semantics: quoted numeric
+        strings coerce; bool / null / object / list values are NULL."""
+        from mysql_binlog_ray.stages.jsonx import add_json_number_field
+
+        df = pd.DataFrame(
+            {"p": ['{"k": "7"}', '{"k": "-2.5e1"}', '{"k": true}',
+                   '{"k": null}', '{"k": [1]}', '{"k": {"a": 1}}']}
+        )
+        got = add_json_number_field(rd.from_pandas(df), "p", "k").to_pandas()["k"]
+        np.testing.assert_array_equal(
+            got.to_numpy(), np.array([7.0, -25.0, np.nan, np.nan, np.nan, np.nan])
+        )
 
     def test_repetition_stats_hand_example(self):
         from mysql_binlog_ray.stages.text import repetition_stats

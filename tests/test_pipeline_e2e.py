@@ -516,3 +516,47 @@ class TestSnapshotBootstrap:
         snap = run_to_dataset(manifest, CdcConfig(num_partitions=4))
         with pytest.raises(ValueError, match="already has a manifest"):
             seed_lake_from_snapshot(snap, 10, lake, CdcConfig(num_partitions=4))
+
+    def test_bootstrap_rerun_after_seed_commit(self, small_stream, tmp_path):
+        """Crash between seed commit and catch-up: re-running
+        bootstrap_lake must skip the (already committed) seed and finish
+        the catch-up idempotently."""
+        from mysql_binlog_ray.pipelines.cdc import (
+            bootstrap_lake,
+            seed_lake_from_snapshot,
+        )
+
+        spec, out, manifest = small_stream
+        prefix = json.loads(json.dumps(manifest))
+        prefix["shards"] = manifest["shards"][:2]
+        snapshot_seq = max(s["last_event_seq"] for s in prefix["shards"])
+        snapshot = run_to_dataset(prefix, CdcConfig(num_partitions=8))
+
+        lake = str(tmp_path / "boot_crash")
+        cfg = CdcConfig(num_partitions=8)
+        # simulate the crash: the seed committed, the catch-up never ran
+        seed_lake_from_snapshot(snapshot, snapshot_seq, lake, cfg)
+        bootstrap_lake(snapshot, snapshot_seq, manifest, lake, cfg)
+
+        got = _normalize(read_lake(lake).to_pandas())
+        exp = final_state_oracle(spec, out).to_pandas()
+        exp["stars"] = exp["stars"].astype("float64")
+        exp = exp.sort_values(["repo", "path"]).reset_index(drop=True)
+        assert got.equals(exp)
+
+    def test_bootstrap_refuses_lake_behind_snapshot(self, small_stream, tmp_path):
+        """A pre-existing lake at a watermark BEHIND the snapshot point
+        cannot have come from this bootstrap -> hard error."""
+        from mysql_binlog_ray.pipelines.cdc import bootstrap_lake
+
+        spec, out, manifest = small_stream
+        prefix = json.loads(json.dumps(manifest))
+        prefix["shards"] = manifest["shards"][:1]
+        lake = str(tmp_path / "boot_behind")
+        run_to_lake(prefix, lake, CdcConfig(num_partitions=8))
+        snapshot_seq = max(s["last_event_seq"] for s in manifest["shards"][:2])
+        snapshot = run_to_dataset(prefix, CdcConfig(num_partitions=8))
+        with pytest.raises(ValueError, match="not produced by this bootstrap"):
+            bootstrap_lake(
+                snapshot, snapshot_seq, manifest, lake, CdcConfig(num_partitions=8)
+            )
