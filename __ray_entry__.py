@@ -49,6 +49,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_documents": Q.repetition_documents,
         "contamination_documents": Q.contamination_documents,
         "redact_customer_names": Q.redact_customer_names,
+        "split_documents": Q.split_documents,
+        "chunk_documents": Q.chunk_documents_query,
+        "incremental_dedup_documents": Q.incremental_dedup_documents,
         "topk_orders": Q.topk_orders,
         "distinct_users": Q.distinct_users,
         "stratified_sample_documents": Q.stratified_sample_documents,
@@ -81,6 +84,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_hot_keys": Q.cdc_hot_keys,
         "cdc_windowed_activity": Q.cdc_windowed_activity,
     }
+
+
+def _split_documents_oracle() -> str:
+    from mysql_binlog_ray.pipelines.queries import SPLIT_FRACTIONS, SPLIT_SEED
+    from mysql_binlog_ray.stages.split import hash_split_sql
+
+    case = hash_split_sql("doc_id", SPLIT_FRACTIONS, SPLIT_SEED)
+    return f"SELECT doc_id, {case} AS split FROM documents"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -279,6 +290,31 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(c_name, '#[0-9]+', '#[ID]', 'g') AS c_name_redacted,
                    len(regexp_extract_all(c_name, '#[0-9]+')) AS n_redacted
             FROM customer
+        """,
+        # generated from the SAME cut points + splitmix64 constants as the
+        # numpy path (stages/split.py) — one source of truth, bit-exact
+        "split_documents": _split_documents_oracle(),
+        "chunk_documents": """
+            SELECT doc_id, k AS chunk_idx,
+                   substring(text, CAST(k*448+1 AS BIGINT), 512) AS chunk_text
+            FROM documents,
+                 unnest(range(0, (greatest(length(text)-64, 1) + 447) // 448)) AS t(k)
+            WHERE text IS NOT NULL AND length(text) > 0
+        """,
+        "incremental_dedup_documents": """
+            WITH k AS (
+              SELECT doc_id,
+                     array_to_string(
+                       (string_split_regex(
+                          trim(text, ' ' || chr(9) || chr(10) || chr(13)
+                                     || chr(12) || chr(11)),
+                          '\\s+'))[1:8], ' ') AS key
+              FROM documents
+            )
+            SELECT doc_id FROM k a
+            WHERE doc_id % 2 = 1
+              AND NOT EXISTS (SELECT 1 FROM k b
+                              WHERE b.doc_id % 2 = 0 AND b.key = a.key)
         """,
         "stratified_sample_documents": """
             SELECT doc_id, lang FROM (

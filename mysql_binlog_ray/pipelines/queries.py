@@ -889,3 +889,57 @@ def cdc_windowed_activity(sf_dir: str):
     _, manifest = cdc_manifest(sf_dir)
     cf = decode_changefeed(read_event_stream(manifest), manifest["table_maps"], CdcConfig())
     return windowed_changefeed_activity(cf)
+
+
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SEED = 7
+
+
+def split_documents(sf_dir: str):
+    """Deterministic leakage-safe train/val/test split by keyed hash
+    (splitmix64(doc_id + seed) % 10000 against cumulative-fraction cut
+    points) — stable under corpus growth and re-sharding.  Row-level
+    output so the oracle checks every single assignment."""
+    from ..stages.split import hash_split
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    return hash_split(ds, "doc_id", SPLIT_FRACTIONS, seed=SPLIT_SEED)
+
+
+CHUNK_CHARS = 512
+CHUNK_OVERLAP = 64
+
+
+def chunk_documents_query(sf_dir: str):
+    """Context-window chunking: explode each document into 512-char
+    windows with 64-char overlap (stride 448), stopping once a window
+    reaches the end of the document."""
+    from ..stages.split import chunk_documents
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return chunk_documents(
+        ds, "text", "doc_id", chunk_chars=CHUNK_CHARS, overlap=CHUNK_OVERLAP
+    )
+
+
+def incremental_dedup_documents(sf_dir: str):
+    """Incremental dedup of a 'new crawl' (odd doc_ids) against a
+    reference corpus (even doc_ids) on the 8-token prefix key: Bloom
+    prescreen (definite-new rows never shuffle) + exact confirm of the
+    candidates only.  Returns the surviving new doc_ids."""
+    from ..stages.dedup import prefix_key_series
+    from ..stages.sketches import incremental_dedup
+
+    full = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def with_key(b):
+        b = b.copy()
+        b["key"] = prefix_key_series(b["text"].fillna(""), 8)
+        b["_odd"] = (b["doc_id"] % 2).astype("int8")
+        return b[["doc_id", "key", "_odd"]]
+
+    keyed = full.map_batches(with_key, batch_format="pandas")
+    new = keyed.filter(expr="_odd == 1").drop_columns(["_odd"])
+    corpus = keyed.filter(expr="_odd == 0").drop_columns(["_odd"])
+    out = incremental_dedup(new, corpus, text_col="key", id_col="doc_id")
+    return out.select_columns(["doc_id"])

@@ -32,6 +32,19 @@ def _md5_series(s: pd.Series) -> pd.Series:
     return s.map(lambda x: hashlib.md5(x.encode()).hexdigest())
 
 
+def prefix_key_series(t: pd.Series, npt: int) -> pd.Series:
+    """First ``npt`` whitespace tokens joined by one space — the
+    near-exact prefix dedup key.  ASCII strip+split for DuckDB oracle
+    parity (RE2 ``\\s`` is ASCII-only; ``trim(text, ' \\t\\n\\r\\f\\v')``
+    on the SQL side)."""
+    return (
+        t.str.strip(" \t\n\r\f\v")
+        .str.split(r"(?a)\s+", regex=True)
+        .str[:npt]
+        .str.join(" ")
+    )
+
+
 def exact_dedup_stats(
     ds: rd.Dataset,
     text_col: str = "text",
@@ -48,14 +61,7 @@ def exact_dedup_stats(
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         t = batch[text_col].fillna("")
         if npt is not None:
-            # ASCII strip+split for DuckDB oracle parity (RE2 \s is
-            # ASCII-only; trim(text, ' \t\n\r\f\v') on the SQL side)
-            t = (
-                t.str.strip(" \t\n\r\f\v")
-                .str.split(r"(?a)\s+", regex=True)
-                .str[:npt]
-                .str.join(" ")
-            )
+            t = prefix_key_series(t, npt)
         h = _md5_series(t)
         g = pd.DataFrame({"text_md5": h, id_col: batch[id_col]}).groupby(
             "text_md5", sort=False

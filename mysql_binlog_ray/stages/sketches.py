@@ -326,3 +326,177 @@ def exact_heavy_hitters(
                 ignore_index=True,
             )
     return out.sort_values(col).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter + incremental (reference-corpus) dedup
+# ---------------------------------------------------------------------------
+
+_BLOOM_HASH_KEY = "mysql_binlog_blm!"[:16]
+
+
+def _bloom_hash_strings(values: pd.Series) -> np.ndarray:
+    """Deterministic vectorized uint64 hash of a string series (same
+    pandas siphash C kernel the HLL uses, distinct fixed key)."""
+    s = values.fillna("").astype(str)
+    return pd.util.hash_pandas_object(
+        s, index=False, hash_key=_BLOOM_HASH_KEY
+    ).to_numpy().astype(np.uint64)
+
+
+class BloomFilter:
+    """Mergeable Bloom filter (Bloom 1970): ``m_bits`` bit array,
+    ``k`` probes per key via double hashing (Kirsch & Mitzenmacher
+    2006: idx_i = h1 + i*h2 — full independence not required).  No
+    false negatives; false-positive rate ~ (1 - e^{-kn/m})^k, so size
+    ``m_bits`` at ~10 bits per expected key for ~1% FP.  Merge = OR,
+    so per-batch partials tree-merge exactly like the other sketches."""
+
+    def __init__(self, m_bits: int = 1 << 23, k: int = 6, bits: np.ndarray | None = None) -> None:
+        if m_bits % 8:
+            raise ValueError("m_bits must be a multiple of 8")
+        self.m = m_bits
+        self.k = k
+        self.bits = bits if bits is not None else np.zeros(m_bits // 8, dtype=np.uint8)
+
+    def _idx(self, h: np.ndarray) -> np.ndarray:
+        from .split import splitmix64
+
+        h1 = h.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h2 = splitmix64(h1) | np.uint64(1)
+            # (k, n) probe positions
+            i = np.arange(self.k, dtype=np.uint64)[:, None]
+            return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m)).astype(np.int64)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        if not len(h):
+            return
+        idx = self._idx(h).ravel()
+        np.bitwise_or.at(self.bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        """Vectorized membership: True = maybe present, False = definitely absent."""
+        if not len(h):
+            return np.zeros(0, dtype=bool)
+        idx = self._idx(h)
+        set_ = (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return set_.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        return BloomFilter(self.m, self.k, np.bitwise_or(self.bits, other.bits))
+
+    def to_bytes(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, k: int = 6) -> "BloomFilter":
+        bits = np.frombuffer(b, dtype=np.uint8).copy()
+        return cls(len(bits) * 8, k, bits)
+
+
+def build_bloom(ds: rd.Dataset, col: str, m_bits: int = 1 << 23, k: int = 6) -> BloomFilter:
+    """Distributed Bloom build over a string column: one partial filter
+    per batch, one OR tree-merge level in tasks, driver folds the
+    per-task partials — O(tasks x m/8) driver bytes, never the corpus.
+    Sizing: ``m_bits`` ~ 10x the expected key count (so a 10^9-key
+    reference corpus needs a ~1.25 GB filter — still one ``ray.put``
+    broadcast, shared zero-copy by every worker on a node)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(m_bits, k)
+        bf.add_hashes(_bloom_hash_strings(batch[col]))
+        return pd.DataFrame({"bloom": [bf.to_bytes()]})
+
+    def tree_or(batch: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m_bits // 8, dtype=np.uint8)
+        for b in batch["bloom"]:
+            np.bitwise_or(acc, np.frombuffer(b, dtype=np.uint8), out=acc)
+        return pd.DataFrame({"bloom": [acc.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").map_batches(
+        tree_or, batch_format="pandas", batch_size=32
+    )
+    acc = BloomFilter(m_bits, k)
+    for row in parts.take_all():
+        acc = acc.merge(BloomFilter.from_bytes(row["bloom"], k))
+    return acc
+
+
+def incremental_dedup(
+    new_ds: rd.Dataset,
+    corpus_ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 23,
+    k: int = 6,
+) -> rd.Dataset:
+    """EXACT incremental dedup against a reference corpus: keep the new
+    documents whose ``text_col`` does not appear verbatim in
+    ``corpus_ds`` (the standard "new crawl vs what we already trained
+    on" pass).  Output: the surviving new rows (all input columns).
+
+    Scale shape (two-pass, no all-to-all):
+      1. stream the corpus ONCE into a Bloom filter (hashes only);
+      2. probe new docs — Bloom-negative rows are DEFINITELY new (no
+         false negatives) and pass through untouched; only the
+         maybe-duplicate candidates (true dups + ~1% FP) continue;
+      3. broadcast the candidate hash set, stream the corpus a second
+         time keeping only rows whose hash collides, broadcast THOSE
+         texts, and exact-compare candidate texts against them.
+    The driver/broadcast volume is bounded by candidate density
+    (dup rate + FP rate), never O(corpus).  For adversarial dup
+    density route both sides through ``relational.keyed_reduce``
+    keyed on the text hash instead.
+    """
+    import ray
+
+    from .relational import broadcast_once
+
+    bloom = build_bloom(corpus_ds, text_col, m_bits, k)
+    bloom_ref = ray.put(bloom.to_bytes())
+    cache: dict = {}
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        bf = cache.get("bf")
+        if bf is None:
+            bf = cache["bf"] = BloomFilter.from_bytes(ray.get(bloom_ref), k)
+        maybe = bf.contains_hashes(_bloom_hash_strings(batch[text_col]))
+        out = batch.copy()
+        out["_maybe_dup"] = maybe
+        return out
+
+    probed = new_ds.map_batches(probe, batch_format="pandas").materialize()
+    cand = probed.filter(expr="_maybe_dup == True")
+
+    # candidate hashes -> which corpus rows could collide (tiny by
+    # construction; the driver holds hashes, 8 bytes per candidate)
+    cand_hash_rows = cand.map_batches(
+        lambda b: pd.DataFrame({"h": np.unique(_bloom_hash_strings(b[text_col]))}),
+        batch_format="pandas",
+    ).take_all()
+    cand_hashes = np.unique(np.array([r["h"] for r in cand_hash_rows], dtype=np.uint64))
+    if not len(cand_hashes):  # no maybe-dups at all: everything is new
+        return probed.drop_columns(["_maybe_dup"])
+
+    get_cand = broadcast_once(cand_hashes)
+
+    def corpus_hits(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = _bloom_hash_strings(batch[text_col])
+        hit = np.isin(hs, get_cand())
+        return pd.DataFrame({"t": batch[text_col].fillna("").to_numpy()[hit]})
+
+    hit_texts = pd.unique(
+        corpus_ds.map_batches(corpus_hits, batch_format="pandas").to_pandas()["t"]
+    )
+    get_texts = broadcast_once(hit_texts, prepare=pd.Index)
+
+    def confirm(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = ~batch["_maybe_dup"].to_numpy()
+        m = ~keep
+        if m.any():
+            dup = get_texts().get_indexer(batch[text_col].fillna("").to_numpy()[m]) >= 0
+            keep[np.flatnonzero(m)[~dup]] = True
+        return batch[keep].drop(columns=["_maybe_dup"])
+
+    return probed.map_batches(confirm, batch_format="pandas")

@@ -1,0 +1,175 @@
+"""Deterministic dataset splitting and chunking for training-data prep.
+
+``hash_split`` assigns every row a stable train/val/test-style label
+from a keyed hash — the standard leakage-safe split: the label depends
+only on (key, seed), so re-running over a grown corpus never moves a
+row between splits, and co-keyed rows land together.  ``chunk_documents``
+explodes documents into fixed-size character windows (context-window
+packing prep).
+
+Both are embarrassingly parallel ``map_batches`` stages (no shuffle)
+and both have EXACT DuckDB oracles: the hash is splitmix64
+(`Steele et al. 2014, "Fast splittable pseudorandom number generators"`,
+the mix finalizer), chosen because its mod-2^64 arithmetic is
+expressible in SQL HUGEINT (see ``splitmix64_sql``), and chunk
+boundaries are plain substring arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+_U = np.uint64
+_MOD = 1 << 64
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a non-negative int64/uint64
+    array (uint64 wrap-around arithmetic, zero per-row Python)."""
+    h = x.astype(_U)
+    with np.errstate(over="ignore"):
+        h = h + _U(0x9E3779B97F4A7C15)
+        h = (h ^ (h >> _U(30))) * _U(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> _U(27))) * _U(0x94D049BB133111EB)
+        h = h ^ (h >> _U(31))
+    return h
+
+
+def _sql_mulmod(c: int) -> str:
+    """SQL for ``(h * c) % 2**64`` in HUGEINT: the 64x64 product can
+    overflow int128, so the constant is split into 32-bit halves."""
+    hi, lo = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"((((h * {hi}) % 4294967296) * 4294967296) + (h * {lo})) "
+        "% 18446744073709551616"
+    )
+
+
+def splitmix64_sql(x_expr: str, seed: int = 0) -> str:
+    """A DuckDB scalar expression computing ``splitmix64(x + seed)`` for
+    a non-negative BIGINT expression — bit-exact with :func:`splitmix64`
+    (xor/shift via ``xor`` + floor-division, multiplies split to stay in
+    int128).  Used by the driver oracles; kept next to the numpy
+    implementation so the two can never drift apart silently."""
+    s0 = f"((CAST({x_expr} AS HUGEINT) + {seed % _MOD} + 11400714819323198485) % 18446744073709551616)"
+    steps = [
+        ("xor(h, h // 1073741824)", None),  # h ^= h >> 30
+        (_sql_mulmod(0xBF58476D1CE4E5B9), None),
+        ("xor(h, h // 134217728)", None),  # h ^= h >> 27
+        (_sql_mulmod(0x94D049BB133111EB), None),
+        ("xor(h, h // 2147483648)", None),  # h ^= h >> 31
+    ]
+    expr = s0
+    for step, _ in steps:
+        expr = f"(SELECT {step} FROM (SELECT {expr} AS h))"
+    return expr
+
+
+SPLIT_BUCKETS = 10_000
+
+
+def hash_split(
+    ds: rd.Dataset,
+    key_col: str,
+    fractions: dict[str, float],
+    seed: int = 0,
+    out_col: str = "split",
+) -> rd.Dataset:
+    """Add ``out_col`` = a deterministic split label per row.
+
+    ``fractions`` maps label -> fraction, summing to 1.0, each an exact
+    multiple of 1/10000 (the bucket grid — enforced, so the SQL oracle
+    and the numpy path agree exactly).  A row's bucket is
+    ``splitmix64(key + seed) % 10000``; buckets are assigned to labels
+    in dict order.  Keys must be non-negative integers (hash the key
+    first for strings — e.g. ``Fingerprinter``).  Stability: adding new
+    rows or re-running with more workers never reassigns an existing
+    key; changing ``seed`` draws a fresh split.
+    """
+    labels = list(fractions)
+    cuts = np.cumsum([fractions[l] * SPLIT_BUCKETS for l in labels])
+    edges = np.rint(cuts).astype(np.int64)
+    if not np.allclose(cuts, edges, atol=1e-6) or edges[-1] != SPLIT_BUCKETS:
+        raise ValueError(
+            f"fractions must be multiples of 1/{SPLIT_BUCKETS} summing to 1.0: {fractions}"
+        )
+    labels_arr = np.array(labels, dtype=object)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch[key_col].to_numpy()
+        if len(keys) and keys.min() < 0:
+            raise ValueError(f"{key_col} must be non-negative for hash_split")
+        with np.errstate(over="ignore"):
+            bucket = (splitmix64(keys.astype(_U) + _U(seed % _MOD))
+                      % _U(SPLIT_BUCKETS)).astype(np.int64)
+        idx = np.searchsorted(edges, bucket, side="right")
+        batch = batch.copy()
+        batch[out_col] = labels_arr[idx]
+        return batch
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def hash_split_sql(
+    key_expr: str, fractions: dict[str, float], seed: int = 0
+) -> str:
+    """The DuckDB CASE expression matching :func:`hash_split` — one
+    source of truth for the cut points shared with the numpy path."""
+    labels = list(fractions)
+    edges = np.rint(
+        np.cumsum([fractions[l] * SPLIT_BUCKETS for l in labels])
+    ).astype(np.int64)
+    h = f"({splitmix64_sql(key_expr, seed)} % {SPLIT_BUCKETS})"
+    cases = " ".join(
+        f"WHEN {h} < {int(e)} THEN '{l}'" for l, e in zip(labels[:-1], edges[:-1])
+    )
+    return f"CASE {cases} ELSE '{labels[-1]}' END"
+
+
+def chunk_documents(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 512,
+    overlap: int = 0,
+) -> rd.Dataset:
+    """Explode each document into fixed-size character windows:
+    ``(id, chunk_idx, chunk_text)`` with stride ``chunk_chars -
+    overlap`` (the context-window packing prep step; token-exact
+    chunking plugs a tokenizer into the same window arithmetic).
+
+    NULL/empty texts yield zero chunks.  Vectorized shape: window
+    starts come from ONE ``np.repeat``/``arange`` pass; the only
+    per-element work is the substring copy itself (memcpy-bound).
+    Embarrassingly parallel — no shuffle; at 100 TB each task chunks
+    only its own batch and output blocks stay bounded by
+    ``batch_size x chunk_chars``.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("").to_numpy(dtype=object)
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        n_chunks = np.where(lens > 0, (np.maximum(lens - overlap, 1) + stride - 1) // stride, 0)
+        doc_pos = np.repeat(np.arange(len(texts)), n_chunks)
+        # chunk_idx: 0..n_chunks[i)-1 within each doc
+        chunk_idx = np.arange(len(doc_pos)) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_chunks)[:-1])), n_chunks
+        )
+        starts = chunk_idx * stride
+        chunks = [
+            texts[d][s : s + chunk_chars] for d, s in zip(doc_pos, starts)
+        ]
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy()[doc_pos],
+                "chunk_idx": chunk_idx.astype(np.int64),
+                "chunk_text": np.array(chunks, dtype=object),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pandas")
