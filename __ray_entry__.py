@@ -94,6 +94,19 @@ def _split_documents_oracle() -> str:
     return f"SELECT doc_id, {case} AS split FROM documents"
 
 
+def _chunk_documents_oracle() -> str:
+    from mysql_binlog_ray.pipelines.queries import CHUNK_CHARS, CHUNK_OVERLAP
+
+    stride = CHUNK_CHARS - CHUNK_OVERLAP
+    return f"""
+        SELECT doc_id, k AS chunk_idx,
+               substring(text, CAST(k*{stride}+1 AS BIGINT), {CHUNK_CHARS}) AS chunk_text
+        FROM documents,
+             unnest(range(0, (greatest(length(text)-{CHUNK_OVERLAP}, 1) + {stride - 1}) // {stride})) AS t(k)
+        WHERE text IS NOT NULL AND length(text) > 0
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lww_merge_events": """
@@ -294,20 +307,17 @@ def oracle_sql() -> dict[str, str]:
         # generated from the SAME cut points + splitmix64 constants as the
         # numpy path (stages/split.py) — one source of truth, bit-exact
         "split_documents": _split_documents_oracle(),
-        "chunk_documents": """
-            SELECT doc_id, k AS chunk_idx,
-                   substring(text, CAST(k*448+1 AS BIGINT), 512) AS chunk_text
-            FROM documents,
-                 unnest(range(0, (greatest(length(text)-64, 1) + 447) // 448)) AS t(k)
-            WHERE text IS NOT NULL AND length(text) > 0
-        """,
+        "chunk_documents": _chunk_documents_oracle(),
         "incremental_dedup_documents": """
+            -- coalesce: the engine treats NULL text as '' (fillna before
+            -- tokenizing), so the oracle key must too
             WITH k AS (
               SELECT doc_id,
                      array_to_string(
                        (string_split_regex(
-                          trim(text, ' ' || chr(9) || chr(10) || chr(13)
-                                     || chr(12) || chr(11)),
+                          trim(coalesce(text, ''),
+                               ' ' || chr(9) || chr(10) || chr(13)
+                                   || chr(12) || chr(11)),
                           '\\s+'))[1:8], ' ') AS key
               FROM documents
             )

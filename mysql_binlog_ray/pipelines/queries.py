@@ -938,8 +938,11 @@ def incremental_dedup_documents(sf_dir: str):
         b["_odd"] = (b["doc_id"] % 2).astype("int8")
         return b[["doc_id", "key", "_odd"]]
 
-    keyed = full.map_batches(with_key, batch_format="pandas")
+    # materialize: the keyed scan feeds THREE consumers inside
+    # incremental_dedup (bloom build, probe, corpus re-stream) — without
+    # this the parquet read + tokenize re-executes for each
+    keyed = full.map_batches(with_key, batch_format="pandas").materialize()
     new = keyed.filter(expr="_odd == 1").drop_columns(["_odd"])
     corpus = keyed.filter(expr="_odd == 0").drop_columns(["_odd"])
-    out = incremental_dedup(new, corpus, text_col="key", id_col="doc_id")
+    out = incremental_dedup(new, corpus, text_col="key")
     return out.select_columns(["doc_id"])

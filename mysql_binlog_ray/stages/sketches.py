@@ -414,9 +414,13 @@ def build_bloom(ds: rd.Dataset, col: str, m_bits: int = 1 << 23, k: int = 6) -> 
             np.bitwise_or(acc, np.frombuffer(b, dtype=np.uint8), out=acc)
         return pd.DataFrame({"bloom": [acc.tobytes()]})
 
-    parts = ds.map_batches(partial, batch_format="pandas").map_batches(
-        tree_or, batch_format="pandas", batch_size=32
-    )
+    # batch_size=None = one batch per block => ONE m/8-byte partial per
+    # input block (not per 1024-row default batch — at the docstring's
+    # 10^9-key sizing a per-batch partial would amplify the input by
+    # ~1 KB/row before the merge tree ever ran)
+    parts = ds.map_batches(
+        partial, batch_format="pandas", batch_size=None
+    ).map_batches(tree_or, batch_format="pandas", batch_size=32)
     acc = BloomFilter(m_bits, k)
     for row in parts.take_all():
         acc = acc.merge(BloomFilter.from_bytes(row["bloom"], k))
@@ -427,7 +431,6 @@ def incremental_dedup(
     new_ds: rd.Dataset,
     corpus_ds: rd.Dataset,
     text_col: str = "text",
-    id_col: str = "doc_id",
     m_bits: int = 1 << 23,
     k: int = 6,
 ) -> rd.Dataset:

@@ -26,15 +26,14 @@ _MOD = 1 << 64
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer over a non-negative int64/uint64
-    array (uint64 wrap-around arithmetic, zero per-row Python)."""
-    h = x.astype(_U)
+    """Vectorized splitmix64 over a non-negative int64/uint64 array:
+    golden-ratio increment + the shared :func:`merge._mix64` finalizer
+    (one numpy implementation repo-wide, so the SQL twin below has a
+    single counterpart that cannot drift)."""
+    from .merge import _mix64
+
     with np.errstate(over="ignore"):
-        h = h + _U(0x9E3779B97F4A7C15)
-        h = (h ^ (h >> _U(30))) * _U(0xBF58476D1CE4E5B9)
-        h = (h ^ (h >> _U(27))) * _U(0x94D049BB133111EB)
-        h = h ^ (h >> _U(31))
-    return h
+        return _mix64(x.astype(_U) + _U(0x9E3779B97F4A7C15))
 
 
 def _sql_mulmod(c: int) -> str:
@@ -53,21 +52,34 @@ def splitmix64_sql(x_expr: str, seed: int = 0) -> str:
     (xor/shift via ``xor`` + floor-division, multiplies split to stay in
     int128).  Used by the driver oracles; kept next to the numpy
     implementation so the two can never drift apart silently."""
-    s0 = f"((CAST({x_expr} AS HUGEINT) + {seed % _MOD} + 11400714819323198485) % 18446744073709551616)"
     steps = [
-        ("xor(h, h // 1073741824)", None),  # h ^= h >> 30
-        (_sql_mulmod(0xBF58476D1CE4E5B9), None),
-        ("xor(h, h // 134217728)", None),  # h ^= h >> 27
-        (_sql_mulmod(0x94D049BB133111EB), None),
-        ("xor(h, h // 2147483648)", None),  # h ^= h >> 31
+        "xor(h, h // 1073741824)",  # h ^= h >> 30
+        _sql_mulmod(0xBF58476D1CE4E5B9),
+        "xor(h, h // 134217728)",  # h ^= h >> 27
+        _sql_mulmod(0x94D049BB133111EB),
+        "xor(h, h // 2147483648)",  # h ^= h >> 31
     ]
-    expr = s0
-    for step, _ in steps:
+    expr = f"((CAST({x_expr} AS HUGEINT) + {seed % _MOD} + 11400714819323198485) % 18446744073709551616)"
+    for step in steps:
         expr = f"(SELECT {step} FROM (SELECT {expr} AS h))"
     return expr
 
 
 SPLIT_BUCKETS = 10_000
+
+
+def _edges(fractions: dict[str, float]) -> np.ndarray:
+    """Validated cumulative cut points on the bucket grid — the ONE
+    place the label boundaries are computed, shared by the numpy path
+    and the SQL oracle so neither can round differently."""
+    labels = list(fractions)
+    cuts = np.cumsum([fractions[l] * SPLIT_BUCKETS for l in labels])
+    edges = np.rint(cuts).astype(np.int64)
+    if not np.allclose(cuts, edges, atol=1e-6) or edges[-1] != SPLIT_BUCKETS:
+        raise ValueError(
+            f"fractions must be multiples of 1/{SPLIT_BUCKETS} summing to 1.0: {fractions}"
+        )
+    return edges
 
 
 def hash_split(
@@ -89,12 +101,7 @@ def hash_split(
     key; changing ``seed`` draws a fresh split.
     """
     labels = list(fractions)
-    cuts = np.cumsum([fractions[l] * SPLIT_BUCKETS for l in labels])
-    edges = np.rint(cuts).astype(np.int64)
-    if not np.allclose(cuts, edges, atol=1e-6) or edges[-1] != SPLIT_BUCKETS:
-        raise ValueError(
-            f"fractions must be multiples of 1/{SPLIT_BUCKETS} summing to 1.0: {fractions}"
-        )
+    edges = _edges(fractions)
     labels_arr = np.array(labels, dtype=object)
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
@@ -115,12 +122,13 @@ def hash_split(
 def hash_split_sql(
     key_expr: str, fractions: dict[str, float], seed: int = 0
 ) -> str:
-    """The DuckDB CASE expression matching :func:`hash_split` — one
-    source of truth for the cut points shared with the numpy path."""
+    """The DuckDB CASE expression matching :func:`hash_split` — cut
+    points and validation shared with the numpy path via
+    :func:`_edges`."""
     labels = list(fractions)
-    edges = np.rint(
-        np.cumsum([fractions[l] * SPLIT_BUCKETS for l in labels])
-    ).astype(np.int64)
+    edges = _edges(fractions)
+    if len(labels) == 1:  # CASE with no WHEN arms is invalid SQL
+        return f"'{labels[0]}'"
     h = f"({splitmix64_sql(key_expr, seed)} % {SPLIT_BUCKETS})"
     cases = " ".join(
         f"WHEN {h} < {int(e)} THEN '{l}'" for l, e in zip(labels[:-1], edges[:-1])

@@ -86,6 +86,19 @@ class TestHashSplit:
             hash_split(ds, "k", {"a": 0.5, "b": 0.49})  # doesn't sum to 1
         with pytest.raises(ValueError):
             hash_split(ds, "k", {"a": 0.33333, "b": 0.66667})  # off-grid
+        # the SQL twin validates identically (shared _edges helper)
+        with pytest.raises(ValueError):
+            hash_split_sql("k", {"a": 0.33333, "b": 0.66667})
+
+    def test_single_label_sql(self):
+        duckdb = pytest.importorskip("duckdb")
+        sql = hash_split_sql("k", {"all": 1.0})
+        got = (
+            duckdb.connect()
+            .execute(f"SELECT {sql} AS s FROM (SELECT 42 AS k)")
+            .fetchone()[0]
+        )
+        assert got == "all"
 
     def test_negative_key_rejected(self, ray_session):
         import ray.data as rd
@@ -216,7 +229,6 @@ class TestIncrementalDedup:
             rd.from_pandas(new).repartition(4),
             rd.from_pandas(corpus).repartition(4),
             text_col="text",
-            id_col="doc_id",
         ).to_pandas()
         # c0..c39 all exist in the corpus (c0..c59) -> dropped; n40.. survive
         exp = new[new["text"].str.startswith("n")]
@@ -236,11 +248,22 @@ class TestIncrementalDedup:
             rd.from_pandas(new),
             rd.from_pandas(corpus),
             text_col="text",
-            id_col="doc_id",
             m_bits=64,
             k=2,
         ).to_pandas()
         assert sorted(out["doc_id"]) == [3, 5]
+
+    def test_null_text_treated_as_empty(self, ray_session):
+        """NULL text is '' on both engine and oracle sides: a NULL-text
+        new row dups against an empty-text corpus row."""
+        import ray.data as rd
+
+        corpus = pd.DataFrame({"doc_id": [0], "text": [""]})
+        new = pd.DataFrame({"doc_id": [1, 3], "text": [None, "keep"]})
+        out = incremental_dedup(
+            rd.from_pandas(new), rd.from_pandas(corpus), text_col="text"
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [3]
 
     def test_empty_new_side(self, ray_session):
         import ray.data as rd
