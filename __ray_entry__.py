@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_documents": Q.split_documents,
         "chunk_documents": Q.chunk_documents_query,
         "incremental_dedup_documents": Q.incremental_dedup_documents,
+        "shuffle_order_documents": Q.shuffle_order_documents,
+        "pack_sequences_documents": Q.pack_sequences_documents,
         "topk_orders": Q.topk_orders,
         "distinct_users": Q.distinct_users,
         "stratified_sample_documents": Q.stratified_sample_documents,
@@ -92,6 +94,41 @@ def _split_documents_oracle() -> str:
 
     case = hash_split_sql("doc_id", SPLIT_FRACTIONS, SPLIT_SEED)
     return f"SELECT doc_id, {case} AS split FROM documents"
+
+
+def _shuffle_order_oracle() -> str:
+    from mysql_binlog_ray.stages.ordered import SHUFFLE_SEED
+    from mysql_binlog_ray.stages.split import splitmix64_sql
+
+    h = splitmix64_sql("doc_id", SHUFFLE_SEED)
+    return f"""
+        WITH h AS (SELECT doc_id, {h} AS hh FROM documents)
+        SELECT doc_id,
+               row_number() OVER (ORDER BY hh) - 1 AS position
+        FROM h
+    """
+
+
+def _pack_sequences_oracle() -> str:
+    from mysql_binlog_ray.pipelines.queries import SEQ_LEN
+
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(coalesce(text, ''), {ws}), '\\s+')) AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+          FROM t
+        )
+        SELECT doc_id, n_tokens, tok_start,
+               tok_start // {SEQ_LEN} AS seq_first,
+               (tok_start + n_tokens - 1) // {SEQ_LEN} AS seq_last
+        FROM c
+    """
 
 
 def _chunk_documents_oracle() -> str:
@@ -308,6 +345,8 @@ def oracle_sql() -> dict[str, str]:
         # numpy path (stages/split.py) — one source of truth, bit-exact
         "split_documents": _split_documents_oracle(),
         "chunk_documents": _chunk_documents_oracle(),
+        "shuffle_order_documents": _shuffle_order_oracle(),
+        "pack_sequences_documents": _pack_sequences_oracle(),
         "incremental_dedup_documents": """
             -- coalesce: the engine treats NULL text as '' (fillna before
             -- tokenizing), so the oracle key must too

@@ -946,3 +946,34 @@ def incremental_dedup_documents(sf_dir: str):
     corpus = keyed.filter(expr="_odd == 0").drop_columns(["_odd"])
     out = incremental_dedup(new, corpus, text_col="key")
     return out.select_columns(["doc_id"])
+
+
+SEQ_LEN = 1024
+
+
+def shuffle_order_documents(sf_dir: str):
+    """Deterministic global training shuffle: every document's 0-based
+    position under splitmix64(doc_id + seed) order — the same
+    permutation at any worker count / shard layout.  Distributed rank
+    via the two-pass bucketed prefix-sum (nothing O(corpus) on the
+    driver); oracle = row_number() OVER (ORDER BY hash)."""
+    from ..stages.ordered import SHUFFLE_SEED, hash_order_rank
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    return hash_order_rank(ds, "doc_id", seed=SHUFFLE_SEED)
+
+
+def pack_sequences_documents(sf_dir: str):
+    """Concat-and-slice sequence packing: global token offset of each
+    document (exclusive prefix sum of token counts in doc_id order) and
+    the first/last SEQ_LEN-token training sequence it lands in."""
+    from ..stages.ordered import pack_sequences
+    from ..stages.text import TokenCounter
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    counted = ds.map_batches(
+        TokenCounter(), batch_format="pandas", batch_size=1024
+    ).map_batches(
+        lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+    )
+    return pack_sequences(counted, "doc_id", "n_tokens", seq_len=SEQ_LEN)

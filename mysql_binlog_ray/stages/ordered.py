@@ -1,0 +1,237 @@
+"""Distributed ordered-scan primitives: global prefix sum, hash-order
+rank (deterministic training shuffle), and sequence packing.
+
+Training-data prep needs a handful of operations whose output depends
+on a GLOBAL order — the position of a document in a deterministic
+shuffle, the running token offset that packs documents into fixed-size
+training sequences.  Ray Data has no scan/window primitive, so this
+module implements the classic two-pass parallel prefix pattern
+(Blelloch 1990, "Prefix sums and their applications"):
+
+  1. bucket every row by a RANGE-monotone function of the order key and
+     reduce per-bucket value sums — a tiny frame (one row per bucket)
+     that the driver turns into exclusive per-bucket base offsets;
+  2. one hash-partitioned exchange co-locates each bucket, and a
+     vectorized per-partition combine sorts each bucket by the order
+     key, computes the local exclusive cumsum, and adds the broadcast
+     base offset.
+
+Nothing O(corpus) ever touches the driver (pass 1 ships one int per
+bucket); the only all-to-all is the pass-2 exchange, which every
+operator here needs anyway to co-locate order neighbours.  Fanout
+inherits ``relational.keyed_reduce``'s adaptive sizing.
+
+Order keys must be UNIQUE (duplicate keys make "the" prefix sum
+ambiguous — the combine detects and rejects them) but may be any int64,
+negative included: bucketing maps them through the order-preserving
+int64 -> uint64 shift and sizes buckets by division only, so no range
+arithmetic can overflow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from .split import splitmix64
+
+_U = np.uint64
+_SIGN_FLIP = _U(1) << _U(63)
+
+
+def _to_order_u64(x: np.ndarray) -> np.ndarray:
+    """Order-preserving int64 -> uint64 map (flip the sign bit)."""
+    return x.astype(np.int64).view(_U) ^ _SIGN_FLIP
+
+
+def bucketed_prefix_sum(
+    ds: rd.Dataset,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_before",
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Add ``out_col`` = the EXCLUSIVE prefix sum of ``value_col`` in
+    global ``order_col`` order (the sum of all values whose order key is
+    strictly smaller).
+
+    ``n_buckets=None`` sizes the bucket count from the materialized
+    input (~4M rows per bucket at 8 bytes/intermediate row — each
+    pass-2 task materializes the buckets hashed to it, exactly the
+    ``keyed_reduce`` contract).  Values must be int64; at 100 TB the
+    running sum still fits (2^63 ~ 9.2e18 — e.g. 10^13 docs x 10^5
+    tokens overflows, so callers summing token counts beyond ~10^4 TB
+    of text should switch the accumulator to two-limb arithmetic).
+    """
+    from .relational import keyed_reduce
+
+    mat = ds.materialize()
+    n_rows = mat.count()
+    if n_rows == 0:
+        # Repartitioned-empty datasets can lose their block schema, so
+        # build the empty result table explicitly.
+        schema = mat.schema()
+        fields = (
+            list(zip(schema.names, schema.types))
+            if schema is not None
+            else [(order_col, pa.int64()), (value_col, pa.int64())]
+        )
+        empty = pa.table(
+            {n: pa.array([], t) for n, t in fields}
+            | {out_col: pa.array([], pa.int64())}
+        )
+        return rd.from_arrow(empty)
+
+    # bucket = (u - lo) // step, step sized so ~target rows per bucket
+    # IF keys are uniform over their range (hash-order callers are by
+    # construction; dense ids nearly so).  Division-only arithmetic:
+    # correct for any int64 range, no overflow.
+    def batch_lohi(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"lo": pd.Series(dtype="uint64"), "hi": pd.Series(dtype="uint64")}
+            )
+        u = _to_order_u64(b[order_col].to_numpy())
+        return pd.DataFrame(
+            {
+                "lo": np.array([u.min()], dtype=np.uint64),
+                "hi": np.array([u.max()], dtype=np.uint64),
+            }
+        )
+
+    lohi = mat.map_batches(batch_lohi, batch_format="pandas").to_pandas()
+    lo, hi = _U(lohi["lo"].min()), _U(lohi["hi"].max())
+    if n_buckets is None:
+        n_buckets = max(1, min(1 << 16, n_rows // 4_000_000 + 8))
+    span = int(hi - lo) + 1  # python int: no overflow at full range
+    step = _U(max(1, -(-span // n_buckets)))
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = _to_order_u64(b.column(order_col).to_numpy(zero_copy_only=False))
+        bk = ((u - lo) // step).astype(np.int64)
+        return b.append_column("_psb", pa.array(bk))
+
+    tagged = mat.map_batches(tag, batch_format="pyarrow").materialize()
+
+    # pass 1: per-bucket sums -> driver (one row per non-empty bucket)
+    sums = (
+        tagged.map_batches(
+            lambda b: pd.DataFrame(
+                {"_psb": b["_psb"], "_v": b[value_col].astype("int64")}
+            )
+            .groupby("_psb", sort=False)["_v"]
+            .sum()
+            .reset_index(),
+            batch_format="pandas",
+        )
+        .groupby("_psb")
+        .sum("_v")
+        .to_pandas()
+        .sort_values("_psb")
+    )
+    base = dict(
+        zip(
+            sums["_psb"].to_numpy(),
+            np.concatenate(([0], np.cumsum(sums["sum(_v)"].to_numpy())[:-1])),
+        )
+    )
+
+    from .relational import broadcast_once
+
+    get_base = broadcast_once(base)
+
+    # pass 2: co-locate buckets, sort each by order key, local exclusive
+    # cumsum + base.  Fully vectorized: one sort + one cumsum per
+    # partition, group starts recovered from bucket boundaries.
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            g = g.copy()
+            g[out_col] = pd.Series(dtype="int64")
+            return g
+        g = g.sort_values(["_psb", order_col], kind="mergesort").reset_index(drop=True)
+        ok = g[order_col].to_numpy()
+        bk = g["_psb"].to_numpy()
+        if (ok[1:] == ok[:-1]).any():  # dup order keys always share a bucket
+            raise ValueError(
+                f"bucketed_prefix_sum: duplicate {order_col} values — prefix order is ambiguous"
+            )
+        changed = np.empty(len(g), dtype=bool)
+        changed[0] = True
+        np.not_equal(bk[1:], bk[:-1], out=changed[1:])
+        run_lens = np.diff(np.append(np.flatnonzero(changed), len(g)))
+        v = g[value_col].to_numpy().astype(np.int64)
+        cs = np.cumsum(v) - v  # exclusive, partition-local
+        cs = cs - np.repeat(cs[changed], run_lens)  # rebase each bucket to 0
+        bmap = get_base()
+        bases = np.array([bmap[b] for b in bk[changed]], dtype=np.int64)
+        g[out_col] = cs + np.repeat(bases, run_lens)
+        return g
+
+    out = keyed_reduce(
+        tagged, ["_psb"], combine, est_input_bytes=tagged.size_bytes()
+    )
+    return out.drop_columns(["_psb"])
+
+
+SHUFFLE_SEED = 13
+
+
+def hash_order_rank(
+    ds: rd.Dataset,
+    id_col: str,
+    seed: int = SHUFFLE_SEED,
+    out_col: str = "position",
+) -> rd.Dataset:
+    """Deterministic global shuffle for training-data ordering: every
+    row gets ``out_col`` = its 0-based rank under ``splitmix64(id +
+    seed)`` order — the same permutation on every run, every worker
+    count, every shard layout (re-shuffling an epoch = new seed).
+
+    ``splitmix64`` is a bijection on uint64, so distinct ids can never
+    tie; the rank IS ``row_number() OVER (ORDER BY hash)`` and the SQL
+    oracle says exactly that.  Scale shape: the hash is uniform by
+    construction, so the range buckets of :func:`bucketed_prefix_sum`
+    are balanced regardless of id skew."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) and ids.min() < 0:
+            raise ValueError(f"{id_col} must be non-negative")
+        with np.errstate(over="ignore"):
+            h = splitmix64(ids.astype(_U) + _U(seed))
+        # order-preserving uint64 -> int64 (flip sign bit): ORDER BY this
+        # signed column == ORDER BY the unsigned hash
+        b = b.append_column("_h", pa.array((h ^ _SIGN_FLIP).view(np.int64)))
+        return b.append_column("_one", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    ranked = bucketed_prefix_sum(tagged, "_h", "_one", out_col)
+    return ranked.drop_columns(["_h", "_one"])
+
+
+def pack_sequences(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    seq_len: int = 1024,
+) -> rd.Dataset:
+    """Concat-and-slice sequence packing (the standard LM training prep:
+    concatenate all documents in ``id_col`` order, slice the token
+    stream into ``seq_len``-token training sequences): emits per doc its
+    global ``tok_start`` offset and the first/last sequence indices it
+    lands in.  Pure arithmetic on top of the distributed prefix sum —
+    no driver state, one exchange."""
+    ps = bucketed_prefix_sum(ds, id_col, tokens_col, "tok_start")
+
+    def slots(b: pd.DataFrame) -> pd.DataFrame:
+        start = b["tok_start"].to_numpy()
+        n = b[tokens_col].to_numpy()
+        b = b.copy()
+        b["seq_first"] = start // seq_len
+        # n >= 1 for every tokenizer in this repo (empty text counts 1)
+        b["seq_last"] = (start + n - 1) // seq_len
+        return b
+
+    return ps.map_batches(slots, batch_format="pandas")
