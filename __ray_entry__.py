@@ -113,15 +113,21 @@ def _pack_sequences_oracle() -> str:
     from mysql_binlog_ray.pipelines.queries import SEQ_LEN
 
     ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    # [ \t\n\r\f\v]+ spelled out: RE2's \s omits \v, Python's re.ASCII \s
+    # (the engine tokenizer) includes it.  CAST the windowed SUM back to
+    # BIGINT — DuckDB widens it to HUGEINT, which lands as float64 in
+    # pandas and would diverge from the engine's int64.
     return f"""
         WITH t AS (
           SELECT doc_id,
-                 len(string_split_regex(trim(coalesce(text, ''), {ws}), '\\s+')) AS n_tokens
+                 len(string_split_regex(trim(coalesce(text, ''), {ws}),
+                     '[ \\t\\n\\r\\f\\v]+')) AS n_tokens
           FROM documents
         ), c AS (
           SELECT doc_id, n_tokens,
-                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS tok_start
           FROM t
         )
         SELECT doc_id, n_tokens, tok_start,
@@ -357,7 +363,7 @@ def oracle_sql() -> dict[str, str]:
                           trim(coalesce(text, ''),
                                ' ' || chr(9) || chr(10) || chr(13)
                                    || chr(12) || chr(11)),
-                          '\\s+'))[1:8], ' ') AS key
+                          '[ \\t\\n\\r\\f\\v]+'))[1:8], ' ') AS key
               FROM documents
             )
             SELECT doc_id FROM k a
@@ -375,13 +381,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT lang, source FROM documents
         """,
         "dedup_exact_documents": """
-            SELECT md5(array_to_string(list_slice(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+'), 1, 8), ' ')) AS text_md5,
+            SELECT md5(array_to_string(list_slice(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \\t\\n\\r\\f\\v]+'), 1, 8), ' ')) AS text_md5,
                    min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY text_md5
         """,
         "doc_token_stats": """
             SELECT doc_id,
-                   len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')) AS n_tokens
+                   len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \\t\\n\\r\\f\\v]+')) AS n_tokens
             FROM documents
         """,
         "knn_embeddings": """
@@ -461,7 +467,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_neardup_documents": """
             WITH words AS (
-              SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') AS w
+              SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \\t\\n\\r\\f\\v]+') AS w
               FROM documents
             ), sh AS (
               SELECT DISTINCT doc_id,

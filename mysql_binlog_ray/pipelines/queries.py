@@ -968,12 +968,8 @@ def pack_sequences_documents(sf_dir: str):
     document (exclusive prefix sum of token counts in doc_id order) and
     the first/last SEQ_LEN-token training sequence it lands in."""
     from ..stages.ordered import pack_sequences
-    from ..stages.text import TokenCounter
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    counted = ds.map_batches(
-        TokenCounter(), batch_format="pandas", batch_size=1024
-    ).map_batches(
-        lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
-    )
+    # one source of truth for token counting: the doc_token_stats
+    # pipeline (its oracle defines the n_tokens contract)
+    counted = doc_token_stats(sf_dir)
     return pack_sequences(counted, "doc_id", "n_tokens", seq_len=SEQ_LEN)

@@ -71,7 +71,9 @@ def bucketed_prefix_sum(
     n_rows = mat.count()
     if n_rows == 0:
         # Repartitioned-empty datasets can lose their block schema, so
-        # build the empty result table explicitly.
+        # build the empty result table explicitly.  Callers with extra
+        # columns (hash_order_rank, pack_sequences) short-circuit empty
+        # inputs themselves, so losing non-key columns here is fine.
         schema = mat.schema()
         fields = (
             list(zip(schema.names, schema.types))
@@ -106,7 +108,11 @@ def bucketed_prefix_sum(
     if n_buckets is None:
         n_buckets = max(1, min(1 << 16, n_rows // 4_000_000 + 8))
     span = int(hi - lo) + 1  # python int: no overflow at full range
-    step = _U(max(1, -(-span // n_buckets)))
+    # step stays a uint64: the full-int64-range span (2^64) with
+    # n_buckets=1 would not fit, so clamp to 2^64-1 — bucketing only
+    # needs a monotone non-decreasing key -> bucket map, and the clamp
+    # merely splits the single bucket at the very top key.
+    step = _U(min(max(1, -(-span // n_buckets)), (1 << 64) - 1))
 
     def tag(b: pa.Table) -> pa.Table:
         u = _to_order_u64(b.column(order_col).to_numpy(zero_copy_only=False))
@@ -206,7 +212,25 @@ def hash_order_rank(
         b = b.append_column("_h", pa.array((h ^ _SIGN_FLIP).view(np.int64)))
         return b.append_column("_one", pa.array(np.ones(b.num_rows, dtype=np.int64)))
 
-    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    # Materialize the tagged input here (bucketed_prefix_sum would do it
+    # anyway — a second materialize is a no-op) so emptiness can be
+    # short-circuited: any lazy op chained after a 0-row dataset loses
+    # its schema, so the empty result must be built as an explicit table
+    # carrying the caller's id columns.
+    sch = ds.schema()
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+    if tagged.count() == 0:
+        fields = (
+            list(zip(sch.names, sch.types))
+            if sch is not None
+            else [(id_col, pa.int64())]
+        )
+        return rd.from_arrow(
+            pa.table(
+                {n: pa.array([], t) for n, t in fields}
+                | {out_col: pa.array([], pa.int64())}
+            )
+        )
     ranked = bucketed_prefix_sum(tagged, "_h", "_one", out_col)
     return ranked.drop_columns(["_h", "_one"])
 
@@ -223,7 +247,21 @@ def pack_sequences(
     global ``tok_start`` offset and the first/last sequence indices it
     lands in.  Pure arithmetic on top of the distributed prefix sum —
     no driver state, one exchange."""
-    ps = bucketed_prefix_sum(ds, id_col, tokens_col, "tok_start")
+    # Same empty-input short-circuit as hash_order_rank: the slots map
+    # chained after a 0-row dataset would lose the schema.
+    sch = ds.schema()
+    mat = ds.materialize()
+    if mat.count() == 0:
+        fields = (
+            list(zip(sch.names, sch.types))
+            if sch is not None
+            else [(id_col, pa.int64()), (tokens_col, pa.int64())]
+        )
+        extra = {c: pa.array([], pa.int64()) for c in ("tok_start", "seq_first", "seq_last")}
+        return rd.from_arrow(
+            pa.table({n: pa.array([], t) for n, t in fields} | extra)
+        )
+    ps = bucketed_prefix_sum(mat, id_col, tokens_col, "tok_start")
 
     def slots(b: pd.DataFrame) -> pd.DataFrame:
         start = b["tok_start"].to_numpy()

@@ -75,6 +75,19 @@ class TestBucketedPrefixSum:
         )
         pd.testing.assert_frame_equal(many, one)
 
+    def test_full_range_single_bucket_no_overflow(self, ray_session):
+        # span == 2^64 with n_buckets=1 must not overflow the uint64
+        # step (the clamp merely splits the top key into its own bucket).
+        keys = np.array([-(2**63), 0, 2**63 - 1], dtype=np.int64)
+        df = pd.DataFrame({"k": keys, "v": np.array([3, 5, 7], dtype=np.int64)})
+        out = (
+            bucketed_prefix_sum(_make_ds(df, 2), "k", "v", "cum", n_buckets=1)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert list(out["cum"]) == [0, 3, 8]
+
     def test_duplicate_keys_rejected(self, ray_session):
         df = pd.DataFrame({"k": [1, 2, 2, 3], "v": [1, 1, 1, 1]})
         with pytest.raises(Exception, match="duplicate"):
@@ -143,6 +156,14 @@ class TestHashOrderRank:
         )
         assert not (a == b).all()
         assert sorted(a) == sorted(b) == list(range(300))
+
+
+class TestHashOrderRankEmpty:
+    def test_empty_input_keeps_id_column(self, ray_session):
+        df = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+        out = hash_order_rank(_make_ds(df, 1), "doc_id")
+        assert out.count() == 0
+        assert set(out.schema().names) == {"doc_id", "position"}
 
 
 class TestPackSequences:
