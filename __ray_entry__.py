@@ -96,6 +96,144 @@ def _split_documents_oracle() -> str:
     return f"SELECT doc_id, {case} AS split FROM documents"
 
 
+# shared tokenizer for the LSH oracles: [ \t\n\r\f\v]+ spelled out (RE2's
+# \s omits \v, the engine's re.ASCII \s includes it); word hash is
+# DuckDB's md5_number_lower == stages.dedup.word_hash64, bit-for-bit
+_LSH_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+_W64 = 1 << 64
+_MERSENNE61 = (1 << 61) - 1
+_POLY_B = 1099511628211
+
+
+def _simhash_oracle() -> str:
+    """Exact SimHash pair oracle: per-bit majority vote over the distinct
+    words' md5 hashes (strictly-greater rule == the engine's acc > 0),
+    then all pairs with bit_count(xor) <= 3 — the engine's two-level
+    pigeonhole is exact for hamming <= 3, so the outputs are identical."""
+    bits = " + ".join(
+        f"(CASE WHEN 2*SUM(CAST((h >> {p}) & 1 AS BIGINT)) > COUNT(*) "
+        f"THEN CAST('{1 << p}' AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)"
+        for p in range(64)
+    )
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(
+                   string_split_regex(trim(coalesce(text,''), {_LSH_WS}),
+                                      '[ \\t\\n\\r\\f\\v]+'),
+                   x -> x <> '')) AS words
+          FROM documents
+        ), wh AS (
+          SELECT doc_id, md5_number_lower(unnest(words)) AS h FROM w
+        ), fp0 AS (
+          SELECT doc_id, CAST({bits} AS UBIGINT) AS f FROM wh GROUP BY doc_id
+        ), fp AS (
+          -- docs with no words get fingerprint 0 (engine: simhash('') = 0)
+          SELECT d.doc_id, COALESCE(f, CAST(0 AS UBIGINT)) AS f
+          FROM documents d LEFT JOIN fp0 USING (doc_id)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.f, b.f)) <= 3
+    """
+
+
+def _minhash_ctes() -> str:
+    """The shared CTE chain reproducing the MinHash-LSH engine exactly:
+    word 5-shingle hashes (mod-2^64 polynomial over md5 word hashes) ->
+    128 permuted min-signatures mod 2^61-1 (same (a,b) params as
+    stages.dedup._minhash_params — one source of truth) -> 4-row band
+    keys -> 48-bit-truncated band buckets -> candidate pairs -> exact
+    signature-agreement estimate.  All arithmetic in UHUGEINT: DuckDB
+    silently unifies UHUGEINT with BIGINT *columns* as DOUBLE, so the
+    params are cast up front."""
+    from mysql_binlog_ray.stages.dedup import _minhash_params
+
+    a, b = _minhash_params(128)
+    params = ", ".join(f"({p}, {int(a[p])}, {int(b[p])})" for p in range(128))
+    return f"""
+        params AS (SELECT p, CAST(a AS UHUGEINT) AS a, CAST(b AS UHUGEINT) AS b
+                   FROM (VALUES {params}) t(p, a, b)),
+        words AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(coalesce(text,''), {_LSH_WS}),
+                                                '[ \\t\\n\\r\\f\\v]+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ), sh AS (
+          -- k = min(5, n) word shingles; empty doc -> single 0 shingle
+          SELECT doc_id,
+            CASE WHEN len(ws) = 0 THEN [CAST(0 AS UBIGINT)]
+            ELSE list_transform(range(1, len(ws) - LEAST(5, len(ws)) + 2), i ->
+              CAST(list_reduce(
+                list_transform(list_slice(ws, i, i + LEAST(5, len(ws)) - 1),
+                               w -> CAST(md5_number_lower(w) AS UHUGEINT)),
+                (acc, h) -> (acc * {_POLY_B} + h) % {_W64}
+              ) AS UBIGINT))
+            END AS shs
+          FROM words
+        ), shu AS (
+          SELECT DISTINCT doc_id, unnest(shs) AS s FROM sh
+        ), sigs AS (
+          SELECT doc_id, p,
+            MIN(((CAST(s AS UHUGEINT) * a) % {_W64} + b) % {_W64} % {_MERSENNE61}) AS sig
+          FROM shu CROSS JOIN params
+          GROUP BY doc_id, p
+        ), bands AS (
+          SELECT doc_id, band,
+            CAST(list_reduce(list(CAST(sig AS UHUGEINT) ORDER BY p),
+                 (acc, s) -> (acc * {_POLY_B} + s) % {_W64}) AS UBIGINT) AS key
+          FROM (SELECT doc_id, p, sig, p // 4 AS band FROM sigs)
+          GROUP BY doc_id, band
+        ), buckets AS (
+          SELECT doc_id,
+                 CAST(band AS BIGINT) * 281474976710656
+                 + CAST(key % 281474976710656 AS BIGINT) AS bucket
+          FROM bands
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+        ), est AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 128
+                   AS est_jaccard
+          FROM cand c
+          JOIN sigs sa ON sa.doc_id = c.doc_a
+          JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
+          GROUP BY c.doc_a, c.doc_b
+        )
+    """
+
+
+def _minhash_neardup_oracle() -> str:
+    return f"""
+        WITH {_minhash_ctes()}
+        SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.4
+    """
+
+
+def _minhash_clusters_oracle() -> str:
+    """Connected components over the threshold-filtered MinHash pairs via
+    a recursive transitive closure; cluster_id = min member id (the
+    engine's union-find keeps the minimum as root)."""
+    return f"""
+        WITH RECURSIVE {_minhash_ctes()},
+        thr AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.4),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM thr
+          UNION ALL SELECT doc_b, doc_a FROM thr
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+    """
+
+
 def _shuffle_order_oracle() -> str:
     from mysql_binlog_ray.stages.ordered import SHUFFLE_SEED
     from mysql_binlog_ray.stages.split import splitmix64_sql
@@ -465,6 +603,9 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42
         """,
+        "minhash_neardup_documents": _minhash_neardup_oracle(),
+        "minhash_dedup_clusters": _minhash_clusters_oracle(),
+        "simhash_neardup_documents": _simhash_oracle(),
         "ngram_neardup_documents": """
             WITH words AS (
               SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \\t\\n\\r\\f\\v]+') AS w

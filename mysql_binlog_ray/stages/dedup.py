@@ -131,6 +131,15 @@ def _ascii_words(text: str) -> list[str]:
     return [w for w in _ASCII_WS_RE.split(stripped) if w]
 
 
+def word_hash64(w: str) -> int:
+    """uint64 word hash = the LOW 8 bytes of md5, little-endian — chosen
+    to equal DuckDB's ``md5_number_lower(w)`` bit-for-bit, so every LSH
+    operator built on it (MinHash signatures, SimHash fingerprints) has
+    an exact SQL oracle.  Quality is equivalent to the blake2b this
+    replaced (both are uniform 64-bit digests)."""
+    return int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
+
+
 def _shingle_hashes(text: str, k: int, _word_cache: dict | None = None) -> np.ndarray:
     """64-bit hashes of word k-shingles, vectorized: each word hashed once
     (cached), shingle hash = degree-k polynomial over the word hashes —
@@ -143,9 +152,7 @@ def _shingle_hashes(text: str, k: int, _word_cache: dict | None = None) -> np.nd
     for i, w in enumerate(words):
         v = cache.get(w)
         if v is None:
-            v = cache[w] = int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
-            )
+            v = cache[w] = word_hash64(w)
         h[i] = v
     if len(words) < k:
         k = len(words)
@@ -364,7 +371,10 @@ def minhash_lsh_pairs(
         float((sig_map[x] == sig_map[y]).mean())
         for x, y in zip(pairs["doc_a"], pairs["doc_b"])
     ]
-    pairs = pairs.assign(est_jaccard=np.round(est, 6))
+    # no rounding: est is k/num_perm with num_perm a power of two, so the
+    # float64 is EXACT — and bit-identical to the SQL oracle's cnt/128.0
+    # (np.round's half-even vs DuckDB round's half-away would diverge)
+    pairs = pairs.assign(est_jaccard=np.asarray(est, dtype=np.float64))
     out = pairs[pairs["est_jaccard"] >= threshold].sort_values(["doc_a", "doc_b"])
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
@@ -404,7 +414,9 @@ class SimHasher:
         self.text_col, self.id_col = text_col, id_col
 
     def simhash(self, text: str, word_cache: dict | None = None) -> int:
-        words = set(text.split())
+        # ASCII-whitespace tokenize (same word definition as MinHash /
+        # the SQL oracles), distinct words only
+        words = set(_ascii_words(text))
         if not words:
             return 0
         # per-BATCH memo (passed in by __call__): instances live for the
@@ -415,9 +427,7 @@ class SimHasher:
         for i, w in enumerate(words):
             v = cache.get(w)
             if v is None:
-                v = cache[w] = int.from_bytes(
-                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
-                )
+                v = cache[w] = word_hash64(w)
             hs[i] = v
         # bit-major unpack of all word hashes at once, then column sums
         bits = np.unpackbits(hs.view(np.uint8)).reshape(len(words), 64)
