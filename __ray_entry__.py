@@ -603,6 +603,40 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42
         """,
+        # multimodal fake-codec pipelines: payloads are encode(text)[:N]
+        # byte prefixes == substr(text, 1, N) on the ASCII testdata, and
+        # the fake decode is md5-derived, so the whole pipeline is SQL
+        "multimodal_image_pipeline": """
+            WITH p AS (
+              SELECT doc_id, substr(coalesce(text,''), 1, 4096) AS s FROM documents
+            ), d AS (
+              SELECT doc_id,
+                CAST(64 + ((md5_number_upper(s) & 255) % 64) AS INTEGER) AS width,
+                CAST(64 + (((md5_number_upper(s) >> 8) & 255) % 64) AS INTEGER) AS height
+              FROM p
+            )
+            SELECT doc_id, width, height,
+                   CAST(width AS BIGINT) * height AS n_pixels,
+                   CAST(32 AS INTEGER) AS thumb_w, CAST(32 AS INTEGER) AS thumb_h
+            FROM d
+        """,
+        "multimodal_av_pipeline": """
+            WITH p AS (
+              SELECT doc_id, substr(coalesce(text,''), 1, 8192) AS s FROM documents
+            ), e AS (
+              -- energy: mean byte value of the first 256 payload bytes
+              SELECT doc_id, SUM(ord(substr(s, i, 1))) AS su
+              FROM p, unnest(generate_series(1, least(256, length(s)))) AS t(i)
+              GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   CAST(length(s) // 2 AS DOUBLE) / 16000 AS duration_sec,
+                   CAST(length(s) // 2 AS BIGINT) AS n_frames_audio,
+                   (CAST(COALESCE(su, 0) AS DOUBLE)
+                    / greatest(1, least(256, length(s)))) / 255.0 AS energy,
+                   CAST(4 AS INTEGER) AS n_frames_video
+            FROM p LEFT JOIN e ON p.doc_id = e.doc_id
+        """,
         "minhash_neardup_documents": _minhash_neardup_oracle(),
         "minhash_dedup_clusters": _minhash_clusters_oracle(),
         "simhash_neardup_documents": _simhash_oracle(),

@@ -24,7 +24,10 @@ import pyarrow as pa
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int]:
-    h = hashlib.blake2b(payload, digest_size=4).digest()
+    # md5 digest bytes 0/1: for ASCII-text payloads this equals DuckDB's
+    # md5_number_upper(s) & 255 / >> 8 & 255, so the fake decode has an
+    # exact SQL oracle (md5_number_upper = first 8 digest bytes, LE)
+    h = hashlib.md5(payload).digest()
     return 64 + h[0] % 64, 64 + h[1] % 64  # (width, height)
 
 
@@ -98,9 +101,12 @@ class AudioFeaturizer:
             if not self.fake:
                 raise NotImplementedError("audio codec not available")
             n = len(p or b"") // 2  # pretend s16le mono
-            dur.append(round(n / self.sample_rate, 6))
+            # no rounding: Python round() (binary half-even) and DuckDB
+            # round() (decimal half-away) diverge on ties — the raw IEEE
+            # quotients are deterministic and identical on both sides
+            dur.append(n / self.sample_rate)
             nf.append(n)
-            en.append(round((sum((p or b"")[:256]) / max(1, len((p or b"")[:256]))) / 255.0, 6))
+            en.append((sum((p or b"")[:256]) / max(1, len((p or b"")[:256]))) / 255.0)
         return (
             batch.append_column("duration_sec", pa.array(dur, pa.float64()))
             .append_column("n_frames", pa.array(nf, pa.int64()))
