@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_documents": Q.incremental_dedup_documents,
         "shuffle_order_documents": Q.shuffle_order_documents,
         "pack_sequences_documents": Q.pack_sequences_documents,
+        "training_shards_documents": Q.training_shards_documents,
         "topk_orders": Q.topk_orders,
         "distinct_users": Q.distinct_users,
         "stratified_sample_documents": Q.stratified_sample_documents,
@@ -275,6 +276,34 @@ def _pack_sequences_oracle() -> str:
     """
 
 
+def _training_shards_oracle() -> str:
+    from mysql_binlog_ray.pipelines.queries import SEQ_LEN, SHARD_SEQS
+    from mysql_binlog_ray.stages.ordered import SHUFFLE_SEED
+    from mysql_binlog_ray.stages.split import splitmix64_sql
+
+    h = splitmix64_sql("doc_id", SHUFFLE_SEED)
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(coalesce(text, ''), {ws}),
+                     '[ \\t\\n\\r\\f\\v]+')) AS n_tokens,
+                 {h} AS hh
+          FROM documents
+        ), c AS (
+          SELECT n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY hh
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS tok_start
+          FROM t
+        )
+        SELECT tok_start // {SEQ_LEN * SHARD_SEQS} AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM c GROUP BY shard_id
+    """
+
+
 def _chunk_documents_oracle() -> str:
     from mysql_binlog_ray.pipelines.queries import CHUNK_CHARS, CHUNK_OVERLAP
 
@@ -491,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _chunk_documents_oracle(),
         "shuffle_order_documents": _shuffle_order_oracle(),
         "pack_sequences_documents": _pack_sequences_oracle(),
+        "training_shards_documents": _training_shards_oracle(),
         "incremental_dedup_documents": """
             -- coalesce: the engine treats NULL text as '' (fillna before
             -- tokenizing), so the oracle key must too

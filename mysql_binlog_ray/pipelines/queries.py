@@ -973,3 +973,22 @@ def pack_sequences_documents(sf_dir: str):
     # pipeline (its oracle defines the n_tokens contract)
     counted = doc_token_stats(sf_dir)
     return pack_sequences(counted, "doc_id", "n_tokens", seq_len=SEQ_LEN)
+
+
+SHARD_SEQS = 16
+
+
+def training_shards_documents(sf_dir: str):
+    """End-to-end training-shard export: deterministic shuffle -> token
+    prefix sum -> fixed-budget shards atomically written under /tmp;
+    returns the per-shard summary (shard_id, n_docs, n_tokens)."""
+    import tempfile
+
+    from .shards import write_training_shards
+
+    counted = doc_token_stats(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="graft_shards_")
+    summary = write_training_shards(
+        counted, out_dir, seq_len=SEQ_LEN, seqs_per_shard=SHARD_SEQS, resume=False
+    )
+    return summary.select(["shard_id", "n_docs", "n_tokens"])

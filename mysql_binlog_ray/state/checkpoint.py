@@ -53,11 +53,19 @@ def commit_manifest(
     }
     if extra:
         m.update(extra)
+    atomic_write_json(lake_dir, m)
+    return m
+
+
+def atomic_write_json(lake_dir: str, payload: dict[str, Any]) -> None:
+    """Atomically publish ``payload`` as the dir's manifest (fsync'd tmp
+    + rename on the same fs); shared by the CDC lake and the
+    training-shard sink."""
     os.makedirs(lake_dir, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=lake_dir, prefix="._manifest-")
     try:
         with os.fdopen(fd, "w") as f:
-            json.dump(m, f)
+            json.dump(payload, f)
             f.flush()
             os.fsync(f.fileno())  # data durable BEFORE the rename commits
         os.replace(tmp, manifest_path(lake_dir))
@@ -65,7 +73,6 @@ def commit_manifest(
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
-    return m
 
 
 def _fsync_dir(path: str) -> None:
