@@ -97,10 +97,11 @@ def _split_documents_oracle() -> str:
     return f"SELECT doc_id, {case} AS split FROM documents"
 
 
-# shared tokenizer for the LSH oracles: [ \t\n\r\f\v]+ spelled out (RE2's
-# \s omits \v, the engine's re.ASCII \s includes it); word hash is
-# DuckDB's md5_number_lower == stages.dedup.word_hash64, bit-for-bit
-_LSH_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+# shared ASCII-whitespace charlist for every tokenizing oracle, paired
+# with the regex class [ \t\n\r\f\v]+ spelled out (RE2's \s omits \v,
+# the engine's re.ASCII \s includes it); the LSH word hash is DuckDB's
+# md5_number_lower == stages.dedup.word_hash64, bit-for-bit
+_WS_SQL = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
 _W64 = 1 << 64
 _MERSENNE61 = (1 << 61) - 1
 _POLY_B = 1099511628211
@@ -120,7 +121,7 @@ def _simhash_oracle() -> str:
         WITH w AS (
           SELECT doc_id,
                  list_distinct(list_filter(
-                   string_split_regex(trim(coalesce(text,''), {_LSH_WS}),
+                   string_split_regex(trim(coalesce(text,''), {_WS_SQL}),
                                       '[ \\t\\n\\r\\f\\v]+'),
                    x -> x <> '')) AS words
           FROM documents
@@ -158,7 +159,7 @@ def _minhash_ctes() -> str:
                    FROM (VALUES {params}) t(p, a, b)),
         words AS (
           SELECT doc_id,
-                 list_filter(string_split_regex(trim(coalesce(text,''), {_LSH_WS}),
+                 list_filter(string_split_regex(trim(coalesce(text,''), {_WS_SQL}),
                                                 '[ \\t\\n\\r\\f\\v]+'),
                              x -> x <> '') AS ws
           FROM documents
@@ -251,7 +252,7 @@ def _shuffle_order_oracle() -> str:
 def _pack_sequences_oracle() -> str:
     from mysql_binlog_ray.pipelines.queries import SEQ_LEN
 
-    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    ws = _WS_SQL
     # [ \t\n\r\f\v]+ spelled out: RE2's \s omits \v, Python's re.ASCII \s
     # (the engine tokenizer) includes it.  CAST the windowed SUM back to
     # BIGINT — DuckDB widens it to HUGEINT, which lands as float64 in
@@ -282,7 +283,7 @@ def _training_shards_oracle() -> str:
     from mysql_binlog_ray.stages.split import splitmix64_sql
 
     h = splitmix64_sql("doc_id", SHUFFLE_SEED)
-    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    ws = _WS_SQL
     return f"""
         WITH t AS (
           SELECT doc_id,

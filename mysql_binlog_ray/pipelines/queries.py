@@ -222,7 +222,10 @@ def knn_embeddings(sf_dir: str):
     )
 
 
-# rows-only (no SQL oracle): near-dup, text heuristics, IVF, multimodal
+# minhash/simhash/multimodal are SQL-oracled (md5-derived hashing — see
+# __ray_entry__ oracles; changes to their tokenization or hash functions
+# must keep bit-exact oracle parity); langid is oracled too.  Rows-only:
+# IVF (iterative float kmeans is not SQL-reproducible) and HLL.
 
 
 def minhash_neardup_documents(sf_dir: str):
@@ -982,12 +985,16 @@ def training_shards_documents(sf_dir: str):
     """End-to-end training-shard export: deterministic shuffle -> token
     prefix sum -> fixed-budget shards atomically written under /tmp;
     returns the per-shard summary (shard_id, n_docs, n_tokens)."""
+    import hashlib as _hl
     import tempfile
 
     from .shards import write_training_shards
 
     counted = doc_token_stats(sf_dir)
-    out_dir = tempfile.mkdtemp(prefix="graft_shards_")
+    # deterministic scratch path per sf_dir (reruns overwrite in place
+    # via resume=False instead of leaking a new /tmp dir per invocation)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = f"{tempfile.gettempdir()}/mysql_binlog_ray/shards_{tag}"
     summary = write_training_shards(
         counted, out_dir, seq_len=SEQ_LEN, seqs_per_shard=SHARD_SEQS, resume=False
     )

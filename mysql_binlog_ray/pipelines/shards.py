@@ -34,16 +34,12 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from ..stages.ordered import SHUFFLE_SEED, _SIGN_FLIP, bucketed_prefix_sum
-from ..stages.split import splitmix64
+from ..stages.ordered import SHUFFLE_SEED, bucketed_prefix_sum, tag_hash_order
 from ..state.checkpoint import (
     atomic_write_json,
     atomic_write_parquet,
     read_manifest,
 )
-
-_U = np.uint64
-
 
 def write_training_shards(
     ds: rd.Dataset,
@@ -75,17 +71,18 @@ def write_training_shards(
         # params changed: stale shard files would silently survive a
         # resume, so clear the lake and rewrite from scratch
         resume = False
+    if prev is None and os.path.isdir(out_dir) and os.listdir(out_dir):
+        # shard files but no manifest = a run died before its params
+        # manifest committed; their params are unknowable, so file
+        # existence must NOT be trusted as completeness — clean rewrite
+        resume = False
     if not resume and os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-
-    def tag(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_numpy(zero_copy_only=False)
-        if len(ids) and ids.min() < 0:
-            raise ValueError(f"{id_col} must be non-negative")
-        with np.errstate(over="ignore"):
-            h = splitmix64(ids.astype(_U) + _U(seed))
-        return b.append_column("_h", pa.array((h ^ _SIGN_FLIP).view(np.int64)))
+    # commit the params BEFORE any shard writes: from here on, a shard
+    # file's existence under a matching manifest proves completeness
+    # (the final commit below only adds the run totals)
+    atomic_write_json(out_dir, {**params, "complete": False})
 
     empty_summary = pa.table(
         {
@@ -96,9 +93,11 @@ def write_training_shards(
         }
     )
 
-    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+    tagged = tag_hash_order(ds, id_col, seed).materialize()
     if tagged.count() == 0:
-        atomic_write_json(out_dir, {**params, "n_shards": 0, "total_tokens": 0})
+        atomic_write_json(
+            out_dir, {**params, "complete": True, "n_shards": 0, "total_tokens": 0}
+        )
         return empty_summary
 
     offs = bucketed_prefix_sum(tagged, "_h", tokens_col, "tok_start")
@@ -147,6 +146,7 @@ def write_training_shards(
         out_dir,
         {
             **params,
+            "complete": True,
             "n_shards": int(len(summary)),
             "total_tokens": int(summary["n_tokens"].sum()),
         },

@@ -184,6 +184,25 @@ def bucketed_prefix_sum(
 SHUFFLE_SEED = 13
 
 
+def tag_hash_order(ds: rd.Dataset, id_col: str, seed: int) -> rd.Dataset:
+    """Append ``_h`` = order-preserving int64 view of ``splitmix64(id +
+    seed)`` — THE deterministic-shuffle key.  Shared by hash_order_rank
+    and the training-shard writer so the permutation (and its SQL
+    oracles) can never diverge between operators."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) and ids.min() < 0:
+            raise ValueError(f"{id_col} must be non-negative")
+        with np.errstate(over="ignore"):
+            h = splitmix64(ids.astype(_U) + _U(seed))
+        # order-preserving uint64 -> int64 (flip sign bit): ORDER BY this
+        # signed column == ORDER BY the unsigned hash
+        return b.append_column("_h", pa.array((h ^ _SIGN_FLIP).view(np.int64)))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
 def hash_order_rank(
     ds: rd.Dataset,
     id_col: str,
@@ -201,15 +220,7 @@ def hash_order_rank(
     construction, so the range buckets of :func:`bucketed_prefix_sum`
     are balanced regardless of id skew."""
 
-    def tag(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_numpy(zero_copy_only=False)
-        if len(ids) and ids.min() < 0:
-            raise ValueError(f"{id_col} must be non-negative")
-        with np.errstate(over="ignore"):
-            h = splitmix64(ids.astype(_U) + _U(seed))
-        # order-preserving uint64 -> int64 (flip sign bit): ORDER BY this
-        # signed column == ORDER BY the unsigned hash
-        b = b.append_column("_h", pa.array((h ^ _SIGN_FLIP).view(np.int64)))
+    def ones(b: pa.Table) -> pa.Table:
         return b.append_column("_one", pa.array(np.ones(b.num_rows, dtype=np.int64)))
 
     # Materialize the tagged input here (bucketed_prefix_sum would do it
@@ -218,7 +229,11 @@ def hash_order_rank(
     # its schema, so the empty result must be built as an explicit table
     # carrying the caller's id columns.
     sch = ds.schema()
-    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+    tagged = (
+        tag_hash_order(ds, id_col, seed)
+        .map_batches(ones, batch_format="pyarrow")
+        .materialize()
+    )
     if tagged.count() == 0:
         fields = (
             list(zip(sch.names, sch.types))

@@ -98,6 +98,23 @@ class TestWriteTrainingShards:
         assert not s2["skipped"].any()
         assert shard_manifest(out)["seqs_per_shard"] == 8
 
+    def test_unmanifested_dir_forces_rewrite(self, ray_session, tmp_path):
+        # a run that died before committing its params manifest leaves
+        # shard files whose params are unknowable: file existence must
+        # NOT be trusted, even though the paths match
+        import ray.data as rd
+
+        df = _docs(80)
+        out = str(tmp_path / "lake")
+        write_training_shards(rd.from_pandas(df), out, seq_len=64, seqs_per_shard=4)
+        os.remove(os.path.join(out, "_manifest.json"))  # simulate the crash window
+        s2 = write_training_shards(
+            rd.from_pandas(df), out, seq_len=64, seqs_per_shard=8
+        ).to_pandas()
+        assert not s2["skipped"].any()
+        dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
+        assert len(dirs) == len(s2)  # no orphan shards from the dead run
+
     def test_read_back_round_trip(self, ray_session, tmp_path):
         import ray.data as rd
 
