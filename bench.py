@@ -82,6 +82,8 @@ def run_bench() -> dict:
         "ngram_neardup_documents",
         "embedding_neardup_exact",
         "quality_documents",
+        "pack_sequences_documents",
+        "training_shards_documents",
     ]
     import __ray_entry__ as entry_mod
 
