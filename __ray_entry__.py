@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem_agg": Q.q1_lineitem_agg,
         "join_orders_customer": Q.join_orders_customer,
         "join_orders_lineitem": Q.join_orders_lineitem,
+        "bucketed_join_orders_lineitem": Q.bucketed_join_orders_lineitem,
         "asof_clicks_purchases": Q.asof_clicks_purchases,
         "sessionize_events": Q.sessionize_events,
         "interval_click_in_purchase_window": Q.interval_click_in_purchase_window,
@@ -367,6 +368,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderpriority, count(*) AS n_items, max(l.l_quantity) AS max_qty
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        "bucketed_join_orders_lineitem": """
+            -- revenue in integer 1e-4-dollar units: round() here acts on
+            -- single near-integer products (never float sums), so the
+            -- engine's np.round and DuckDB's round always agree
+            SELECT o_orderkey, o_custkey,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_custkey
         """,
         "asof_clicks_purchases": """
             WITH p AS (

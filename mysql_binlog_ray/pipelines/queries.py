@@ -575,6 +575,55 @@ def join_orders_lineitem(sf_dir: str):
     )
 
 
+def bucketed_join_orders_lineitem(sf_dir: str):
+    """Shuffle-free co-partitioned join: both tables are written ONCE as
+    hash-bucketed lakes on the order key (map-only write), then joined
+    AND per-order-aggregated inside one task per bucket — no runtime
+    exchange at all.  Revenue is computed in integer 1e-4-dollar
+    units (price-cents x discount-complement-percent) so the engine and
+    the SQL oracle agree bit-for-bit regardless of float summation order."""
+    import hashlib as _hl
+    import tempfile
+
+    from ..stages.bucketed import join_bucketed, write_bucketed
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    base = f"{tempfile.gettempdir()}/mysql_binlog_ray/bucketed_{tag}"
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    lineitem = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    write_bucketed(orders, f"{base}/orders", "o_orderkey", num_buckets=16)
+    write_bucketed(lineitem, f"{base}/lineitem", "l_orderkey", num_buckets=16)
+
+    def fin(j: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(j["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(j["l_discount"].to_numpy() * 100).astype(np.int64)
+        j = j.assign(_rev=cents * (100 - disc))
+        g = (
+            j.groupby(["o_orderkey", "o_custkey"], sort=False)
+            .agg(
+                n_items=("l_orderkey", "size"),
+                sum_qty=("l_quantity", "sum"),
+                revenue_e4=("_rev", "sum"),
+            )
+            .reset_index()
+        )
+        # quantities are integral doubles: the float sum is exact
+        g["sum_qty"] = g["sum_qty"].astype(np.int64)
+        return g
+
+    return join_bucketed(
+        f"{base}/orders",
+        f"{base}/lineitem",
+        "o_orderkey",
+        "l_orderkey",
+        how="inner",
+        finish=fin,
+    )
+
+
 def stratified_sample_documents(sf_dir: str):
     """Deterministic stratified sample: first 5 docs per language."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])

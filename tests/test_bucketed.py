@@ -1,0 +1,122 @@
+"""Tests for bucketed storage + shuffle-free joins (stages/bucketed.py)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mysql_binlog_ray.stages.bucketed import (
+    join_bucketed,
+    write_bucketed,
+)
+from mysql_binlog_ray.state.checkpoint import read_manifest
+
+
+def _sides(n_orders=60, seed=3):
+    rng = np.random.default_rng(seed)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_orders, dtype=np.int64),
+            "o_val": rng.integers(0, 100, n_orders),
+        }
+    )
+    # ~3 items per order, some orders with none
+    keys = rng.choice(n_orders + 10, size=n_orders * 3).astype(np.int64)
+    items = pd.DataFrame(
+        {"l_orderkey": keys, "l_qty": rng.integers(1, 9, len(keys)).astype(np.int64)}
+    )
+    return orders, items
+
+
+class TestBucketed:
+    def test_write_manifest_and_colocation(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.merge import key_hash64
+
+        orders, _ = _sides()
+        d = str(tmp_path / "orders")
+        m = write_bucketed(rd.from_pandas(orders).repartition(5), d, "o_orderkey", 8)
+        assert m["total_rows"] == len(orders)
+        assert read_manifest(d)["hash_algo"] == "poly64v2"
+        # every file's rows hash to its directory's bucket
+        for bdir in os.listdir(d):
+            if not bdir.startswith("bucket="):
+                continue
+            b = int(bdir.split("=")[1])
+            for f in os.listdir(os.path.join(d, bdir)):
+                t = pq.read_table(os.path.join(d, bdir, f))
+                codes = key_hash64(t, ("o_orderkey",)) % np.uint64(8)
+                assert (codes == b).all()
+
+    def test_join_matches_pandas(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        orders, items = _sides()
+        do, di = str(tmp_path / "o"), str(tmp_path / "l")
+        write_bucketed(rd.from_pandas(orders).repartition(4), do, "o_orderkey", 8)
+        write_bucketed(rd.from_pandas(items).repartition(6), di, "l_orderkey", 8)
+        got = (
+            join_bucketed(do, di, "o_orderkey", "l_orderkey", how="inner")
+            .to_pandas()
+            .sort_values(["o_orderkey", "l_qty"])
+            .reset_index(drop=True)
+        )
+        want = (
+            orders.merge(items, left_on="o_orderkey", right_on="l_orderkey")
+            .sort_values(["o_orderkey", "l_qty"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want)
+
+    def test_join_with_finish_aggregates_per_key(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        orders, items = _sides()
+        do, di = str(tmp_path / "o"), str(tmp_path / "l")
+        write_bucketed(rd.from_pandas(orders), do, "o_orderkey", 8)
+        write_bucketed(rd.from_pandas(items), di, "l_orderkey", 8)
+
+        def fin(j):
+            return (
+                j.groupby("o_orderkey", sort=False)
+                .agg(n=("l_qty", "size"), qty=("l_qty", "sum"))
+                .reset_index()
+            )
+
+        got = (
+            join_bucketed(do, di, "o_orderkey", "l_orderkey", finish=fin)
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        want = (
+            orders.merge(items, left_on="o_orderkey", right_on="l_orderkey")
+            .groupby("o_orderkey", sort=False)
+            .agg(n=("l_qty", "size"), qty=("l_qty", "sum"))
+            .reset_index()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_incompatible_bucketing_rejected(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        orders, items = _sides()
+        do, di = str(tmp_path / "o"), str(tmp_path / "l")
+        write_bucketed(rd.from_pandas(orders), do, "o_orderkey", 8)
+        write_bucketed(rd.from_pandas(items), di, "l_orderkey", 16)
+        with pytest.raises(ValueError, match="incompatible"):
+            join_bucketed(do, di, "o_orderkey", "l_orderkey")
+
+    def test_wrong_key_rejected(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        orders, _ = _sides()
+        do = str(tmp_path / "o")
+        write_bucketed(rd.from_pandas(orders), do, "o_orderkey", 8)
+        with pytest.raises(ValueError, match="bucketed by"):
+            join_bucketed(do, do, "o_val", "o_orderkey")
