@@ -3,28 +3,33 @@
 The single biggest all-to-all cost in a repeated pipeline is re-shuffling
 the same fact tables on the same key every run.  Bucketed storage pays
 the partitioning ONCE at write time — and the write itself is MAP-ONLY:
-each task splits its blocks by ``hash(key) % num_buckets`` (the same
+each task sorts its block by ``hash(key) % num_buckets`` (the same
 ``poly64v2`` Arrow-buffer hash the CDC merge uses, recorded in the
-manifest) and appends one file per touched bucket under
-``bucket=NNNN/``.  A bucket is a directory of files, so no exchange is
-needed to co-locate rows; readers get co-location for free.
+manifest) and writes ONE segment file with one row group per touched
+bucket, returning a ``(bucket, path, row_group)`` index as its task
+output.  The manifest stores that index; readers fetch ONLY indexed row
+groups.  This is the same layout as the CDC external shuffle spill
+(`pipelines/cdc.py` segment files): O(tasks) filesystem objects instead
+of O(tasks x buckets), and a RETRIED task can never duplicate rows —
+its dead attempt's segment is simply absent from the consumed index
+(and swept as an orphan at commit).
 
-``join_bucketed`` then joins two lakes bucketed with the SAME
-(num_buckets, hash_algo) without any runtime shuffle: one task per
-bucket reads both sides' ``bucket=i`` files and joins locally.  Because
-every row of a key lives in exactly one bucket on each side, per-key
-aggregates can also run inside the same task (``finish=``), turning
-join+groupby into a single map-only stage.
+``join_bucketed`` joins two lakes bucketed with the SAME
+(num_buckets, hash_algo, key-type family) without any runtime shuffle:
+one task per bucket reads both sides' indexed row groups and joins
+locally.  Because every row of a key lives in exactly one bucket on
+each side, per-key aggregates can run inside the same task
+(``finish=``), turning join+groupby into a single map-only stage.
 
 Scale sizing: a join task materializes one bucket of BOTH sides —
 choose ``num_buckets >= total_bytes / 256MB`` at write time (same rule
-as ``relational.adaptive_num_parts``).  At 100 TB that is ~400k buckets;
-the manifest and file naming stay O(1) per bucket per writing task.
+as ``relational.adaptive_num_parts``).  The manifest index is one entry
+per (task, touched bucket); at extreme scale ship it to workers via
+``ray.put`` rather than the task closure.
 """
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 import uuid
@@ -36,10 +41,29 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
-from ..state.checkpoint import atomic_write_json, atomic_write_parquet, read_manifest
+from ..state.checkpoint import atomic_write_json, read_manifest
 from .merge import partition_codes
 
 HASH_ALGO = "poly64v2"
+
+_INDEX_COLS = ["bucket", "path", "row_group", "rows"]
+
+
+def _type_family(t: pa.DataType) -> str:
+    """The hash-equivalence class of a key type under merge._hash_column:
+    every fixed-width integer/temporal widens to int64 before hashing,
+    floats hash their float64 bits, var-size types hash bytes."""
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_large_binary(t)
+        or pa.types.is_dictionary(t)
+    ):
+        return "varbin"
+    if pa.types.is_floating(t):
+        return "floating"
+    return "integer"
 
 
 def write_bucketed(
@@ -48,11 +72,11 @@ def write_bucketed(
     key_cols: tuple[str, ...] | str,
     num_buckets: int = 64,
 ) -> dict:
-    """Map-only bucketed write: no shuffle, each task appends
-    ``bucket=NNNN/part-*.parquet`` files for the buckets its blocks
-    touch.  Overwrites ``out_dir`` (bucketed lakes are derived data —
-    the manifest-first pattern guards partial writes like the shard
-    sink: no manifest => the lake is not readable)."""
+    """Map-only bucketed write (no shuffle): one fsync'd segment file per
+    task, one row group per touched bucket, membership via the manifest
+    index.  Overwrites ``out_dir`` (bucketed lakes are derived data; no
+    manifest => not readable, so a dead run can never be mistaken for a
+    lake)."""
     if isinstance(key_cols, str):
         key_cols = (key_cols,)
     if os.path.isdir(out_dir):
@@ -60,41 +84,86 @@ def write_bucketed(
     os.makedirs(out_dir, exist_ok=True)
 
     def spill(batch: pa.Table) -> pd.DataFrame:
+        if batch.num_rows == 0:
+            return pd.DataFrame(columns=_INDEX_COLS)
         codes = partition_codes(batch, key_cols, num_buckets)
         order = np.argsort(codes, kind="stable")
         t = batch.take(pa.array(order))
         sorted_codes = codes[order]
-        # contiguous runs of equal bucket code -> one file slice each
         bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [len(sorted_codes)]))
-        rows = []
-        for s, e in zip(starts, ends):
-            b = int(sorted_codes[s])
-            d = os.path.join(out_dir, f"bucket={b:05d}")
-            path = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
-            atomic_write_parquet(t.slice(s, e - s), path)
-            rows.append({"bucket": b, "rows": int(e - s)})
-        return pd.DataFrame(rows, columns=["bucket", "rows"])
+        rel = f"seg-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(out_dir, "." + rel)
+        with pq.ParquetWriter(tmp, t.schema) as w:
+            for s, e in zip(starts, ends):
+                w.write_table(t.slice(s, e - s))  # one row group per bucket run
+        fd = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        os.replace(tmp, os.path.join(out_dir, rel))
+        return pd.DataFrame(
+            {
+                "bucket": sorted_codes[starts].astype(np.int64),
+                "path": rel,
+                "row_group": np.arange(len(starts), dtype=np.int64),
+                "rows": (ends - starts).astype(np.int64),
+            }
+        )
 
-    summary = ds.map_batches(spill, batch_format="pyarrow").to_pandas()  # one row per (task, bucket)
+    index = ds.map_batches(spill, batch_format="pyarrow").to_pandas()
+    if len(index) == 0:
+        index = pd.DataFrame(columns=_INDEX_COLS)
+    sch = ds.schema()
+    # a repartitioned-empty dataset can lose its schema; an empty lake's
+    # families are never consulted (no rows -> inner joins short-circuit,
+    # non-inner joins refuse on the empty side before the family check)
+    families = {
+        k: (_type_family(sch.types[sch.names.index(k)]) if sch is not None else None)
+        for k in key_cols
+    }
+    # sweep orphans from dead task attempts: on disk but not in the
+    # consumed index (only indexed row groups are ever read, so this is
+    # hygiene, not correctness)
+    live = set(index["path"]) if len(index) else set()
+    for f in os.listdir(out_dir):
+        if f.endswith(".parquet") and f not in live:
+            os.unlink(os.path.join(out_dir, f))
     manifest = {
         "kind": "bucketed",
         "key_cols": list(key_cols),
+        "key_families": families,
         "num_buckets": num_buckets,
         "hash_algo": HASH_ALGO,
-        "total_rows": int(summary["rows"].sum()) if len(summary) else 0,
-        "n_files": int(len(summary)),
+        "total_rows": int(index["rows"].sum()) if len(index) else 0,
+        "files": index.to_dict("records"),
     }
     atomic_write_json(out_dir, manifest)
     return manifest
 
 
-def _read_bucket(out_dir: str, b: int, columns: list[str] | None = None) -> pa.Table:
-    files = sorted(glob.glob(os.path.join(out_dir, f"bucket={b:05d}", "*.parquet")))
-    if not files:
-        return None
-    return pa.concat_tables([pq.read_table(f, columns=columns) for f in files])
+def _bucket_index(manifest: dict) -> dict[int, list[tuple[str, int]]]:
+    idx: dict[int, list[tuple[str, int]]] = {}
+    for e in manifest["files"]:
+        idx.setdefault(int(e["bucket"]), []).append((e["path"], int(e["row_group"])))
+    return idx
+
+
+def _read_bucket(
+    out_dir: str,
+    entries: list[tuple[str, int]],
+    columns: list[str] | None = None,
+) -> pa.Table:
+    parts = []
+    by_path: dict[str, list[int]] = {}
+    for path, rg in entries:
+        by_path.setdefault(path, []).append(rg)
+    for path, rgs in by_path.items():
+        pf = pq.ParquetFile(os.path.join(out_dir, path))
+        parts.append(pf.read_row_groups(sorted(rgs), columns=columns))
+    return pa.concat_tables(parts)
 
 
 def join_bucketed(
@@ -114,48 +183,68 @@ def join_bucketed(
     ml, mr = read_manifest(dir_left), read_manifest(dir_right)
     for name, m, key in (("left", ml, left_on), ("right", mr, right_on)):
         if m is None:
-            raise ValueError(f"{name} side has no manifest — not a bucketed lake (or a write died early)")
+            raise ValueError(
+                f"{name} side has no manifest — not a bucketed lake (or a write died early)"
+            )
         if m.get("key_cols") != [key]:
-            raise ValueError(f"{name} side is bucketed by {m.get('key_cols')}, join key is {key}")
+            raise ValueError(
+                f"{name} side is bucketed by {m.get('key_cols')}, join key is {key}"
+            )
     if (ml["num_buckets"], ml["hash_algo"]) != (mr["num_buckets"], mr["hash_algo"]):
         raise ValueError(
             f"incompatible bucketing: {ml['num_buckets']}/{ml['hash_algo']} vs "
             f"{mr['num_buckets']}/{mr['hash_algo']} — rewrite one side"
         )
-    nb = ml["num_buckets"]
+    fl, fr = ml["key_families"][left_on], mr["key_families"][right_on]
+    # None = schema-less empty lake: no rows exist to mis-bucket, and the
+    # empty-side handling below gives the right answer or refuses
+    if fl is not None and fr is not None and fl != fr:
+        # e.g. int-keyed vs float-keyed: equal logical values hash to
+        # DIFFERENT buckets (int64 widening vs float64 bits), so the join
+        # would silently drop matches — refuse instead
+        raise ValueError(
+            f"incompatible key types: left {left_on} hashes as {fl}, "
+            f"right {right_on} as {fr} — cast one side and rewrite"
+        )
+    idx_l, idx_r = _bucket_index(ml), _bucket_index(mr)
 
-    def _template(d: str, columns: list[str] | None) -> pd.DataFrame | None:
-        """Zero-row frame with the lake's schema (from any one file)."""
-        files = glob.glob(os.path.join(d, "bucket=*", "*.parquet"))
-        if not files:
+    def _template(d: str, idx: dict, columns: list[str] | None) -> pd.DataFrame | None:
+        if not idx:
             return None
-        sch = pq.read_schema(files[0])
-        t = sch.empty_table()
+        first = next(iter(idx.values()))[0][0]
+        t = pq.read_schema(os.path.join(d, first)).empty_table()
         if columns is not None:
             t = t.select(columns)
         return t.to_pandas()
 
-    lt0 = _template(dir_left, left_columns)
-    rt0 = _template(dir_right, right_columns)
+    lt0 = _template(dir_left, idx_l, left_columns)
+    rt0 = _template(dir_right, idx_r, right_columns)
     if lt0 is None or rt0 is None:
-        # a side with zero files joins to zero rows (inner) — and there
-        # is no schema to synthesize outer nulls from
-        return rd.from_items([])
+        if how == "inner":
+            return rd.from_items([])  # an empty side inner-joins to nothing
+        raise ValueError(
+            f"{'left' if lt0 is None else 'right'} side has no rows — cannot "
+            f"synthesize its null columns for how={how!r} (no schema in an empty lake)"
+        )
     tmpl = lt0.merge(rt0, left_on=left_on, right_on=right_on, how=how)
     if finish is not None:
         tmpl = finish(tmpl)
 
+    wanted = {
+        "inner": set(idx_l) & set(idx_r),
+        "left": set(idx_l),
+        "right": set(idx_r),
+        "outer": set(idx_l) | set(idx_r),
+    }[how]
+
     def join_one(batch: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for b in batch["bucket"]:
-            lt = _read_bucket(dir_left, int(b), left_columns)
-            rt = _read_bucket(dir_right, int(b), right_columns)
-            if lt is None and rt is None:
-                continue
+            b = int(b)
             # a missing side becomes its zero-row template, so pandas
             # merge produces the correct inner/left/outer semantics
-            ldf = lt.to_pandas() if lt is not None else lt0
-            rdf = rt.to_pandas() if rt is not None else rt0
+            ldf = _read_bucket(dir_left, idx_l[b], left_columns).to_pandas() if b in idx_l else lt0
+            rdf = _read_bucket(dir_right, idx_r[b], right_columns).to_pandas() if b in idx_r else rt0
             j = ldf.merge(rdf, left_on=left_on, right_on=right_on, how=how)
             if finish is not None:
                 j = finish(j)
@@ -164,5 +253,7 @@ def join_bucketed(
             return tmpl
         return pd.concat(outs, ignore_index=True)
 
-    buckets = rd.from_items([{"bucket": b} for b in range(nb)])
+    if not wanted:
+        return rd.from_items([])
+    buckets = rd.from_items([{"bucket": b} for b in sorted(wanted)])
     return buckets.map_batches(join_one, batch_format="pandas", batch_size=1)

@@ -41,15 +41,38 @@ class TestBucketed:
         m = write_bucketed(rd.from_pandas(orders).repartition(5), d, "o_orderkey", 8)
         assert m["total_rows"] == len(orders)
         assert read_manifest(d)["hash_algo"] == "poly64v2"
-        # every file's rows hash to its directory's bucket
-        for bdir in os.listdir(d):
-            if not bdir.startswith("bucket="):
-                continue
-            b = int(bdir.split("=")[1])
-            for f in os.listdir(os.path.join(d, bdir)):
-                t = pq.read_table(os.path.join(d, bdir, f))
-                codes = key_hash64(t, ("o_orderkey",)) % np.uint64(8)
-                assert (codes == b).all()
+        assert m["key_families"] == {"o_orderkey": "integer"}
+        # every indexed row group's rows hash to its index entry's bucket,
+        # and the index accounts for every input row exactly once
+        seen = 0
+        for e in m["files"]:
+            t = pq.ParquetFile(os.path.join(d, e["path"])).read_row_group(
+                e["row_group"]
+            )
+            codes = key_hash64(t, ("o_orderkey",)) % np.uint64(8)
+            assert (codes == e["bucket"]).all()
+            assert t.num_rows == e["rows"]
+            seen += t.num_rows
+        assert seen == len(orders)
+
+    def test_orphan_segment_not_read(self, ray_session, tmp_path):
+        # a dead task attempt's segment (on disk, not in the index) must
+        # never contribute rows to a join
+        import shutil as _sh
+
+        import ray.data as rd
+
+        orders, items = _sides()
+        do, di = str(tmp_path / "o"), str(tmp_path / "l")
+        write_bucketed(rd.from_pandas(orders), do, "o_orderkey", 8)
+        m = write_bucketed(rd.from_pandas(items), di, "l_orderkey", 8)
+        # simulate a retried write task: duplicate a segment under a new
+        # name AFTER the manifest committed
+        seg = m["files"][0]["path"]
+        _sh.copy(os.path.join(di, seg), os.path.join(di, "seg-deadattempt.parquet"))
+        got = join_bucketed(do, di, "o_orderkey", "l_orderkey").to_pandas()
+        want = orders.merge(items, left_on="o_orderkey", right_on="l_orderkey")
+        assert len(got) == len(want)
 
     def test_join_matches_pandas(self, ray_session, tmp_path):
         import ray.data as rd
@@ -101,6 +124,21 @@ class TestBucketed:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want)
+
+    def test_empty_side_non_inner_raises(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        orders, _ = _sides()
+        do, de = str(tmp_path / "o"), str(tmp_path / "e")
+        write_bucketed(rd.from_pandas(orders), do, "o_orderkey", 8)
+        empty = pd.DataFrame({"l_orderkey": pd.Series(dtype="int64")})
+        write_bucketed(rd.from_pandas(empty), de, "l_orderkey", 8)
+        # inner: an empty side joins to nothing
+        assert join_bucketed(do, de, "o_orderkey", "l_orderkey").count() == 0
+        # left: correct output needs the empty side's schema, which an
+        # empty lake cannot provide — must refuse, not return 0 rows
+        with pytest.raises(ValueError, match="no rows"):
+            join_bucketed(do, de, "o_orderkey", "l_orderkey", how="left")
 
     def test_incompatible_bucketing_rejected(self, ray_session, tmp_path):
         import ray.data as rd
