@@ -56,6 +56,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_order_documents": Q.shuffle_order_documents,
         "pack_sequences_documents": Q.pack_sequences_documents,
         "training_shards_documents": Q.training_shards_documents,
+        "running_totals_events": Q.running_totals_events,
+        "rollup_lineitem": Q.rollup_lineitem,
+        "tfidf_documents": Q.tfidf_documents,
+        "ntile_documents": Q.ntile_documents,
         "topk_orders": Q.topk_orders,
         "distinct_users": Q.distinct_users,
         "stratified_sample_documents": Q.stratified_sample_documents,
@@ -535,6 +539,59 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_order_documents": _shuffle_order_oracle(),
         "pack_sequences_documents": _pack_sequences_oracle(),
         "training_shards_documents": _training_shards_oracle(),
+        "running_totals_events": """
+            -- running total in integer cents (floor(value*100) per row
+            -- BEFORE summing): float running sums depend on association
+            -- order, integer sums don't
+            SELECT event_id, user_id,
+                   row_number() OVER w AS rn,
+                   COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS gap_us,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        """,
+        "rollup_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
+                   count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "tfidf_documents": """
+            -- score = tf * n_docs / df as ONE float divide over integer
+            -- operands (log-idf would hang exactness on libm); top-3 per
+            -- doc, ties (score desc, term asc)
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                               '[a-z0-9]+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+            ), df AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), n AS (
+              SELECT count(*) AS n_docs FROM documents
+            ), s AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+              FROM tf JOIN df USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, df, score FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+              FROM s) WHERE rn <= 3
+        """,
+        "ntile_documents": """
+            SELECT doc_id, n_chars,
+                   CAST(ntile(8) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile
+            FROM documents
+        """,
         "incremental_dedup_documents": """
             -- coalesce: the engine treats NULL text as '' (fillna before
             -- tokenizing), so the oracle key must too

@@ -1048,3 +1048,120 @@ def training_shards_documents(sf_dir: str):
         counted, out_dir, seq_len=SEQ_LEN, seqs_per_shard=SHARD_SEQS, resume=False
     )
     return summary.select(["shard_id", "n_docs", "n_tokens"])
+
+
+def running_totals_events(sf_dir: str):
+    """Per-user SQL window functions over the event stream: row_number,
+    gap to the previous event (lag diff, microseconds), and the running
+    value total in integer cents (float running sums are
+    association-order-dependent; pre-scaling to cents keeps the running
+    total exact and SQL-oracle-able).  One keyed exchange, vectorized
+    per-partition kernel (stages/window.py)."""
+    from ..stages.window import window_over
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_us = b.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(b.column("value").to_numpy(zero_copy_only=False) * 100.0)
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts_us": pa.array(ts_us),
+                "cents": pa.array(cents).cast(pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = window_over(
+        prepped,
+        "user_id",
+        ["ts_us", "event_id"],
+        {
+            "rn": ("row_number", None),
+            "gap_us": ("lag_diff", "ts_us"),
+            "run_cents": ("run_sum", "cents"),
+        },
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        # first-row gaps become -1 (COALESCE in the oracle): nullable int
+        # columns round-trip as float64 through pandas and break the
+        # value-hash — the asof query established this sentinel pattern
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "rn": b.column("rn").cast(pa.int64()),
+                "gap_us": b.column("gap_us").fill_null(-1).cast(pa.int64()),
+                "run_cents": b.column("run_cents").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def rollup_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): row count, quantity
+    sum, and integer-cent revenue at every rollup level, lvl = the SQL
+    GROUPING() bitmask.  Revenue is floor(extprice*(1-disc)*100) as
+    int64 BEFORE summing — identical IEEE ops in Ray and DuckDB, so the
+    sums are exact at every level."""
+    from ..stages.window import rollup_aggregate
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "qty": pa.array(qty).cast(pa.int64()),
+                "rev_cents": pa.array(rev).cast(pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return rollup_aggregate(
+        prepped,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n": (None, "count"),
+            "sum_qty": ("qty", "sum"),
+            "rev_cents": ("rev_cents", "sum"),
+        },
+    )
+
+
+def tfidf_documents(sf_dir: str):
+    """Per-document top-3 terms by tf-idf (score = tf * n_docs / df —
+    the raw idf quotient; one float divide, bit-identical to the SQL
+    oracle).  Pairs built with the shared blob tokenizer, df through one
+    adaptive keyed exchange, pairs x df via the hash-partitioned join,
+    per-doc top-3 via grouped_top_n."""
+    from ..stages.text import tfidf_top_terms
+
+    src = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    n_docs = src.count()  # parquet metadata count: no data scan
+    return tfidf_top_terms(src, n_docs, k=3)
+
+
+def ntile_documents(sf_dir: str):
+    """NTILE(8) OVER (ORDER BY n_chars, doc_id) — the equal-depth range
+    partitioner a sorted lake write uses for exact (sampling-free) range
+    boundaries: global rank via the distributed prefix sum, tile by
+    arithmetic on the rank."""
+    from ..stages.ordered import ntile_assign
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    return ntile_assign(ds, ["n_chars", "doc_id"], 8)

@@ -250,6 +250,99 @@ def hash_order_rank(
     return ranked.drop_columns(["_h", "_one"])
 
 
+def pack_order_key(
+    ds: rd.Dataset,
+    order_cols: list[str],
+    out_col: str = "_ok",
+) -> rd.Dataset:
+    """Pack a lexicographic multi-column integer order into ONE int64 key
+    (``bucketed_prefix_sum`` ranks over a single int64): each column gets
+    a bit width from its global max (one tiny ``max()`` aggregate per
+    column — no data movement beyond per-block partials), columns are
+    non-negative, and the packed widths must fit 63 bits — raised as an
+    explicit error, never silently truncated.  Sorting by ``out_col`` ==
+    sorting by ``order_cols`` lexicographically."""
+    from ray.data.aggregate import Max, Min
+
+    # one pass computes every column's min+max (per-block partials only)
+    stats = ds.aggregate(
+        *[Min(c, alias_name=f"_mn_{c}") for c in order_cols],
+        *[Max(c, alias_name=f"_mx_{c}") for c in order_cols],
+    )
+    widths: list[int] = []
+    for c in order_cols:
+        mn, mx = stats.get(f"_mn_{c}"), stats.get(f"_mx_{c}")
+        if mn is None or mx is None:
+            widths.append(1)
+            continue
+        if mn < 0:
+            raise ValueError(f"pack_order_key: {c} has negative values")
+        widths.append(max(1, int(mx).bit_length()))
+    if sum(widths) > 63:
+        raise ValueError(
+            f"pack_order_key: widths {dict(zip(order_cols, widths))} exceed 63 bits — "
+            "use a coarser leading key or a dedicated multi-key rank"
+        )
+    shifts = np.cumsum([0, *widths[::-1]])[-2::-1]  # trailing cols at low bits
+
+    def tag(b: pa.Table) -> pa.Table:
+        acc = np.zeros(b.num_rows, dtype=np.int64)
+        for c, s in zip(order_cols, shifts):
+            acc |= b.column(c).to_numpy(zero_copy_only=False).astype(np.int64) << s
+        return b.append_column(out_col, pa.array(acc))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def ntile_assign(
+    ds: rd.Dataset,
+    order_cols: list[str],
+    n_tiles: int,
+    out_col: str = "tile",
+) -> rd.Dataset:
+    """``NTILE(n) OVER (ORDER BY order_cols)`` — the equal-depth range
+    partitioner: every row gets its 1-based tile under the GLOBAL
+    lexicographic order, the first ``n % count`` tiles one row larger
+    (exact SQL semantics).  This is how a sorted lake write picks range
+    boundaries without sampling error: rank via the distributed prefix
+    sum (one keyed exchange), tile = arithmetic on the rank.
+
+    ``order_cols`` must be non-negative ints forming a total order (a
+    unique id last) and pack into 63 bits — see :func:`pack_order_key`.
+    """
+    sch = ds.schema()
+    packed = pack_order_key(ds, order_cols)
+
+    def ones(b: pa.Table) -> pa.Table:
+        return b.append_column("_one", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+
+    mat = packed.map_batches(ones, batch_format="pyarrow").materialize()
+    n_rows = mat.count()
+    if n_rows == 0:
+        fields = list(zip(sch.names, sch.types)) if sch is not None else []
+        return rd.from_arrow(
+            pa.table(
+                {n: pa.array([], t) for n, t in fields}
+                | {out_col: pa.array([], pa.int64())}
+            )
+        )
+    ranked = bucketed_prefix_sum(mat, "_ok", "_one", "_rank")
+    q, big = divmod(n_rows, n_tiles)
+    cut = big * (q + 1)
+
+    def tile(b: pa.Table) -> pa.Table:
+        r = b.column("_rank").to_numpy()
+        if q == 0:  # more tiles than rows: tile == rank + 1
+            t = r + 1
+        else:
+            t = np.where(r < cut, r // (q + 1) + 1, big + (r - cut) // q + 1)
+        return b.drop_columns(["_ok", "_one", "_rank"]).append_column(
+            out_col, pa.array(t.astype(np.int64))
+        )
+
+    return ranked.map_batches(tile, batch_format="pyarrow")
+
+
 def pack_sequences(
     ds: rd.Dataset,
     id_col: str = "doc_id",

@@ -13,6 +13,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 # shared ASCII word tokenizer: lowercase [a-z0-9]+ runs, with "\n" as a
 # document separator that can never be part of a token.  ALL blob-trick
@@ -238,6 +239,75 @@ def term_frequency_topk(ds, text_col: str, k: int = 50):
 
     totals = keyed_reduce(partials, ["term"], sum_terms)
     return top_k(totals, [("n", True), ("term", False)], k)
+
+
+def tfidf_top_terms(
+    ds,
+    n_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+):
+    """Per-document top-k terms by tf-idf (the classic keyword-extraction
+    / relevance-weighting step of a text-corpus pipeline).
+
+    ``score = tf * n_docs / df`` — the raw idf quotient, computed as
+    integer ``tf * n_docs`` then ONE float divide, so a SQL oracle
+    (``CAST(tf*n AS DOUBLE)/df``) is bit-identical; log-idf would hang
+    exactness on libm.  Ties break (score desc, term asc).
+
+    Scale shape: (doc, term, tf) pairs are built per batch with the
+    shared blob tokenizer (docs never span batches, so batch-local
+    counts are exact) and materialized ONCE (two consumers — the df
+    reduce and the join probe — must not re-tokenize the corpus).
+    ``df`` goes through one adaptive keyed exchange; pairs join df on
+    term via the hash-partitioned join (vocabulary is O(corpus) — no
+    broadcast); the final per-doc top-k is one more keyed exchange with
+    a vectorized sort+head.  ``n_docs`` is the CORPUS document count
+    (including token-less docs), supplied by the caller — typically the
+    source's metadata row count, no extra pass."""
+    from .relational import grouped_top_n, hash_join, keyed_reduce
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        toks, idx = tokenize_with_doc_idx(batch[text_col])
+        if not len(toks):
+            return pd.DataFrame(
+                {
+                    id_col: pd.array([], dtype="int64"),
+                    "term": pd.array([], dtype="string"),
+                    "tf": pd.array([], dtype="int64"),
+                }
+            )
+        ids = batch[id_col].to_numpy()[idx]
+        g = (
+            pd.DataFrame({id_col: ids, "term": pd.array(toks, dtype="string")})
+            .groupby([id_col, "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        g["tf"] = g["tf"].astype(np.int64)
+        return g
+
+    pairs_ds = ds.map_batches(pairs, batch_format="pandas").materialize()
+
+    def count_docs(g: pd.DataFrame) -> pd.DataFrame:
+        # pairs are distinct per (doc, term), so df == rows per term
+        out = g.groupby("term", sort=False).size().reset_index(name="df")
+        out["df"] = out["df"].astype(np.int64)
+        return out
+
+    df_ds = keyed_reduce(pairs_ds.select_columns(["term"]), ["term"], count_docs)
+    joined = hash_join(pairs_ds, df_ds, on="term", right_on="term")
+
+    def score(b: pa.Table) -> pa.Table:
+        tf = b.column("tf").to_numpy(zero_copy_only=False)
+        dfv = b.column("df").to_numpy(zero_copy_only=False)
+        s = (tf * n_docs).astype(np.float64) / dfv
+        return b.append_column("score", pa.array(s))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    top = grouped_top_n(scored, [id_col], [("score", True), ("term", False)], k)
+    return top.select_columns([id_col, "term", "tf", "df", "score"])
 
 
 def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):

@@ -1,0 +1,208 @@
+"""Per-key SQL window functions and ROLLUP grouping — the window-operator
+class the reference leaves to the consumer (SURVEY.md §2.7: the
+reference emits row events; `README.md:80-104` shows consumers doing
+their own analytics downstream).
+
+``window_over`` is the ``f(x) OVER (PARTITION BY key ORDER BY ...)``
+family: row_number, lag-difference, and running (unbounded-preceding)
+sum, computed with ONE keyed exchange (``relational.keyed_reduce`` —
+adaptive fanout) and a fully vectorized per-partition kernel: one sort,
+one factorize for key boundaries, cumsums rebased per key.  No per-key
+or per-row Python anywhere; key cardinality never appears in a loop.
+
+``rollup_aggregate`` is ``GROUP BY ROLLUP(keys...)``: the finest level
+is a pre-aggregated groupby (shuffle carries per-batch partials), the
+coarser levels re-aggregate the FINEST RESULT (already reduced to one
+row per key combination) — so the rollup explode multiplies the small
+aggregated frame, never the input.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from .relational import AggSpec, _PARTIAL_KIND, preagg_groupby
+
+# spec: out_col -> (kind, in_col) with kind in {row_number, lag_diff, run_sum}
+WindowSpec = dict[str, tuple[str, str | None]]
+
+_KINDS = ("row_number", "lag_diff", "run_sum")
+
+
+def window_over(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    spec: WindowSpec,
+) -> rd.Dataset:
+    """Append window-function columns per ``spec``, partitioned by
+    ``key_col`` and ordered by ``order_cols`` (which must be a total
+    order within each key for deterministic output — include a unique id
+    last).  SQL semantics throughout:
+
+    - ``row_number``: 1-based position within the key (int64).
+    - ``lag_diff`` over ``in_col``: ``v - lag(v)`` — NULL on each key's
+      first row and whenever either operand is NULL (int64).
+    - ``run_sum`` over ``in_col``: ``sum(v) OVER (... ROWS UNBOUNDED
+      PRECEDING)`` — NULLs contribute nothing, and the running total is
+      NULL until the key's first non-null value (int64; callers summing
+      floats should pre-scale to integers — float running sums are
+      association-order-dependent and can never match a SQL oracle
+      bit-for-bit).
+
+    NULL keys form ONE partition (SQL PARTITION BY parity).  NULL order
+    keys sort last (DuckDB's ASC default).
+    """
+    for out_col, (kind, in_col) in spec.items():
+        if kind not in _KINDS:
+            raise ValueError(f"unknown window kind {kind!r} for {out_col!r}")
+        if (in_col is None) != (kind == "row_number"):
+            raise ValueError(f"{kind} takes {'no' if kind == 'row_number' else 'an'} input column")
+    from .relational import keyed_reduce
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # factorize: all NULL keys share one code (NaN != NaN would
+        # split them across sort runs)
+        codes, _ = pd.factorize(g[key_col], use_na_sentinel=True)
+        g = (
+            g.assign(_kc=codes)
+            .sort_values(["_kc", *order_cols], kind="mergesort", na_position="last")
+            .reset_index(drop=True)
+        )
+        n = len(g)
+        kc = g["_kc"].to_numpy()
+        newkey = np.ones(n, dtype=bool)
+        if n > 1:
+            newkey[1:] = kc[1:] != kc[:-1]
+        starts = np.flatnonzero(newkey)
+        run_lens = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64)
+        base = np.repeat(pos[starts], run_lens)
+        out = {c: g[c] for c in g.columns if c != "_kc"}
+        for out_col, (kind, in_col) in spec.items():
+            if kind == "row_number":
+                out[out_col] = pos - base + 1
+                continue
+            col = g[in_col]
+            null = col.isna().to_numpy()
+            v = col.fillna(0).to_numpy().astype(np.int64)
+            if kind == "lag_diff":
+                prev = np.empty(n, dtype=np.int64)
+                prev[1:] = v[:-1]
+                prev[0] = 0
+                prev_null = np.empty(n, dtype=bool)
+                prev_null[1:] = null[:-1]
+                prev_null[0] = True
+                d = v - prev
+                mask = newkey | null | prev_null
+            else:  # run_sum
+                cs = np.cumsum(v)
+                d = cs - np.repeat(cs[starts] - v[starts], run_lens)
+                nn = np.cumsum((~null).astype(np.int64))
+                nn = nn - np.repeat(nn[starts] - (~null[starts]).astype(np.int64), run_lens)
+                mask = nn == 0  # NULL until the key's first non-null
+            res = pd.Series(d, dtype="Int64")
+            res[mask] = pd.NA
+            out[out_col] = res
+        return pd.DataFrame(out)
+
+    return keyed_reduce(ds, [key_col], combine)
+
+
+def rollup_aggregate(
+    ds: rd.Dataset,
+    keys: list[str],
+    spec: AggSpec,
+    lvl_col: str = "lvl",
+) -> rd.Dataset:
+    """``GROUP BY ROLLUP(keys...)``: one row per key combination at every
+    prefix level, coarser levels with the rolled-up keys NULL and
+    ``lvl_col`` = the SQL ``GROUPING(keys...)`` bitmask (0 = finest,
+    2^len(keys)-1 = grand total), which disambiguates a genuinely-NULL
+    key value from a rolled-up one.
+
+    Scale shape: the input is reduced ONCE by a pre-aggregated groupby at
+    the finest level; the per-level explode and re-aggregate run over
+    that already-reduced frame (|distinct key combos| rows), so the
+    rollup costs |levels| x |finest result|, independent of input size.
+    Only sum/count/min/max specs are rollup-able (their partials
+    re-aggregate losslessly).
+    """
+    import pyarrow.compute as pc
+
+    n_keys = len(keys)
+    # prefix p kept -> GROUPING bitmask with a 1-bit per rolled key
+    levels = [(p, (1 << (n_keys - p)) - 1) for p in range(n_keys, -1, -1)]
+    markers = [f"_isn_{c}" for c in keys]
+
+    def _fill_value(t: pa.DataType):
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return ""
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return b""
+        if pa.types.is_boolean(t):
+            return False
+        return 0
+
+    # NULL keys cannot enter a Ray groupby (its sort-based shuffle can't
+    # order them), so every key column travels as (filled value, null
+    # marker) from the very first aggregate.  Within one lvl a column is
+    # either rolled (marker all 1) or kept (marker = genuine nullness),
+    # so grouping on (value, marker, lvl) keeps genuinely-NULL key
+    # values distinct from real fill-values AND from rolled levels.
+    def tag(batch: pa.Table) -> pa.Table:
+        for c in keys:
+            col = batch.column(c)
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(i, c, col.fill_null(_fill_value(col.type)))
+            batch = batch.append_column(
+                f"_isn_{c}", pc.is_null(col).cast(pa.int64())
+            )
+        return batch
+
+    base = preagg_groupby(
+        ds.map_batches(tag, batch_format="pyarrow"), [*keys, *markers], spec
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        tables = []
+        for p, mask in levels:
+            cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+            for j, c in enumerate(keys):
+                col = batch.column(c)
+                if j >= p:  # rolled up at this level
+                    cols[c] = pa.nulls(batch.num_rows, col.type).fill_null(
+                        _fill_value(col.type)
+                    )
+                    cols[f"_isn_{c}"] = pa.array(
+                        np.ones(batch.num_rows, dtype=np.int64)
+                    )
+                else:
+                    cols[c] = col
+                    cols[f"_isn_{c}"] = batch.column(f"_isn_{c}")
+            for out in spec:
+                cols[out] = batch.column(out)
+            cols[lvl_col] = pa.array(np.full(batch.num_rows, mask, dtype=np.int64))
+            tables.append(pa.table(cols))
+        return pa.concat_tables(tables)
+
+    exploded = base.map_batches(explode, batch_format="pyarrow")
+    respec: AggSpec = {
+        out: (out, _PARTIAL_KIND[kind]) for out, (_, kind) in spec.items()
+    }
+    rolled = preagg_groupby(exploded, [*keys, *markers, lvl_col], respec)
+
+    def restore(b: pa.Table) -> pa.Table:
+        for c in keys:
+            i = b.schema.get_field_index(c)
+            col = b.column(c)
+            mask = pc.equal(b.column(f"_isn_{c}"), pa.scalar(1, pa.int64()))
+            b = b.set_column(
+                i, c, pc.if_else(mask, pa.scalar(None, col.type), col)
+            )
+        return b.drop_columns([f"_isn_{c}" for c in keys])
+
+    return rolled.map_batches(restore, batch_format="pyarrow")

@@ -1,0 +1,219 @@
+"""Window functions (stages/window.py), ROLLUP, TF-IDF, and NTILE:
+SQL-semantics edge cases the sf testdata doesn't exercise — NULL keys,
+NULL operands, fill-value collisions, more tiles than rows."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from mysql_binlog_ray.stages.ordered import ntile_assign, pack_order_key
+from mysql_binlog_ray.stages.window import rollup_aggregate, window_over
+
+
+def _sorted_df(x, cols=None):
+    if isinstance(x, rd.Dataset):
+        x = x.to_pandas()
+    elif isinstance(x, pa.Table):
+        x = x.to_pandas()
+    cols = cols or sorted(x.columns)
+    return (
+        x.reindex(cols, axis=1)
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+
+
+class TestWindowOver:
+    def test_matches_duckdb_with_null_keys_and_values(self, ray_session):
+        rng = np.random.default_rng(7)
+        n = 400
+        df = pd.DataFrame(
+            {
+                "k": pd.array(
+                    [None if x < 25 else int(x % 7) for x in rng.integers(0, 100, n)],
+                    dtype="Int64",
+                ),
+                "o": np.arange(n, dtype=np.int64),  # unique order key
+                "v": pd.array(
+                    [None if x < 20 else int(x) for x in rng.integers(0, 100, n)],
+                    dtype="Int64",
+                ),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(5)
+        out = window_over(
+            ds,
+            "k",
+            ["o"],
+            {
+                "rn": ("row_number", None),
+                "d": ("lag_diff", "v"),
+                "rs": ("run_sum", "v"),
+            },
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", df)
+        ora = con.execute(
+            """
+            SELECT k, o, v,
+                   row_number() OVER w AS rn,
+                   CAST(v - lag(v) OVER w AS BIGINT) AS d,
+                   CAST(sum(v) OVER (PARTITION BY k ORDER BY o
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rs
+            FROM t WINDOW w AS (PARTITION BY k ORDER BY o)
+            """
+        ).df()
+        a, b = _sorted_df(out), _sorted_df(ora)
+        assert len(a) == len(b) == n
+        for c in ["k", "o", "v", "rn", "d", "rs"]:
+            av, bv = a[c], b[c]
+            assert av.isna().tolist() == bv.isna().tolist(), c
+            assert (
+                av.fillna(-1).astype("int64").tolist()
+                == bv.fillna(-1).astype("int64").tolist()
+            ), c
+
+    def test_empty_input(self, ray_session):
+        df = pd.DataFrame(
+            {"k": pd.array([], dtype="int64"), "o": pd.array([], dtype="int64")}
+        )
+        out = window_over(
+            rd.from_pandas(df), "k", ["o"], {"rn": ("row_number", None)}
+        ).to_pandas()
+        assert len(out) == 0
+
+    def test_bad_spec_raises(self, ray_session):
+        ds = rd.from_items([{"k": 1, "o": 1}])
+        with pytest.raises(ValueError):
+            window_over(ds, "k", ["o"], {"x": ("median", "o")})
+        with pytest.raises(ValueError):
+            window_over(ds, "k", ["o"], {"x": ("row_number", "o")})
+
+
+class TestRollup:
+    def test_real_null_key_distinct_from_rolled(self, ray_session):
+        # one real-NULL key value and one ""-valued key: the rollup must
+        # keep them apart from each other AND from the rolled level
+        df = pd.DataFrame(
+            {
+                "a": ["x", "x", None, "", "x"],
+                "b": ["p", "q", "p", "p", "p"],
+                "v": [1, 2, 4, 8, 16],
+            }
+        )
+        out = rollup_aggregate(
+            rd.from_pandas(df).repartition(2),
+            ["a", "b"],
+            {"n": (None, "count"), "s": ("v", "sum")},
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", df)
+        ora = con.execute(
+            """
+            SELECT a, b, CAST(GROUPING(a, b) AS BIGINT) AS lvl,
+                   count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+            FROM t GROUP BY ROLLUP(a, b)
+            """
+        ).df()
+        a, b = _sorted_df(out), _sorted_df(ora)
+        assert len(a) == len(b)
+        for c in a.columns:
+            assert a[c].isna().tolist() == b[c].isna().tolist(), c
+            assert (
+                a[c].fillna("//NA//").astype(str).tolist()
+                == b[c].fillna("//NA//").astype(str).tolist()
+            ), c
+
+    def test_grand_total_only_level(self, ray_session):
+        df = pd.DataFrame({"a": ["x"] * 3, "v": [1, 2, 3]})
+        out = rollup_aggregate(
+            rd.from_pandas(df), ["a"], {"s": ("v", "sum")}
+        ).to_pandas()
+        assert len(out) == 2  # (x, lvl 0) and (NULL, lvl 1)
+        total = out[out["lvl"] == 1]
+        assert total["s"].iloc[0] == 6 and total["a"].isna().all()
+
+
+class TestNtile:
+    def test_matches_duckdb_uneven_and_tiny(self, ray_session):
+        for n, tiles in [(10, 3), (7, 7), (3, 8), (100, 8)]:
+            rng = np.random.default_rng(n)
+            df = pd.DataFrame(
+                {
+                    "id": np.arange(n, dtype=np.int64),
+                    "k": rng.integers(0, 5, n).astype(np.int64),
+                }
+            )
+            out = ntile_assign(
+                rd.from_pandas(df).repartition(3), ["k", "id"], tiles
+            ).to_pandas()
+            con = duckdb.connect()
+            con.register("t", df)
+            ora = con.execute(
+                "SELECT id, k, CAST(ntile(?) OVER (ORDER BY k, id) AS BIGINT)"
+                " AS tile FROM t",
+                [tiles],
+            ).df()
+            a, b = _sorted_df(out), _sorted_df(ora)
+            assert a["tile"].tolist() == b["tile"].tolist(), (n, tiles)
+
+    def test_pack_order_key_overflow_raises(self, ray_session):
+        df = pd.DataFrame(
+            {"a": np.array([1 << 40], dtype=np.int64), "b": np.array([1 << 40], dtype=np.int64)}
+        )
+        with pytest.raises(ValueError, match="63 bits"):
+            pack_order_key(rd.from_pandas(df), ["a", "b"]).materialize()
+
+    def test_pack_order_key_negative_raises(self, ray_session):
+        df = pd.DataFrame({"a": np.array([-1], dtype=np.int64)})
+        with pytest.raises(ValueError, match="negative"):
+            pack_order_key(rd.from_pandas(df), ["a"]).materialize()
+
+
+class TestTfidf:
+    def test_score_and_ties_match_duckdb(self, ray_session):
+        from mysql_binlog_ray.stages.text import tfidf_top_terms
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(6, dtype=np.int64),
+                "text": [
+                    "aa bb aa cc",
+                    "bb cc dd",
+                    "",  # token-less doc: absent from output
+                    None,  # NULL text: treated as ''
+                    "aa aa aa zz",
+                    "yy zz yy zz",  # equal scores -> term asc tie-break
+                ],
+            }
+        )
+        out = tfidf_top_terms(
+            rd.from_pandas(df).repartition(3), n_docs=len(df), k=2
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", df)
+        ora = con.execute(
+            """
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text,'')),
+                                                       '[a-z0-9]+')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                         CAST(tf.tf * 6 AS DOUBLE) / df.df AS score
+                  FROM tf JOIN df USING (term))
+            SELECT doc_id, term, tf, df, score FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+              FROM s) WHERE rn <= 2
+            """
+        ).df()
+        a, b = _sorted_df(out), _sorted_df(ora)
+        assert len(a) == len(b)
+        assert a["term"].tolist() == b["term"].tolist()
+        assert a["score"].tolist() == b["score"].tolist()
+        assert 2 not in set(a["doc_id"]) and 3 not in set(a["doc_id"])
