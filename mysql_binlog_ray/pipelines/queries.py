@@ -1064,14 +1064,19 @@ def running_totals_events(sf_dir: str):
     )
 
     def prep(b: pa.Table) -> pa.Table:
-        ts_us = b.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
-        cents = np.floor(b.column("value").to_numpy(zero_copy_only=False) * 100.0)
+        # arrow kernels, not to_numpy(): NULL ts must stay NULL (NaT ->
+        # INT64_MIN would sort first instead of SQL's NULLS LAST) and a
+        # NULL value must stay NULL (NaN -> int64 cast raises)
+        ts_us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        cents = pc.floor(pc.multiply(b.column("value"), pa.scalar(100.0))).cast(
+            pa.int64()
+        )
         return pa.table(
             {
                 "event_id": b.column("event_id"),
                 "user_id": b.column("user_id"),
-                "ts_us": pa.array(ts_us),
-                "cents": pa.array(cents).cast(pa.int64()),
+                "ts_us": ts_us,
+                "cents": cents,
             }
         )
 

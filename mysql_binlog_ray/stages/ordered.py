@@ -46,6 +46,27 @@ def _to_order_u64(x: np.ndarray) -> np.ndarray:
     return x.astype(np.int64).view(_U) ^ _SIGN_FLIP
 
 
+
+def _empty_with(
+    sch, extra_cols: list[str], fallback: list[tuple[str, "pa.DataType"]]
+) -> rd.Dataset:
+    """Empty result carrying the caller's schema plus int64 ``extra_cols``
+    — any lazy op chained after a 0-row dataset loses its block schema,
+    so the empty table must be built explicitly (shared by every
+    operator in this module)."""
+    fields = list(zip(sch.names, sch.types)) if sch is not None else fallback
+    return rd.from_arrow(
+        pa.table(
+            {n: pa.array([], t) for n, t in fields}
+            | {c: pa.array([], pa.int64()) for c in extra_cols}
+        )
+    )
+
+
+def _append_ones(b: pa.Table) -> pa.Table:
+    return b.append_column("_one", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+
+
 def bucketed_prefix_sum(
     ds: rd.Dataset,
     order_col: str,
@@ -70,21 +91,14 @@ def bucketed_prefix_sum(
     mat = ds.materialize()
     n_rows = mat.count()
     if n_rows == 0:
-        # Repartitioned-empty datasets can lose their block schema, so
-        # build the empty result table explicitly.  Callers with extra
-        # columns (hash_order_rank, pack_sequences) short-circuit empty
-        # inputs themselves, so losing non-key columns here is fine.
-        schema = mat.schema()
-        fields = (
-            list(zip(schema.names, schema.types))
-            if schema is not None
-            else [(order_col, pa.int64()), (value_col, pa.int64())]
+        # Callers with extra columns (hash_order_rank, pack_sequences)
+        # short-circuit empty inputs themselves, so losing non-key
+        # columns here is fine.
+        return _empty_with(
+            mat.schema(),
+            [out_col],
+            [(order_col, pa.int64()), (value_col, pa.int64())],
         )
-        empty = pa.table(
-            {n: pa.array([], t) for n, t in fields}
-            | {out_col: pa.array([], pa.int64())}
-        )
-        return rd.from_arrow(empty)
 
     # bucket = (u - lo) // step, step sized so ~target rows per bucket
     # IF keys are uniform over their range (hash-order callers are by
@@ -220,32 +234,17 @@ def hash_order_rank(
     construction, so the range buckets of :func:`bucketed_prefix_sum`
     are balanced regardless of id skew."""
 
-    def ones(b: pa.Table) -> pa.Table:
-        return b.append_column("_one", pa.array(np.ones(b.num_rows, dtype=np.int64)))
-
     # Materialize the tagged input here (bucketed_prefix_sum would do it
     # anyway — a second materialize is a no-op) so emptiness can be
-    # short-circuited: any lazy op chained after a 0-row dataset loses
-    # its schema, so the empty result must be built as an explicit table
-    # carrying the caller's id columns.
+    # short-circuited with the caller's schema (_empty_with).
     sch = ds.schema()
     tagged = (
         tag_hash_order(ds, id_col, seed)
-        .map_batches(ones, batch_format="pyarrow")
+        .map_batches(_append_ones, batch_format="pyarrow")
         .materialize()
     )
     if tagged.count() == 0:
-        fields = (
-            list(zip(sch.names, sch.types))
-            if sch is not None
-            else [(id_col, pa.int64())]
-        )
-        return rd.from_arrow(
-            pa.table(
-                {n: pa.array([], t) for n, t in fields}
-                | {out_col: pa.array([], pa.int64())}
-            )
-        )
+        return _empty_with(sch, [out_col], [(id_col, pa.int64())])
     ranked = bucketed_prefix_sum(tagged, "_h", "_one", out_col)
     return ranked.drop_columns(["_h", "_one"])
 
@@ -288,7 +287,13 @@ def pack_order_key(
     def tag(b: pa.Table) -> pa.Table:
         acc = np.zeros(b.num_rows, dtype=np.int64)
         for c, s in zip(order_cols, shifts):
-            acc |= b.column(c).to_numpy(zero_copy_only=False).astype(np.int64) << s
+            col = b.column(c)
+            if col.null_count:
+                # min/max aggregates above skip NULLs, so this is the
+                # first place a NULL can be seen — NaN would otherwise
+                # silently become INT64_MIN in the astype
+                raise ValueError(f"pack_order_key: {c} has NULL values")
+            acc |= col.to_numpy(zero_copy_only=False).astype(np.int64) << s
         return b.append_column(out_col, pa.array(acc))
 
     return ds.map_batches(tag, batch_format="pyarrow")
@@ -312,20 +317,10 @@ def ntile_assign(
     """
     sch = ds.schema()
     packed = pack_order_key(ds, order_cols)
-
-    def ones(b: pa.Table) -> pa.Table:
-        return b.append_column("_one", pa.array(np.ones(b.num_rows, dtype=np.int64)))
-
-    mat = packed.map_batches(ones, batch_format="pyarrow").materialize()
+    mat = packed.map_batches(_append_ones, batch_format="pyarrow").materialize()
     n_rows = mat.count()
     if n_rows == 0:
-        fields = list(zip(sch.names, sch.types)) if sch is not None else []
-        return rd.from_arrow(
-            pa.table(
-                {n: pa.array([], t) for n, t in fields}
-                | {out_col: pa.array([], pa.int64())}
-            )
-        )
+        return _empty_with(sch, [out_col], [])
     ranked = bucketed_prefix_sum(mat, "_ok", "_one", "_rank")
     q, big = divmod(n_rows, n_tiles)
     cut = big * (q + 1)
@@ -360,14 +355,10 @@ def pack_sequences(
     sch = ds.schema()
     mat = ds.materialize()
     if mat.count() == 0:
-        fields = (
-            list(zip(sch.names, sch.types))
-            if sch is not None
-            else [(id_col, pa.int64()), (tokens_col, pa.int64())]
-        )
-        extra = {c: pa.array([], pa.int64()) for c in ("tok_start", "seq_first", "seq_last")}
-        return rd.from_arrow(
-            pa.table({n: pa.array([], t) for n, t in fields} | extra)
+        return _empty_with(
+            sch,
+            ["tok_start", "seq_first", "seq_last"],
+            [(id_col, pa.int64()), (tokens_col, pa.int64())],
         )
     ps = bucketed_prefix_sum(mat, id_col, tokens_col, "tok_start")
 

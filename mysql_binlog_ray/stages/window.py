@@ -55,7 +55,16 @@ def window_over(
 
     NULL keys form ONE partition (SQL PARTITION BY parity).  NULL order
     keys sort last (DuckDB's ASC default).
+
+    Integer-typed columns (key, order, inputs) with NULLs are split into
+    (filled int64, null flag) pairs BEFORE the pandas exchange: Arrow
+    int64-with-nulls round-trips to pandas as float64, which silently
+    rounds values above 2^53 (e.g. nanosecond timestamps) — the pair
+    keeps every comparison and subtraction exact.  ``lag_diff`` /
+    ``run_sum`` inputs must be integer-typed.
     """
+    import pyarrow.compute as pc
+
     for out_col, (kind, in_col) in spec.items():
         if kind not in _KINDS:
             raise ValueError(f"unknown window kind {kind!r} for {out_col!r}")
@@ -63,13 +72,60 @@ def window_over(
             raise ValueError(f"{kind} takes {'no' if kind == 'row_number' else 'an'} input column")
     from .relational import keyed_reduce
 
+    in_cols = sorted({c for _, c in spec.values() if c is not None})
+
+    def _is_int_like(t: pa.DataType) -> bool:
+        return (
+            pa.types.is_integer(t)
+            or pa.types.is_temporal(t)
+            or pa.types.is_boolean(t)
+        )
+
+    # int-likeness is decided PER BATCH on the real Arrow type (the
+    # dataset-level schema reports None for pandas extension dtypes) —
+    # every batch of a dataset shares one schema, so all tasks agree,
+    # and combine detects the exact-pair columns by presence
+    def tag(b: pa.Table) -> pa.Table:
+        cols: dict = {c: b.column(c) for c in b.schema.names}
+        for c in sorted({*in_cols, *order_cols, key_col}):
+            col = b.column(c)
+            if not _is_int_like(col.type):
+                if c in in_cols:
+                    raise ValueError(
+                        f"window_over: input column {c!r} must be integer-typed "
+                        "(pre-scale floats to integers — float running sums "
+                        "can't match a SQL oracle bit-for-bit)"
+                    )
+                continue  # string/float key or order col: pandas-exact path
+            col = col.cast(pa.int64())
+            cols[f"_wfv_{c}"] = col.fill_null(0)
+            cols[f"_wfn_{c}"] = pc.is_null(col).cast(pa.int8())
+        return pa.table(cols)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        # factorize: all NULL keys share one code (NaN != NaN would
-        # split them across sort runs)
-        codes, _ = pd.factorize(g[key_col], use_na_sentinel=True)
+        key_is_int = f"_wfv_{key_col}" in g.columns
+        # NULLS LAST == sort by (null flag, filled value) for exact cols
+        sort_cols: list[str] = []
+        for c in order_cols:
+            if f"_wfv_{c}" in g.columns:
+                sort_cols += [f"_wfn_{c}", f"_wfv_{c}"]
+            else:
+                sort_cols.append(c)
+        if key_is_int:
+            # factorize over the exact filled int64; nulls (flag rows)
+            # get one dedicated code past the real ones
+            codes, _ = pd.factorize(g[f"_wfv_{key_col}"], use_na_sentinel=False)
+            knull = g[f"_wfn_{key_col}"].to_numpy() == 1
+            codes = codes.copy()
+            codes[knull] = codes.max(initial=-1) + 1
+        else:
+            # object/string keys round-trip exactly; all NULLs share -1
+            codes, _ = pd.factorize(g[key_col], use_na_sentinel=True)
         g = (
             g.assign(_kc=codes)
-            .sort_values(["_kc", *order_cols], kind="mergesort", na_position="last")
+            .sort_values(["_kc", *sort_cols], kind="mergesort", na_position="last")
             .reset_index(drop=True)
         )
         n = len(g)
@@ -81,14 +137,14 @@ def window_over(
         run_lens = np.diff(np.append(starts, n))
         pos = np.arange(n, dtype=np.int64)
         base = np.repeat(pos[starts], run_lens)
-        out = {c: g[c] for c in g.columns if c != "_kc"}
+        drop = {"_kc", *[c for c in g.columns if c.startswith(("_wfv_", "_wfn_"))]}
+        out = {c: g[c] for c in g.columns if c not in drop}
         for out_col, (kind, in_col) in spec.items():
             if kind == "row_number":
                 out[out_col] = pos - base + 1
                 continue
-            col = g[in_col]
-            null = col.isna().to_numpy()
-            v = col.fillna(0).to_numpy().astype(np.int64)
+            null = g[f"_wfn_{in_col}"].to_numpy() == 1
+            v = g[f"_wfv_{in_col}"].to_numpy()
             if kind == "lag_diff":
                 prev = np.empty(n, dtype=np.int64)
                 prev[1:] = v[:-1]
@@ -109,7 +165,7 @@ def window_over(
             out[out_col] = res
         return pd.DataFrame(out)
 
-    return keyed_reduce(ds, [key_col], combine)
+    return keyed_reduce(tagged, [key_col], combine)
 
 
 def rollup_aggregate(

@@ -217,3 +217,43 @@ class TestTfidf:
         assert a["term"].tolist() == b["term"].tolist()
         assert a["score"].tolist() == b["score"].tolist()
         assert 2 not in set(a["doc_id"]) and 3 not in set(a["doc_id"])
+
+
+class TestWindowPrecision:
+    def test_big_int64_exact_with_nulls_present(self, ray_session):
+        # nullable int64 > 2^53 must NOT round-trip through float64:
+        # consecutive ns-scale values differing by 1 keep exact diffs
+        base = 1_600_000_000_000_000_000  # ~1.6e18 ns epoch
+        df = pd.DataFrame(
+            {
+                "k": np.zeros(6, dtype=np.int64),
+                "o": np.arange(6, dtype=np.int64),
+                "v": pd.array(
+                    [base, base + 1, None, base + 3, base + 4, base + 1000],
+                    dtype="Int64",
+                ),
+            }
+        )
+        out = (
+            window_over(
+                rd.from_pandas(df),
+                "k",
+                ["o"],
+                {"d": ("lag_diff", "v"), "rs": ("run_sum", "v")},
+            )
+            .to_pandas()
+            .sort_values("o")
+            .reset_index(drop=True)
+        )
+        assert out["d"].tolist() == [pd.NA, 1, pd.NA, pd.NA, 1, 996]
+        sums = np.cumsum([base, base + 1, 0, base + 3, base + 4, base + 1000])
+        assert out["rs"].astype("int64").tolist() == sums.tolist()
+
+    def test_float_input_col_raises(self, ray_session):
+        df = pd.DataFrame(
+            {"k": [1], "o": [1], "v": [1.5]}
+        )
+        with pytest.raises(Exception, match="integer-typed"):
+            window_over(
+                rd.from_pandas(df), "k", ["o"], {"d": ("lag_diff", "v")}
+            ).materialize()
