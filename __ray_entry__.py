@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_shards_documents": Q.training_shards_documents,
         "running_totals_events": Q.running_totals_events,
         "rollup_lineitem": Q.rollup_lineitem,
+        "cube_lineitem": Q.cube_lineitem,
         "tfidf_documents": Q.tfidf_documents,
         "ntile_documents": Q.ntile_documents,
         "topk_orders": Q.topk_orders,
@@ -561,6 +562,16 @@ def oracle_sql() -> dict[str, str]:
                                  AS BIGINT)) AS BIGINT) AS rev_cents
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "cube_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
+                   count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         "tfidf_documents": """
             -- score = tf * n_docs / df as ONE float divide over integer

@@ -1170,3 +1170,41 @@ def ntile_documents(sf_dir: str):
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
     return ntile_assign(ds, ["n_chars", "doc_id"], 8)
+
+
+def cube_lineitem(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): the full grouping-sets
+    lattice over the same integer-exact measures as rollup_lineitem
+    (one shared prep; ROLLUP/CUBE/GROUPING SETS all reduce the input
+    once and explode only the tiny aggregated frame)."""
+    from ..stages.window import cube_aggregate
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "qty": pa.array(qty).cast(pa.int64()),
+                "rev_cents": pa.array(rev).cast(pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return cube_aggregate(
+        prepped,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n": (None, "count"),
+            "sum_qty": ("qty", "sum"),
+            "rev_cents": ("rev_cents", "sum"),
+        },
+    )

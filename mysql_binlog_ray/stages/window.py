@@ -175,23 +175,60 @@ def rollup_aggregate(
     lvl_col: str = "lvl",
 ) -> rd.Dataset:
     """``GROUP BY ROLLUP(keys...)``: one row per key combination at every
-    prefix level, coarser levels with the rolled-up keys NULL and
-    ``lvl_col`` = the SQL ``GROUPING(keys...)`` bitmask (0 = finest,
-    2^len(keys)-1 = grand total), which disambiguates a genuinely-NULL
-    key value from a rolled-up one.
+    prefix level — see :func:`grouping_sets_aggregate` for semantics and
+    the scale shape."""
+    n_keys = len(keys)
+    sets = [frozenset(range(p)) for p in range(n_keys, -1, -1)]
+    return grouping_sets_aggregate(ds, keys, spec, sets, lvl_col)
+
+
+def cube_aggregate(
+    ds: rd.Dataset,
+    keys: list[str],
+    spec: AggSpec,
+    lvl_col: str = "lvl",
+) -> rd.Dataset:
+    """``GROUP BY CUBE(keys...)``: every subset of the keys — see
+    :func:`grouping_sets_aggregate`."""
+    n_keys = len(keys)
+    sets = [
+        frozenset(i for i in range(n_keys) if not (m >> (n_keys - 1 - i)) & 1)
+        for m in range(1 << n_keys)
+    ]
+    return grouping_sets_aggregate(ds, keys, spec, sets, lvl_col)
+
+
+def grouping_sets_aggregate(
+    ds: rd.Dataset,
+    keys: list[str],
+    spec: AggSpec,
+    sets: list[frozenset[int]],
+    lvl_col: str = "lvl",
+) -> rd.Dataset:
+    """``GROUP BY GROUPING SETS(...)``: one aggregate row per key
+    combination per grouping set, the keys NOT in a set NULL and
+    ``lvl_col`` = the SQL ``GROUPING(keys...)`` bitmask (bit set = key
+    aggregated away), which disambiguates a genuinely-NULL key value
+    from an aggregated-away one.  ROLLUP = the prefix sets, CUBE = all
+    subsets.
 
     Scale shape: the input is reduced ONCE by a pre-aggregated groupby at
-    the finest level; the per-level explode and re-aggregate run over
-    that already-reduced frame (|distinct key combos| rows), so the
-    rollup costs |levels| x |finest result|, independent of input size.
-    Only sum/count/min/max specs are rollup-able (their partials
-    re-aggregate losslessly).
+    the finest level; the per-set explode and re-aggregate run over that
+    already-reduced frame (|distinct key combos| rows), so the grouping
+    sets cost |sets| x |finest result|, independent of input size.  Only
+    sum/count/min/max specs are allowed (their partials re-aggregate
+    losslessly).
     """
     import pyarrow.compute as pc
 
     n_keys = len(keys)
-    # prefix p kept -> GROUPING bitmask with a 1-bit per rolled key
-    levels = [(p, (1 << (n_keys - p)) - 1) for p in range(n_keys, -1, -1)]
+    # kept-index set -> GROUPING bitmask with a 1-bit per aggregated key
+    levels = [
+        (s, sum(1 << (n_keys - 1 - i) for i in range(n_keys) if i not in s))
+        for s in sets
+    ]
+    if len({m for _, m in levels}) != len(levels):
+        raise ValueError("grouping_sets_aggregate: duplicate grouping sets")
     markers = [f"_isn_{c}" for c in keys]
 
     def _fill_value(t: pa.DataType):
@@ -225,11 +262,11 @@ def rollup_aggregate(
 
     def explode(batch: pa.Table) -> pa.Table:
         tables = []
-        for p, mask in levels:
+        for kept, mask in levels:
             cols: dict[str, pa.Array | pa.ChunkedArray] = {}
             for j, c in enumerate(keys):
                 col = batch.column(c)
-                if j >= p:  # rolled up at this level
+                if j not in kept:  # aggregated away in this set
                     cols[c] = pa.nulls(batch.num_rows, col.type).fill_null(
                         _fill_value(col.type)
                     )

@@ -257,3 +257,67 @@ class TestWindowPrecision:
             window_over(
                 rd.from_pandas(df), "k", ["o"], {"d": ("lag_diff", "v")}
             ).materialize()
+
+
+class TestGroupingSets:
+    def test_cube_and_explicit_sets_match_duckdb(self, ray_session):
+        from mysql_binlog_ray.stages.window import (
+            cube_aggregate,
+            grouping_sets_aggregate,
+        )
+
+        df = pd.DataFrame(
+            {
+                "a": ["x", "x", None, "y", "y", "x"],
+                "b": ["p", "q", "p", "p", None, "p"],
+                "v": [1, 2, 4, 8, 16, 32],
+            }
+        )
+        ds = rd.from_pandas(df).repartition(2)
+        con = duckdb.connect()
+        con.register("t", df)
+
+        out = cube_aggregate(ds, ["a", "b"], {"s": ("v", "sum")}).to_pandas()
+        ora = con.execute(
+            """
+            SELECT a, b, CAST(GROUPING(a, b) AS BIGINT) AS lvl,
+                   CAST(sum(v) AS BIGINT) AS s
+            FROM t GROUP BY CUBE(a, b)
+            """
+        ).df()
+        a_, b_ = _sorted_df(out), _sorted_df(ora)
+        assert len(a_) == len(b_)
+        for c in a_.columns:
+            assert (
+                a_[c].fillna("//NA//").astype(str).tolist()
+                == b_[c].fillna("//NA//").astype(str).tolist()
+            ), c
+
+        # explicit sets: (a) and (b) only — no finest, no grand total
+        out2 = grouping_sets_aggregate(
+            ds, ["a", "b"], {"s": ("v", "sum")},
+            [frozenset([0]), frozenset([1])],
+        ).to_pandas()
+        ora2 = con.execute(
+            """
+            SELECT a, b, CAST(GROUPING(a, b) AS BIGINT) AS lvl,
+                   CAST(sum(v) AS BIGINT) AS s
+            FROM t GROUP BY GROUPING SETS ((a), (b))
+            """
+        ).df()
+        a2, b2 = _sorted_df(out2), _sorted_df(ora2)
+        assert len(a2) == len(b2)
+        for c in a2.columns:
+            assert (
+                a2[c].fillna("//NA//").astype(str).tolist()
+                == b2[c].fillna("//NA//").astype(str).tolist()
+            ), c
+
+    def test_duplicate_sets_raise(self, ray_session):
+        from mysql_binlog_ray.stages.window import grouping_sets_aggregate
+
+        ds = rd.from_items([{"a": 1, "v": 1}])
+        with pytest.raises(ValueError, match="duplicate"):
+            grouping_sets_aggregate(
+                ds, ["a"], {"s": ("v", "sum")}, [frozenset(), frozenset()]
+            )
