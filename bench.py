@@ -84,6 +84,10 @@ def run_bench() -> dict:
         "quality_documents",
         "pack_sequences_documents",
         "training_shards_documents",
+        "running_totals_events",
+        "rollup_lineitem",
+        "tfidf_documents",
+        "ntile_documents",
     ]
     import __ray_entry__ as entry_mod
 

@@ -162,6 +162,25 @@ def keyed_reduce(
     return tagged.groupby("_rp").map_groups(per_part, batch_format="pandas")
 
 
+def normalize_empty_blocks(ds: rd.Dataset, proto: dict[str, str]) -> rd.Dataset:
+    """Ray's groupby/shuffle stages can emit ZERO-COLUMN empty pandas
+    blocks for group-less partitions; downstream ops that resolve fields
+    by name (``Dataset.join``, ``select_columns``) then fail on that one
+    block.  Rebuild empty blocks with the caller's types (Arrow type
+    aliases, e.g. ``{"term": "string", "df": "int64"}``); non-empty
+    blocks pass through with pandas extension-dtype metadata stripped
+    (otherwise a groupby's pandas blocks round-trip ``string`` extension
+    dtypes back to consumers instead of plain Arrow strings)."""
+    schema = pa.schema([(c, pa.type_for_alias(t)) for c, t in proto.items()])
+
+    def fix(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return schema.empty_table()
+        return b.replace_schema_metadata(None)
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
 def broadcast_once(obj, prepare: Callable | None = None) -> Callable[[], object]:
     """``ray.put`` once, read once per worker process: returns a getter
     whose closure cache persists across tasks (map fns are deserialized

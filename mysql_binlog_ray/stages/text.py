@@ -258,15 +258,16 @@ def tfidf_top_terms(
 
     Scale shape: (doc, term, tf) pairs are built per batch with the
     shared blob tokenizer (docs never span batches, so batch-local
-    counts are exact) and materialized ONCE (two consumers — the df
-    reduce and the join probe — must not re-tokenize the corpus).
-    ``df`` goes through one adaptive keyed exchange; pairs join df on
-    term via the hash-partitioned join (vocabulary is O(corpus) — no
-    broadcast); the final per-doc top-k is one more keyed exchange with
-    a vectorized sort+head.  ``n_docs`` is the CORPUS document count
-    (including token-less docs), supplied by the caller — typically the
-    source's metadata row count, no extra pass."""
-    from .relational import grouped_top_n, hash_join, keyed_reduce
+    counts are exact).  ``df`` needs NO join: one keyed exchange on term
+    co-locates each term's pairs, and a vectorized ``transform("size")``
+    attaches the document frequency to every pair in place (pairs are
+    distinct per (doc, term), so rows-per-term == df) — vocabulary is
+    O(corpus), nothing is broadcast, and there is no join stage to feed.
+    The final per-doc top-k is one more keyed exchange with a vectorized
+    sort+head.  ``n_docs`` is the CORPUS document count (including
+    token-less docs), supplied by the caller — typically the source's
+    metadata row count, no extra pass."""
+    from .relational import grouped_top_n, keyed_reduce, normalize_empty_blocks
 
     def pairs(batch: pd.DataFrame) -> pd.DataFrame:
         toks, idx = tokenize_with_doc_idx(batch[text_col])
@@ -288,16 +289,23 @@ def tfidf_top_terms(
         g["tf"] = g["tf"].astype(np.int64)
         return g
 
-    pairs_ds = ds.map_batches(pairs, batch_format="pandas").materialize()
+    pairs_ds = ds.map_batches(pairs, batch_format="pandas")
 
-    def count_docs(g: pd.DataFrame) -> pd.DataFrame:
-        # pairs are distinct per (doc, term), so df == rows per term
-        out = g.groupby("term", sort=False).size().reset_index(name="df")
-        out["df"] = out["df"].astype(np.int64)
-        return out
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["df"] = (
+            g.groupby("term", sort=False)[id_col].transform("size").astype(np.int64)
+        )
+        return g
 
-    df_ds = keyed_reduce(pairs_ds.select_columns(["term"]), ["term"], count_docs)
-    joined = hash_join(pairs_ds, df_ds, on="term", right_on="term")
+    joined = keyed_reduce(pairs_ds, ["term"], attach_df)
+
+    # the keyed exchange can emit zero-column empty blocks for group-less
+    # partitions; downstream name-based column access would fail on them
+    joined = normalize_empty_blocks(
+        joined,
+        {id_col: "int64", "term": "string", "tf": "int64", "df": "int64"},
+    )
 
     def score(b: pa.Table) -> pa.Table:
         tf = b.column("tf").to_numpy(zero_copy_only=False)
@@ -307,6 +315,18 @@ def tfidf_top_terms(
 
     scored = joined.map_batches(score, batch_format="pyarrow")
     top = grouped_top_n(scored, [id_col], [("score", True), ("term", False)], k)
+    # also strips pandas extension-dtype metadata so consumers see
+    # canonical Arrow string blocks, not pandas "string" round-trips
+    top = normalize_empty_blocks(
+        top,
+        {
+            id_col: "int64",
+            "term": "string",
+            "tf": "int64",
+            "df": "int64",
+            "score": "float64",
+        },
+    )
     return top.select_columns([id_col, "term", "tf", "df", "score"])
 
 
