@@ -57,6 +57,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": Q.pack_sequences_documents,
         "training_shards_documents": Q.training_shards_documents,
         "running_totals_events": Q.running_totals_events,
+        "scd2_events": Q.scd2_events,
+        "snapshot_export_events": Q.snapshot_export_events,
+        "distinct_users_per_type": Q.distinct_users_per_type,
+        "corr_lineitem": Q.corr_lineitem,
+        "global_percentiles_lineitem": Q.global_percentiles_lineitem,
         "rollup_lineitem": Q.rollup_lineitem,
         "cube_lineitem": Q.cube_lineitem,
         "tfidf_documents": Q.tfidf_documents,
@@ -324,6 +329,23 @@ def _chunk_documents_oracle() -> str:
     """
 
 
+def _snapshot_export_oracle() -> str:
+    from mysql_binlog_ray.pipelines.queries import SNAPSHOT_WATERMARKS
+
+    wm = ", ".join(str(w) for w in SNAPSHOT_WATERMARKS)
+    return f"""
+        WITH w AS (SELECT unnest([{wm}]) AS watermark),
+        r AS (
+          SELECT w.watermark, e.user_id, e.event_id, e.event_type, e.value,
+                 row_number() OVER (PARTITION BY w.watermark, e.user_id
+                                    ORDER BY e.event_id DESC) AS rn
+          FROM events e JOIN w ON e.event_id <= w.watermark)
+        SELECT CAST(watermark AS BIGINT) AS watermark,
+               user_id, event_id, event_type, value
+        FROM r WHERE rn = 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lww_merge_events": """
@@ -552,6 +574,69 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        """,
+        "scd2_events": """
+            SELECT user_id, event_id AS valid_from,
+                   COALESCE(CAST(lead(event_id) OVER w AS BIGINT), -1) AS valid_to,
+                   CAST(CASE WHEN lead(event_id) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+                   event_type, value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        """,
+        "snapshot_export_events": _snapshot_export_oracle(),
+        "distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "corr_lineitem": """
+            -- mirrors the engine's moment arithmetic VERBATIM: exact int
+            -- sums (qty is integral, disc*100 never lands on a .5 tie, so
+            -- round-half modes agree), then the identical float expression
+            -- — every product/difference/sqrt/divide correctly rounded in
+            -- the same order on both sides
+            WITH s AS (
+              SELECT l_returnflag,
+                     count(*) AS n,
+                     SUM(CAST(round(l_quantity) AS BIGINT)) AS sx,
+                     SUM(CAST(round(l_discount*100) AS BIGINT)) AS sy,
+                     SUM(CAST(round(l_quantity) AS BIGINT)
+                         * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+                     SUM(CAST(round(l_discount*100) AS BIGINT)
+                         * CAST(round(l_discount*100) AS BIGINT)) AS syy,
+                     SUM(CAST(round(l_quantity) AS BIGINT)
+                         * CAST(round(l_discount*100) AS BIGINT)) AS sxy
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+              GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS avg_x,
+                   CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS avg_y,
+                   (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                     AS corr_qty_disc
+            FROM s
+        """,
+        "global_percentiles_lineitem": """
+            -- integer-cent output (price reconstruction by /100 would
+            -- hinge on the original doubles being exactly 2-decimal);
+            -- round(p*100) is monotone, so it commutes with quantile_disc
+            SELECT CAST(0.50 AS DOUBLE) AS q,
+                   CAST(round(quantile_disc(l_extendedprice, 0.50)*100) AS BIGINT) AS cents
+            FROM lineitem
+            UNION ALL
+            SELECT CAST(0.95 AS DOUBLE),
+                   CAST(round(quantile_disc(l_extendedprice, 0.95)*100) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT CAST(0.99 AS DOUBLE),
+                   CAST(round(quantile_disc(l_extendedprice, 0.99)*100) AS BIGINT)
+            FROM lineitem
         """,
         "rollup_lineitem": """
             SELECT l_returnflag, l_linestatus,

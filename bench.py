@@ -88,6 +88,10 @@ def run_bench() -> dict:
         "rollup_lineitem",
         "tfidf_documents",
         "ntile_documents",
+        "scd2_events",
+        "snapshot_export_events",
+        "corr_lineitem",
+        "global_percentiles_lineitem",
     ]
     import __ray_entry__ as entry_mod
 

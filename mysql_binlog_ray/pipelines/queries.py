@@ -1151,9 +1151,9 @@ def rollup_lineitem(sf_dir: str):
 def tfidf_documents(sf_dir: str):
     """Per-document top-3 terms by tf-idf (score = tf * n_docs / df —
     the raw idf quotient; one float divide, bit-identical to the SQL
-    oracle).  Pairs built with the shared blob tokenizer, df through one
-    adaptive keyed exchange, pairs x df via the hash-partitioned join,
-    per-doc top-3 via grouped_top_n."""
+    oracle).  Pairs built with the shared blob tokenizer, df attached in
+    place by ONE adaptive keyed exchange on term (no join stage), per-doc
+    top-3 via grouped_top_n."""
     from ..stages.text import tfidf_top_terms
 
     src = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -1208,3 +1208,123 @@ def cube_lineitem(sf_dir: str):
             "rev_cents": ("rev_cents", "sum"),
         },
     )
+
+
+SNAPSHOT_WATERMARKS = [250, 500, 1_000_000_000]
+
+
+def scd2_events(sf_dir: str):
+    """SCD2 validity intervals over the per-user event stream: each
+    version row gains valid_to (the next version's event_id; -1 for the
+    current version) and is_current — the temporal-versioning view a CDC
+    changefeed feeds a warehouse with.  One keyed exchange, vectorized
+    shifted compare (stages/window.py::scd2_history)."""
+    from ..stages.window import scd2_history
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+    out = scd2_history(ds, "user_id", "event_id")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id").cast(pa.int64()),
+                "valid_from": b.column("event_id").cast(pa.int64()),
+                "valid_to": b.column("valid_to").cast(pa.int64()),
+                "is_current": b.column("is_current").cast(pa.int64()),
+                "event_type": b.column("event_type"),
+                "value": b.column("value"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def snapshot_export_events(sf_dir: str):
+    """Multi-version time-travel export: per-user state as of THREE
+    watermarks in one pass (one keyed exchange for all versions, one
+    masked reduceat per watermark) — what a consumer rebuilding
+    historical snapshots from the changefeed runs instead of |W| full
+    LWW merges."""
+    from ..stages.window import asof_snapshots
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+    out = asof_snapshots(ds, "user_id", "event_id", SNAPSHOT_WATERMARKS)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "watermark": b.column("watermark").cast(pa.int64()),
+                "user_id": b.column("user_id").cast(pa.int64()),
+                "event_id": b.column("event_id").cast(pa.int64()),
+                "event_type": b.column("event_type"),
+                "value": b.column("value"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def distinct_users_per_type(sf_dir: str):
+    """count(DISTINCT user_id) per event_type — the distinct-aggregate
+    two-level reduce (duplicates collapse per batch before the only
+    large shuffle), plus the total event count carried through the
+    second level."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+    out = R.grouped_count_distinct(
+        ds, ["event_type"], "user_id", out_col="n_users", total_col="n_events"
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_type", "n_users", "n_events"]),
+        batch_format="pyarrow",
+    )
+
+
+def corr_lineitem(sf_dir: str):
+    """Pearson correlation between quantity and discount per returnflag,
+    via mergeable integer-moment partials (exact int64 sums; ONE final
+    float expression mirrored verbatim by the SQL oracle, so the float
+    output is bit-deterministic regardless of batch layout)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        qty = pc.round(b.column("l_quantity")).cast(pa.int64())
+        disc = pc.round(pc.multiply(b.column("l_discount"), pa.scalar(100.0))).cast(
+            pa.int64()
+        )
+        return pa.table(
+            {"l_returnflag": b.column("l_returnflag"), "qty": qty, "disc_pct": disc}
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = R.grouped_corr(prepped, ["l_returnflag"], "qty", "disc_pct", out_col="corr_qty_disc")
+    return out.map_batches(
+        lambda b: b.select(["l_returnflag", "n", "avg_x", "avg_y", "corr_qty_disc"]),
+        batch_format="pyarrow",
+    )
+
+
+def global_percentiles_lineitem(sf_dir: str):
+    """EXACT global p50/p95/p99 of l_extendedprice (integer cents)
+    WITHOUT a global sort: two-pass histogram selection — coarse-bucket
+    counts, then an exact value histogram of ONLY the selected buckets.
+    The driver holds histograms, never rows."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(b.column("l_extendedprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        return pa.table({"cents": cents})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    # coarse_shift=12: price domain ~9e4..1.05e7 cents -> ~2.5k buckets
+    return R.exact_global_percentiles(prepped, "cents", [0.5, 0.95, 0.99], coarse_shift=12)

@@ -17,13 +17,47 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
-def main(argv: list[str] | None = None) -> int:
+def env_defaults(env: dict[str, str] | None = None) -> dict:
+    """The reference's env→config layer (`Config.php:21-86` fromEnv):
+    environment variables override the built-in defaults, CLI args
+    override both (`Config.php:88-171` fromArgs runs after fromEnv).
+    Names and comma-separated list syntax match the reference; only the
+    non-transport settings have an analog here (USER/PASSWORD/HOST/PORT/
+    COLLATION/SLAVE_ID/HEARTBEAT_PERIOD are connection-layer — n/a by
+    SURVEY's transport mapping).  BINLOG_POSITION maps to the
+    start-position watermark (the reference's S3 resume point);
+    STREAM_DIR is the engine's source analog of BINLOG_FILE."""
+    env = os.environ if env is None else env
+    out: dict = {}
+    if (v := env.get("STREAM_DIR")) is not None:
+        out["stream_dir"] = v
+    if (v := env.get("BINLOG_POSITION")) is not None:
+        out["start_after_seq"] = int(v)
+    for env_name, arg_name in [
+        ("TABLES", "tables"),
+        ("EXCLUDE_TABLES", "exclude_tables"),
+        ("DATABASES", "databases"),
+        ("EXCLUDE_DATABASES", "exclude_databases"),
+    ]:
+        if (v := env.get(env_name)) is not None:
+            # reference syntax: comma-separated, items trimmed
+            out[arg_name] = [s.strip() for s in v.split(",")]
+    return out
+
+
+def build_parser(env: dict[str, str] | None = None) -> argparse.ArgumentParser:
+    defaults = env_defaults(env)
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--stream-dir", required=True, help="dir containing manifest.json")
-    ap.add_argument("--tables", nargs="*", default=None, help="include list: schema.table")
+    ap.add_argument(
+        "--stream-dir",
+        required="stream_dir" not in defaults,
+        help="dir containing manifest.json (env: STREAM_DIR)",
+    )
+    ap.add_argument("--tables", nargs="*", default=None, help="include list: schema.table (env: TABLES, comma-separated)")
     ap.add_argument("--databases", nargs="*", default=None)
     ap.add_argument("--exclude-tables", nargs="*", default=None)
     ap.add_argument("--exclude-databases", nargs="*", default=None)
@@ -34,10 +68,15 @@ def main(argv: list[str] | None = None) -> int:
         help="decode EVERY non-filtered table in one pass (the reference's "
         "behavior) via the multi-table JSON changefeed",
     )
-    ap.add_argument("--start-after-seq", type=int, default=None, help="replay-skip watermark (F2)")
+    ap.add_argument("--start-after-seq", type=int, default=None, help="replay-skip watermark (F2; env: BINLOG_POSITION)")
     ap.add_argument("--limit", type=int, default=None, help="stop after N row events")
     ap.add_argument("--num-cpus", type=int, default=4)
-    args = ap.parse_args(argv)
+    ap.set_defaults(**defaults)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
 
     import ray
 

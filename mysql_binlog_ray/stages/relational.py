@@ -666,6 +666,195 @@ def broadcast_anti_join(
     return ds.map_batches(probe, batch_format="pandas")
 
 
+def grouped_count_distinct(
+    ds: rd.Dataset,
+    keys: list[str],
+    distinct_col: str,
+    out_col: str = "n_distinct",
+    total_col: str | None = None,
+) -> rd.Dataset:
+    """``count(DISTINCT x)`` per group — the distinct-aggregate pattern a
+    plain pre-aggregated groupby can't express (distinct partials don't
+    merge by summing).  Two-level reduce: level 1 groups on
+    ``(keys..., x)`` with a per-batch combiner, so the first (only
+    large) shuffle carries one row per distinct ``(key, x)`` pair per
+    batch — duplicates collapse before they move; level 2 groups the
+    already-distinct pairs on ``keys`` and counts rows (plus, when
+    ``total_col`` is set, sums the carried counts = ``count(*)``).
+    Both shuffles are pre-aggregated; nothing is row-wise Python."""
+    pairs = preagg_groupby(ds, [*keys, distinct_col], {"_n": (None, "count")})
+    spec: AggSpec = {out_col: (None, "count")}
+    if total_col is not None:
+        spec[total_col] = ("_n", "sum")
+    return preagg_groupby(pairs, keys, spec)
+
+
+def grouped_corr(
+    ds: rd.Dataset,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    out_col: str = "corr",
+) -> rd.Dataset:
+    """Pearson correlation per group via mergeable integer moments: the
+    per-batch combiner computes exact int64 sums (n, Σx, Σy, Σx², Σy²,
+    Σxy), the global groupby merges them (associativity-safe — integer
+    partials, unlike float running sums), and ONE final float expression
+    produces corr — so results are bit-deterministic regardless of batch
+    layout, and a SQL oracle spelling the identical expression matches
+    exactly.  ``x_col``/``y_col`` must be integer-typed (pre-scale
+    decimals to fixed-point ints) with magnitudes such that n·Σx² fits
+    float64's exact-product range; NULLs in either input drop the row
+    (SQL corr semantics).
+
+    Output: keys, ``n`` (int64), ``avg_x``/``avg_y`` (single divides)
+    and ``out_col`` (NULL when a side is constant — zero variance)."""
+    import pyarrow.compute as pc
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = b.column(x_col)
+        y = b.column(y_col)
+        keep = pc.and_(pc.is_valid(x), pc.is_valid(y))
+        b = b.filter(keep)
+        x = b.column(x_col).to_numpy().astype(np.int64)
+        y = b.column(y_col).to_numpy().astype(np.int64)
+        cols = {k: b.column(k) for k in keys}
+        cols["_sx"] = pa.array(x)
+        cols["_sy"] = pa.array(y)
+        cols["_sxx"] = pa.array(x * x)
+        cols["_syy"] = pa.array(y * y)
+        cols["_sxy"] = pa.array(x * y)
+        return pa.table(cols)
+
+    pruned = ds.map_batches(moments, batch_format="pyarrow")
+    sums = preagg_groupby(
+        pruned,
+        keys,
+        {
+            "n": (None, "count"),
+            "_sx": ("_sx", "sum"),
+            "_sy": ("_sy", "sum"),
+            "_sxx": ("_sxx", "sum"),
+            "_syy": ("_syy", "sum"),
+            "_sxy": ("_sxy", "sum"),
+        },
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy().astype(np.float64)
+        sx = b.column("_sx").to_numpy().astype(np.float64)
+        sy = b.column("_sy").to_numpy().astype(np.float64)
+        sxx = b.column("_sxx").to_numpy().astype(np.float64)
+        syy = b.column("_syy").to_numpy().astype(np.float64)
+        sxy = b.column("_sxy").to_numpy().astype(np.float64)
+        # the EXACT float expression the oracle spells: every product,
+        # difference, sqrt and divide is IEEE-correctly-rounded, so same
+        # order of operations == bit-identical result
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = cov / (np.sqrt(vx) * np.sqrt(vy))
+        corr = np.where((vx <= 0) | (vy <= 0), np.nan, corr)
+        cols = {k: b.column(k) for k in keys}
+        cols["n"] = b.column("n")
+        cols["avg_x"] = pa.array(sx / n)
+        cols["avg_y"] = pa.array(sy / n)
+        cols[out_col] = pa.array(corr, pa.float64(), from_pandas=True)
+        return pa.table(cols)
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def exact_global_percentiles(
+    ds: rd.Dataset,
+    val_col: str,
+    qs: list[float],
+    coarse_shift: int = 16,
+) -> pa.Table:
+    """EXACT global discrete percentiles of an int64 column WITHOUT a
+    global sort (``quantile_disc`` rank rule: sorted index ``ceil(q*n)-1``,
+    matching :func:`group_percentiles`).
+
+    Two-pass histogram selection: pass 1 pre-aggregates counts per
+    COARSE bucket (``v >> coarse_shift`` — at most ``2^48`` buckets over
+    full int64, in practice |distinct buckets| ≪ rows reach the driver);
+    the tiny sorted bucket frame locates each q's bucket and residual
+    rank; pass 2 re-scans ONLY rows in the ≤ |qs| selected buckets
+    (predicate applied before the shuffle), pre-aggregates exact
+    value→count inside them (≤ 2^coarse_shift distinct values each) and
+    picks by residual rank.  Both shuffles carry per-batch partials;
+    the driver only ever holds bucket/value histograms, never rows.
+    NULLs are ignored (SQL aggregate semantics)."""
+    import pyarrow.compute as pc
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        v = b.column(val_col)
+        b = b.filter(pc.is_valid(v))
+        x = b.column(val_col).to_numpy().astype(np.int64)
+        return pa.table({"_bkt": pa.array(x >> coarse_shift)})
+
+    hist = preagg_groupby(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        ["_bkt"],
+        {"cnt": (None, "count")},
+    ).to_pandas()
+    # all-NULL/empty input: the aggregate emits a zero-COLUMN frame
+    n = int(hist["cnt"].sum()) if "cnt" in hist.columns else 0
+    if n:
+        hist = hist.sort_values("_bkt").reset_index(drop=True)
+    if n == 0:
+        return pa.table(
+            {"q": pa.array(qs, pa.float64()), val_col: pa.nulls(len(qs), pa.int64())}
+        )
+    cum = hist["cnt"].cumsum().to_numpy()
+    ranks = [max(0, int(np.ceil(q * n - 1e-9)) - 1) for q in qs]
+    # bucket containing each rank + residual rank within that bucket
+    bkt_idx = np.searchsorted(cum, np.array(ranks), side="right")
+    need = {}
+    for q, r, bi in zip(qs, ranks, bkt_idx):
+        bkt = int(hist["_bkt"].iloc[bi])
+        resid = r - (int(cum[bi - 1]) if bi > 0 else 0)
+        need.setdefault(bkt, []).append((q, resid))
+    need_buckets = np.array(sorted(need), dtype=np.int64)
+
+    def in_need(b: pa.Table) -> pa.Table:
+        v = b.column(val_col)
+        b = b.filter(pc.is_valid(v))
+        x = b.column(val_col).to_numpy().astype(np.int64)
+        mask = np.isin(x >> coarse_shift, need_buckets)
+        return pa.table({val_col: pa.array(x[mask])})
+
+    fine = (
+        preagg_groupby(
+            ds.map_batches(in_need, batch_format="pyarrow"),
+            [val_col],
+            {"cnt": (None, "count")},
+        )
+        .to_pandas()
+        .sort_values(val_col)
+        .reset_index(drop=True)
+    )
+    fv = fine[val_col].to_numpy()
+    fb = fv >> coarse_shift
+    out_q, out_v = [], []
+    for bkt, wants in need.items():
+        sel = fb == bkt
+        vals = fv[sel]
+        # cumulative counts WITHIN the bucket
+        c = fine["cnt"].to_numpy()[sel].cumsum()
+        for q, resid in wants:
+            out_q.append(q)
+            out_v.append(int(vals[np.searchsorted(c, resid, side="right")]))
+    order = np.argsort(np.array(out_q), kind="stable")
+    return pa.table(
+        {
+            "q": pa.array(np.array(out_q)[order], pa.float64()),
+            val_col: pa.array(np.array(out_v, dtype=np.int64)[order]),
+        }
+    )
+
+
 def pivot_counts(
     ds: rd.Dataset,
     key_col: str,

@@ -168,6 +168,121 @@ def window_over(
     return keyed_reduce(tagged, [key_col], combine)
 
 
+def scd2_history(
+    ds: rd.Dataset,
+    key_col: str,
+    order_col: str,
+    no_next: int = -1,
+) -> rd.Dataset:
+    """SCD2 (slowly-changing-dimension type 2) validity intervals: for
+    each key's version stream ordered by ``order_col``, append
+    ``valid_to`` = the NEXT version's order value (``no_next`` for the
+    current version) and ``is_current`` (int64 1/0).  The temporal-
+    versioning view a CDC changefeed feeds a warehouse with — the
+    reference emits the raw row events (`EventsIterator.php`) and leaves
+    history assembly to the consumer (SURVEY.md §2.7).
+
+    ``order_col`` must be integer-typed, non-NULL and unique per key
+    (a commit/event sequence — exactly what the changefeed provides).
+    Payload columns ride along untouched.
+
+    Scale shape: ONE keyed exchange (``keyed_reduce`` — adaptive
+    fanout); per partition one mergesort + one shifted compare, fully
+    vectorized.  NULL keys form one partition (SQL PARTITION BY parity).
+    """
+
+    from .relational import keyed_reduce
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g[key_col], use_na_sentinel=True)
+        g = (
+            g.assign(_kc=codes)
+            .sort_values(["_kc", order_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        n = len(g)
+        k = g["_kc"].to_numpy()
+        o = g[order_col].to_numpy()
+        if o.dtype.kind not in "iu":
+            raise ValueError(
+                f"scd2_history: order column {order_col!r} must be integer-typed"
+            )
+        valid_to = np.empty(n, dtype=np.int64)
+        last = np.ones(n, dtype=bool)
+        if n:
+            valid_to[:-1] = o[1:]
+            last[:-1] = k[1:] != k[:-1]
+            valid_to[last] = no_next
+        out = g.drop(columns=["_kc"]).copy()
+        out["valid_to"] = valid_to
+        out["is_current"] = last.astype(np.int64)
+        return out
+
+    return keyed_reduce(ds, [key_col], combine)
+
+
+def asof_snapshots(
+    ds: rd.Dataset,
+    key_col: str,
+    order_col: str,
+    watermarks: list[int],
+    snap_col: str = "watermark",
+) -> rd.Dataset:
+    """Multi-version time-travel export: for EVERY watermark ``w`` in one
+    pass, each key's latest row with ``order_col <= w`` (the state a
+    consumer would see had it stopped at ``w``).  Keys with no row at or
+    before a watermark are absent from that snapshot, exactly like the
+    LWW lake built from the truncated stream.
+
+    Scale shape: ONE keyed exchange for ALL watermarks (vs. |W| full
+    LWW merges); per partition one mergesort, then per watermark a
+    single ``np.maximum.reduceat`` over masked row positions — no
+    per-key or per-watermark-per-key Python.  ``order_col`` must be
+    integer-typed and non-NULL."""
+
+    from .relational import keyed_reduce
+
+    wms = sorted(set(int(w) for w in watermarks))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g[key_col], use_na_sentinel=True)
+        g = (
+            g.assign(_kc=codes)
+            .sort_values(["_kc", order_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        n = len(g)
+        if n == 0:
+            out = g.drop(columns=["_kc"]).copy()
+            out.insert(0, snap_col, np.array([], dtype=np.int64))
+            return out
+        k = g["_kc"].to_numpy()
+        o = g[order_col].to_numpy()
+        if o.dtype.kind not in "iu":
+            raise ValueError(
+                f"asof_snapshots: order column {order_col!r} must be integer-typed"
+            )
+        newkey = np.ones(n, dtype=bool)
+        newkey[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(newkey)
+        pos = np.arange(n, dtype=np.int64)
+        picks: list[np.ndarray] = []
+        snaps: list[np.ndarray] = []
+        for w in wms:
+            # last in-range position per key segment; -1 = no row <= w
+            masked = np.where(o <= w, pos, -1)
+            sel = np.maximum.reduceat(masked, starts)
+            sel = sel[sel >= 0]
+            picks.append(sel)
+            snaps.append(np.full(len(sel), w, dtype=np.int64))
+        take = np.concatenate(picks) if picks else np.array([], dtype=np.int64)
+        out = g.drop(columns=["_kc"]).iloc[take].reset_index(drop=True)
+        out.insert(0, snap_col, np.concatenate(snaps) if snaps else [])
+        return out
+
+    return keyed_reduce(ds, [key_col], combine)
+
+
 def rollup_aggregate(
     ds: rd.Dataset,
     keys: list[str],

@@ -228,3 +228,43 @@ class TestFollowDaemon:
         a = read_lake(lake).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
         b = read_lake(lake_clean).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestConfigEnvArgsLayering:
+    """Reference Config.php:21-171: fromEnv overrides defaults, fromArgs
+    overrides fromEnv — the CLI reproduces that precedence."""
+
+    def test_env_provides_defaults(self):
+        from mysql_binlog_ray.print_row_events import build_parser
+
+        env = {
+            "STREAM_DIR": "/tmp/s",
+            "BINLOG_POSITION": "42",
+            "TABLES": "code.repos , code.issues",
+            "EXCLUDE_DATABASES": "tmp",
+        }
+        args = build_parser(env).parse_args([])
+        assert args.stream_dir == "/tmp/s"
+        assert args.start_after_seq == 42
+        assert args.tables == ["code.repos", "code.issues"]  # trimmed
+        assert args.exclude_databases == ["tmp"]
+        assert args.databases is None  # untouched default
+
+    def test_args_override_env(self):
+        from mysql_binlog_ray.print_row_events import build_parser
+
+        env = {"STREAM_DIR": "/tmp/env", "BINLOG_POSITION": "42", "TABLES": "a.b"}
+        args = build_parser(env).parse_args(
+            ["--stream-dir", "/tmp/cli", "--start-after-seq", "7", "--tables", "x.y", "z.w"]
+        )
+        assert args.stream_dir == "/tmp/cli"
+        assert args.start_after_seq == 7
+        assert args.tables == ["x.y", "z.w"]
+
+    def test_stream_dir_required_without_env(self):
+        import pytest
+
+        from mysql_binlog_ray.print_row_events import build_parser
+
+        with pytest.raises(SystemExit):
+            build_parser({}).parse_args([])
