@@ -30,20 +30,30 @@ def env_defaults(env: dict[str, str] | None = None) -> dict:
     COLLATION/SLAVE_ID/HEARTBEAT_PERIOD are connection-layer — n/a by
     SURVEY's transport mapping).  BINLOG_POSITION maps to the
     start-position watermark (the reference's S3 resume point);
-    STREAM_DIR is the engine's source analog of BINLOG_FILE."""
+    STREAM_DIR is the engine's source analog of BINLOG_FILE.
+
+    Set-but-EMPTY env values are treated as unset (deliberate
+    divergence: PHP's ``explode(',', '')`` would yield the include-list
+    ``['']`` that matches nothing, and ``(int) ''`` would silently be
+    position 0 — both footguns, not semantics worth preserving); a
+    non-numeric BINLOG_POSITION raises a clear error instead of a raw
+    traceback."""
     env = os.environ if env is None else env
     out: dict = {}
-    if (v := env.get("STREAM_DIR")) is not None:
+    if v := env.get("STREAM_DIR"):
         out["stream_dir"] = v
-    if (v := env.get("BINLOG_POSITION")) is not None:
-        out["start_after_seq"] = int(v)
+    if v := env.get("BINLOG_POSITION"):
+        try:
+            out["start_after_seq"] = int(v)
+        except ValueError:
+            raise SystemExit(f"BINLOG_POSITION must be an integer, got {v!r}")
     for env_name, arg_name in [
         ("TABLES", "tables"),
         ("EXCLUDE_TABLES", "exclude_tables"),
         ("DATABASES", "databases"),
         ("EXCLUDE_DATABASES", "exclude_databases"),
     ]:
-        if (v := env.get(env_name)) is not None:
+        if v := env.get(env_name):
             # reference syntax: comma-separated, items trimmed
             out[arg_name] = [s.strip() for s in v.split(",")]
     return out

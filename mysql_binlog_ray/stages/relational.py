@@ -681,12 +681,58 @@ def grouped_count_distinct(
     batch — duplicates collapse before they move; level 2 groups the
     already-distinct pairs on ``keys`` and counts rows (plus, when
     ``total_col`` is set, sums the carried counts = ``count(*)``).
-    Both shuffles are pre-aggregated; nothing is row-wise Python."""
-    pairs = preagg_groupby(ds, [*keys, distinct_col], {"_n": (None, "count")})
-    spec: AggSpec = {out_col: (None, "count")}
+    Both shuffles are pre-aggregated; nothing is row-wise Python.
+
+    SQL ``count(DISTINCT x)`` ignores NULL x, while ``count(*)`` counts
+    every row — so NULL x travels as a (fill-value, null-marker) pair
+    (a Ray groupby can't key on NULL anyway): the NULL pair still
+    carries its rows into ``total_col``, but contributes 0 to the
+    distinct count."""
+    import pyarrow.compute as pc
+
+    def _fill_value(t: pa.DataType):
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return ""
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return b""
+        if pa.types.is_boolean(t):
+            return False
+        return 0
+
+    # an all-NULL block slice can arrive as Arrow `null` type — resolve
+    # the column's REAL type once from the dataset schema so every
+    # block's fill value (and thus the shuffle schema) agrees
+    try:
+        field_t = ds.schema().base_schema.field(distinct_col).type
+    except Exception:
+        field_t = None
+    target_t = (
+        field_t if field_t is not None and not pa.types.is_null(field_t) else pa.int64()
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        col = b.column(distinct_col)
+        i = b.schema.get_field_index(distinct_col)
+        if pa.types.is_null(col.type):
+            col = pa.nulls(b.num_rows, target_t)
+        b = b.set_column(i, distinct_col, col.fill_null(_fill_value(col.type)))
+        return b.append_column("_dn", pc.is_null(col).cast(pa.int64()))
+
+    pairs = preagg_groupby(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        [*keys, distinct_col, "_dn"],
+        {"_n": (None, "count")},
+    )
+
+    def mark(b: pa.Table) -> pa.Table:
+        one = pc.subtract(pa.scalar(1, pa.int64()), b.column("_dn"))
+        return b.append_column("_nn", one)
+
+    marked = pairs.map_batches(mark, batch_format="pyarrow")
+    spec: AggSpec = {out_col: ("_nn", "sum")}
     if total_col is not None:
         spec[total_col] = ("_n", "sum")
-    return preagg_groupby(pairs, keys, spec)
+    return preagg_groupby(marked, keys, spec)
 
 
 def grouped_corr(

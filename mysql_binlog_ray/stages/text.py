@@ -247,6 +247,7 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    id_type: str = "int64",
 ):
     """Per-document top-k terms by tf-idf (the classic keyword-extraction
     / relevance-weighting step of a text-corpus pipeline).
@@ -266,7 +267,9 @@ def tfidf_top_terms(
     The final per-doc top-k is one more keyed exchange with a vectorized
     sort+head.  ``n_docs`` is the CORPUS document count (including
     token-less docs), supplied by the caller — typically the source's
-    metadata row count, no extra pass."""
+    metadata row count, no extra pass.  ``id_type`` is the Arrow type
+    alias of ``id_col`` (default int64) — it shapes the empty-block
+    protos, which can't inspect a row."""
     from .relational import grouped_top_n, keyed_reduce, normalize_empty_blocks
 
     def pairs(batch: pd.DataFrame) -> pd.DataFrame:
@@ -274,7 +277,7 @@ def tfidf_top_terms(
         if not len(toks):
             return pd.DataFrame(
                 {
-                    id_col: pd.array([], dtype="int64"),
+                    id_col: pd.array([], dtype=id_type),
                     "term": pd.array([], dtype="string"),
                     "tf": pd.array([], dtype="int64"),
                 }
@@ -304,7 +307,7 @@ def tfidf_top_terms(
     # partitions; downstream name-based column access would fail on them
     joined = normalize_empty_blocks(
         joined,
-        {id_col: "int64", "term": "string", "tf": "int64", "df": "int64"},
+        {id_col: id_type, "term": "string", "tf": "int64", "df": "int64"},
     )
 
     def score(b: pa.Table) -> pa.Table:
@@ -320,7 +323,7 @@ def tfidf_top_terms(
     top = normalize_empty_blocks(
         top,
         {
-            id_col: "int64",
+            id_col: id_type,
             "term": "string",
             "tf": "int64",
             "df": "int64",

@@ -268,3 +268,15 @@ class TestConfigEnvArgsLayering:
 
         with pytest.raises(SystemExit):
             build_parser({}).parse_args([])
+
+    def test_empty_env_values_treated_as_unset(self):
+        import pytest
+
+        from mysql_binlog_ray.print_row_events import build_parser, env_defaults
+
+        assert env_defaults({"TABLES": "", "BINLOG_POSITION": "", "STREAM_DIR": ""}) == {}
+        with pytest.raises(SystemExit):
+            env_defaults({"BINLOG_POSITION": "abc"})
+        # empty STREAM_DIR must not satisfy the required= check
+        with pytest.raises(SystemExit):
+            build_parser({"STREAM_DIR": ""}).parse_args([])

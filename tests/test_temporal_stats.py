@@ -201,3 +201,56 @@ class TestExactGlobalPercentiles:
             rd.from_pandas(df), "v", [0.5], coarse_shift=4
         ).to_pandas()
         assert len(out) == 1 and out["v"].isna().all()
+
+
+class TestGroupedCountDistinctNulls:
+    def test_null_distinct_values_match_sql(self, ray_session):
+        df = pd.DataFrame(
+            {
+                "g": ["a"] * 5 + ["b"] * 3,
+                "u": pd.array([1, 1, 2, None, None, None, None, None], dtype="Int64"),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(3)
+        got = (
+            grouped_count_distinct(ds, ["g"], "u", "n_users", total_col="n_events")
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.execute(
+            "SELECT g, count(DISTINCT u) AS n_users, count(*) AS n_events "
+            "FROM t GROUP BY g ORDER BY g"
+        ).fetchdf()
+        assert list(got["n_users"]) == list(exp["n_users"])  # [2, 0]
+        assert list(got["n_events"]) == list(exp["n_events"])  # [5, 3]
+
+    def test_null_fill_collision_stays_distinct(self, ray_session):
+        # a genuine 0 value and a NULL must not merge into one pair
+        df = pd.DataFrame(
+            {"g": ["a"] * 3, "u": pd.array([0, None, 0], dtype="Int64")}
+        )
+        got = grouped_count_distinct(
+            rd.from_pandas(df), ["g"], "u", "n_users", total_col="n_events"
+        ).to_pandas()
+        assert got["n_users"].iloc[0] == 1 and got["n_events"].iloc[0] == 3
+
+
+class TestTfidfStringId:
+    def test_string_id_column(self, ray_session):
+        from mysql_binlog_ray.stages.text import tfidf_top_terms
+
+        df = pd.DataFrame(
+            {
+                "key": ["d1", "d2", "d3"],
+                "text": ["apple banana apple", "banana cherry", ""],
+            }
+        )
+        out = tfidf_top_terms(
+            rd.from_pandas(df), n_docs=3, id_col="key", k=2, id_type="string"
+        ).to_pandas()
+        assert out["key"].dtype == object or str(out["key"].dtype) == "string"
+        top_d1 = out[out["key"] == "d1"].sort_values("score", ascending=False)
+        assert top_d1["term"].iloc[0] == "apple"
