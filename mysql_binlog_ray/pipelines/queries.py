@@ -567,7 +567,7 @@ def join_orders_lineitem(sf_dir: str):
     orders = rd.read_parquet(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
     )
-    joined = R.hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=16)
+    joined = R.hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
     return R.preagg_groupby(
         joined,
         ["o_orderpriority"],

@@ -491,10 +491,26 @@ def hash_join(
     right_ds: rd.Dataset,
     on: str,
     right_on: str,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     join_type: str = "inner",
+    target_part_bytes: int = 256 << 20,
 ) -> rd.Dataset:
-    """Large-large equi-join via Ray Data's hash-partitioned join."""
+    """Large-large equi-join via Ray Data's hash-partitioned join.
+
+    ``num_partitions=None`` (the default) sizes the fanout from the two
+    LEAF input sizes (parquet metadata — no plan execution; falls back
+    to 64 when a side isn't a leaf read), the same ~256 MB-per-partition
+    rule as ``keyed_reduce``: a fixed constant would hand each join task
+    O(corpus / constant) rows at 100 TB."""
+    if num_partitions is None:
+        lb = metadata_size_bytes(left_ds)
+        rb = metadata_size_bytes(right_ds)
+        if lb is None or rb is None:
+            num_partitions = 64
+        else:
+            num_partitions = adaptive_num_parts(
+                lb + rb, target_part_bytes, min_parts=16
+            )
     return left_ds.join(
         right_ds,
         join_type=join_type,

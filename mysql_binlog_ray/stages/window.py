@@ -170,7 +170,7 @@ def window_over(
 
 def scd2_history(
     ds: rd.Dataset,
-    key_col: str,
+    key_col: str | list[str],
     order_col: str,
     no_next: int = -1,
 ) -> rd.Dataset:
@@ -184,7 +184,8 @@ def scd2_history(
 
     ``order_col`` must be integer-typed, non-NULL and unique per key
     (a commit/event sequence — exactly what the changefeed provides).
-    Payload columns ride along untouched.
+    ``key_col`` may be a list for composite keys (e.g. the CDC merge
+    key).  Payload columns ride along untouched.
 
     Scale shape: ONE keyed exchange (``keyed_reduce`` — adaptive
     fanout); per partition one mergesort + one shifted compare, fully
@@ -193,8 +194,12 @@ def scd2_history(
 
     from .relational import keyed_reduce
 
+    kcols = [key_col] if isinstance(key_col, str) else list(key_col)
+
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        codes, _ = pd.factorize(g[key_col], use_na_sentinel=True)
+        # ngroup: vectorized composite-key coding; dropna=False keeps
+        # NULL key combos as one group each (SQL PARTITION BY parity)
+        codes = g.groupby(kcols, sort=False, dropna=False).ngroup().to_numpy()
         g = (
             g.assign(_kc=codes)
             .sort_values(["_kc", order_col], kind="mergesort")
@@ -218,12 +223,12 @@ def scd2_history(
         out["is_current"] = last.astype(np.int64)
         return out
 
-    return keyed_reduce(ds, [key_col], combine)
+    return keyed_reduce(ds, kcols, combine)
 
 
 def asof_snapshots(
     ds: rd.Dataset,
-    key_col: str,
+    key_col: str | list[str],
     order_col: str,
     watermarks: list[int],
     snap_col: str = "watermark",
@@ -242,10 +247,11 @@ def asof_snapshots(
 
     from .relational import keyed_reduce
 
+    kcols = [key_col] if isinstance(key_col, str) else list(key_col)
     wms = sorted(set(int(w) for w in watermarks))
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        codes, _ = pd.factorize(g[key_col], use_na_sentinel=True)
+        codes = g.groupby(kcols, sort=False, dropna=False).ngroup().to_numpy()
         g = (
             g.assign(_kc=codes)
             .sort_values(["_kc", order_col], kind="mergesort")
@@ -280,7 +286,7 @@ def asof_snapshots(
         out.insert(0, snap_col, np.concatenate(snaps) if snaps else [])
         return out
 
-    return keyed_reduce(ds, [key_col], combine)
+    return keyed_reduce(ds, kcols, combine)
 
 
 def rollup_aggregate(

@@ -254,3 +254,69 @@ class TestTfidfStringId:
         assert out["key"].dtype == object or str(out["key"].dtype) == "string"
         top_d1 = out[out["key"] == "d1"].sort_values("score", ascending=False)
         assert top_d1["term"].iloc[0] == "apple"
+
+
+class TestScd2OnCdcChangefeed:
+    def test_current_versions_equal_final_state(self, ray_session, tmp_path):
+        """scd2_history applied to the REAL decoded changefeed (composite
+        merge key, (event_seq, row_seq) version order): the is_current &
+        non-delete rows must be exactly the replay oracle's live keys
+        with their final content."""
+        from mysql_binlog_ray.fixtures.generator import (
+            StreamSpec,
+            final_state_oracle,
+            generate_stream,
+        )
+        from mysql_binlog_ray.pipelines.cdc import (
+            CdcConfig,
+            decode_changefeed,
+            read_event_stream,
+        )
+        from mysql_binlog_ray.stages.merge import flatten_changefeed
+        from mysql_binlog_ray.stages.window import scd2_history
+
+        spec = StreamSpec(n_keys=120, n_ops=600, n_shards=2)
+        m = generate_stream(spec, str(tmp_path / "stream"))
+        cfg = CdcConfig()
+        cf = decode_changefeed(read_event_stream(m, None), m["table_maps"], cfg)
+
+        def flat_with_order(b: pa.Table) -> pa.Table:
+            f = flatten_changefeed(b, cfg.key_cols)
+            seq = f.column("event_seq").to_numpy().astype(np.int64)
+            rs = f.column("row_seq").to_numpy().astype(np.int64)
+            return f.append_column("ver", pa.array((seq << 20) | rs))
+
+        flat = cf.map_batches(flat_with_order, batch_format="pyarrow")
+        hist = scd2_history(flat, list(cfg.key_cols), "ver").to_pandas()
+
+        cur = hist[(hist["is_current"] == 1) & (hist["op"] != "delete")]
+        got = (
+            cur[["repo", "path", "commit", "lang", "content", "stars"]]
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        orc = (
+            final_state_oracle(spec, str(tmp_path / "stream"))
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        import hashlib
+
+        got = got.assign(
+            content_sha256=got["content"].map(
+                lambda s: hashlib.sha256(s.encode()).hexdigest()
+            ),
+            stars=got["stars"].astype("float64"),
+        ).drop(columns=["content"])
+        orc = orc[["repo", "path", "commit", "lang", "content_sha256", "stars"]]
+        orc = orc.assign(stars=orc["stars"].astype("float64"))
+        got = got[["repo", "path", "commit", "lang", "content_sha256", "stars"]]
+        pd.testing.assert_frame_equal(got, orc, check_dtype=False)
+
+        # every key's history chains: valid_to == next version's ver
+        chained = hist.sort_values(["repo", "path", "ver"])
+        nxt = chained.groupby(["repo", "path"], dropna=False)["ver"].shift(-1)
+        assert (
+            chained["valid_to"].to_numpy() == nxt.fillna(-1).astype(np.int64).to_numpy()
+        ).all()
