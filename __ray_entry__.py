@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": Q.embedding_neardup_embeddings,
         "embedding_neardup_exact": Q.embedding_neardup_exact_embeddings,
         "ngram_neardup_documents": Q.ngram_neardup_documents,
+        "neardup_clusters_distributed": Q.neardup_clusters_distributed,
         "multimodal_image_pipeline": Q.multimodal_image_pipeline,
         "multimodal_av_pipeline": Q.multimodal_av_pipeline,
         # the CDC pipeline itself (oracle = replay tests, rows-only here)
@@ -98,6 +99,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_hot_keys": Q.cdc_hot_keys,
         "cdc_windowed_activity": Q.cdc_windowed_activity,
     }
+
+
+# exact 5-gram Jaccard near-dup pairs as reusable CTEs (the pair oracle
+# and the distributed-clusters oracle share them); `jac` is unrounded so
+# the threshold compares exactly
+_NGRAM_PAIR_CTES = """
+            words AS (
+              SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \\t\\n\\r\\f\\v]+') AS w
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(w, i, i + 4), ' ') AS s
+              FROM words, unnest(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+            ), npairs AS (
+              SELECT doc_a, doc_b, ni / (sa.n + sb.n - ni) AS jac
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE ni / (sa.n + sb.n - ni) >= 0.5
+            )"""
 
 
 def _split_documents_oracle() -> str:
@@ -837,27 +864,24 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup_documents": _minhash_neardup_oracle(),
         "minhash_dedup_clusters": _minhash_clusters_oracle(),
         "simhash_neardup_documents": _simhash_oracle(),
-        "ngram_neardup_documents": """
-            WITH words AS (
-              SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \\t\\n\\r\\f\\v]+') AS w
-              FROM documents
-            ), sh AS (
-              SELECT DISTINCT doc_id,
-                     array_to_string(list_slice(w, i, i + 4), ' ') AS s
-              FROM words, unnest(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
-            ), inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
-              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            ), sizes AS (
-              SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+        "ngram_neardup_documents": f"""
+            WITH {_NGRAM_PAIR_CTES}
+            SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+            FROM npairs
+        """,
+        "neardup_clusters_distributed": f"""
+            WITH RECURSIVE {_NGRAM_PAIR_CTES},
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM npairs
+              UNION ALL SELECT doc_b, doc_a FROM npairs
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
             )
-            SELECT doc_a, doc_b,
-                   round(ni / (sa.n + sb.n - ni), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE ni / (sa.n + sb.n - ni) >= 0.5
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+            FROM reach GROUP BY a
         """,
         "quality_documents": """
             WITH q AS (

@@ -656,6 +656,21 @@ def minhash_dedup_clusters_documents(sf_dir: str):
     return minhash_dedup_clusters(ds, threshold=0.4)
 
 
+def neardup_clusters_distributed(sf_dir: str):
+    """Near-dup clusters via DISTRIBUTED min-label propagation (the
+    scale path for when the verified-pair set no longer fits a driver
+    union-find): exact n-gram Jaccard pairs -> BSP connected components
+    -> (doc_id, cluster_id)."""
+    from ..stages.dedup import ngram_jaccard_dedup
+    from ..stages.graph import connected_components_distributed
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = ngram_jaccard_dedup(ds, threshold=0.5)
+    comp = connected_components_distributed(pairs).to_pandas()
+    comp = comp.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(comp, preserve_index=False)
+
+
 def cdc_changefeed_sequential(sf_dir: str):
     """Per-shard sequential decode: exact commit stamping + position
     integrity (E13); per-commit row counts."""
