@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals_events": Q.running_totals_events,
         "scd2_events": Q.scd2_events,
         "snapshot_export_events": Q.snapshot_export_events,
+        "snapshot_diff_events": Q.snapshot_diff_events,
         "distinct_users_per_type": Q.distinct_users_per_type,
         "corr_lineitem": Q.corr_lineitem,
         "global_percentiles_lineitem": Q.global_percentiles_lineitem,
@@ -612,6 +613,34 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         """,
         "snapshot_export_events": _snapshot_export_oracle(),
+        "snapshot_diff_events": """
+            WITH s1 AS (
+              SELECT user_id, event_id, event_type, value FROM (
+                SELECT user_id, event_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_id <= 250) WHERE rn = 1
+            ), s2 AS (
+              SELECT user_id, event_id, event_type, value FROM (
+                SELECT user_id, event_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_id <= 500) WHERE rn = 1
+            )
+            SELECT coalesce(s2.user_id, s1.user_id) AS user_id,
+                   CASE WHEN s1.user_id IS NULL THEN 'added'
+                        WHEN s2.user_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change,
+                   CAST(s1.event_id AS DOUBLE) AS old_event_id,
+                   CAST(s2.event_id AS DOUBLE) AS new_event_id,
+                   s1.event_type AS old_event_type,
+                   s2.event_type AS new_event_type,
+                   s1.value AS old_value,
+                   s2.value AS new_value
+            FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+            WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+               OR s1.event_id <> s2.event_id
+        """,
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events

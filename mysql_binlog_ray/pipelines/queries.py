@@ -1285,6 +1285,40 @@ def snapshot_export_events(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def snapshot_diff_events(sf_dir: str):
+    """Audit-diff of two as-of snapshots (the table-compare a CDC
+    consumer runs over a catch-up window): per user, added/changed state
+    between watermarks 250 and 500, in ONE keyed exchange — never two
+    materialized snapshots joined."""
+    from ..stages.window import snapshot_diff
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+    out = snapshot_diff(
+        ds, "user_id", "event_id", SNAPSHOT_WATERMARKS[0], SNAPSHOT_WATERMARKS[1]
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        # nullable Int64 -> float64 for oracle parity (DuckDB returns
+        # nullable BIGINT as float64 through pandas); ids < 2^53 exact
+        return pa.table(
+            {
+                "user_id": b.column("user_id").cast(pa.int64()),
+                "change": b.column("change"),
+                "old_event_id": b.column("old_event_id").cast(pa.float64()),
+                "new_event_id": b.column("new_event_id").cast(pa.float64()),
+                "old_event_type": b.column("old_event_type"),
+                "new_event_type": b.column("new_event_type"),
+                "old_value": b.column("old_value").cast(pa.float64()),
+                "new_value": b.column("new_value").cast(pa.float64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def distinct_users_per_type(sf_dir: str):
     """count(DISTINCT user_id) per event_type — the distinct-aggregate
     two-level reduce (duplicates collapse per batch before the only

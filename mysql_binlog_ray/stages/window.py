@@ -289,6 +289,128 @@ def asof_snapshots(
     return keyed_reduce(ds, kcols, combine)
 
 
+def snapshot_diff(
+    ds: rd.Dataset,
+    key_col: str | list[str],
+    order_col: str,
+    w_old: int,
+    w_new: int,
+    tombstone_col: str | None = None,
+    compare_cols: list[str] | None = None,
+) -> rd.Dataset:
+    """Diff two as-of snapshots of a keyed version stream in ONE pass:
+    for each key, compare its latest row at watermark ``w_old`` against
+    its latest row at ``w_new`` and emit ``added`` / ``removed`` /
+    ``changed`` rows (unchanged keys are not emitted) — the
+    table-compare a CDC consumer runs to audit what a catch-up window
+    did to the lake.
+
+    ``removed`` requires delete markers: ``tombstone_col`` names a
+    boolean column; a key whose latest row at ``w`` is a tombstone is
+    absent from that snapshot (LWW-lake semantics).  By default a key is
+    ``changed`` when its latest VERSION differs (a newer row arrived in
+    ``(w_old, w_new]``); pass ``compare_cols`` to instead require a
+    NULL-safe value difference on those columns (version-churn with
+    identical values then drops out).
+
+    Output: key columns (from the new side where present), ``change``,
+    and every non-key column twice as ``old_<c>`` / ``new_<c>`` —
+    integer columns as nullable Int64, floats as float64, everything
+    else as object with ``None`` for the absent side.
+
+    Scale shape: ONE keyed exchange (same as a single snapshot), one
+    mergesort per partition, two masked ``np.maximum.reduceat`` picks —
+    never a join of two materialized snapshots.
+    """
+    from .relational import keyed_reduce
+
+    if not w_old < w_new:
+        raise ValueError("snapshot_diff: w_old must be < w_new")
+    kcols = [key_col] if isinstance(key_col, str) else list(key_col)
+    skip = set(kcols) | ({tombstone_col} if tombstone_col else set())
+    w_old, w_new = int(w_old), int(w_new)
+
+    def _side(sub: pd.DataFrame, c: str, absent: np.ndarray) -> pd.Series:
+        s = sub[c]
+        if s.dtype.kind in "iu":
+            s = s.astype("Int64")
+        elif s.dtype.kind == "b":
+            s = s.astype("boolean")
+        elif s.dtype.kind != "f":
+            s = s.astype(object)
+        return s.where(~pd.Series(absent))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        carry = [c for c in g.columns if c not in skip]
+        codes = g.groupby(kcols, sort=False, dropna=False).ngroup().to_numpy()
+        g = (
+            g.assign(_kc=codes)
+            .sort_values(["_kc", order_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        n = len(g)
+        o = g[order_col].to_numpy() if n else np.array([], dtype=np.int64)
+        if o.dtype.kind not in "iu":
+            raise ValueError(
+                f"snapshot_diff: order column {order_col!r} must be integer-typed"
+            )
+        k = g["_kc"].to_numpy()
+        newkey = np.ones(n, dtype=bool)
+        if n:
+            newkey[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(newkey)
+        pos = np.arange(n, dtype=np.int64)
+        sels = []
+        for w in (w_old, w_new):
+            masked = np.where(o <= w, pos, -1)
+            sels.append(
+                np.maximum.reduceat(masked, starts)
+                if len(starts)
+                else np.array([], dtype=np.int64)
+            )
+        sel_old, sel_new = sels
+        tomb = (
+            g[tombstone_col].to_numpy(dtype=bool)
+            if tombstone_col
+            else np.zeros(n, dtype=bool)
+        )
+        p_old = (sel_old >= 0) & ~tomb[np.maximum(sel_old, 0)]
+        p_new = (sel_new >= 0) & ~tomb[np.maximum(sel_new, 0)]
+        added = ~p_old & p_new
+        removed = p_old & ~p_new
+        both = p_old & p_new
+        sub_old_all = g.iloc[np.maximum(sel_old, 0)].reset_index(drop=True)
+        sub_new_all = g.iloc[np.maximum(sel_new, 0)].reset_index(drop=True)
+        if compare_cols is None:
+            changed = both & (sel_old != sel_new)
+        else:
+            diff = np.zeros(len(sel_old), dtype=bool)
+            for c in compare_cols:
+                a, b = sub_old_all[c], sub_new_all[c]
+                eq = (a == b).fillna(False) | (a.isna() & b.isna())
+                diff |= ~eq.to_numpy(dtype=bool)
+            changed = both & diff
+        emit = added | removed | changed
+        idx_old, idx_new = sel_old[emit], sel_new[emit]
+        # absent side = no row picked OR the picked row is a tombstone
+        ab_old, ab_new = ~p_old[emit], ~p_new[emit]
+        sub_old = sub_old_all.loc[emit].reset_index(drop=True)
+        sub_new = sub_new_all.loc[emit].reset_index(drop=True)
+        keysrc = np.where(idx_new >= 0, idx_new, idx_old)
+        out: dict = {}
+        for c in kcols:
+            out[c] = g[c].to_numpy()[keysrc] if len(keysrc) else g[c].to_numpy()[:0]
+        out["change"] = np.select(
+            [added[emit], removed[emit]], ["added", "removed"], default="changed"
+        ).astype(object)
+        for c in carry:
+            out[f"old_{c}"] = _side(sub_old, c, ab_old)
+            out[f"new_{c}"] = _side(sub_new, c, ab_new)
+        return pd.DataFrame(out)
+
+    return keyed_reduce(ds, kcols, combine)
+
+
 def rollup_aggregate(
     ds: rd.Dataset,
     keys: list[str],

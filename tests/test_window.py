@@ -321,3 +321,60 @@ class TestGroupingSets:
             grouping_sets_aggregate(
                 ds, ["a"], {"s": ("v", "sum")}, [frozenset(), frozenset()]
             )
+
+
+class TestSnapshotDiff:
+    """snapshot_diff: tombstone (removed) and compare_cols semantics the
+    events-table oracle query can't exercise (events has no deletes and
+    no value-identical version churn)."""
+
+    def _stream(self):
+        # key 1: created then deleted in (w_old, w_new]        -> removed
+        # key 2: created after w_old                           -> added
+        # key 3: updated with a DIFFERENT value                -> changed
+        # key 4: updated with the SAME value (version churn)
+        # key 5: untouched                                     -> absent
+        # key 6: deleted before w_old, re-created after        -> added
+        return pd.DataFrame(
+            {
+                "k": [1, 1, 2, 3, 3, 4, 4, 5, 6, 6, 6],
+                "seq": [10, 25, 30, 11, 26, 12, 27, 13, 5, 8, 28],
+                "v": ["a", "a", "b", "c", "C", "d", "d", "e", "f", "f", "F"],
+                "del": [False, True, False, False, False, False, False,
+                        False, False, True, False],
+            }
+        )
+
+    def _run(self, **kw):
+        from mysql_binlog_ray.stages.window import snapshot_diff
+
+        ds = rd.from_pandas(self._stream())
+        out = snapshot_diff(
+            ds, "k", "seq", 20, 40, tombstone_col="del", **kw
+        ).to_pandas()
+        return out.sort_values("k").reset_index(drop=True)
+
+    def test_version_based_change(self, ray_session):
+        out = self._run()
+        assert dict(zip(out["k"], out["change"])) == {
+            1: "removed", 2: "added", 3: "changed", 4: "changed", 6: "added"
+        }
+        r = out.set_index("k")
+        assert pd.isna(r.loc[1, "new_v"]) and r.loc[1, "old_v"] == "a"
+        assert pd.isna(r.loc[2, "old_v"]) and r.loc[2, "new_v"] == "b"
+        assert (r.loc[3, "old_v"], r.loc[3, "new_v"]) == ("c", "C")
+        # key 6 was a tombstone at w_old -> old side absent
+        assert pd.isna(r.loc[6, "old_v"]) and r.loc[6, "new_v"] == "F"
+        assert int(r.loc[3, "old_seq"]) == 11 and int(r.loc[3, "new_seq"]) == 26
+
+    def test_value_compare_drops_identical_churn(self, ray_session):
+        out = self._run(compare_cols=["v"])
+        assert dict(zip(out["k"], out["change"])) == {
+            1: "removed", 2: "added", 3: "changed", 6: "added"
+        }
+
+    def test_rejects_bad_watermarks(self, ray_session):
+        from mysql_binlog_ray.stages.window import snapshot_diff
+
+        with pytest.raises(ValueError, match="w_old"):
+            snapshot_diff(rd.from_pandas(self._stream()), "k", "seq", 40, 20)
