@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": Q.topk_orders,
         "distinct_users": Q.distinct_users,
         "stratified_sample_documents": Q.stratified_sample_documents,
+        "weighted_sample_documents": Q.weighted_sample_documents,
         "distinct_lang_source": Q.distinct_lang_source,
         "approx_distinct_users": Q.approx_distinct_users,
         # dedup / text / similarity
@@ -126,6 +127,19 @@ _NGRAM_PAIR_CTES = """
               JOIN sizes sb ON sb.doc_id = doc_b
               WHERE ni / (sa.n + sb.n - ni) >= 0.5
             )"""
+
+
+def _weighted_sample_oracle() -> str:
+    from mysql_binlog_ray.pipelines.queries import WEIGHTED_SAMPLE_DENOM
+    from mysql_binlog_ray.stages.split import weighted_bernoulli_sample_sql
+
+    pred = weighted_bernoulli_sample_sql("doc_id", "n_chars", WEIGHTED_SAMPLE_DENOM)
+    return f"""
+        WITH t AS (
+          SELECT doc_id, length(coalesce(text, '')) AS n_chars FROM documents
+        )
+        SELECT doc_id, n_chars FROM t WHERE {pred}
+    """
 
 
 def _split_documents_oracle() -> str:
@@ -586,6 +600,7 @@ def oracle_sql() -> dict[str, str]:
         # generated from the SAME cut points + splitmix64 constants as the
         # numpy path (stages/split.py) — one source of truth, bit-exact
         "split_documents": _split_documents_oracle(),
+        "weighted_sample_documents": _weighted_sample_oracle(),
         "chunk_documents": _chunk_documents_oracle(),
         "shuffle_order_documents": _shuffle_order_oracle(),
         "pack_sequences_documents": _pack_sequences_oracle(),

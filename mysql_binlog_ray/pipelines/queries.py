@@ -1285,6 +1285,25 @@ def snapshot_export_events(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+WEIGHTED_SAMPLE_DENOM = 600  # chars: p = min(1, n_chars/600)
+
+
+def weighted_sample_documents(sf_dir: str):
+    """Deterministic length-proportional document sample (mixture
+    reweighting by token mass): keep with p = min(1, n_chars/600),
+    integer-exact inclusion — map-only, no shuffle."""
+    from ..stages.split import weighted_bernoulli_sample
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def with_len(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(pc.fill_null(b.column("text"), "")), pa.int64())
+        return pa.table({"doc_id": b.column("doc_id"), "n_chars": n})
+
+    sized = ds.map_batches(with_len, batch_format="pyarrow")
+    return weighted_bernoulli_sample(sized, "doc_id", "n_chars", WEIGHTED_SAMPLE_DENOM)
+
+
 def snapshot_diff_events(sf_dir: str):
     """Audit-diff of two as-of snapshots (the table-compare a CDC
     consumer runs over a catch-up window): per user, added/changed state

@@ -136,6 +136,73 @@ def hash_split_sql(
     return f"CASE {cases} ELSE '{labels[-1]}' END"
 
 
+WEIGHTED_SAMPLE_SEED = 0x5EED_FACE_01
+
+
+def weighted_bernoulli_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    weight_col: str,
+    denom: int,
+    seed: int = WEIGHTED_SAMPLE_SEED,
+) -> rd.Dataset:
+    """Deterministic weight-proportional Bernoulli sample: keep a row
+    with probability ``min(1, weight / denom)`` — e.g. sampling training
+    documents proportional to length so the SAMPLE's token mass, not its
+    document count, is uniform per source row (the standard
+    mixture-reweighting primitive).
+
+    Inclusion is a pure function of ``(key, seed, weight, denom)``:
+    ``splitmix64(key + seed) * denom < weight * 2**64`` — integer-EXACT
+    (no float rounding; the SQL twin runs the same inequality in
+    HUGEINT), so re-runs, repartitions and incremental appends never
+    flip a row.  Keys must be non-negative ints, weights non-negative
+    ints, ``denom`` a positive int.  Map-only: no shuffle, no driver.
+    """
+    if denom <= 0:
+        raise ValueError("denom must be a positive integer")
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch[key_col].to_numpy()
+        w = batch[weight_col].to_numpy()
+        if len(keys) == 0:
+            return batch
+        if keys.min() < 0 or w.min() < 0:
+            raise ValueError("weighted_bernoulli_sample: keys and weights must be >= 0")
+        with np.errstate(over="ignore"):
+            h = splitmix64(keys.astype(_U) + _U(seed % _MOD))
+        # h * denom < w * 2**64  <=>  h <= (w * 2**64 - 1) // denom,
+        # with w >= denom always true (h < 2**64).  Thresholds computed
+        # in exact Python ints per UNIQUE weight — each fits uint64 when
+        # 0 < w < denom, so the vectorized compare never touches floats.
+        always = w >= denom
+        small = ~always & (w > 0)
+        uw = np.unique(w[small])
+        thr = np.array(
+            [((int(x) << 64) - 1) // denom for x in uw], dtype=np.uint64
+        )
+        keep = always.copy()
+        if len(uw):
+            t = thr[np.searchsorted(uw, w[small])]
+            keep[small] = h[small].astype(np.uint64) <= t
+        return batch.loc[keep]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+def weighted_bernoulli_sample_sql(
+    key_expr: str, weight_expr: str, denom: int, seed: int = WEIGHTED_SAMPLE_SEED
+) -> str:
+    """DuckDB WHERE predicate matching :func:`weighted_bernoulli_sample`
+    bit-for-bit: both sides of the inequality stay in HUGEINT (max
+    ~2**64 * denom — keep ``denom`` under ~2**62)."""
+    h = splitmix64_sql(key_expr, seed)
+    return (
+        f"(CAST({h} AS HUGEINT) * {int(denom)}"
+        f" < CAST({weight_expr} AS HUGEINT) * 18446744073709551616)"
+    )
+
+
 def chunk_documents(
     ds: rd.Dataset,
     text_col: str = "text",

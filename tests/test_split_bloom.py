@@ -274,3 +274,71 @@ class TestIncrementalDedup:
             rd.from_pandas(new), rd.from_pandas(corpus)
         ).to_pandas()
         assert len(out) == 0
+
+
+class TestWeightedBernoulliSample:
+    """Integer-exact weight-proportional sampling: boundary semantics
+    and bit-parity with a per-row big-int reference."""
+
+    def _run(self, df, denom, seed=7):
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.split import weighted_bernoulli_sample
+
+        out = weighted_bernoulli_sample(
+            rd.from_pandas(df), "k", "w", denom, seed=seed
+        ).to_pandas()
+        return sorted(out["k"])
+
+    def test_matches_bigint_reference(self):
+        from mysql_binlog_ray.stages.split import splitmix64
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame(
+            {
+                "k": np.arange(5000, dtype=np.int64),
+                "w": rng.integers(0, 900, 5000).astype(np.int64),
+            }
+        )
+        denom = 600
+        h = splitmix64(df["k"].to_numpy().astype(np.uint64) + np.uint64(7))
+        exp = [
+            int(k)
+            for k, w, hh in zip(df["k"], df["w"], h)
+            if int(hh) * denom < int(w) << 64
+        ]
+        assert self._run(df, denom) == exp
+
+    def test_weight_ge_denom_always_kept_zero_never(self):
+        df = pd.DataFrame(
+            {"k": np.arange(50, dtype=np.int64),
+             "w": np.array([0, 600, 601, 10**9] * 12 + [0, 600], np.int64)}
+        )
+        kept = self._run(df, 600)
+        assert all(int(k) in kept for k in df.loc[df["w"] >= 600, "k"])
+        assert not any(int(k) in kept for k in df.loc[df["w"] == 0, "k"])
+
+    def test_sql_twin_agrees(self):
+        import duckdb
+
+        from mysql_binlog_ray.stages.split import weighted_bernoulli_sample_sql
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 2**62, 800).astype(np.int64),
+                "w": rng.integers(0, 1200, 800).astype(np.int64),
+            }
+        )
+        pred = weighted_bernoulli_sample_sql("k", "w", 600, seed=7)
+        exp = sorted(duckdb.sql(f"SELECT k FROM df WHERE {pred}").df()["k"])
+        assert self._run(df, 600) == [int(x) for x in exp]
+
+    def test_rejects_bad_inputs(self):
+        import pytest
+
+        df = pd.DataFrame({"k": np.array([-1], np.int64), "w": np.array([5], np.int64)})
+        with pytest.raises(Exception, match=">= 0"):
+            self._run(df, 600)
+        with pytest.raises(ValueError, match="denom"):
+            self._run(pd.DataFrame({"k": [1], "w": [1]}), 0)
