@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": Q.distinct_users,
         "stratified_sample_documents": Q.stratified_sample_documents,
         "weighted_sample_documents": Q.weighted_sample_documents,
+        "outer_join_user_funnel": Q.outer_join_user_funnel,
         "distinct_lang_source": Q.distinct_lang_source,
         "approx_distinct_users": Q.approx_distinct_users,
         # dedup / text / similarity
@@ -601,6 +602,19 @@ def oracle_sql() -> dict[str, str]:
         # numpy path (stages/split.py) — one source of truth, bit-exact
         "split_documents": _split_documents_oracle(),
         "weighted_sample_documents": _weighted_sample_oracle(),
+        "outer_join_user_funnel": """
+            WITH c AS (
+              SELECT user_id, count(*) AS n_clicks FROM events
+              WHERE event_type = 'click' GROUP BY 1
+            ), p AS (
+              SELECT user_id, count(*) AS n_purchases FROM events
+              WHERE event_type = 'purchase' GROUP BY 1
+            )
+            SELECT coalesce(c.user_id, p.user_id) AS user_id,
+                   CAST(c.n_clicks AS DOUBLE) AS n_clicks,
+                   CAST(p.n_purchases AS DOUBLE) AS n_purchases
+            FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+        """,
         "chunk_documents": _chunk_documents_oracle(),
         "shuffle_order_documents": _shuffle_order_oracle(),
         "pack_sequences_documents": _pack_sequences_oracle(),

@@ -1285,6 +1285,48 @@ def snapshot_export_events(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def outer_join_user_funnel(sf_dir: str):
+    """FULL OUTER join of two aggregate branches (per-user click counts
+    vs purchase counts): users in either branch survive with NULLs on
+    the missing side — the funnel-audit shape.  Each branch pre-aggregates
+    per batch before its shuffle; the join is Ray's hash-partitioned
+    full_outer with adaptive fanout."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def branch(ev_type: str, out_col: str):
+        def keep(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("event_type"), ev_type)).select(["user_id"])
+
+        agg = R.preagg_groupby(
+            ev.map_batches(keep, batch_format="pyarrow"),
+            ["user_id"],
+            {out_col: (None, "count")},
+        )
+        proto = {"user_id": "int64", out_col: "int64"}
+        # the aggregate's schema-less empty blocks would crash the
+        # block-level outer join — physically drop them (see helper)
+        return R.drop_empty_blocks(R.normalize_empty_blocks(agg, proto), proto)
+
+    j = R.hash_join(
+        branch("click", "n_clicks"),
+        branch("purchase", "n_purchases"),
+        on="user_id",
+        right_on="user_id",
+        join_type="full_outer",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id").cast(pa.int64()),
+                "n_clicks": b.column("n_clicks").cast(pa.float64()),
+                "n_purchases": b.column("n_purchases").cast(pa.float64()),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 WEIGHTED_SAMPLE_DENOM = 600  # chars: p = min(1, n_chars/600)
 
 

@@ -181,6 +181,30 @@ def normalize_empty_blocks(ds: rd.Dataset, proto: dict[str, str]) -> rd.Dataset:
     return ds.map_batches(fix, batch_format="pyarrow")
 
 
+def drop_empty_blocks(ds: rd.Dataset, proto: dict[str, str]) -> rd.Dataset:
+    """Physically remove 0-row blocks from a dataset.
+
+    Ray 2.49 SKIPS map UDFs on 0-row blocks (``plan_udf_map_op.py``'s
+    empty-block passthrough), so the schema-less empty blocks some
+    all-to-all ops emit survive :func:`normalize_empty_blocks` untouched
+    and crash block-level consumers (``Dataset.join``'s per-partition
+    Arrow join fails with "No match for key field ...").  This
+    materializes the input and rebuilds it from the non-empty block
+    REFS — the driver touches refs + metadata only, never rows.  Use it
+    on SMALL shuffle outputs (aggregates) feeding a join; ``proto``
+    (Arrow type aliases) supplies the schema when every block is empty.
+    """
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        schema = pa.schema([(c, pa.type_for_alias(t)) for c, t in proto.items()])
+        return rd.from_arrow(schema.empty_table())
+    return rd.from_arrow_refs(refs)
+
+
 def broadcast_once(obj, prepare: Callable | None = None) -> Callable[[], object]:
     """``ray.put`` once, read once per worker process: returns a getter
     whose closure cache persists across tasks (map fns are deserialized
@@ -511,12 +535,26 @@ def hash_join(
             num_partitions = adaptive_num_parts(
                 lb + rb, target_part_bytes, min_parts=16
             )
+    # Ray's join spawns an aggregator ACTOR pool whose default per-actor
+    # CPU reservation scales with partitions-per-aggregator; when the
+    # pool's total reservation exceeds the cluster the actors never all
+    # become ready and the join deadlocks (observed: 64 partitions on an
+    # 8-CPU local cluster).  Cap the fanout at the cluster CPU count —
+    # cluster-proportional, so still data-sized on a real cluster — and
+    # reserve a flat 0.5 CPU per aggregator so the pool plus the
+    # upstream map tasks always fit.
+    cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
+    num_partitions = max(2, min(num_partitions, cpus))
     return left_ds.join(
         right_ds,
         join_type=join_type,
         num_partitions=num_partitions,
         on=(on,),
         right_on=(right_on,),
+        aggregator_ray_remote_args={
+            "num_cpus": 0.5,
+            "scheduling_strategy": "SPREAD",
+        },
     )
 
 

@@ -1050,3 +1050,42 @@ class TestTrainingDataOps2:
             "",
         ]
         assert out["n_redacted"].tolist() == [2, 2, 0]
+
+
+class TestDropEmptyBlocks:
+    """Ray skips map UDFs on 0-row blocks, so schema-less empties from
+    all-to-all ops crash the block-level join — drop_empty_blocks must
+    remove them physically."""
+
+    def test_empty_blocks_dropped_and_join_survives(self, ray_session):
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.relational import drop_empty_blocks, hash_join
+
+        left = rd.from_arrow([pa.table({"k": [1, 2], "x": [10, 20]}), pa.table({})])
+        left = drop_empty_blocks(left, {"k": "int64", "x": "int64"})
+        for bundle in left.iter_internal_ref_bundles():
+            for ref, meta in bundle.blocks:
+                assert meta.num_rows != 0
+        right = rd.from_arrow(pa.table({"k": [2, 3], "y": [200, 300]}))
+        out = (
+            hash_join(left, right, on="k", right_on="k", join_type="full_outer")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert list(out["k"]) == [1, 2, 3]
+        assert out["x"].tolist()[2] != out["x"].tolist()[2] or out["x"].isna()[2]
+
+    def test_all_empty_returns_schemad_empty(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.relational import drop_empty_blocks
+
+        ds = rd.from_arrow([pa.table({}), pa.table({})])
+        out = drop_empty_blocks(ds, {"k": "int64"})
+        assert out.count() == 0
+        assert out.schema().names == ["k"]
