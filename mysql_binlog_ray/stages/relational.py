@@ -529,11 +529,14 @@ def hash_join(
     if num_partitions is None:
         lb = metadata_size_bytes(left_ds)
         rb = metadata_size_bytes(right_ds)
-        if lb is None or rb is None:
+        if lb is None and rb is None:
             num_partitions = 64
         else:
+            # size from whatever is known: one measurable 100 TB side
+            # must still drive the fanout even when the other side is a
+            # transformed (unmeasurable-without-executing) dataset
             num_partitions = adaptive_num_parts(
-                lb + rb, target_part_bytes, min_parts=16
+                (lb or 0) + (rb or 0), target_part_bytes, min_parts=16
             )
     # Ray's join spawns an aggregator ACTOR pool whose default per-actor
     # CPU reservation scales with partitions-per-aggregator; when the

@@ -32,6 +32,24 @@ WindowSpec = dict[str, tuple[str, str | None]]
 _KINDS = ("row_number", "lag_diff", "run_sum")
 
 
+def _kcols(key_col: str | list[str]) -> list[str]:
+    return [key_col] if isinstance(key_col, str) else list(key_col)
+
+
+def _sort_by_key_codes(g: pd.DataFrame, kcols: list[str], order_col: str) -> pd.DataFrame:
+    """The ONE composite-key coding + (key, order) mergesort shared by
+    every per-partition combiner here: ``ngroup`` with ``dropna=False``
+    keeps NULL key combos as one group each (SQL PARTITION BY parity);
+    returns the frame sorted by ``(_kc, order_col)`` with the ``_kc``
+    code column attached."""
+    codes = g.groupby(kcols, sort=False, dropna=False).ngroup().to_numpy()
+    return (
+        g.assign(_kc=codes)
+        .sort_values(["_kc", order_col], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 def window_over(
     ds: rd.Dataset,
     key_col: str,
@@ -194,17 +212,10 @@ def scd2_history(
 
     from .relational import keyed_reduce
 
-    kcols = [key_col] if isinstance(key_col, str) else list(key_col)
+    kcols = _kcols(key_col)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        # ngroup: vectorized composite-key coding; dropna=False keeps
-        # NULL key combos as one group each (SQL PARTITION BY parity)
-        codes = g.groupby(kcols, sort=False, dropna=False).ngroup().to_numpy()
-        g = (
-            g.assign(_kc=codes)
-            .sort_values(["_kc", order_col], kind="mergesort")
-            .reset_index(drop=True)
-        )
+        g = _sort_by_key_codes(g, kcols, order_col)
         n = len(g)
         k = g["_kc"].to_numpy()
         o = g[order_col].to_numpy()
@@ -247,16 +258,11 @@ def asof_snapshots(
 
     from .relational import keyed_reduce
 
-    kcols = [key_col] if isinstance(key_col, str) else list(key_col)
+    kcols = _kcols(key_col)
     wms = sorted(set(int(w) for w in watermarks))
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        codes = g.groupby(kcols, sort=False, dropna=False).ngroup().to_numpy()
-        g = (
-            g.assign(_kc=codes)
-            .sort_values(["_kc", order_col], kind="mergesort")
-            .reset_index(drop=True)
-        )
+        g = _sort_by_key_codes(g, kcols, order_col)
         n = len(g)
         if n == 0:
             out = g.drop(columns=["_kc"]).copy()
@@ -326,7 +332,7 @@ def snapshot_diff(
 
     if not w_old < w_new:
         raise ValueError("snapshot_diff: w_old must be < w_new")
-    kcols = [key_col] if isinstance(key_col, str) else list(key_col)
+    kcols = _kcols(key_col)
     skip = set(kcols) | ({tombstone_col} if tombstone_col else set())
     w_old, w_new = int(w_old), int(w_new)
 
@@ -342,12 +348,7 @@ def snapshot_diff(
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         carry = [c for c in g.columns if c not in skip]
-        codes = g.groupby(kcols, sort=False, dropna=False).ngroup().to_numpy()
-        g = (
-            g.assign(_kc=codes)
-            .sort_values(["_kc", order_col], kind="mergesort")
-            .reset_index(drop=True)
-        )
+        g = _sort_by_key_codes(g, kcols, order_col)
         n = len(g)
         o = g[order_col].to_numpy() if n else np.array([], dtype=np.int64)
         if o.dtype.kind not in "iu":

@@ -320,3 +320,44 @@ class TestScd2OnCdcChangefeed:
         assert (
             chained["valid_to"].to_numpy() == nxt.fillna(-1).astype(np.int64).to_numpy()
         ).all()
+
+
+class TestAsofSnapshotsCompositeKeys:
+    """Composite and NULL-component keys for asof_snapshots — pinned
+    against DuckDB's per-watermark row_number pick."""
+
+    def _df(self):
+        rng = np.random.default_rng(9)
+        return pd.DataFrame(
+            {
+                "k1": pd.array(
+                    [None if x < 8 else int(x % 5) for x in rng.integers(0, 100, 300)],
+                    dtype="Int64",
+                ),
+                "k2": [("a", "b", None)[x % 3] for x in range(300)],
+                "o": np.arange(300, dtype=np.int64),
+                "payload": rng.integers(0, 1000, 300),
+            }
+        )
+
+    def test_matches_duckdb_multi_watermark(self, ray_session):
+        df = self._df()
+        ds = rd.from_pandas(df).repartition(5)
+        got = _sorted_df(asof_snapshots(ds, ["k1", "k2"], "o", [50, 170, 999]))
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = _sorted_df(
+            con.execute(
+                """
+                SELECT w AS watermark, k1, k2, o, payload FROM (
+                  SELECT t.*, wm.w,
+                         row_number() OVER (PARTITION BY wm.w, k1, k2
+                                            ORDER BY o DESC) AS rn
+                  FROM t JOIN (VALUES (50), (170), (999)) wm(w) ON t.o <= wm.w
+                ) WHERE rn = 1
+                """
+            ).df()
+        )
+        got = got.astype({"k1": "float64", "payload": "int64", "watermark": "int64"})
+        exp = exp.astype({"k1": "float64", "payload": "int64", "watermark": "int64"})
+        pd.testing.assert_frame_equal(got, exp)
