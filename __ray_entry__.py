@@ -130,6 +130,39 @@ _NGRAM_PAIR_CTES = """
             )"""
 
 
+def _snapshot_diff_oracle() -> str:
+    """Watermarks derive from the SAME constant the engine query reads
+    (SNAPSHOT_WATERMARKS[0..1]) — retuning the constant can never split
+    the two sides silently."""
+    from mysql_binlog_ray.pipelines.queries import SNAPSHOT_WATERMARKS
+
+    w_old, w_new = SNAPSHOT_WATERMARKS[0], SNAPSHOT_WATERMARKS[1]
+    snap = """
+              SELECT user_id, event_id, event_type, value FROM (
+                SELECT user_id, event_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_id <= {w}) WHERE rn = 1"""
+    return f"""
+            WITH s1 AS ({snap.format(w=w_old)}
+            ), s2 AS ({snap.format(w=w_new)}
+            )
+            SELECT coalesce(s2.user_id, s1.user_id) AS user_id,
+                   CASE WHEN s1.user_id IS NULL THEN 'added'
+                        WHEN s2.user_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change,
+                   CAST(s1.event_id AS DOUBLE) AS old_event_id,
+                   CAST(s2.event_id AS DOUBLE) AS new_event_id,
+                   s1.event_type AS old_event_type,
+                   s2.event_type AS new_event_type,
+                   s1.value AS old_value,
+                   s2.value AS new_value
+            FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+            WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+               OR s1.event_id <> s2.event_id
+    """
+
+
 def _weighted_sample_oracle() -> str:
     from mysql_binlog_ray.pipelines.queries import WEIGHTED_SAMPLE_DENOM
     from mysql_binlog_ray.stages.split import weighted_bernoulli_sample_sql
@@ -642,34 +675,7 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         """,
         "snapshot_export_events": _snapshot_export_oracle(),
-        "snapshot_diff_events": """
-            WITH s1 AS (
-              SELECT user_id, event_id, event_type, value FROM (
-                SELECT user_id, event_id, event_type, value,
-                       row_number() OVER (PARTITION BY user_id
-                                          ORDER BY event_id DESC) AS rn
-                FROM events WHERE event_id <= 250) WHERE rn = 1
-            ), s2 AS (
-              SELECT user_id, event_id, event_type, value FROM (
-                SELECT user_id, event_id, event_type, value,
-                       row_number() OVER (PARTITION BY user_id
-                                          ORDER BY event_id DESC) AS rn
-                FROM events WHERE event_id <= 500) WHERE rn = 1
-            )
-            SELECT coalesce(s2.user_id, s1.user_id) AS user_id,
-                   CASE WHEN s1.user_id IS NULL THEN 'added'
-                        WHEN s2.user_id IS NULL THEN 'removed'
-                        ELSE 'changed' END AS change,
-                   CAST(s1.event_id AS DOUBLE) AS old_event_id,
-                   CAST(s2.event_id AS DOUBLE) AS new_event_id,
-                   s1.event_type AS old_event_type,
-                   s2.event_type AS new_event_type,
-                   s1.value AS old_value,
-                   s2.value AS new_value
-            FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
-            WHERE s1.user_id IS NULL OR s2.user_id IS NULL
-               OR s1.event_id <> s2.event_id
-        """,
+        "snapshot_diff_events": _snapshot_diff_oracle(),
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events

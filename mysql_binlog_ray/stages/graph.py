@@ -71,8 +71,9 @@ def connected_components_distributed(
     ONE scalar from a ``sum`` aggregate) or at ``max_rounds``, which
     warns and returns the current labels — like the LSH bucket caps,
     never silent.  ``num_parts`` pins the exchange fanout (tests);
-    ``None`` sizes it adaptively from the materialized edge set ONCE
-    (``est_input_bytes``), so rounds add no sizing materializations.
+    ``None`` sizes it ONCE from the materialized edge set with a
+    CPU-count floor (rounds pay the fanout twice, so a tiny graph must
+    not issue 64-way shuffles per round) — no per-round sizing work.
     """
     eds = _as_dataset(edges, a, b)
 
@@ -97,7 +98,19 @@ def connected_components_distributed(
         return rd.from_arrow(
             pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
         )
-    est_bytes = max(1, sym.size_bytes() or 1) if num_parts is None else None
+    if num_parts is None:
+        # size the per-round exchange fanout ONCE from the edge set; the
+        # small-graph floor is the CPU count, not keyed_reduce's default
+        # 64 — every round pays the fanout TWICE, so a tiny graph must
+        # not issue 128 shuffle partitions per round
+        import ray
+
+        from .relational import adaptive_num_parts
+
+        cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
+        num_parts = adaptive_num_parts(
+            max(1, sym.size_bytes() or 1), min_parts=max(2, min(64, cpus))
+        )
 
     def init_labels(g: pd.DataFrame) -> pd.DataFrame:
         lab = g.groupby("node", sort=False)["other"].min()
@@ -108,7 +121,7 @@ def connected_components_distributed(
 
     # round 0 folded into init: label = min(self, neighbors)
     labels = keyed_reduce(
-        sym, ["node"], init_labels, num_parts=num_parts, est_input_bytes=est_bytes
+        sym, ["node"], init_labels, num_parts=num_parts
     ).materialize()
 
     def propagate(g: pd.DataFrame) -> pd.DataFrame:
@@ -131,16 +144,21 @@ def connected_components_distributed(
     def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
         label = g.groupby("node", sort=False)["cand"].min()
         old = g.loc[g["is_old"] == 1].groupby("node", sort=False)["cand"].min()
-        old_np = old.reindex(label.index).to_numpy(dtype=np.float64)
+        old = old.reindex(label.index)
+        if old.isna().any():
+            # impossible by construction — every node re-emits its label
+            # each round; NEVER compare through float64 (ids >= 2^53
+            # would alias and freeze propagation early)
+            raise AssertionError(
+                "connected_components_distributed: node received messages "
+                "but has no retention label row"
+            )
         lab_np = label.to_numpy(dtype=np.int64)
         return pd.DataFrame(
             {
                 "node": label.index.to_numpy(dtype=np.int64),
                 "label": lab_np,
-                # NaN old (node with messages but no retention row cannot
-                # happen — every node re-emits its label — but a NaN
-                # comparison is False, i.e. "unchanged", never a crash)
-                "changed": (lab_np < old_np).astype(np.int64),
+                "changed": (lab_np < old.to_numpy(dtype=np.int64)).astype(np.int64),
             }
         )
 
@@ -159,10 +177,10 @@ def connected_components_distributed(
         rounds += 1
         both = sym.union(labels.map_batches(labels_as_rows, batch_format="pyarrow"))
         msgs = keyed_reduce(
-            both, ["node"], propagate, num_parts=num_parts, est_input_bytes=est_bytes
+            both, ["node"], propagate, num_parts=num_parts
         )
         new_labels = keyed_reduce(
-            msgs, ["node"], reduce_min, num_parts=num_parts, est_input_bytes=est_bytes
+            msgs, ["node"], reduce_min, num_parts=num_parts
         ).materialize()
         n_changed = int(new_labels.sum("changed") or 0)
         labels = new_labels

@@ -197,7 +197,14 @@ def drop_empty_blocks(ds: rd.Dataset, proto: dict[str, str]) -> rd.Dataset:
     refs = []
     for bundle in ds.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
-            if meta.num_rows is None or meta.num_rows:
+            if meta.num_rows is None:
+                # unknown count: fetch and check — passing it through
+                # unseen would defeat the helper's whole purpose
+                blk = ray.get(ref)
+                n = blk.num_rows if hasattr(blk, "num_rows") else len(blk)
+                if n:
+                    refs.append(ref)
+            elif meta.num_rows:
                 refs.append(ref)
     if not refs:
         schema = pa.schema([(c, pa.type_for_alias(t)) for c, t in proto.items()])
@@ -530,7 +537,13 @@ def hash_join(
         lb = metadata_size_bytes(left_ds)
         rb = metadata_size_bytes(right_ds)
         if lb is None and rb is None:
-            num_partitions = 64
+            # no size signal at all: scale the guess with the cluster
+            # (each partition costs an aggregator slot + actor startup,
+            # so a flat 64 over-pays on small clusters and under-splits
+            # on big ones)
+            num_partitions = max(
+                16, min(256, int(ray.cluster_resources().get("CPU", 8) or 8))
+            )
         else:
             # size from whatever is known: one measurable 100 TB side
             # must still drive the fanout even when the other side is a
@@ -540,14 +553,23 @@ def hash_join(
             )
     # Ray's join spawns an aggregator ACTOR pool whose default per-actor
     # CPU reservation scales with partitions-per-aggregator; when the
-    # pool's total reservation exceeds the cluster the actors never all
-    # become ready and the join deadlocks (observed: 64 partitions on an
-    # 8-CPU local cluster).  Cap the fanout at the cluster CPU count —
-    # cluster-proportional, so still data-sized on a real cluster — and
-    # reserve a flat 0.5 CPU per aggregator so the pool plus the
-    # upstream map tasks always fit.
+    # pool's total reservation reaches the cluster size the actors (or
+    # the upstream map tasks they must coexist with) never all become
+    # ready and the join deadlocks (observed: 64 partitions on an 8-CPU
+    # local cluster).  The fix must NOT cap num_partitions (each
+    # aggregator materializes its partitions — capping fanout at CPUs
+    # makes partitions O(data/CPUs) and OOMs on big joins): instead size
+    # the PER-AGGREGATOR reservation so the whole pool totals ~half the
+    # cluster, leaving the other half to the upstream map tasks.
+    # (Mutating DataContext doesn't work here: the operator uses the
+    # context captured at dataset creation.)
     cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
-    num_partitions = max(2, min(num_partitions, cpus))
+    ctx_max = (
+        getattr(rd.DataContext.get_current(), "max_hash_shuffle_aggregators", None)
+        or 64
+    )
+    expected_aggs = max(1, min(num_partitions, ctx_max))
+    per_agg_cpus = max(0.05, (cpus / 2) / expected_aggs)
     return left_ds.join(
         right_ds,
         join_type=join_type,
@@ -555,7 +577,7 @@ def hash_join(
         on=(on,),
         right_on=(right_on,),
         aggregator_ray_remote_args={
-            "num_cpus": 0.5,
+            "num_cpus": per_agg_cpus,
             "scheduling_strategy": "SPREAD",
         },
     )

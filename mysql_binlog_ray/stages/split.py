@@ -165,6 +165,13 @@ def weighted_bernoulli_sample(
     def pick(batch: pd.DataFrame) -> pd.DataFrame:
         keys = batch[key_col].to_numpy()
         w = batch[weight_col].to_numpy()
+        if w.dtype.kind not in "iu":
+            # float weights would floor here but round-to-nearest in the
+            # SQL twin's CAST — refuse rather than silently diverge
+            raise ValueError(
+                "weighted_bernoulli_sample: weights must be integer-typed "
+                "(pre-scale fractional weights to integers)"
+            )
         if len(keys) == 0:
             return batch
         if keys.min() < 0 or w.min() < 0:

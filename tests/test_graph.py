@@ -73,3 +73,16 @@ def test_cc_distributed_rejects_negative_ids():
     e = pd.DataFrame({"doc_a": np.array([-1], np.int64), "doc_b": np.array([2], np.int64)})
     with pytest.raises(Exception, match="node ids"):
         connected_components_distributed(e).materialize()
+
+
+def test_cc_distributed_exact_above_2_53():
+    # label changes of +-1 at >= 2^53 alias in float64; the changed
+    # detector must compare in int64 (regression: review finding)
+    base = 1 << 53
+    e = pd.DataFrame(
+        {
+            "doc_a": np.array([base, base + 4, base + 1], np.int64),
+            "doc_b": np.array([base + 4, base + 1, base + 2], np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(_dist(e, num_parts=2), _uf(e))
