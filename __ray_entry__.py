@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_exact": Q.embedding_neardup_exact_embeddings,
         "ngram_neardup_documents": Q.ngram_neardup_documents,
         "neardup_clusters_distributed": Q.neardup_clusters_distributed,
+        "dedup_spans_documents": Q.dedup_spans_documents,
         "multimodal_image_pipeline": Q.multimodal_image_pipeline,
         "multimodal_av_pipeline": Q.multimodal_av_pipeline,
         # the CDC pipeline itself (oracle = replay tests, rows-only here)
@@ -932,6 +933,39 @@ def oracle_sql() -> dict[str, str]:
             WITH {_NGRAM_PAIR_CTES}
             SELECT doc_a, doc_b, round(jac, 6) AS jaccard
             FROM npairs
+        """,
+        "dedup_spans_documents": """
+            WITH words AS (
+              SELECT doc_id, string_split_regex(trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \\t\\n\\r\\f\\v]+') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id, i AS pos,
+                     array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+              FROM words, unnest(generate_series(1, len(w) - 4)) AS t(i)
+              WHERE len(w) >= 5
+            ), dup AS (
+              SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+            ), cov AS (
+              SELECT DISTINCT g.doc_id, p.p
+              FROM g JOIN dup USING (gram),
+                   unnest(generate_series(g.pos, g.pos + 4)) AS p(p)
+            ), tok AS (
+              SELECT doc_id, w[i] AS word, i AS pos
+              FROM words, unnest(generate_series(1, len(w))) AS t(i)
+              WHERE NOT (len(w) = 1 AND w[1] = '')
+            ), clean AS (
+              SELECT t.doc_id,
+                     coalesce(string_agg(t.word, ' ' ORDER BY t.pos)
+                              FILTER (WHERE c.doc_id IS NULL), '') AS clean_text,
+                     count(*) FILTER (WHERE c.doc_id IS NOT NULL) AS n_removed
+              FROM tok t
+              LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.pos
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(cl.clean_text, '') AS clean_text,
+                   CAST(coalesce(cl.n_removed, 0) AS BIGINT) AS n_removed
+            FROM documents d LEFT JOIN clean cl ON cl.doc_id = d.doc_id
         """,
         "neardup_clusters_distributed": f"""
             WITH RECURSIVE {_NGRAM_PAIR_CTES},

@@ -1285,6 +1285,18 @@ def snapshot_export_events(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def dedup_spans_documents(sf_dir: str):
+    """Substring-level exact dedup (Lee et al. 2021 ExactSubstr, the
+    rolling-fingerprint variant): remove every 5-word span occurring
+    >= 2 times anywhere in the corpus; two keyed exchanges, no driver."""
+    from ..stages.dedup import remove_duplicate_spans
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = remove_duplicate_spans(ds, w=5, min_count=2).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def outer_join_user_funnel(sf_dir: str):
     """FULL OUTER join of two aggregate branches (per-user click counts
     vs purchase counts): users in either branch survive with NULLs on

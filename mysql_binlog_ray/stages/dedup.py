@@ -765,6 +765,142 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate-span removal (substring-level exact dedup)
+# ---------------------------------------------------------------------------
+
+
+def remove_duplicate_spans(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 5,
+    min_count: int = 2,
+) -> rd.Dataset:
+    """Substring-level exact dedup: delete every ``w``-word span whose
+    exact word sequence occurs >= ``min_count`` times ANYWHERE in the
+    corpus (including twice in one document), keeping the rest of each
+    document intact — the fingerprint variant of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"
+    (arXiv:2107.06499; they use suffix arrays for 50-token substrings,
+    we use rolling w-gram fingerprints, the ExactSubstr-by-hash shape).
+
+    Tokenization is the shared ASCII-whitespace split (case-preserving,
+    SQL-oracle parity); a token is removed when ANY duplicated w-gram
+    window covers it; remaining tokens re-join with single spaces.
+    Documents with fewer than ``w`` words pass through untouched.
+
+    Scale shape: TWO keyed exchanges, nothing on the driver.
+    (1) grams ship as slim (hash64, doc_id, pos) rows; a
+    hash-partitioned reduce emits the (doc_id, pos) of every gram whose
+    occurrence count >= min_count.  (2) the duplicate positions are
+    routed TOGETHER with the document rows through one exchange keyed on
+    doc_id (the in-place keyed-transform pattern — no join); each
+    partition rebuilds its documents with covered tokens dropped.
+    Gram identity is the 64-bit polynomial-over-md5 fingerprint shared
+    with :func:`ngram_jaccard_dedup` (2^-64 residual collision rate —
+    the SQL oracle groups the gram STRINGS, so a collision would surface
+    as an oracle mismatch, never silently).
+
+    Returns ``(id_col, clean_text, n_removed)``.
+    """
+    from .relational import keyed_reduce
+
+    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+        cache: dict = {}
+        out_h: list[np.ndarray] = []
+        out_id: list[np.ndarray] = []
+        out_pos: list[np.ndarray] = []
+        for did, text in zip(batch[id_col], batch[text_col].fillna("")):
+            words = _ascii_words(text)
+            if len(words) < w:
+                continue
+            h = _shingle_hashes(text, w, cache)
+            out_h.append(h.view(np.int64))
+            out_id.append(np.full(len(h), did, dtype=np.int64))
+            out_pos.append(np.arange(len(h), dtype=np.int64))
+        if not out_h:
+            return pd.DataFrame(
+                {
+                    "h": pd.Series(dtype="int64"),
+                    id_col: pd.Series(dtype="int64"),
+                    "pos": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "h": np.concatenate(out_h),
+                id_col: np.concatenate(out_id),
+                "pos": np.concatenate(out_pos),
+            }
+        )
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("h", sort=False)["h"].transform("size")
+        hit = g.loc[cnt.to_numpy() >= min_count, [id_col, "pos"]]
+        return hit.reset_index(drop=True)
+
+    gram_rows = ds.map_batches(grams, batch_format="pandas")
+    dups = keyed_reduce(gram_rows, ["h"], dup_positions)
+
+    def doc_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(dtype=np.int64),
+                "pos": np.full(len(batch), -1, dtype=np.int64),
+                text_col: batch[text_col].fillna("").astype(object),
+            }
+        )
+
+    def pos_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(dtype=np.int64),
+                "pos": batch["pos"].to_numpy(dtype=np.int64),
+                text_col: pd.Series([None] * len(batch), dtype=object),
+            }
+        )
+
+    both = ds.map_batches(doc_rows, batch_format="pandas").union(
+        dups.map_batches(pos_rows, batch_format="pandas")
+    )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        is_doc = g["pos"].to_numpy() < 0
+        docs = g.loc[is_doc]
+        marks = g.loc[~is_doc]
+        pos_by_doc = {
+            k: v.to_numpy(dtype=np.int64)
+            for k, v in marks.groupby(id_col, sort=False)["pos"]
+        }
+        ids, cleans, removed = [], [], []
+        win = np.arange(w, dtype=np.int64)
+        for did, text in zip(docs[id_col], docs[text_col]):
+            words = _ascii_words(text)
+            starts = pos_by_doc.get(did)
+            if starts is None or not len(words):
+                ids.append(did)
+                cleans.append(" ".join(words))
+                removed.append(0)
+                continue
+            cov = np.zeros(len(words), dtype=bool)
+            idx = (starts[:, None] + win).ravel()
+            cov[idx[idx < len(words)]] = True
+            kept = [wd for wd, c in zip(words, cov) if not c]
+            ids.append(did)
+            cleans.append(" ".join(kept))
+            removed.append(int(cov.sum()))
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(ids, dtype=np.int64),
+                "clean_text": pd.Series(cleans, dtype=object),
+                "n_removed": np.asarray(removed, dtype=np.int64),
+            }
+        )
+
+    return keyed_reduce(both, [id_col], rebuild)
+
+
+# ---------------------------------------------------------------------------
 # near-dup clusters (connected components over candidate pairs)
 # ---------------------------------------------------------------------------
 

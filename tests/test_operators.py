@@ -1089,3 +1089,68 @@ class TestDropEmptyBlocks:
         out = drop_empty_blocks(ds, {"k": "int64"})
         assert out.count() == 0
         assert out.schema().names == ["k"]
+
+
+class TestRemoveDuplicateSpans:
+    """Substring-level exact dedup vs a brute-force per-corpus reference:
+    within-doc repeats, overlapping windows, short and empty docs."""
+
+    def _brute(self, texts, w=3, min_count=2):
+        from collections import Counter
+
+        from mysql_binlog_ray.stages.dedup import _ascii_words
+
+        toks = {i: _ascii_words(t or "") for i, t in texts.items()}
+        cnt = Counter(
+            " ".join(ws[i : i + w])
+            for ws in toks.values()
+            for i in range(len(ws) - w + 1)
+        )
+        out = {}
+        for i, ws in toks.items():
+            cov = [False] * len(ws)
+            for s in range(len(ws) - w + 1):
+                if cnt[" ".join(ws[s : s + w])] >= min_count:
+                    for j in range(s, s + w):
+                        cov[j] = True
+            out[i] = (" ".join(t for t, c in zip(ws, cov) if not c), sum(cov))
+        return out
+
+    def _run(self, texts, w=3, min_count=2):
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.dedup import remove_duplicate_spans
+
+        df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+        got = (
+            remove_duplicate_spans(
+                rd.from_pandas(df).repartition(3), w=w, min_count=min_count
+            )
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        return {i: (r["clean_text"], r["n_removed"]) for i, r in got.iterrows()}
+
+    def test_matches_brute_force(self, ray_session):
+        texts = {
+            0: "the quick brown fox jumps over the lazy dog",
+            1: "a quick brown fox ran away yesterday morning",   # shares 'quick brown fox'
+            2: "hello world again hello world again hello",       # within-doc repeat
+            3: "too short",                                       # < w words
+            4: "",                                                # empty
+            5: "unique words only in this very document here",
+        }
+        assert self._run(texts) == self._brute(texts)
+
+    def test_full_removal_yields_empty_text(self, ray_session):
+        texts = {0: "x y z", 1: "x y z"}
+        got = self._run(texts, w=3)
+        assert got[0] == ("", 3) and got[1] == ("", 3)
+
+    def test_min_count_three(self, ray_session):
+        texts = {0: "p q r s", 1: "p q r t", 2: "p q r u"}
+        got = self._run(texts, w=3, min_count=3)
+        exp = self._brute(texts, w=3, min_count=3)
+        assert got == exp
+        assert got[0][1] == 3  # 'p q r' occurs 3x -> removed
