@@ -92,6 +92,10 @@ def run_bench() -> dict:
         "snapshot_export_events",
         "corr_lineitem",
         "global_percentiles_lineitem",
+        "dedup_spans_documents",
+        "neardup_clusters_distributed",
+        "snapshot_diff_events",
+        "outer_join_user_funnel",
     ]
     import __ray_entry__ as entry_mod
 

@@ -1303,21 +1303,38 @@ def outer_join_user_funnel(sf_dir: str):
     the missing side — the funnel-audit shape.  Each branch pre-aggregates
     per batch before its shuffle; the join is Ray's hash-partitioned
     full_outer with adaptive fanout."""
+    # ONE pass aggregates BOTH branches (per-user per-type counts — the
+    # shuffle carries per-batch partials), then the tiny result splits
+    # into the two join sides; the full_outer exercise is unchanged but
+    # the 1M-row input is read and aggregated once, not twice
     ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
 
-    def branch(ev_type: str, out_col: str):
-        def keep(b: pa.Table) -> pa.Table:
-            return b.filter(pc.equal(b.column("event_type"), ev_type)).select(["user_id"])
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b.column("event_type"), value_set=pa.array(["click", "purchase"]))
+        return b.filter(m)
 
-        agg = R.preagg_groupby(
-            ev.map_batches(keep, batch_format="pyarrow"),
-            ["user_id"],
-            {out_col: (None, "count")},
-        )
+    counts = R.preagg_groupby(
+        ev.map_batches(keep, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        {"n": (None, "count")},
+    ).materialize()
+
+    def branch(ev_type: str, out_col: str):
+        def side(b: pa.Table) -> pa.Table:
+            sub = b.filter(pc.equal(b.column("event_type"), ev_type))
+            return pa.table(
+                {"user_id": sub.column("user_id"), out_col: sub.column("n")}
+            )
+
         proto = {"user_id": "int64", out_col: "int64"}
         # the aggregate's schema-less empty blocks would crash the
         # block-level outer join — physically drop them (see helper)
-        return R.drop_empty_blocks(R.normalize_empty_blocks(agg, proto), proto)
+        return R.drop_empty_blocks(
+            R.normalize_empty_blocks(
+                counts.map_batches(side, batch_format="pyarrow"), proto
+            ),
+            proto,
+        )
 
     j = R.hash_join(
         branch("click", "n_clicks"),

@@ -69,12 +69,15 @@ def preagg_groupby(ds: rd.Dataset, keys: list[str], spec: AggSpec) -> rd.Dataset
 
 def metadata_size_bytes(ds: rd.Dataset) -> int | None:
     """Input byte size WITHOUT executing the plan: only answered for a
-    leaf read (parquet metadata); any transformed dataset returns None —
-    ``Dataset.size_bytes()`` on those would execute the whole upstream
-    pipeline just to measure it."""
+    LEAF — a parquet read (file metadata) or an already-materialized /
+    driver-created dataset (block metadata) — so the measurement never
+    executes upstream transforms.  Any transformed dataset returns None:
+    ``Dataset.size_bytes()`` on those would execute the whole pipeline
+    just to measure it."""
     try:
         dag = ds._logical_plan.dag
-        if type(dag).__name__ in ("Read", "ReadFiles") and not dag.input_dependencies:
+        leaf_types = ("Read", "ReadFiles", "FromArrow", "FromPandas", "FromItems", "InputData")
+        if type(dag).__name__ in leaf_types and not dag.input_dependencies:
             return ds.size_bytes()
     except Exception:
         pass
@@ -548,8 +551,11 @@ def hash_join(
             # size from whatever is known: one measurable 100 TB side
             # must still drive the fanout even when the other side is a
             # transformed (unmeasurable-without-executing) dataset
+            # min floor 4: each partition costs an aggregator-actor slot
+            # + ~0.5s startup, so small measured inputs should not pay
+            # for a big pool (the fanout still grows with bytes)
             num_partitions = adaptive_num_parts(
-                (lb or 0) + (rb or 0), target_part_bytes, min_parts=16
+                (lb or 0) + (rb or 0), target_part_bytes, min_parts=4
             )
     # Ray's join spawns an aggregator ACTOR pool whose default per-actor
     # CPU reservation scales with partitions-per-aggregator; when the
