@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_neardup_documents": Q.ngram_neardup_documents,
         "neardup_clusters_distributed": Q.neardup_clusters_distributed,
         "dedup_spans_documents": Q.dedup_spans_documents,
+        "normalize_documents": Q.normalize_documents,
         "multimodal_image_pipeline": Q.multimodal_image_pipeline,
         "multimodal_av_pipeline": Q.multimodal_av_pipeline,
         # the CDC pipeline itself (oracle = replay tests, rows-only here)
@@ -933,6 +934,18 @@ def oracle_sql() -> dict[str, str]:
             WITH {_NGRAM_PAIR_CTES}
             SELECT doc_a, doc_b, round(jac, 6) AS jaccard
             FROM npairs
+        """,
+        "normalize_documents": """
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       nfc_normalize(translate(coalesce(text, ''),
+                         'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                         'abcdefghijklmnopqrstuvwxyz')),
+                       '[ \\t\\n\\r\\f\\v\\x00-\\x1f]+', ' ', 'g'), ' ') AS norm_text
+              FROM documents
+            )
+            SELECT doc_id, norm_text, length(norm_text) AS n_chars_norm FROM n
         """,
         "dedup_spans_documents": """
             WITH words AS (

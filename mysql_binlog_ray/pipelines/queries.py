@@ -1285,6 +1285,16 @@ def snapshot_export_events(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def normalize_documents(sf_dir: str):
+    """Canonical text normalization (ASCII case-fold + NFC + whitespace/
+    control collapse) — map-only actor-free stage, exact SQL twin."""
+    from ..stages.text import TextNormalizer
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(TextNormalizer(), batch_format="pandas")
+    return out.select_columns(["doc_id", "norm_text", "n_chars_norm"])
+
+
 def dedup_spans_documents(sf_dir: str):
     """Substring-level exact dedup (Lee et al. 2021 ExactSubstr, the
     rolling-fingerprint variant): remove every 5-word span occurring

@@ -436,3 +436,38 @@ class Redactor:
         batch[self.out_col] = s
         batch[self.count_col] = total
         return batch
+
+
+class TextNormalizer:
+    """Canonical text normalization for training corpora (map-only,
+    vectorized): ASCII case-fold -> Unicode NFC -> collapse ASCII
+    whitespace AND C0 control bytes to single spaces -> trim.
+
+    ASCII-only case folding (``str.translate`` over A-Z) instead of
+    ``lower()`` is deliberate: Python and DuckDB disagree on Unicode
+    case mappings (``'İ'.lower()`` is ``'i'+COMBINING DOT`` in Python
+    but ``'i'`` in DuckDB), so a full lower() could never carry an exact
+    SQL oracle; NFC itself is identical on both sides (verified
+    empirically, incl. compatibility chars like fullwidth forms, which
+    NFC deliberately preserves).  The SQL twin is
+    ``trim(regexp_replace(nfc_normalize(translate(t, UPPER, lower)),
+    '[ \\t\\n\\r\\f\\v\\x00-\\x1f]+', ' ', 'g'), ' ')``.
+    """
+
+    _TBL = str.maketrans(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+    )
+    _WS = re.compile(r"[ \t\n\r\f\v\x00-\x1f]+")
+
+    def __init__(self, text_col: str = "text", out_col: str = "norm_text") -> None:
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].fillna("")
+        s = s.str.translate(self._TBL).str.normalize("NFC")
+        s = s.str.replace(self._WS, " ", regex=True).str.strip(" ")
+        batch = batch.copy()
+        batch[self.out_col] = s
+        batch["n_chars_norm"] = s.str.len().to_numpy(dtype=np.int64)
+        return batch

@@ -1154,3 +1154,43 @@ class TestRemoveDuplicateSpans:
         exp = self._brute(texts, w=3, min_count=3)
         assert got == exp
         assert got[0][1] == 3  # 'p q r' occurs 3x -> removed
+
+
+class TestTextNormalizer:
+    def test_adversarial_parity_with_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.text import TextNormalizer
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(7, dtype=np.int64),
+                "text": [
+                    "Hélló  Wórld\t\n\x01x",
+                    "ı İ ß Ǆ",          # Unicode case traps: must NOT fold
+                    "a b",          # NBSP is not ASCII ws: preserved
+                    "ＦＵｌｌ",           # fullwidth: NFC preserves
+                    None,
+                    "  lots\x00of\x1fjunk  ",
+                    "Café vs Café",  # NFC composes e+combining acute
+                ],
+            }
+        )
+        out = (
+            rd.from_pandas(df)
+            .map_batches(TextNormalizer(), batch_format="pandas")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        exp = duckdb.sql(
+            """
+            SELECT doc_id,
+                   trim(regexp_replace(nfc_normalize(translate(coalesce(text,''),
+                     'ABCDEFGHIJKLMNOPQRSTUVWXYZ','abcdefghijklmnopqrstuvwxyz')),
+                     '[ \\t\\n\\r\\f\\v\\x00-\\x1f]+', ' ', 'g'), ' ') AS norm_text
+            FROM df ORDER BY doc_id
+            """
+        ).df()
+        assert out["norm_text"].tolist() == exp["norm_text"].tolist()
+        assert out.loc[out["doc_id"] == 6, "norm_text"].iloc[0] == "café vs café"
