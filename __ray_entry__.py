@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters_distributed": Q.neardup_clusters_distributed,
         "dedup_spans_documents": Q.dedup_spans_documents,
         "normalize_documents": Q.normalize_documents,
+        "gopher_quality_documents": Q.gopher_quality_documents,
         "multimodal_image_pipeline": Q.multimodal_image_pipeline,
         "multimodal_av_pipeline": Q.multimodal_av_pipeline,
         # the CDC pipeline itself (oracle = replay tests, rows-only here)
@@ -163,6 +164,53 @@ def _snapshot_diff_oracle() -> str:
             WHERE s1.user_id IS NULL OR s2.user_id IS NULL
                OR s1.event_id <> s2.event_id
     """
+
+
+def _gopher_oracle() -> str:
+    ws_cls = "[ \\t\\n\\r\\f\\v]"
+    stop = " + ".join(
+        "(CASE WHEN regexp_matches(translate(t,"
+        "'ABCDEFGHIJKLMNOPQRSTUVWXYZ','abcdefghijklmnopqrstuvwxyz'),"
+        "'(^|" + ws_cls + ")" + w + "(" + ws_cls + "|$)') THEN 1 ELSE 0 END)"
+        for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    return f"""
+            WITH b AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents
+            ), m AS (
+              SELECT doc_id,
+                CASE WHEN length(trim(t, {_WS_SQL})) > 0
+                     THEN len(regexp_extract_all(trim(t, {_WS_SQL}), '{ws_cls}+')) + 1
+                     ELSE 0 END AS n_words,
+                length(regexp_replace(t, '{ws_cls}+', '', 'g')) AS n_wchars,
+                length(t) - length(replace(t, '#', '')) AS n_hash,
+                (length(t) - length(replace(t, '...', ''))) // 3
+                  + (length(t) - length(replace(t, '…', ''))) AS n_ell,
+                (length(t) - length(replace(t, chr(10), '')))
+                  + (CASE WHEN length(t) > 0 THEN 1 ELSE 0 END) AS n_lines,
+                len(regexp_extract_all(t, '(?m)^[ \\t]*[-*•]')) AS n_bullet,
+                len(regexp_extract_all(t, '(?m)(\\.\\.\\.|…)$')) AS n_ell_end,
+                len(regexp_extract_all(t, '[^ \\t\\n\\r\\f\\v]*[A-Za-z][^ \\t\\n\\r\\f\\v]*')) AS n_alpha,
+                {stop} AS n_stop
+              FROM b
+            )
+            SELECT doc_id,
+                   n_words AS g_n_words,
+                   n_wchars / greatest(n_words, 1) AS g_mean_word_len,
+                   (n_hash + n_ell) / greatest(n_words, 1) AS g_symbol_ratio,
+                   n_bullet / greatest(n_lines, 1) AS g_bullet_ratio,
+                   n_ell_end / greatest(n_lines, 1) AS g_ellipsis_ratio,
+                   n_alpha / greatest(n_words, 1) AS g_alpha_ratio,
+                   n_stop AS g_n_stopwords,
+                   CAST(n_words BETWEEN 50 AND 100000
+                    AND n_wchars / greatest(n_words,1) BETWEEN 3.0 AND 10.0
+                    AND (n_hash + n_ell) / greatest(n_words,1) < 0.1
+                    AND n_bullet / greatest(n_lines,1) < 0.9
+                    AND n_ell_end / greatest(n_lines,1) < 0.3
+                    AND n_alpha / greatest(n_words,1) >= 0.8
+                    AND n_stop >= 2 AS BIGINT) AS g_keep
+            FROM m
+        """
 
 
 def _weighted_sample_oracle() -> str:
@@ -935,6 +983,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, round(jac, 6) AS jaccard
             FROM npairs
         """,
+        "gopher_quality_documents": _gopher_oracle(),
         "normalize_documents": """
             WITH n AS (
               SELECT doc_id,

@@ -1285,6 +1285,29 @@ def snapshot_export_events(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def gopher_quality_documents(sf_dir: str):
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1) — the
+    standard pre-training gate; every ratio is one int/int division so
+    the oracle comparison is bit-exact with no rounding."""
+    from ..stages.text import GopherQualityFilter
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(GopherQualityFilter(), batch_format="pandas")
+    return out.select_columns(
+        [
+            "doc_id",
+            "g_n_words",
+            "g_mean_word_len",
+            "g_symbol_ratio",
+            "g_bullet_ratio",
+            "g_ellipsis_ratio",
+            "g_alpha_ratio",
+            "g_n_stopwords",
+            "g_keep",
+        ]
+    )
+
+
 def normalize_documents(sf_dir: str):
     """Canonical text normalization (ASCII case-fold + NFC + whitespace/
     control collapse) — map-only actor-free stage, exact SQL twin."""

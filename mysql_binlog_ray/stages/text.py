@@ -471,3 +471,93 @@ class TextNormalizer:
         batch[self.out_col] = s
         batch["n_chars_norm"] = s.str.len().to_numpy(dtype=np.int64)
         return batch
+
+
+class GopherQualityFilter:
+    """The Gopher document-quality rules (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1), map-only and fully vectorized — the
+    standard pre-training corpus gate:
+
+    - 50 <= word count <= 100,000
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio ('#' chars + '...'/'…' runs) < 0.1
+    - < 90% of lines start with a bullet ('-', '*', '•')
+    - < 30% of lines end with an ellipsis
+    - >= 80% of words contain an ASCII letter
+    - >= 2 distinct Gopher stop words present
+
+    Every emitted ratio is a SINGLE division of two exact integers, so
+    the float64 is bit-identical to the SQL oracle's (no rounding
+    anywhere); word = ASCII-whitespace token (shared tokenizer
+    semantics); stop-word match is ASCII-case-insensitive via the same
+    translate trick as :class:`TextNormalizer` (Python/DuckDB Unicode
+    lower() diverge).
+    """
+
+    STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+    _WS = r"[ \t\n\r\f\v]"
+
+    def __init__(self, text_col: str = "text") -> None:
+        self.text_col = text_col
+        ws = self._WS
+        self.re_token_alpha = re.compile(rf"[^{ws[1:-1]}]*[A-Za-z][^{ws[1:-1]}]*")
+        self.re_ws_runs = re.compile(rf"{ws}+")
+        self.re_bullet = re.compile(r"(?m)^[ \t]*[-*•]")
+        self.re_ellipsis_end = re.compile(r"(?m)(\.\.\.|…)$")
+        self.re_stop = [
+            re.compile(rf"(?:^|{ws}){w}(?:{ws}|$)") for w in self.STOPWORDS
+        ]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].fillna("")
+        stripped = s.str.strip(" \t\n\r\f\v")
+        nonempty = stripped.str.len().to_numpy(dtype=np.int64) > 0
+        n_words = np.where(
+            nonempty,
+            stripped.str.count(self.re_ws_runs).to_numpy(dtype=np.int64) + 1,
+            0,
+        )
+        # sum of word lengths == non-whitespace chars
+        n_wchars = s.str.replace(self.re_ws_runs, "", regex=True).str.len().to_numpy(np.int64)
+        n_hash = s.str.count(re.escape("#")).to_numpy(np.int64)
+        n_ell = s.str.count(re.escape("...")).to_numpy(np.int64) + s.str.count(
+            "…"
+        ).to_numpy(np.int64)
+        n_lines = s.str.count("\n").to_numpy(np.int64) + (
+            s.str.len().to_numpy(np.int64) > 0
+        )
+        n_bullet = s.str.count(self.re_bullet).to_numpy(np.int64)
+        n_ell_end = s.str.count(self.re_ellipsis_end).to_numpy(np.int64)
+        n_alpha = s.str.count(self.re_token_alpha).to_numpy(np.int64)
+        low = s.str.translate(TextNormalizer._TBL)
+        n_stop = np.zeros(len(s), dtype=np.int64)
+        for pat in self.re_stop:
+            n_stop += (low.str.count(pat).to_numpy(np.int64) > 0).astype(np.int64)
+        wd = np.maximum(n_words, 1).astype(np.float64)
+        ld = np.maximum(n_lines, 1).astype(np.float64)
+        mean_wl = n_wchars / wd
+        symbol_ratio = (n_hash + n_ell) / wd
+        bullet_ratio = n_bullet / ld
+        ell_ratio = n_ell_end / ld
+        alpha_ratio = n_alpha / wd
+        keep = (
+            (n_words >= 50)
+            & (n_words <= 100_000)
+            & (mean_wl >= 3.0)
+            & (mean_wl <= 10.0)
+            & (symbol_ratio < 0.1)
+            & (bullet_ratio < 0.9)
+            & (ell_ratio < 0.3)
+            & (alpha_ratio >= 0.8)
+            & (n_stop >= 2)
+        )
+        out = batch.copy()
+        out["g_n_words"] = n_words
+        out["g_mean_word_len"] = mean_wl
+        out["g_symbol_ratio"] = symbol_ratio
+        out["g_bullet_ratio"] = bullet_ratio
+        out["g_ellipsis_ratio"] = ell_ratio
+        out["g_alpha_ratio"] = alpha_ratio
+        out["g_n_stopwords"] = n_stop
+        out["g_keep"] = keep.astype(np.int64)
+        return out

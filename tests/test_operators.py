@@ -1194,3 +1194,45 @@ class TestTextNormalizer:
         ).df()
         assert out["norm_text"].tolist() == exp["norm_text"].tolist()
         assert out.loc[out["doc_id"] == 6, "norm_text"].iloc[0] == "café vs café"
+
+
+class TestGopherQualityFilter:
+    def test_adversarial_parity_with_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        import __ray_entry__ as entry_mod
+        from mysql_binlog_ray.stages.text import GopherQualityFilter
+
+        good = "the quick brown fox and that dog have fun with all of it " * 5
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(8, dtype=np.int64),
+                "text": [
+                    good,                                   # passes everything
+                    "- a\n- b\n- c\nplain",                # bullet-heavy
+                    "wait...\nmore…\nok",                   # ellipsis endings
+                    "#### ## # " + good,                    # symbol ratio
+                    "123 456 789 " * 30,                    # no alpha words
+                    None,
+                    "",
+                    "The BE to OF\nand that HAVE with",     # case-folded stops
+                ],
+            }
+        )
+        got = (
+            rd.from_pandas(df)
+            .map_batches(GopherQualityFilter(), batch_format="pandas")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", df)
+        exp = con.execute(entry_mod.oracle_sql()["gopher_quality_documents"]).df()
+        exp = exp.sort_values("doc_id").reset_index(drop=True)
+        cols = [c for c in exp.columns]
+        for c in cols:
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.loc[0, "g_keep"] == 1
+        assert got.loc[4, "g_alpha_ratio"] == 0.0
