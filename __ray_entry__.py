@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": Q.pack_sequences_documents,
         "training_shards_documents": Q.training_shards_documents,
         "running_totals_events": Q.running_totals_events,
+        "histogram_events": Q.histogram_events,
+        "unpivot_lineitem": Q.unpivot_lineitem,
         "scd2_events": Q.scd2_events,
         "snapshot_export_events": Q.snapshot_export_events,
         "snapshot_diff_events": Q.snapshot_diff_events,
@@ -984,6 +986,22 @@ def oracle_sql() -> dict[str, str]:
             FROM npairs
         """,
         "gopher_quality_documents": _gopher_oracle(),
+        "histogram_events": """
+            SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS n
+            FROM events WHERE value IS NOT NULL GROUP BY 1
+        """,
+        "unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber, measure, CAST(value AS DOUBLE) AS value
+            FROM (
+              SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+            ) WHERE l_orderkey % 100 = 0
+        """,
         "normalize_documents": """
             WITH n AS (
               SELECT doc_id,

@@ -1065,6 +1065,53 @@ def training_shards_documents(sf_dir: str):
     return summary.select(["shard_id", "n_docs", "n_tokens"])
 
 
+def histogram_events(sf_dir: str):
+    """Fixed-bin histogram of events.value (bin = floor(value/25)):
+    per-batch Arrow combiner, shuffle carries one row per bin per batch —
+    the profile primitive for numeric-column QA.  floor of an IEEE
+    division is bit-identical to the SQL twin."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
+
+    def bin_col(b: pa.Table) -> pa.Table:
+        v = b.column("value")
+        keep = pc.is_valid(v)
+        v = pc.filter(v, keep)
+        bins = pc.cast(pc.floor(pc.divide(v, 25.0)), pa.int64())
+        return pa.table({"bin": bins})
+
+    out = R.preagg_groupby(
+        ev.map_batches(bin_col, batch_format="pyarrow"), ["bin"], {"n": (None, "count")}
+    )
+    return R.normalize_empty_blocks(out, {"bin": "int64", "n": "int64"})
+
+
+def unpivot_lineitem(sf_dir: str):
+    """UNPIVOT/melt: wide numeric measures -> (key, measure, value) long
+    form (the feature-table reshape); map-only vectorized explode, no
+    shuffle.  Deterministic 1%-of-orderkeys subset keeps the compare
+    tractable."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber", *cols]
+    )
+
+    def melt(b: pa.Table) -> pa.Table:
+        ok_np = b.column("l_orderkey").to_numpy()
+        b = b.filter(pa.array(ok_np % 100 == 0))
+        n = b.num_rows
+        ok = pa.concat_arrays([b.column("l_orderkey").combine_chunks()] * len(cols))
+        ln = pa.concat_arrays([b.column("l_linenumber").combine_chunks()] * len(cols))
+        measure = pa.array(np.repeat(np.asarray(cols, dtype=object), n))
+        value = pa.concat_arrays(
+            [b.column(c).cast(pa.float64()).combine_chunks() for c in cols]
+        )
+        return pa.table(
+            {"l_orderkey": ok, "l_linenumber": ln, "measure": measure, "value": value}
+        )
+
+    return li.map_batches(melt, batch_format="pyarrow")
+
+
 def running_totals_events(sf_dir: str):
     """Per-user SQL window functions over the event stream: row_number,
     gap to the previous event (lag diff, microseconds), and the running
