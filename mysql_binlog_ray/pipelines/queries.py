@@ -1101,7 +1101,9 @@ def unpivot_lineitem(sf_dir: str):
         n = b.num_rows
         ok = pa.concat_arrays([b.column("l_orderkey").combine_chunks()] * len(cols))
         ln = pa.concat_arrays([b.column("l_linenumber").combine_chunks()] * len(cols))
-        measure = pa.array(np.repeat(np.asarray(cols, dtype=object), n))
+        # explicit type: an empty batch would otherwise infer pa.null()
+        # and poison the dataset with a second schema
+        measure = pa.array(np.repeat(np.asarray(cols, dtype=object), n), type=pa.string())
         value = pa.concat_arrays(
             [b.column(c).cast(pa.float64()).combine_chunks() for c in cols]
         )
@@ -1372,9 +1374,7 @@ def dedup_spans_documents(sf_dir: str):
     from ..stages.dedup import remove_duplicate_spans
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = remove_duplicate_spans(ds, w=5, min_count=2).to_pandas()
-    out = out.sort_values("doc_id").reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return remove_duplicate_spans(ds, w=5, min_count=2)
 
 
 def outer_join_user_funnel(sf_dir: str):

@@ -197,18 +197,21 @@ def drop_empty_blocks(ds: rd.Dataset, proto: dict[str, str]) -> rd.Dataset:
     on SMALL shuffle outputs (aggregates) feeding a join; ``proto``
     (Arrow type aliases) supplies the schema when every block is empty.
     """
+    @ray.remote(num_cpus=0)
+    def _count(blk) -> int:
+        return blk.num_rows if hasattr(blk, "num_rows") else len(blk)
+
     refs = []
+    unknown: list = []
     for bundle in ds.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
             if meta.num_rows is None:
-                # unknown count: fetch and check — passing it through
-                # unseen would defeat the helper's whole purpose
-                blk = ray.get(ref)
-                n = blk.num_rows if hasattr(blk, "num_rows") else len(blk)
-                if n:
-                    refs.append(ref)
+                # unknown count: counted in a 0-CPU task — the block's
+                # ROWS never land on the driver (docstring guarantee)
+                unknown.append((ref, _count.remote(ref)))
             elif meta.num_rows:
                 refs.append(ref)
+    refs.extend(ref for (ref, cnt) in unknown if ray.get(cnt))
     if not refs:
         schema = pa.schema([(c, pa.type_for_alias(t)) for c, t in proto.items()])
         return rd.from_arrow(schema.empty_table())
@@ -539,23 +542,26 @@ def hash_join(
     if num_partitions is None:
         lb = metadata_size_bytes(left_ds)
         rb = metadata_size_bytes(right_ds)
+        # cluster-proportional guess for unmeasurable inputs (each
+        # partition costs an aggregator slot + actor startup, so a flat
+        # constant over-pays on small clusters and under-splits on big)
+        cpu_guess = max(16, min(256, int(ray.cluster_resources().get("CPU", 8) or 8)))
         if lb is None and rb is None:
-            # no size signal at all: scale the guess with the cluster
-            # (each partition costs an aggregator slot + actor startup,
-            # so a flat 64 over-pays on small clusters and under-splits
-            # on big ones)
+            num_partitions = cpu_guess
+        elif lb is None or rb is None:
+            # one side unmeasurable: size from the known side but never
+            # BELOW the blind guess — a small measured side must not
+            # shrink the fanout for a potentially huge transformed side
             num_partitions = max(
-                16, min(256, int(ray.cluster_resources().get("CPU", 8) or 8))
+                cpu_guess,
+                adaptive_num_parts((lb or 0) + (rb or 0), target_part_bytes, min_parts=4),
             )
         else:
-            # size from whatever is known: one measurable 100 TB side
-            # must still drive the fanout even when the other side is a
-            # transformed (unmeasurable-without-executing) dataset
-            # min floor 4: each partition costs an aggregator-actor slot
-            # + ~0.5s startup, so small measured inputs should not pay
-            # for a big pool (the fanout still grows with bytes)
+            # both measured; min floor 4: each partition costs an
+            # aggregator-actor slot + ~0.5s startup, so small inputs
+            # should not pay for a big pool (fanout still grows with bytes)
             num_partitions = adaptive_num_parts(
-                (lb or 0) + (rb or 0), target_part_bytes, min_parts=4
+                lb + rb, target_part_bytes, min_parts=4
             )
     # Ray's join spawns an aggregator ACTOR pool whose default per-actor
     # CPU reservation scales with partitions-per-aggregator; when the

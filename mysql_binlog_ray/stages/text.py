@@ -532,7 +532,9 @@ class GopherQualityFilter:
         low = s.str.translate(TextNormalizer._TBL)
         n_stop = np.zeros(len(s), dtype=np.int64)
         for pat in self.re_stop:
-            n_stop += (low.str.count(pat).to_numpy(np.int64) > 0).astype(np.int64)
+            # contains (first-match short-circuit), not count: only
+            # presence feeds the rule
+            n_stop += low.str.contains(pat, regex=True).to_numpy(dtype=np.int64)
         wd = np.maximum(n_words, 1).astype(np.float64)
         ld = np.maximum(n_lines, 1).astype(np.float64)
         mean_wl = n_wchars / wd

@@ -501,10 +501,36 @@ class TestSnapshotBootstrap:
         bootstrap_lake(
             snapshot, snapshot_seq, manifest, lake, CdcConfig(num_partitions=8)
         )
-        lake_keys = set(
-            zip(*(read_lake(lake).to_pandas()[c] for c in ("repo", "path")))
-        )
-        assert lake_keys == final_keys
+        lk = read_lake(lake).to_pandas()
+        lake_keys = set(zip(lk["repo"], lk["path"]))
+        if lake_keys != final_keys:
+            # rare-flake diagnostics: which lake partitions the diff
+            # concentrates in, the committed manifest, and whether the
+            # SNAPSHOT itself already disagreed with the prefix replay
+            import pandas as _pd
+            import pyarrow as _pa
+
+            from mysql_binlog_ray.pipelines.cdc import add_partition_column, read_manifest
+
+            diff = sorted((lake_keys - final_keys) | (final_keys - lake_keys))
+            ddf = _pd.DataFrame(diff, columns=["repo", "path"])
+            t = _pa.Table.from_pandas(ddf, preserve_index=False)
+            ddf["part"] = add_partition_column(t, ("repo", "path"), 8).column("_part").to_numpy()
+            ddf["kind"] = [
+                "extra" if k in lake_keys else "missing" for k in map(tuple, diff)
+            ]
+            m = read_manifest(lake)
+            raise AssertionError(
+                f"lake != final replay: extra={len(lake_keys - final_keys)} "
+                f"missing={len(final_keys - lake_keys)}\n"
+                f"by partition:\n{ddf.groupby(['part', 'kind']).size()}\n"
+                f"manifest: {[(p['part'], p['rows'], p['max_event_seq']) for p in sorted(m['partitions'], key=lambda p: p['part'])]}\n"
+                f"watermark={m['watermark']} snapshot_seq={snapshot_seq}\n"
+                f"lake dup keys={int(lk.duplicated(subset=['repo', 'path']).sum())} "
+                f"lake rows={len(lk)} snap rows={len(snap_df)} "
+                f"snap dup keys={int(snap_df.duplicated(subset=['repo', 'path']).sum())}\n"
+                f"snapshot-vs-final gone kept in lake: {sorted(gone & lake_keys)[:10]}"
+            )
         assert not (gone & lake_keys)
 
     def test_seed_refuses_nonempty_lake(self, small_stream, tmp_path):
