@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_neardup_documents": Q.ngram_neardup_documents,
         "neardup_clusters_distributed": Q.neardup_clusters_distributed,
         "dedup_spans_documents": Q.dedup_spans_documents,
+        "distinct_ngram_ratio_documents": Q.distinct_ngram_ratio_documents,
         "normalize_documents": Q.normalize_documents,
         "gopher_quality_documents": Q.gopher_quality_documents,
         "multimodal_image_pipeline": Q.multimodal_image_pipeline,
@@ -1013,6 +1014,20 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, norm_text, length(norm_text) AS n_chars_norm FROM n
+        """,
+        "distinct_ngram_ratio_documents": """
+            WITH words AS (
+              SELECT doc_id, string_split_regex(trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \\t\\n\\r\\f\\v]+') AS w
+              FROM documents
+            ), g AS (
+              SELECT array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+              FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)
+              WHERE len(w) >= 3
+            )
+            SELECT count(*) AS n_grams,
+                   count(DISTINCT gram) AS n_distinct,
+                   count(DISTINCT gram) / count(*) AS distinct_ratio
+            FROM g
         """,
         "dedup_spans_documents": """
             WITH words AS (

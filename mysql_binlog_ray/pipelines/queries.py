@@ -1367,6 +1367,15 @@ def normalize_documents(sf_dir: str):
     return out.select_columns(["doc_id", "norm_text", "n_chars_norm"])
 
 
+def distinct_ngram_ratio_documents(sf_dir: str):
+    """Corpus 3-gram diversity (distinct-n metric): one keyed exchange,
+    O(num_parts) rows to the driver."""
+    from ..stages.dedup import distinct_ngram_stats
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    return distinct_ngram_stats(ds, n=3)
+
+
 def dedup_spans_documents(sf_dir: str):
     """Substring-level exact dedup (Lee et al. 2021 ExactSubstr, the
     rolling-fingerprint variant): remove every 5-word span occurring

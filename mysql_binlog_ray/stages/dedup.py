@@ -764,6 +764,56 @@ def ngram_jaccard_pairs(
     return pd.DataFrame({"doc_a": a, "doc_b": b, "jaccard": jc})
 
 
+def distinct_ngram_stats(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    n: int = 3,
+) -> pa.Table:
+    """Corpus-level n-gram diversity: total w-gram occurrences, distinct
+    w-grams, and their ratio (the distinct-n diversity metric used to
+    detect templated/boilerplate-heavy corpora).
+
+    Scale shape: gram fingerprints ship as slim int64 rows through ONE
+    hash-partitioned exchange; each partition reduces to a single
+    (rows, distinct) pair, so the driver sees O(num_parts) rows.  The
+    ratio is one integer/integer division — bit-identical to the SQL
+    oracle (which counts distinct gram STRINGS; a 2^-64 fingerprint
+    collision would surface there, never silently).
+    """
+    from .relational import keyed_reduce
+
+    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+        cache: dict = {}
+        out: list[np.ndarray] = []
+        for text in batch[text_col].fillna(""):
+            if len(_ascii_words(text)) < n:
+                continue
+            out.append(_shingle_hashes(text, n, cache).view(np.int64))
+        if not out:
+            return pd.DataFrame({"h": pd.Series(dtype="int64")})
+        return pd.DataFrame({"h": np.concatenate(out)})
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"rows": [np.int64(len(g))], "distinct": [np.int64(g["h"].nunique())]}
+        )
+
+    parts = keyed_reduce(
+        ds.map_batches(grams, batch_format="pandas"), ["h"], partial
+    ).to_pandas()  # O(num_parts) rows
+    total = int(parts["rows"].sum()) if len(parts) else 0
+    distinct = int(parts["distinct"].sum()) if len(parts) else 0
+    return pa.table(
+        {
+            "n_grams": pa.array([total], pa.int64()),
+            "n_distinct": pa.array([distinct], pa.int64()),
+            "distinct_ratio": pa.array(
+                [distinct / total if total else 0.0], pa.float64()
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # duplicate-span removal (substring-level exact dedup)
 # ---------------------------------------------------------------------------
