@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_exact": Q.embedding_neardup_exact_embeddings,
         "ngram_neardup_documents": Q.ngram_neardup_documents,
         "neardup_clusters_distributed": Q.neardup_clusters_distributed,
+        "neardup_clusters_bigstar": Q.neardup_clusters_bigstar,
         "dedup_spans_documents": Q.dedup_spans_documents,
         "distinct_ngram_ratio_documents": Q.distinct_ngram_ratio_documents,
         "normalize_documents": Q.normalize_documents,
@@ -476,6 +477,13 @@ def _snapshot_export_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_dict()
+    # the star-rounds CC variant computes the IDENTICAL clusters — same oracle
+    d["neardup_clusters_bigstar"] = d["neardup_clusters_distributed"]
+    return d
+
+
+def _oracle_sql_dict() -> dict[str, str]:
     return {
         "lww_merge_events": """
             SELECT user_id, event_type, value, props FROM (

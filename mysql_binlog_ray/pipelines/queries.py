@@ -671,6 +671,20 @@ def neardup_clusters_distributed(sf_dir: str):
     return pa.Table.from_pandas(comp, preserve_index=False)
 
 
+def neardup_clusters_bigstar(sf_dir: str):
+    """Same clusters as :func:`neardup_clusters_distributed` but through
+    the alternating large-star/small-star rounds (O(log n) rounds on any
+    topology — the chain-graph escape hatch; Kiveris et al. SoCC'14)."""
+    from ..stages.dedup import ngram_jaccard_dedup
+    from ..stages.graph import connected_components_bigstar
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = ngram_jaccard_dedup(ds, threshold=0.5)
+    comp = connected_components_bigstar(pairs).to_pandas()
+    comp = comp.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(comp, preserve_index=False)
+
+
 def cdc_changefeed_sequential(sf_dir: str):
     """Per-shard sequential decode: exact commit stamping + position
     integrity (E13); per-commit row counts."""

@@ -44,6 +44,180 @@ def _as_dataset(edges, a: str, b: str) -> rd.Dataset:
     return rd.from_arrow(edges.select([a, b]))
 
 
+def _empty_labels() -> rd.Dataset:
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+    )
+
+
+def connected_components_bigstar(
+    edges,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_rounds: int = 64,
+    num_parts: int | None = None,
+) -> rd.Dataset:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 §3) -> ``(doc_id, cluster_id)``, ``cluster_id`` =
+    minimum node id in the component — exact parity with both
+    ``dedup.connected_components`` and ``connected_components_distributed``.
+
+    This is the documented escape hatch for CHAIN-shaped graphs: min-label
+    propagation pays one round per unit of graph diameter, while the
+    alternating star rounds converge in O(log n) rounds on any topology
+    (O(log^2 n) worst-case bound, ~log n observed).  Per round: large-star
+    hangs every node's larger neighbors off the minimum of its
+    neighborhood, small-star re-parents every node's smaller neighbors
+    onto that minimum; the fixed point is a set of depth-1 stars rooted
+    at each component's minimum id.
+
+    Scale shape per round: TWO keyed exchanges (one per star step)
+    through ``keyed_reduce``, each carrying O(|E|) slim int64 rows;
+    the driver sees two scalars per round (changed-edge counts).
+    Convergence detection is EXACT and group-local — no edge-set
+    checksums: a large-star group is unchanged iff its key is already
+    its neighborhood minimum; a small-star group is unchanged iff it has
+    exactly one (smaller) neighbor; both-zero in one round implies every
+    node has at most one parent and every parented node's parent is its
+    neighborhood minimum, i.e. the star fixed point.
+    """
+    eds = _as_dataset(edges, a, b)
+
+    def canonical(t: pa.Table) -> pa.Table:
+        u = t.column(a).to_numpy().astype(np.int64, copy=False)
+        v = t.column(b).to_numpy().astype(np.int64, copy=False)
+        if len(u) and (min(u.min(), v.min()) < 0):
+            raise ValueError("connected_components_bigstar: node ids must be >= 0")
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"ea": np.minimum(u, v), "eb": np.maximum(u, v)})
+
+    cur = eds.map_batches(canonical, batch_format="pyarrow").materialize()
+    if cur.count() == 0:
+        return _empty_labels()
+    if num_parts is None:
+        import ray
+
+        from .relational import adaptive_num_parts
+
+        cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
+        # both orientations ride the large-star exchange -> 2x bytes
+        num_parts = adaptive_num_parts(
+            max(1, 2 * (cur.size_bytes() or 1)), min_parts=max(2, min(64, cpus))
+        )
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        u = t.column("ea").to_numpy()
+        v = t.column("eb").to_numpy()
+        return pa.table(
+            {"node": np.concatenate([u, v]), "other": np.concatenate([v, u])}
+        )
+
+    def large_star(g: pd.DataFrame) -> pd.DataFrame:
+        # per node u: m = min(N(u) + {u}); emit (m, v) for v in N(u), v > u;
+        # the edge {u,v} (u < v) is rewritten by exactly one group (u),
+        # so per-row changed = (m != u) counts changed edges exactly
+        g = g.drop_duplicates(["node", "other"])
+        node = g["node"].to_numpy(dtype=np.int64)
+        other = g["other"].to_numpy(dtype=np.int64)
+        m = np.minimum(
+            g.groupby("node", sort=False)["other"].transform("min").to_numpy(dtype=np.int64),
+            node,
+        )
+        up = other > node
+        return pd.DataFrame(
+            {
+                "ea": m[up],
+                "eb": other[up],
+                "changed": (m[up] != node[up]).astype(np.int64),
+            }
+        )
+
+    def small_star(g: pd.DataFrame) -> pd.DataFrame:
+        # keyed on the LARGER endpoint: node=hi, other=lo (< hi).
+        # m = min(N(hi)); emit (m, v) for v in N(hi)\{m} plus (m, hi);
+        # group-local unchanged <=> exactly one (smaller) neighbor
+        g = g.drop_duplicates(["node", "other"])
+        hi = g["node"].to_numpy(dtype=np.int64)
+        lo = g["other"].to_numpy(dtype=np.int64)
+        m = g.groupby("node", sort=False)["other"].transform("min").to_numpy(dtype=np.int64)
+        rewire = lo != m
+        heads = g.groupby("node", sort=False)["other"].min()
+        return pd.DataFrame(
+            {
+                "ea": np.concatenate([m[rewire], heads.to_numpy(dtype=np.int64)]),
+                "eb": np.concatenate([lo[rewire], heads.index.to_numpy(dtype=np.int64)]),
+                "changed": np.concatenate(
+                    [np.ones(int(rewire.sum()), np.int64), np.zeros(len(heads), np.int64)]
+                ),
+            }
+        )
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.select(["ea", "eb"])
+
+    def as_hi_keyed(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("eb"), "other": t.column("ea")})
+
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        ls = keyed_reduce(
+            cur.map_batches(symmetrize, batch_format="pyarrow"),
+            ["node"],
+            large_star,
+            num_parts=num_parts,
+        ).materialize()
+        c_ls = int(ls.sum("changed") or 0)
+        ss = keyed_reduce(
+            ls.map_batches(strip, batch_format="pyarrow").map_batches(
+                as_hi_keyed, batch_format="pyarrow"
+            ),
+            ["node"],
+            small_star,
+            num_parts=num_parts,
+        ).materialize()
+        c_ss = int(ss.sum("changed") or 0)
+        cur = ss.map_batches(strip, batch_format="pyarrow")
+        if c_ls == 0 and c_ss == 0:
+            break
+        cur = cur.materialize()
+    else:
+        logger.warning(
+            "connected_components_bigstar: edges still changing after "
+            "max_rounds=%d — returning labels from the current "
+            "(unconverged) edge set",
+            max_rounds,
+        )
+
+    def star_labels(t: pa.Table) -> pa.Table:
+        root = t.column("ea").to_numpy()
+        leaf = t.column("eb").to_numpy()
+        return pa.table(
+            {
+                "node": np.concatenate([leaf, root]),
+                "label": np.concatenate([root, root]),
+            }
+        )
+
+    def label_min(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.groupby("node", sort=False)["label"].min()
+        return pd.DataFrame(
+            {
+                "doc_id": lab.index.to_numpy(dtype=np.int64),
+                "cluster_id": lab.to_numpy(dtype=np.int64),
+            }
+        )
+
+    return keyed_reduce(
+        cur.map_batches(star_labels, batch_format="pyarrow"),
+        ["node"],
+        label_min,
+        num_parts=num_parts,
+    )
+
+
 def connected_components_distributed(
     edges,
     a: str = "doc_a",

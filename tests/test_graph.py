@@ -86,3 +86,84 @@ def test_cc_distributed_exact_above_2_53():
         }
     )
     pd.testing.assert_frame_equal(_dist(e, num_parts=2), _uf(e))
+
+
+# ---- alternating large-star / small-star variant ----
+
+from mysql_binlog_ray.stages.graph import connected_components_bigstar  # noqa: E402
+
+
+def _big(edges: pd.DataFrame, **kw) -> pd.DataFrame:
+    out = connected_components_bigstar(edges, **kw).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_cc_bigstar_matches_union_find_random_graph():
+    rng = np.random.default_rng(11)
+    e = pd.DataFrame(
+        {
+            "doc_a": rng.integers(0, 120, 150).astype(np.int64),
+            "doc_b": rng.integers(0, 120, 150).astype(np.int64),
+        }
+    )
+    e = e[e["doc_a"] != e["doc_b"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(_big(e, num_parts=4), _uf(e))
+
+
+def test_cc_bigstar_long_chain_converges_in_log_rounds(caplog):
+    # a 1024-node path with PERMUTED ids: min-label propagation needs
+    # ~diameter (=1023) rounds; the star rounds must finish (no
+    # max_rounds warning) within an O(log n) cap
+    n = 1024
+    rng = np.random.default_rng(3)
+    ids = rng.permutation(n).astype(np.int64) + 10
+    e = pd.DataFrame({"doc_a": ids[:-1], "doc_b": ids[1:]})
+    with caplog.at_level(logging.WARNING, logger="mysql_binlog_ray.stages.graph"):
+        got = _big(e, num_parts=4, max_rounds=14)
+    assert not any("max_rounds" in r.message for r in caplog.records)
+    assert got["cluster_id"].eq(10 + 0).all() or got["cluster_id"].nunique() == 1
+    pd.testing.assert_frame_equal(got, _uf(e))
+
+
+def test_cc_bigstar_duplicate_reversed_and_self_edges():
+    e = pd.DataFrame(
+        {
+            "doc_a": np.array([5, 2, 2, 9, 7], np.int64),
+            "doc_b": np.array([2, 5, 5, 9, 7], np.int64),
+        }
+    )
+    # self-edges (9,9)/(7,7) contribute no connectivity and no node
+    # emission (parity with the union-find, which skips a==b? it does
+    # not — keep only genuinely edged nodes)
+    got = _big(e, num_parts=2)
+    exp = _uf(e[e["doc_a"] != e["doc_b"]])
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_cc_bigstar_empty_and_negative():
+    e = pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
+    assert connected_components_bigstar(e).count() == 0
+    bad = pd.DataFrame({"doc_a": np.array([-1], np.int64), "doc_b": np.array([2], np.int64)})
+    with pytest.raises(Exception, match="node ids"):
+        connected_components_bigstar(bad).materialize()
+
+
+def test_cc_bigstar_exact_above_2_53():
+    base = 1 << 53
+    e = pd.DataFrame(
+        {
+            "doc_a": np.array([base, base + 4, base + 1], np.int64),
+            "doc_b": np.array([base + 4, base + 1, base + 2], np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(_big(e, num_parts=2), _uf(e))
+
+
+def test_cc_bigstar_matches_min_label_on_two_components():
+    e = pd.DataFrame(
+        {
+            "doc_a": np.array([1, 2, 3, 100, 101], np.int64),
+            "doc_b": np.array([2, 3, 4, 101, 102], np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(_big(e, num_parts=2), _dist(e, num_parts=2))
