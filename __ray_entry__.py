@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational breadth
         "q1_lineitem_agg": Q.q1_lineitem_agg,
         "join_orders_customer": Q.join_orders_customer,
+        "skew_join_events_customer": Q.skew_join_events_customer,
         "join_orders_lineitem": Q.join_orders_lineitem,
         "bucketed_join_orders_lineitem": Q.bucketed_join_orders_lineitem,
         "asof_clicks_purchases": Q.asof_clicks_purchases,
@@ -520,6 +521,15 @@ def _oracle_sql_dict() -> dict[str, str]:
                    max(o.o_totalprice) AS max_price
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "skew_join_events_customer": """
+            SELECT c.c_mktsegment, e.event_type,
+                   count(*) AS n_events,
+                   CAST(sum(e.event_id) AS BIGINT) AS sum_event_id,
+                   min(e.value) AS min_value,
+                   max(e.value) AS max_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2
         """,
         "topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders

@@ -177,6 +177,30 @@ def join_orders_customer(sf_dir: str):
     )
 
 
+def skew_join_events_customer(sf_dir: str):
+    """Skew-aware hybrid join: hot event users join map-side against a
+    broadcast of their customer rows; the cold tail hash-joins.  Result
+    is aggregate-verified against a plain SQL join (the split is
+    semantically invisible)."""
+    events = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "event_id", "value"]
+    )
+    customer = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = R.skew_join(events, customer, "user_id", "c_custkey", hot_threshold=50)
+    return R.preagg_groupby(
+        joined,
+        ["c_mktsegment", "event_type"],
+        {
+            "n_events": (None, "count"),
+            "sum_event_id": ("event_id", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+    )
+
+
 def topk_orders(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
     return R.top_k(ds, [("o_totalprice", True), ("o_orderkey", False)], 10)

@@ -18,6 +18,7 @@ from typing import Callable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data.aggregate import Max, Min, Sum
@@ -592,6 +593,116 @@ def hash_join(
             "num_cpus": per_agg_cpus,
             "scheduling_strategy": "SPREAD",
         },
+    )
+
+
+def skew_join(
+    left_ds: rd.Dataset,
+    right_ds: rd.Dataset,
+    on: str,
+    right_on: str,
+    hot_threshold: int,
+    join_type: str = "inner",
+    num_partitions: int | None = None,
+    max_broadcast_rows: int = 2_000_000,
+) -> rd.Dataset:
+    """Skew-aware large-large equi-join: HOT keys (left-side frequency >
+    ``hot_threshold``) join map-side against a broadcast of the right
+    side's hot rows; the COLD remainder goes through the ordinary
+    hash-partitioned join.  Result == ``hash_join`` row-for-row — the key
+    space is split disjointly and each half joins completely within its
+    path — but no shuffle partition ever holds a hot key's full row set,
+    which is the classic all-to-all skew killer at 100 TB (one zipf-hot
+    key lands O(key_count) rows on ONE join task).
+
+    Scale shape: hot detection is `sketches.exact_heavy_hitters` (a
+    Space-Saving sketch pass + an exact count of the candidate superset —
+    kilobytes to the driver); the right side's hot rows must be
+    broadcastable (dimension-bounded per key) — if they exceed
+    ``max_broadcast_rows`` this falls back to the plain hash join with a
+    warning, never a silent driver blowup.  ``join_type`` supports
+    ``inner`` and ``left_outer`` (their semantics decompose per key
+    subset map-side; right/full outer would need unmatched-right
+    tracking across batches — use ``hash_join``)."""
+    import logging
+
+    from .sketches import exact_heavy_hitters
+
+    if join_type not in ("inner", "left_outer"):
+        raise ValueError(f"skew_join: unsupported join_type {join_type!r}")
+
+    logger = logging.getLogger(__name__)
+    hot = exact_heavy_hitters(
+        left_ds.map_batches(lambda b: b.select([on]), batch_format="pyarrow"),
+        on,
+        threshold=hot_threshold,
+    )
+    hot = hot[hot[on].notna()]
+    if hot.empty:
+        return hash_join(
+            left_ds, right_ds, on, right_on,
+            num_partitions=num_partitions, join_type=join_type,
+        )
+
+    hot_set = pa.array(hot[on].to_numpy())
+
+    def keep_hot(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b.column(col), value_set=hot_set))
+
+        return fn
+
+    def keep_cold(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.is_in(b.column(col), value_set=hot_set)
+            # NULL keys: is_in yields null -> fill false so NULL-keyed
+            # rows ride the cold path (they join nothing / left-outer
+            # there, exactly as in the plain hash join)
+            return b.filter(pc.invert(pc.fill_null(m, False)))
+
+        return fn
+
+    right_hot = right_ds.map_batches(
+        keep_hot(right_on), batch_format="pyarrow"
+    ).materialize()
+    if right_hot.count() > max_broadcast_rows:
+        logger.warning(
+            "skew_join: right side has %d rows under hot keys "
+            "(max_broadcast_rows=%d) — falling back to the plain hash join",
+            right_hot.count(), max_broadcast_rows,
+        )
+        return hash_join(
+            left_ds, right_ds, on, right_on,
+            num_partitions=num_partitions, join_type=join_type,
+        )
+    get_right = broadcast_once(right_hot.to_pandas())
+    how = "inner" if join_type == "inner" else "left"
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(get_right(), left_on=on, right_on=right_on, how=how)
+
+    hot_joined = left_ds.map_batches(
+        keep_hot(on), batch_format="pyarrow"
+    ).map_batches(probe, batch_format="pandas")
+    cold_joined = hash_join(
+        left_ds.map_batches(keep_cold(on), batch_format="pyarrow"),
+        right_ds.map_batches(keep_cold(right_on), batch_format="pyarrow"),
+        on,
+        right_on,
+        num_partitions=num_partitions,
+        join_type=join_type,
+    )
+    # align column order across the two paths before the union (Ray's
+    # join drops the right key column; the pandas merge keeps it)
+    cols = list(left_ds.schema().names) + [
+        n for n in right_ds.schema().names if n != right_on
+    ]
+
+    def align(b: pa.Table) -> pa.Table:
+        return b.select(cols)
+
+    return hot_joined.map_batches(align, batch_format="pyarrow").union(
+        cold_joined.map_batches(align, batch_format="pyarrow")
     )
 
 

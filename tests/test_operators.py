@@ -1236,3 +1236,104 @@ class TestGopherQualityFilter:
             assert got[c].tolist() == exp[c].tolist(), c
         assert got.loc[0, "g_keep"] == 1
         assert got.loc[4, "g_alpha_ratio"] == 0.0
+
+
+class TestSkewJoin:
+    """skew_join == hash_join row-for-row; hot keys never shuffle."""
+
+    @staticmethod
+    def _zipf_frames():
+        rng = np.random.default_rng(5)
+        keys = np.concatenate(
+            [np.full(400, 7), np.full(300, 13), rng.integers(0, 50, 300)]
+        ).astype(np.int64)
+        l = pd.DataFrame({"k": keys, "x": np.arange(len(keys), dtype=np.int64)})
+        r = pd.DataFrame(
+            {"rk": np.arange(0, 60, dtype=np.int64), "y": [f"v{i}" for i in range(60)]}
+        )
+        return l, r
+
+    def _norm(self, df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.fillna({"y": "<null>"})
+            .sort_values(list(df.columns))
+            .reset_index(drop=True)
+        )
+
+    def test_inner_parity_with_hash_join(self):
+        from mysql_binlog_ray.stages.relational import hash_join, skew_join
+
+        l, r = self._zipf_frames()
+        got = skew_join(
+            rd.from_pandas(l), rd.from_pandas(r), "k", "rk", hot_threshold=100
+        ).to_pandas()
+        exp = hash_join(
+            rd.from_pandas(l), rd.from_pandas(r), "k", "rk", num_partitions=4
+        ).to_pandas()
+        assert list(got.columns) == list(exp.columns) == ["k", "x", "y"]
+        pd.testing.assert_frame_equal(self._norm(got), self._norm(exp))
+
+    def test_left_outer_parity_with_pandas(self):
+        from mysql_binlog_ray.stages.relational import skew_join
+
+        l, r = self._zipf_frames()
+        # key 55..59 exist only on the right; add left-only keys too
+        l = pd.concat(
+            [l, pd.DataFrame({"k": np.array([200, 201], np.int64), "x": [0, 1]})],
+            ignore_index=True,
+        )
+        got = skew_join(
+            rd.from_pandas(l), rd.from_pandas(r), "k", "rk",
+            hot_threshold=100, join_type="left_outer",
+        ).to_pandas()
+        exp = l.merge(r, left_on="k", right_on="rk", how="left").drop(columns=["rk"])
+        pd.testing.assert_frame_equal(self._norm(got), self._norm(exp))
+
+    def test_null_keys_ride_cold_path_and_match_sql_semantics(self):
+        from mysql_binlog_ray.stages.relational import skew_join
+
+        l = pd.DataFrame(
+            {"k": pd.array([1, 1, 1, None, 2], dtype="Int64"), "x": [0, 1, 2, 3, 4]}
+        )
+        r = pd.DataFrame({"rk": pd.array([1, 2], dtype="Int64"), "y": ["a", "b"]})
+        got = skew_join(
+            rd.from_pandas(l), rd.from_pandas(r), "k", "rk", hot_threshold=2
+        ).to_pandas()
+        # NULL never equals anything: 3 hot-key matches + 1 cold match
+        assert len(got) == 4
+        assert set(got["y"]) == {"a", "b"}
+
+    def test_broadcast_cap_falls_back_to_hash_join(self, caplog):
+        import logging
+
+        from mysql_binlog_ray.stages.relational import hash_join, skew_join
+
+        l, r = self._zipf_frames()
+        with caplog.at_level(logging.WARNING, logger="mysql_binlog_ray.stages.relational"):
+            got = skew_join(
+                rd.from_pandas(l), rd.from_pandas(r), "k", "rk",
+                hot_threshold=100, max_broadcast_rows=0,
+            ).to_pandas()
+        assert any("falling back" in rec.message for rec in caplog.records)
+        exp = hash_join(
+            rd.from_pandas(l), rd.from_pandas(r), "k", "rk", num_partitions=4
+        ).to_pandas()
+        pd.testing.assert_frame_equal(self._norm(got), self._norm(exp))
+
+    def test_no_hot_keys_is_plain_join(self):
+        from mysql_binlog_ray.stages.relational import skew_join
+
+        l = pd.DataFrame({"k": np.arange(20, dtype=np.int64), "x": np.arange(20)})
+        r = pd.DataFrame({"rk": np.arange(10, dtype=np.int64), "y": np.arange(10)})
+        got = skew_join(
+            rd.from_pandas(l), rd.from_pandas(r), "k", "rk", hot_threshold=5
+        ).to_pandas()
+        assert len(got) == 10
+
+    def test_rejects_right_outer(self):
+        from mysql_binlog_ray.stages.relational import skew_join
+
+        l = pd.DataFrame({"k": [1], "x": [1]})
+        with pytest.raises(ValueError, match="join_type"):
+            skew_join(rd.from_pandas(l), rd.from_pandas(l), "k", "k",
+                      hot_threshold=1, join_type="right_outer")
