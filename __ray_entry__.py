@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem_agg": Q.q1_lineitem_agg,
         "join_orders_customer": Q.join_orders_customer,
         "skew_join_events_customer": Q.skew_join_events_customer,
+        "cohort_retention_events": Q.cohort_retention_events,
         "join_orders_lineitem": Q.join_orders_lineitem,
         "bucketed_join_orders_lineitem": Q.bucketed_join_orders_lineitem,
         "asof_clicks_purchases": Q.asof_clicks_purchases,
@@ -521,6 +522,19 @@ def _oracle_sql_dict() -> dict[str, str]:
                    max(o.o_totalprice) AS max_price
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "cohort_retention_events": """
+            WITH e AS (
+              SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS p
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), f AS (
+              SELECT user_id, min(p) AS cohort_period FROM e GROUP BY 1
+            )
+            SELECT f.cohort_period,
+                   e.p - f.cohort_period AS period_offset,
+                   count(DISTINCT e.user_id) AS n_users
+            FROM e JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
         "skew_join_events_customer": """
             SELECT c.c_mktsegment, e.event_type,

@@ -177,6 +177,16 @@ def join_orders_customer(sf_dir: str):
     )
 
 
+def cohort_retention_events(sf_dir: str):
+    """Daily cohort retention over the event stream: one keyed exchange
+    on the user computes cohorts, offsets, and the distinct-user partials
+    in-partition."""
+    from ..stages.window import cohort_retention
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    return cohort_retention(ds, "user_id", "ts", period_seconds=86400)
+
+
 def skew_join_events_customer(sf_dir: str):
     """Skew-aware hybrid join: hot event users join map-side against a
     broadcast of their customer rows; the cold tail hash-joins.  Result

@@ -412,6 +412,66 @@ def snapshot_diff(
     return keyed_reduce(ds, kcols, combine)
 
 
+def cohort_retention(
+    ds: rd.Dataset,
+    user_col: str,
+    ts_col: str,
+    period_seconds: int = 604800,
+    num_parts: int | None = None,
+) -> rd.Dataset:
+    """Cohort retention matrix: users bucketed by the period of their
+    FIRST event (the cohort), counted distinct per (cohort, period
+    offset) of later activity — the standard activation/retention report
+    over a change/event stream.
+
+    Scale shape: ONE keyed exchange on the user — a user's whole history
+    co-locates, so the first-event period, every (cohort, offset) pair,
+    AND the per-partition distinct-user dedupe all happen vectorized
+    inside the partition; each partition emits pre-counted partials
+    (cohort, offset, partial n) and a final tiny ``preagg_groupby`` sums
+    them.  No join, no second shuffle, nothing O(users) on the driver.
+    Distinct counting across partitions is exact because the exchange
+    key IS the user: one user never spans two partitions.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import keyed_reduce
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.select([user_col, ts_col])
+        mask = pc.and_(
+            pc.is_valid(t.column(user_col)), pc.is_valid(t.column(ts_col))
+        )
+        return t.filter(mask)
+
+    def partials(g: pd.DataFrame) -> pd.DataFrame:
+        us = g[ts_col].to_numpy("datetime64[us]").view("int64")
+        period = us // (int(period_seconds) * 1_000_000)
+        d = pd.DataFrame({"u": g[user_col].to_numpy(), "p": period})
+        first = d.groupby("u", sort=False)["p"].transform("min").to_numpy()
+        d["cohort_period"] = first
+        d["period_offset"] = d["p"].to_numpy() - first
+        ded = d.drop_duplicates(["u", "cohort_period", "period_offset"])
+        out = (
+            ded.groupby(["cohort_period", "period_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return out.astype(
+            {"cohort_period": "int64", "period_offset": "int64", "n_users": "int64"}
+        )
+
+    parts = keyed_reduce(
+        ds.map_batches(project, batch_format="pyarrow"),
+        [user_col],
+        partials,
+        num_parts=num_parts,
+    )
+    return preagg_groupby(
+        parts, ["cohort_period", "period_offset"], {"n_users": ("n_users", "sum")}
+    )
+
+
 def rollup_aggregate(
     ds: rd.Dataset,
     keys: list[str],

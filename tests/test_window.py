@@ -378,3 +378,52 @@ class TestSnapshotDiff:
 
         with pytest.raises(ValueError, match="w_old"):
             snapshot_diff(rd.from_pandas(self._stream()), "k", "seq", 40, 20)
+
+
+class TestCohortRetention:
+    def test_matches_pandas_reference(self):
+        from mysql_binlog_ray.stages.window import cohort_retention
+
+        rng = np.random.default_rng(9)
+        n = 800
+        ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 40 * 86400, n), unit="s"
+        )
+        df = pd.DataFrame({"user_id": rng.integers(0, 60, n).astype(np.int64), "ts": ts})
+        got = (
+            cohort_retention(rd.from_pandas(df), "user_id", "ts", period_seconds=604800, num_parts=3)
+            .to_pandas()
+            .sort_values(["cohort_period", "period_offset"])
+            .reset_index(drop=True)
+        )
+        ref = df.copy()
+        ref["p"] = ref["ts"].astype("int64") // (604800 * 10**9)
+        ref["cohort_period"] = ref.groupby("user_id")["p"].transform("min")
+        ref["period_offset"] = ref["p"] - ref["cohort_period"]
+        exp = (
+            ref.drop_duplicates(["user_id", "cohort_period", "period_offset"])
+            .groupby(["cohort_period", "period_offset"])
+            .size()
+            .reset_index(name="n_users")
+            .astype({"cohort_period": "int64", "period_offset": "int64", "n_users": "int64"})
+            .sort_values(["cohort_period", "period_offset"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got.astype({"n_users": "int64"}), exp)
+
+    def test_null_rows_dropped(self):
+        from mysql_binlog_ray.stages.window import cohort_retention
+
+        df = pd.DataFrame(
+            {
+                "user_id": pd.array([1, 1, None, 2], dtype="Int64"),
+                "ts": pd.to_datetime(
+                    ["2024-01-01", "2024-01-10", "2024-01-02", None]
+                ),
+            }
+        )
+        got = cohort_retention(
+            rd.from_pandas(df), "user_id", "ts", period_seconds=86400, num_parts=2
+        ).to_pandas()
+        # user 1 contributes (c,0) and (c,9); null user and null ts drop
+        assert int(got["n_users"].sum()) == 2
