@@ -46,6 +46,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentiles_lineitem": Q.percentiles_lineitem,
         "top3_orders_per_customer": Q.top3_orders_per_customer,
         "customers_without_orders": Q.customers_without_orders,
+        "customers_with_orders": Q.customers_with_orders,
+        "users_click_and_purchase": Q.users_click_and_purchase,
+        "ordering_customers_not_in_events": Q.ordering_customers_not_in_events,
         "pivot_user_event_counts": Q.pivot_user_event_counts,
         "term_frequency_documents": Q.term_frequency_documents,
         "json_field_stats_events": Q.json_field_stats_events,
@@ -522,6 +525,20 @@ def _oracle_sql_dict() -> dict[str, str]:
                    max(o.o_totalprice) AS max_price
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "users_click_and_purchase": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "ordering_customers_not_in_events": """
+            SELECT o_custkey AS custkey FROM orders
+            EXCEPT
+            SELECT user_id FROM events
         """,
         "cohort_retention_events": """
             WITH e AS (

@@ -177,6 +177,54 @@ def join_orders_customer(sf_dir: str):
     )
 
 
+def _events_user_set(sf_dir: str, event_type: str):
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    return ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), event_type)).select(
+            ["user_id"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def users_click_and_purchase(sf_dir: str):
+    """INTERSECT over distinct user sets (set_op, one keyed exchange of
+    per-batch distinct partials)."""
+    return R.set_op(
+        _events_user_set(sf_dir, "click"),
+        _events_user_set(sf_dir, "purchase"),
+        ["user_id"],
+        "intersect",
+    )
+
+
+def ordering_customers_not_in_events(sf_dir: str):
+    """EXCEPT over distinct key sets: customers who placed orders but
+    never appear in the event stream."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+    events = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    return R.set_op(
+        orders.map_batches(
+            lambda b: b.rename_columns(["custkey"]), batch_format="pyarrow"
+        ),
+        events.map_batches(
+            lambda b: b.rename_columns(["custkey"]), batch_format="pyarrow"
+        ),
+        ["custkey"],
+        "except",
+    )
+
+
+def customers_with_orders(sf_dir: str):
+    """Semi join (EXISTS): customers that placed at least one order —
+    distinct order keys reduced first, broadcast once, isin probe."""
+    customer = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment", "c_acctbal"]
+    )
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+    return R.broadcast_semi_join(customer, orders, "c_custkey", "o_custkey")
+
+
 def cohort_retention_events(sf_dir: str):
     """Daily cohort retention over the event stream: one keyed exchange
     on the user computes cohorts, offsets, and the distinct-user partials

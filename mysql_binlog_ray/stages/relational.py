@@ -185,7 +185,7 @@ def normalize_empty_blocks(ds: rd.Dataset, proto: dict[str, str]) -> rd.Dataset:
     return ds.map_batches(fix, batch_format="pyarrow")
 
 
-def drop_empty_blocks(ds: rd.Dataset, proto: dict[str, str]) -> rd.Dataset:
+def drop_empty_blocks(ds: rd.Dataset, proto: dict[str, str] | pa.Schema) -> rd.Dataset:
     """Physically remove 0-row blocks from a dataset.
 
     Ray 2.49 SKIPS map UDFs on 0-row blocks (``plan_udf_map_op.py``'s
@@ -214,7 +214,11 @@ def drop_empty_blocks(ds: rd.Dataset, proto: dict[str, str]) -> rd.Dataset:
                 refs.append(ref)
     refs.extend(ref for (ref, cnt) in unknown if ray.get(cnt))
     if not refs:
-        schema = pa.schema([(c, pa.type_for_alias(t)) for c, t in proto.items()])
+        schema = (
+            proto
+            if isinstance(proto, pa.Schema)
+            else pa.schema([(c, pa.type_for_alias(t)) for c, t in proto.items()])
+        )
         return rd.from_arrow(schema.empty_table())
     return rd.from_arrow_refs(refs)
 
@@ -841,6 +845,84 @@ def grouped_top_n(
         return g.groupby(group_cols, sort=False, dropna=False).head(n)
 
     return keyed_reduce(ds, group_cols, combine)
+
+
+def set_op(
+    left_ds: rd.Dataset,
+    right_ds: rd.Dataset,
+    cols: list[str],
+    op: str,
+    num_parts: int | None = None,
+) -> rd.Dataset:
+    """SQL set operations over DISTINCT rows: ``intersect`` / ``except``
+    (bag-of-distinct-rows semantics, NULL treated as a value — exactly
+    SQL's ``INTERSECT`` / ``EXCEPT``).
+
+    Scale shape: each side deduplicates per batch first (the shuffle
+    carries per-batch distinct partials, not raw rows), then ONE keyed
+    exchange on the row value decides membership per side vectorized
+    in-partition.  Nothing on the driver."""
+    if op not in ("intersect", "except"):
+        raise ValueError(f"set_op: op must be 'intersect' or 'except', got {op!r}")
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            g = b.select(cols).group_by(cols).aggregate([])
+            return g.append_column(
+                "_side", pa.array(np.full(g.num_rows, side, dtype=np.int64))
+            )
+
+        return fn
+
+    both = left_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+    want_right = op == "intersect"
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(cols, sort=False, dropna=False)["_side"]
+        has_l = gb.min() == 0
+        has_r = gb.max() == 1
+        # intersect: on both sides; except: on left only
+        keep = has_l & (has_r if want_right else ~has_r)
+        out = keep[keep].index.to_frame(index=False)
+        out.columns = cols
+        return out
+
+    out = keyed_reduce(both, cols, decide, num_parts=num_parts)
+    # an all-empty result loses its schema through the shuffle (Ray SKIPS
+    # map UDFs on 0-row blocks, so no downstream map can retype them):
+    # physically drop the empty blocks, typing the all-empty edge from
+    # the left input's Arrow schema when it has one
+    lsch = left_ds.schema()
+    typed = {n: t for n, t in zip(lsch.names, lsch.types)}
+    if all(isinstance(typed.get(c), pa.DataType) for c in cols):
+        anchor = pa.schema([(c, typed[c]) for c in cols])
+    else:  # pandas-block inputs report Python/extension types
+        anchor = pa.schema([])
+    return drop_empty_blocks(out, anchor)
+
+
+def broadcast_semi_join(
+    ds: rd.Dataset,
+    right_ds: rd.Dataset,
+    left_on: str,
+    right_on: str,
+) -> rd.Dataset:
+    """Semi join (``EXISTS``): keep left rows whose key occurs on the
+    right — the mirror of ``broadcast_anti_join`` (same distinct-keys
+    reduction + one broadcast, vectorized ``isin`` probe, no shuffle).
+    NULL left keys never match (SQL semantics: NULL = x is never true),
+    and NULL right keys are dropped from the probe set for the same
+    reason."""
+    keys = preagg_groupby(right_ds, [right_on], {"_n": (None, "count")}).to_pandas()
+    keys = keys[keys[right_on].notna()]
+    get_keys = broadcast_once(keys[right_on].to_numpy())
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch[left_on].isin(get_keys()) & batch[left_on].notna()]
+
+    return ds.map_batches(probe, batch_format="pandas")
 
 
 def broadcast_anti_join(

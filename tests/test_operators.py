@@ -1337,3 +1337,61 @@ class TestSkewJoin:
         with pytest.raises(ValueError, match="join_type"):
             skew_join(rd.from_pandas(l), rd.from_pandas(l), "k", "k",
                       hot_threshold=1, join_type="right_outer")
+
+
+class TestSetOpsAndSemiJoin:
+    def test_intersect_and_except_with_nulls(self):
+        from mysql_binlog_ray.stages.relational import set_op
+
+        l = pd.DataFrame({"k": pd.array([1, 1, 2, 3, None, None], dtype="Int64")})
+        r = pd.DataFrame({"k": pd.array([2, 4, None], dtype="Int64")})
+        inter = set_op(rd.from_pandas(l), rd.from_pandas(r), ["k"], "intersect",
+                       num_parts=2).to_pandas()
+        exc = set_op(rd.from_pandas(l), rd.from_pandas(r), ["k"], "except",
+                     num_parts=2).to_pandas()
+        # SQL set ops treat NULL as a value: NULL intersects NULL
+        assert sorted(inter["k"].fillna(-1).astype(int)) == [-1, 2]
+        assert sorted(exc["k"].fillna(-1).astype(int)) == [1, 3]
+
+    def test_multi_column_intersect(self):
+        from mysql_binlog_ray.stages.relational import set_op
+
+        l = pd.DataFrame({"a": [1, 1, 2], "b": ["x", "y", "x"]})
+        r = pd.DataFrame({"a": [1, 2, 2], "b": ["y", "x", "z"]})
+        got = set_op(rd.from_pandas(l), rd.from_pandas(r), ["a", "b"], "intersect",
+                     num_parts=2).to_pandas()
+        got = got.sort_values(["a", "b"]).reset_index(drop=True)
+        assert got.to_dict("list") == {"a": [1, 2], "b": ["y", "x"]}
+
+    def test_empty_result_keeps_schema(self):
+        # Ray's to_pandas drops columns of an all-empty dataset; the
+        # engine-level guarantee is the Dataset SCHEMA (drop_empty_blocks
+        # rebuilds the typed anchor), which downstream ops consume
+        from mysql_binlog_ray.stages.relational import set_op
+
+        l = pd.DataFrame({"k": np.array([1, 2], np.int64)})
+        got = set_op(rd.from_pandas(l), rd.from_pandas(l), ["k"], "except",
+                     num_parts=2)
+        assert got.count() == 0
+        assert got.schema().names == ["k"]
+        assert str(got.schema().types[0]) == "int64"
+
+    def test_rejects_unknown_op(self):
+        from mysql_binlog_ray.stages.relational import set_op
+
+        l = rd.from_pandas(pd.DataFrame({"k": [1]}))
+        with pytest.raises(ValueError, match="set_op"):
+            set_op(l, l, ["k"], "union")
+
+    def test_semi_join_matches_sql_exists(self):
+        from mysql_binlog_ray.stages.relational import broadcast_semi_join
+
+        l = pd.DataFrame(
+            {"k": pd.array([1, 2, 3, None], dtype="Int64"), "x": [10, 20, 30, 40]}
+        )
+        r = pd.DataFrame({"rk": pd.array([1, 3, None], dtype="Int64")})
+        got = broadcast_semi_join(
+            rd.from_pandas(l), rd.from_pandas(r), "k", "rk"
+        ).to_pandas()
+        # NULL = NULL is never true in EXISTS
+        assert sorted(got["x"].tolist()) == [10, 30]
