@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_documents": Q.tfidf_documents,
         "ntile_documents": Q.ntile_documents,
         "topk_orders": Q.topk_orders,
+        "tpch_q3_building": Q.tpch_q3_building,
         "distinct_users": Q.distinct_users,
         "stratified_sample_documents": Q.stratified_sample_documents,
         "weighted_sample_documents": Q.weighted_sample_documents,
@@ -565,6 +566,26 @@ def _oracle_sql_dict() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "tpch_q3_building": """
+            -- revenue in integer 1e-4-dollar units: round() acts on single
+            -- near-integer products (never float sums), so np.round and
+            -- DuckDB round always agree; the BIGINT cast collapses the
+            -- HUGEINT sum back to the engine's int64
+            SELECT l.l_orderkey,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_e4,
+                   epoch_us(o.o_orderdate) AS o_orderdate_us,
+                   o.o_orderpriority
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY 1, 3, 4
+            ORDER BY revenue_e4 DESC, l.l_orderkey LIMIT 10
         """,
         "distinct_users": """
             SELECT count(DISTINCT user_id) AS n_users FROM events

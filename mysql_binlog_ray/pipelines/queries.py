@@ -264,6 +264,79 @@ def topk_orders(sf_dir: str):
     return R.top_k(ds, [("o_totalprice", True), ("o_orderkey", False)], 10)
 
 
+def tpch_q3_building(sf_dir: str):
+    """TPC-H Q3-shaped 3-table star join: selective filters on every side,
+    per-order revenue, global top-10.  Composition showcase for the scale
+    path: the dimension side collapses to a broadcast semi-join (no
+    shuffle), the fact side pre-aggregates per order key BEFORE the only
+    hash-partitioned exchange, and the ranking is bounded local-top-k +
+    driver merge — never a global sort.  Revenue is integer 1e-4-dollar
+    units (single near-integer products rounded BEFORE any sum) so the
+    engine and the SQL oracle agree bit-for-bit regardless of summation
+    order; o_orderdate rides as epoch micros (int64) because pandas
+    round-trips would silently retype a raw timestamp column."""
+    cutoff = pa.scalar(np.datetime64("1998-06-01", "us"), type=pa.timestamp("us"))
+
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    cust = R.filter_project(
+        cust,
+        lambda b: pc.equal(b.column("c_mktsegment"), "BUILDING"),
+        ["c_custkey"],
+    )
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("o_orderdate"), cutoff))
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "o_orderdate_us": b.column("o_orderdate").cast(pa.int64()),
+                "o_orderpriority": b.column("o_orderpriority"),
+            }
+        )
+
+    orders = orders.map_batches(prep_orders, batch_format="pyarrow")
+    orders = R.broadcast_semi_join(orders, cust, "o_custkey", "c_custkey")
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("l_shipdate"), cutoff))
+        cents = np.round(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.round(
+            b.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "revenue_e4": pa.array(cents * (100 - disc), pa.int64()),
+            }
+        )
+
+    liagg = R.preagg_groupby(
+        li.map_batches(rev, batch_format="pyarrow"),
+        ["l_orderkey"],
+        {"revenue_e4": ("revenue_e4", "sum")},
+    )
+    joined = R.hash_join(liagg, orders, on="l_orderkey", right_on="o_orderkey")
+    top = R.top_k(joined, [("revenue_e4", True), ("l_orderkey", False)], 10)
+    return top.select(
+        ["l_orderkey", "revenue_e4", "o_orderdate_us", "o_orderpriority"]
+    )
+
+
 def distinct_users(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
     n = R.distinct_count(ds, "user_id")

@@ -1395,3 +1395,30 @@ class TestSetOpsAndSemiJoin:
         ).to_pandas()
         # NULL = NULL is never true in EXISTS
         assert sorted(got["x"].tolist()) == [10, 30]
+
+
+class TestTpchQ3:
+    """Multi-join composition (broadcast semi join + pre-agg + hash join
+    + bounded top-k) vs the DuckDB oracle on the sf0.001 testdata."""
+
+    def test_q3_matches_oracle_sf0001(self):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        got = (
+            e.queries()["tpch_q3_building"]("/root/testdata/sf0.001")
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        for t in ("customer", "orders", "lineitem"):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * "
+                f"FROM '/root/testdata/sf0.001/{t}.parquet'"
+            )
+        exp = con.sql(e.oracle_sql()["tpch_q3_building"]).df()
+        assert got["l_orderkey"].tolist() == exp["l_orderkey"].tolist()
+        assert got["revenue_e4"].tolist() == exp["revenue_e4"].tolist()
+        assert got["o_orderdate_us"].tolist() == exp["o_orderdate_us"].tolist()
+        assert got["o_orderpriority"].tolist() == exp["o_orderpriority"].tolist()
