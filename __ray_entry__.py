@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_exact": Q.embedding_neardup_exact_embeddings,
         "ngram_neardup_documents": Q.ngram_neardup_documents,
         "neardup_clusters_distributed": Q.neardup_clusters_distributed,
+        "semdedup_keep_documents": Q.semdedup_keep_documents,
         "neardup_clusters_bigstar": Q.neardup_clusters_bigstar,
         "dedup_spans_documents": Q.dedup_spans_documents,
         "distinct_ngram_ratio_documents": Q.distinct_ngram_ratio_documents,
@@ -1145,6 +1146,31 @@ def _oracle_sql_dict() -> dict[str, str]:
             )
             SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
             FROM reach GROUP BY a
+        """,
+        "semdedup_keep_documents": f"""
+            WITH RECURSIVE {_NGRAM_PAIR_CTES},
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM npairs
+              UNION ALL SELECT doc_b, doc_a FROM npairs
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            comp AS (
+              SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+              FROM reach GROUP BY a
+            ),
+            scored AS (
+              SELECT c.doc_id, c.cluster_id,
+                     length(coalesce(d.text, '')) AS n_chars
+              FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+            )
+            SELECT doc_id, cluster_id, n_chars,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY n_chars DESC, doc_id) = 1 AS keep
+            FROM scored
         """,
         "quality_documents": """
             WITH q AS (

@@ -826,6 +826,45 @@ def neardup_clusters_distributed(sf_dir: str):
     return pa.Table.from_pandas(comp, preserve_index=False)
 
 
+def semdedup_keep_documents(sf_dir: str):
+    """Canonical-document selection over near-dup clusters — the "which
+    copy do we keep for training" step after dedup: exact n-gram Jaccard
+    pairs -> distributed connected components -> per-cluster winner
+    (longest text, tie-break smallest doc_id).  The keep/drop decision is
+    computed inside ONE keyed exchange on cluster_id (sort + first-row
+    mark per cluster, vectorized); no winner set is ever broadcast or
+    collected on the driver."""
+    from ..stages.dedup import ngram_jaccard_dedup
+    from ..stages.graph import connected_components_distributed
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = ngram_jaccard_dedup(ds, threshold=0.5)
+    comp = connected_components_distributed(pairs)
+
+    def with_len(b: pa.Table) -> pa.Table:
+        txt = pc.coalesce(b.column("text"), pa.scalar("", pa.string()))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": pc.utf8_length(txt).cast(pa.int64()),
+            }
+        )
+
+    lens = ds.map_batches(with_len, batch_format="pyarrow")
+    scored = R.hash_join(comp, lens, on="doc_id", right_on="doc_id")
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cluster_id", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g = g.assign(keep=~g["cluster_id"].duplicated())
+        return g[["doc_id", "cluster_id", "n_chars", "keep"]]
+
+    return R.keyed_reduce(scored, ["cluster_id"], decide)
+
+
 def neardup_clusters_bigstar(sf_dir: str):
     """Same clusters as :func:`neardup_clusters_distributed` but through
     the alternating large-star/small-star rounds (O(log n) rounds on any

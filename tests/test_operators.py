@@ -1422,3 +1422,38 @@ class TestTpchQ3:
         assert got["revenue_e4"].tolist() == exp["revenue_e4"].tolist()
         assert got["o_orderdate_us"].tolist() == exp["o_orderdate_us"].tolist()
         assert got["o_orderpriority"].tolist() == exp["o_orderpriority"].tolist()
+
+
+class TestSemdedupKeep:
+    """Canonical-doc-per-cluster selection vs the recursive-CTE +
+    window-function oracle on the sf0.001 testdata."""
+
+    def test_keep_decision_matches_oracle_sf0001(self):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        got = (
+            e.queries()["semdedup_keep_documents"]("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * "
+            "FROM '/root/testdata/sf0.001/documents.parquet'"
+        )
+        exp = (
+            con.sql(e.oracle_sql()["semdedup_keep_documents"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp) and len(got) > 0
+        for c in ("doc_id", "cluster_id", "n_chars", "keep"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        # exactly one winner per cluster
+        winners = got[got["keep"]].groupby("cluster_id").size()
+        assert (winners == 1).all()
+        assert set(winners.index) == set(got["cluster_id"].unique())
