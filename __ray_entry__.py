@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_documents": Q.ntile_documents,
         "topk_orders": Q.topk_orders,
         "tpch_q3_building": Q.tpch_q3_building,
+        "bloom_join_events_rich_customers": Q.bloom_join_events_rich_customers,
         "distinct_users": Q.distinct_users,
         "stratified_sample_documents": Q.stratified_sample_documents,
         "weighted_sample_documents": Q.weighted_sample_documents,
@@ -567,6 +568,15 @@ def _oracle_sql_dict() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "bloom_join_events_rich_customers": """
+            SELECT c.c_mktsegment,
+                   count(*) AS n_events,
+                   CAST(sum(e.event_id) AS BIGINT) AS sum_event_id,
+                   max(e.value) AS max_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            WHERE c.c_acctbal > 8000
+            GROUP BY 1
         """,
         "tpch_q3_building": """
             -- revenue in integer 1e-4-dollar units: round() acts on single

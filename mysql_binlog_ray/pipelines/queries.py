@@ -259,6 +259,35 @@ def skew_join_events_customer(sf_dir: str):
     )
 
 
+def bloom_join_events_rich_customers(sf_dir: str):
+    """Bloom-prefiltered join: the filtered dimension side (acctbal >
+    8000, ~20% of customers) streams once into a Bloom filter that drops
+    non-joinable event rows BEFORE the hash-join shuffle — identical
+    results to a plain join (no false negatives), ~80% less shuffled
+    fact data."""
+    events = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "value"]
+    )
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_acctbal", "c_mktsegment"]
+    )
+    cust = R.filter_project(
+        cust,
+        lambda b: pc.greater(b.column("c_acctbal"), 8000.0),
+        ["c_custkey", "c_mktsegment"],
+    )
+    joined = R.bloom_join(events, cust, "user_id", "c_custkey")
+    return R.preagg_groupby(
+        joined,
+        ["c_mktsegment"],
+        {
+            "n_events": (None, "count"),
+            "sum_event_id": ("event_id", "sum"),
+            "max_value": ("value", "max"),
+        },
+    )
+
+
 def topk_orders(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
     return R.top_k(ds, [("o_totalprice", True), ("o_orderkey", False)], 10)

@@ -1457,3 +1457,50 @@ class TestSemdedupKeep:
         winners = got[got["keep"]].groupby("cluster_id").size()
         assert (winners == 1).all()
         assert set(winners.index) == set(got["cluster_id"].unique())
+
+
+class TestBloomJoin:
+    def test_matches_hash_join_exactly(self):
+        from mysql_binlog_ray.stages.relational import bloom_join, hash_join
+
+        rng = np.random.default_rng(11)
+        left = pd.DataFrame(
+            {"k": rng.integers(0, 5000, 4000), "x": np.arange(4000, dtype=np.int64)}
+        )
+        # selective right side: 100 keys, some absent from left
+        right = pd.DataFrame(
+            {"rk": np.arange(0, 10000, 100, dtype=np.int64), "y": np.arange(100, dtype=np.int64)}
+        )
+        got = (
+            bloom_join(rd.from_pandas(left), rd.from_pandas(right), "k", "rk",
+                       m_bits=1 << 16, num_partitions=4)
+            .to_pandas().sort_values(["k", "x", "y"]).reset_index(drop=True)
+        )
+        exp = (
+            hash_join(rd.from_pandas(left), rd.from_pandas(right), "k", "rk",
+                      num_partitions=4)
+            .to_pandas().sort_values(["k", "x", "y"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
+
+    def test_prefilter_drops_definitely_absent_keys(self):
+        from mysql_binlog_ray.stages.sketches import (
+            BloomFilter,
+            _bloom_hash_strings,
+            build_bloom,
+        )
+
+        right = pd.DataFrame({"rk": np.arange(100, dtype=np.int64)})
+        bf = build_bloom(rd.from_pandas(right), "rk", m_bits=1 << 16, k=6)
+        present = _bloom_hash_strings(pd.Series(np.arange(100, dtype=np.int64)))
+        absent = _bloom_hash_strings(pd.Series(np.arange(10_000, 11_000, dtype=np.int64)))
+        # no false negatives; false positives bounded well under 10%
+        assert bf.contains_hashes(present).all()
+        assert bf.contains_hashes(absent).mean() < 0.1
+
+    def test_rejects_outer_join(self):
+        from mysql_binlog_ray.stages.relational import bloom_join
+
+        l = rd.from_pandas(pd.DataFrame({"k": [1]}))
+        with pytest.raises(ValueError, match="inner"):
+            bloom_join(l, l, "k", "k", join_type="left_outer")
