@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_documents": Q.contamination_documents,
         "redact_customer_names": Q.redact_customer_names,
         "split_documents": Q.split_documents,
+        "mixture_sample_documents": Q.mixture_sample_documents,
         "chunk_documents": Q.chunk_documents_query,
         "incremental_dedup_documents": Q.incremental_dedup_documents,
         "shuffle_order_documents": Q.shuffle_order_documents,
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": Q.distinct_users_per_type,
         "corr_lineitem": Q.corr_lineitem,
         "global_percentiles_lineitem": Q.global_percentiles_lineitem,
+        "approx_percentiles_events_value": Q.approx_percentiles_events_value,
         "rollup_lineitem": Q.rollup_lineitem,
         "cube_lineitem": Q.cube_lineitem,
         "tfidf_documents": Q.tfidf_documents,
@@ -244,6 +246,37 @@ def _split_documents_oracle() -> str:
 
     case = hash_split_sql("doc_id", SPLIT_FRACTIONS, SPLIT_SEED)
     return f"SELECT doc_id, {case} AS split FROM documents"
+
+
+def _approx_percentiles_oracle() -> str:
+    from mysql_binlog_ray.pipelines.queries import APPROXQ_RATE, APPROXQ_SEED
+    from mysql_binlog_ray.stages.split import SPLIT_BUCKETS, _rate_e4, splitmix64_sql
+
+    cut = _rate_e4(APPROXQ_RATE, "value")
+    pred = f"({splitmix64_sql('event_id', APPROXQ_SEED)} % {SPLIT_BUCKETS}) < {cut}"
+    arm = (
+        "SELECT CAST({q} AS DOUBLE) AS q, "
+        "CAST(quantile_disc(cents, {q}) AS BIGINT) AS cents FROM s"
+    )
+    arms = " UNION ALL ".join(arm.format(q=q) for q in ("0.50", "0.95", "0.99"))
+    return f"""
+        WITH s AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE {pred}
+        )
+        {arms}
+    """
+
+
+def _mixture_sample_oracle() -> str:
+    from mysql_binlog_ray.pipelines.queries import (
+        MIXTURE_DEFAULT_RATE,
+        MIXTURE_RATES,
+    )
+    from mysql_binlog_ray.stages.split import mixture_sample_sql
+
+    pred = mixture_sample_sql("doc_id", "lang", MIXTURE_RATES, MIXTURE_DEFAULT_RATE)
+    return f"SELECT doc_id, lang, source FROM documents WHERE {pred}"
 
 
 # shared ASCII-whitespace charlist for every tokenizing oracle, paired
@@ -768,6 +801,8 @@ def _oracle_sql_dict() -> dict[str, str]:
         # generated from the SAME cut points + splitmix64 constants as the
         # numpy path (stages/split.py) — one source of truth, bit-exact
         "split_documents": _split_documents_oracle(),
+        "mixture_sample_documents": _mixture_sample_oracle(),
+        "approx_percentiles_events_value": _approx_percentiles_oracle(),
         "weighted_sample_documents": _weighted_sample_oracle(),
         "outer_join_user_funnel": """
             WITH c AS (

@@ -1210,6 +1210,25 @@ def split_documents(sf_dir: str):
     return hash_split(ds, "doc_id", SPLIT_FRACTIONS, seed=SPLIT_SEED)
 
 
+MIXTURE_RATES = {"en": 0.9, "zh": 0.5}
+MIXTURE_DEFAULT_RATE = 0.25
+
+
+def mixture_sample_documents(sf_dir: str):
+    """Domain-mixing sample: keep 90% of English, 50% of Chinese, 25% of
+    every other language — deterministic per-group Bernoulli on
+    splitmix64(doc_id), map-only.  Row-level output so the oracle checks
+    every keep decision."""
+    from ..stages.split import mixture_sample
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang", "source"]
+    )
+    return mixture_sample(
+        ds, "doc_id", "lang", MIXTURE_RATES, default_rate=MIXTURE_DEFAULT_RATE
+    )
+
+
 CHUNK_CHARS = 512
 CHUNK_OVERLAP = 64
 
@@ -1408,6 +1427,37 @@ def running_totals_events(sf_dir: str):
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+APPROXQ_RATE = 0.2
+APPROXQ_SEED = 13
+
+
+def approx_percentiles_events_value(sf_dir: str):
+    """APPROXIMATE global p50/p95/p99 of events.value via deterministic
+    hash-threshold sampling (20% of rows by splitmix64(event_id)) + exact
+    selection over the sample — the mergeable, rerun-stable alternative
+    to a randomized quantile sketch, and the only kind of approximate
+    quantile that admits a bit-exact SQL oracle."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b.column("value"), pa.scalar(100.0))).cast(
+            pa.int64()
+        )
+        return pa.table({"event_id": b.column("event_id"), "cents": cents})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    # value domain ~1..49002 cents -> coarse_shift=8 keeps ~200 buckets
+    return R.approx_percentiles_by_sample(
+        prepped,
+        "event_id",
+        "cents",
+        [0.5, 0.95, 0.99],
+        rate=APPROXQ_RATE,
+        coarse_shift=8,
+        seed=APPROXQ_SEED,
+    )
 
 
 def rollup_lineitem(sf_dir: str):

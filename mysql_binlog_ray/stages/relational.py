@@ -1232,6 +1232,44 @@ def exact_global_percentiles(
     )
 
 
+def approx_percentiles_by_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    qs: list[float],
+    rate: float,
+    coarse_shift: int = 16,
+    seed: int = 0,
+) -> pa.Table:
+    """Approximate global percentiles for 100-TB inputs: deterministic
+    hash-threshold row sampling (``splitmix64(key + seed) % 10000 <
+    rate_e4``) followed by :func:`exact_global_percentiles` over the
+    sample.  The sample is a pure function of keys — order-insensitive,
+    trivially mergeable across shards, stable under re-runs and
+    repartitions — which is exactly the property a randomized KLL sketch
+    gives up; error is the usual DKW ~O(1/sqrt(rate*n)) bound on ranks.
+    Because the sample is deterministic, an exact SQL twin exists (same
+    predicate + quantile_disc), so even the APPROXIMATE operator is
+    oracle-checkable bit-for-bit."""
+    from .split import SPLIT_BUCKETS, _rate_e4, splitmix64
+
+    cut = np.int64(_rate_e4(rate, val_col))
+
+    def keep(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        if len(keys) and keys.min() < 0:
+            raise ValueError(f"{key_col} must be non-negative")
+        with np.errstate(over="ignore"):
+            bucket = (
+                splitmix64(keys.astype(np.uint64) + np.uint64(seed))
+                % np.uint64(SPLIT_BUCKETS)
+            ).astype(np.int64)
+        return b.filter(pa.array(bucket < cut)).select([val_col])
+
+    sample = ds.map_batches(keep, batch_format="pyarrow")
+    return exact_global_percentiles(sample, val_col, qs, coarse_shift=coarse_shift)
+
+
 def pivot_counts(
     ds: rd.Dataset,
     key_col: str,

@@ -210,6 +210,75 @@ def weighted_bernoulli_sample_sql(
     )
 
 
+MIXTURE_SAMPLE_SEED = 0x5EED_D0D0_02
+
+
+def mixture_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = MIXTURE_SAMPLE_SEED,
+) -> rd.Dataset:
+    """Per-group Bernoulli mixture sampling — the "domain mixing" step of
+    training-data curation (keep 90% of English, 50% of code, 10% of the
+    long tail...).  A row survives iff
+    ``splitmix64(key + seed) % 10000 < rate_e4[group]``: deterministic,
+    key-stable (appends/re-runs never flip a kept row), and map-only —
+    no shuffle, no driver state, rates broadcast in the task closure.
+    Rates live on the 1/10000 grid (validated) so the SQL twin agrees
+    exactly; groups missing from ``rates`` fall back to
+    ``default_rate``."""
+    rate_e4 = {g: _rate_e4(r, g) for g, r in rates.items()}
+    default_e4 = _rate_e4(default_rate, "<default>")
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch[key_col].to_numpy()
+        if len(keys) == 0:
+            return batch
+        if keys.min() < 0:
+            raise ValueError(f"{key_col} must be non-negative for mixture_sample")
+        with np.errstate(over="ignore"):
+            bucket = (
+                splitmix64(keys.astype(_U) + _U(seed % _MOD)) % _U(SPLIT_BUCKETS)
+            ).astype(np.int64)
+        cut = batch[group_col].map(rate_e4).fillna(default_e4).to_numpy(np.int64)
+        return batch.loc[bucket < cut]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+def _rate_e4(rate: float, label: str) -> int:
+    """A rate on the 1/10000 grid -> integer cut point (the shared
+    validation with :func:`_edges`: no float can enter the compare)."""
+    cut = rate * SPLIT_BUCKETS
+    out = int(np.rint(cut))
+    if not np.isclose(cut, out, atol=1e-6) or not 0 <= out <= SPLIT_BUCKETS:
+        raise ValueError(
+            f"mixture_sample rate for {label!r} must be a multiple of "
+            f"1/{SPLIT_BUCKETS} in [0, 1]: {rate}"
+        )
+    return out
+
+
+def mixture_sample_sql(
+    key_expr: str,
+    group_expr: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = MIXTURE_SAMPLE_SEED,
+) -> str:
+    """DuckDB WHERE predicate matching :func:`mixture_sample`
+    bit-for-bit (cut points via the same :func:`_rate_e4` grid)."""
+    h = f"({splitmix64_sql(key_expr, seed)} % {SPLIT_BUCKETS})"
+    arms = " ".join(
+        f"WHEN '{g}' THEN {_rate_e4(r, g)}" for g, r in rates.items()
+    )
+    cut = f"CASE {group_expr} {arms} ELSE {_rate_e4(default_rate, '<default>')} END"
+    return f"({h} < {cut})"
+
+
 def chunk_documents(
     ds: rd.Dataset,
     text_col: str = "text",

@@ -1504,3 +1504,31 @@ class TestBloomJoin:
         l = rd.from_pandas(pd.DataFrame({"k": [1]}))
         with pytest.raises(ValueError, match="inner"):
             bloom_join(l, l, "k", "k", join_type="left_outer")
+
+
+class TestApproxPercentilesBySample:
+    def test_close_to_exact_and_deterministic(self):
+        from mysql_binlog_ray.stages.relational import (
+            approx_percentiles_by_sample,
+            exact_global_percentiles,
+        )
+
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, 100_000, 50_000).astype(np.int64)
+        df = pd.DataFrame({"k": np.arange(len(vals), dtype=np.int64), "v": vals})
+        qs = [0.5, 0.95]
+        approx = approx_percentiles_by_sample(
+            rd.from_pandas(df), "k", "v", qs, rate=0.1, coarse_shift=8, seed=5
+        )
+        again = approx_percentiles_by_sample(
+            rd.from_pandas(df.sample(frac=1.0, random_state=1)),  # shuffled input
+            "k", "v", qs, rate=0.1, coarse_shift=8, seed=5,
+        )
+        # order-insensitive determinism: same sample => identical output
+        assert approx.to_pydict() == again.to_pydict()
+        exact = exact_global_percentiles(rd.from_pandas(df), "v", qs, coarse_shift=8)
+        for a, e, q in zip(
+            approx.column("v").to_pylist(), exact.column("v").to_pylist(), qs
+        ):
+            # rank error O(1/sqrt(5000)) -> generous value-domain bound
+            assert abs(a - e) < 5_000, (q, a, e)

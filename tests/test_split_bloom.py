@@ -4,6 +4,7 @@ Bloom filter + incremental reference-corpus dedup (stages/sketches.py)."""
 import numpy as np
 import pandas as pd
 import pytest
+import ray.data as rd
 
 from mysql_binlog_ray.stages.sketches import (
     BloomFilter,
@@ -342,3 +343,55 @@ class TestWeightedBernoulliSample:
             self._run(df, 600)
         with pytest.raises(ValueError, match="denom"):
             self._run(pd.DataFrame({"k": [1], "w": [1]}), 0)
+
+
+class TestMixtureSample:
+    def _docs(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(2000, dtype=np.int64),
+                "lang": np.tile(["en", "zh", "fr", None], 500),
+            }
+        )
+
+    def test_matches_sql_twin_including_null_group(self):
+        import duckdb
+
+        from mysql_binlog_ray.stages.split import mixture_sample, mixture_sample_sql
+
+        df = self._docs()
+        rates = {"en": 0.9, "zh": 0.5}
+        got = (
+            mixture_sample(rd.from_pandas(df), "doc_id", "lang", rates, 0.25)
+            .to_pandas()["doc_id"].sort_values().tolist()
+        )
+        pred = mixture_sample_sql("doc_id", "lang", rates, 0.25)
+        exp = (
+            duckdb.sql(f"SELECT doc_id FROM df WHERE {pred} ORDER BY doc_id")
+            .df()["doc_id"].tolist()
+        )
+        assert got == exp and 0 < len(got) < len(df)
+
+    def test_rates_roughly_respected_and_key_stable(self):
+        from mysql_binlog_ray.stages.split import mixture_sample
+
+        df = self._docs()
+        out = mixture_sample(
+            rd.from_pandas(df), "doc_id", "lang", {"en": 0.9, "zh": 0.5}, 0.25
+        ).to_pandas()
+        frac = out.groupby("lang").size() / df.groupby("lang").size()
+        assert abs(frac["en"] - 0.9) < 0.1
+        assert abs(frac["zh"] - 0.5) < 0.1
+        # key-stability: running on a PREFIX yields a prefix-consistent set
+        sub = mixture_sample(
+            rd.from_pandas(df.head(500)), "doc_id", "lang", {"en": 0.9, "zh": 0.5}, 0.25
+        ).to_pandas()
+        assert set(sub["doc_id"]) == {d for d in out["doc_id"] if d < 500}
+
+    def test_rejects_off_grid_rate(self):
+        from mysql_binlog_ray.stages.split import mixture_sample
+
+        with pytest.raises(ValueError, match="multiple"):
+            mixture_sample(
+                rd.from_pandas(self._docs()), "doc_id", "lang", {"en": 0.33333}
+            )
