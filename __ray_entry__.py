@@ -118,6 +118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_all_tables_changefeed": Q.cdc_all_tables_changefeed,
         "cdc_hot_keys": Q.cdc_hot_keys,
         "cdc_windowed_activity": Q.cdc_windowed_activity,
+        "cdc_incremental_view": Q.cdc_incremental_view,
+        # incremental view maintenance (SQL-oracled on the events table)
+        "ivm_view_events": Q.ivm_view_events,
     }
 
 
@@ -531,6 +534,19 @@ def _oracle_sql_dict() -> dict[str, str]:
                 SELECT *, row_number() OVER (
                     PARTITION BY user_id ORDER BY event_id DESC) AS rn
                 FROM events) WHERE rn = 1
+        """,
+        "ivm_view_events": """
+            WITH ranked AS (
+                SELECT user_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                FROM events
+            )
+            SELECT event_type, count(*) AS n_users,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM ranked WHERE rn = 1 AND event_type <> 'error'
+            GROUP BY event_type
         """,
         "events_table_counts": """
             SELECT event_type, count(*) AS n_events,

@@ -702,6 +702,104 @@ def cdc_changefeed_stats(sf_dir: str):
     )
 
 
+def ivm_view_events(sf_dir: str):
+    """Incremental materialized-view maintenance (stages/ivm.py) on the
+    events table: each event upserts the per-user state (the CDC merge's
+    LWW semantics, ordered by event_id); an 'error' event deletes it.
+    The maintained view — per event_type, live-user count and sum of
+    value in cents — is computed purely from retraction/insertion
+    deltas; the SQL oracle recomputes it from the window-function final
+    state, so the delta algebra must telescope exactly (integer cents)."""
+    from ..stages.ivm import changefeed_to_deltas, maintained_view
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.rint(b.column("value").to_numpy() * 100.0).astype(np.int64)
+        op = pc.if_else(
+            pc.equal(b.column("event_type"), pa.scalar("error")),
+            pa.scalar("delete"),
+            pa.scalar("insert"),
+        )
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "event_type": b.column("event_type"),
+                "cents": pa.array(cents),
+                "op": op,
+                "event_id": b.column("event_id"),
+            }
+        )
+
+    feed = ds.map_batches(prep, batch_format="pyarrow")
+    deltas = changefeed_to_deltas(
+        feed,
+        key_cols=("user_id",),
+        group_col="event_type",
+        value_col="cents",
+        seq_cols=("event_id",),
+        op_col="op",
+        num_parts=16,
+    )
+    return maintained_view(
+        deltas, "event_type", count_name="n_users", value_name="sum_cents"
+    )
+
+
+def cdc_incremental_view(sf_dir: str):
+    """Maintained aggregate view over the REAL binlog changefeed
+    (stages/ivm.py): per-lang live-file count + total content bytes,
+    derived from retraction/insertion deltas of the flat changefeed —
+    never by re-aggregating the lake.  Pytest oracle: equals the groupby
+    over the replayed final state, and ``refresh_view`` across a
+    mid-stream watermark equals the from-scratch view
+    (tests/test_ivm.py)."""
+    from ..stages.ivm import changefeed_to_deltas, maintained_view
+    from .cdc import CdcConfig, _with_flat_decode, decode_changefeed, read_event_stream
+
+    _, manifest = cdc_manifest(sf_dir)
+    cfg = _with_flat_decode(CdcConfig())
+    flat = decode_changefeed(read_event_stream(manifest), manifest["table_maps"], cfg)
+    feed = flat.map_batches(_ivm_prep_flat, batch_format="pyarrow")
+    deltas = changefeed_to_deltas(
+        feed,
+        key_cols=("repo", "path"),
+        group_col="lang",
+        value_col="content_bytes",
+        seq_cols=("event_seq", "row_seq"),
+        op_col="op",
+        num_parts=16,
+    )
+    view = maintained_view(
+        deltas, "lang", count_name="n_files", value_name="content_bytes"
+    )
+    return view.sort("lang")
+
+
+def _ivm_prep_flat(b: pa.Table) -> pa.Table:
+    """Project the flat changefeed to IVM feed columns.  Delete rows have
+    null lang/content — their group/value are never read by the delta
+    kernel (a delete only retracts the previous state), but must be
+    valid, so fill ''/0."""
+    nbytes = pc.coalesce(
+        pc.cast(pc.binary_length(b.column("content")), pa.int64()),
+        pa.scalar(0, pa.int64()),
+    )
+    return pa.table(
+        {
+            "repo": b.column("repo"),
+            "path": b.column("path"),
+            "lang": pc.coalesce(b.column("lang"), pa.scalar("", pa.string())),
+            "content_bytes": nbytes,
+            "op": b.column("op"),
+            "event_seq": b.column("event_seq"),
+            "row_seq": pc.cast(b.column("row_seq"), pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # joins / sampling / sketches (round-1 additions)
 # ---------------------------------------------------------------------------

@@ -126,7 +126,7 @@ _ASCII_WS_RE = __import__("re").compile(r"\s+", __import__("re").ASCII)
 
 
 def _ascii_words(text: str) -> list[str]:
-    """ASCII-whitespace tokenization (oracle parity: DuckDB RE2 \s)."""
+    r"""ASCII-whitespace tokenization (oracle parity: DuckDB RE2 \s)."""
     stripped = text.strip(" \t\n\r\f\v")
     return [w for w in _ASCII_WS_RE.split(stripped) if w]
 
