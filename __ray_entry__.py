@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": Q.pack_sequences_documents,
         "training_shards_documents": Q.training_shards_documents,
         "running_totals_events": Q.running_totals_events,
+        "moving_sum_events": Q.moving_sum_events,
         "histogram_events": Q.histogram_events,
         "unpivot_lineitem": Q.unpivot_lineitem,
         "scd2_events": Q.scd2_events,
@@ -849,6 +850,14 @@ def _oracle_sql_dict() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        """,
+        "moving_sum_events": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS mov7_cents
+            FROM events
         """,
         "scd2_events": """
             SELECT user_id, event_id AS valid_from,

@@ -1527,6 +1527,48 @@ def running_totals_events(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def moving_sum_events(sf_dir: str):
+    """Bounded sliding-frame window aggregate: per-user 7-row moving sum
+    of value (integer cents) ordered by event_id — ``ROWS BETWEEN 6
+    PRECEDING AND CURRENT ROW``.  Two prefix-sum gathers per partition
+    (stages/window.py moving_sum); integer cents keep the frame sums
+    exact against the SQL oracle."""
+    from ..stages.window import window_over
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b.column("value"), pa.scalar(100.0))).cast(
+            pa.int64()
+        )
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "cents": cents,
+            }
+        )
+
+    out = window_over(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        ["event_id"],
+        {"mov7_cents": ("moving_sum", "cents", 7)},
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "mov7_cents": b.column("mov7_cents").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 APPROXQ_RATE = 0.2
 APPROXQ_SEED = 13
 

@@ -26,10 +26,11 @@ import ray.data as rd
 
 from .relational import AggSpec, _PARTIAL_KIND, preagg_groupby
 
-# spec: out_col -> (kind, in_col) with kind in {row_number, lag_diff, run_sum}
-WindowSpec = dict[str, tuple[str, str | None]]
+# spec: out_col -> (kind, in_col) with kind in {row_number, lag_diff,
+# run_sum}, or (kind, in_col, frame_rows) for moving_sum
+WindowSpec = dict[str, tuple]
 
-_KINDS = ("row_number", "lag_diff", "run_sum")
+_KINDS = ("row_number", "lag_diff", "run_sum", "moving_sum")
 
 
 def _kcols(key_col: str | list[str]) -> list[str]:
@@ -70,6 +71,11 @@ def window_over(
       floats should pre-scale to integers — float running sums are
       association-order-dependent and can never match a SQL oracle
       bit-for-bit).
+    - ``moving_sum`` over ``in_col`` with ``(kind, in_col, frame_rows)``:
+      ``sum(v) OVER (... ROWS BETWEEN frame_rows-1 PRECEDING AND CURRENT
+      ROW)`` — a bounded sliding frame, computed as two gathers into the
+      partition's prefix sums.  NULLs contribute nothing; the result is
+      NULL when the frame holds no non-null value (SQL SUM semantics).
 
     NULL keys form ONE partition (SQL PARTITION BY parity).  NULL order
     keys sort last (DuckDB's ASC default).
@@ -83,14 +89,22 @@ def window_over(
     """
     import pyarrow.compute as pc
 
-    for out_col, (kind, in_col) in spec.items():
+    norm_spec: dict[str, tuple[str, str | None, int | None]] = {}
+    for out_col, entry in spec.items():
+        kind, in_col = entry[0], entry[1]
+        frame = entry[2] if len(entry) > 2 else None
         if kind not in _KINDS:
             raise ValueError(f"unknown window kind {kind!r} for {out_col!r}")
         if (in_col is None) != (kind == "row_number"):
             raise ValueError(f"{kind} takes {'no' if kind == 'row_number' else 'an'} input column")
+        if (frame is not None) != (kind == "moving_sum"):
+            raise ValueError("only moving_sum takes (kind, in_col, frame_rows)")
+        if kind == "moving_sum" and (not isinstance(frame, int) or frame < 1):
+            raise ValueError(f"moving_sum frame_rows must be a positive int, got {frame!r}")
+        norm_spec[out_col] = (kind, in_col, frame)
     from .relational import keyed_reduce
 
-    in_cols = sorted({c for _, c in spec.values() if c is not None})
+    in_cols = sorted({c for _, c, _ in norm_spec.values() if c is not None})
 
     def _is_int_like(t: pa.DataType) -> bool:
         return (
@@ -157,13 +171,23 @@ def window_over(
         base = np.repeat(pos[starts], run_lens)
         drop = {"_kc", *[c for c in g.columns if c.startswith(("_wfv_", "_wfn_"))]}
         out = {c: g[c] for c in g.columns if c not in drop}
-        for out_col, (kind, in_col) in spec.items():
+        for out_col, (kind, in_col, frame) in norm_spec.items():
             if kind == "row_number":
                 out[out_col] = pos - base + 1
                 continue
             null = g[f"_wfn_{in_col}"].to_numpy() == 1
             v = g[f"_wfv_{in_col}"].to_numpy()
-            if kind == "lag_diff":
+            if kind == "moving_sum":
+                # frame [max(key_start, i-frame+1) .. i]: two gathers
+                # into prefix sums (values and non-null counts)
+                cs1 = np.concatenate([np.zeros(1, np.int64), np.cumsum(v)])
+                start = np.maximum(base, pos - frame + 1)
+                d = cs1[pos + 1] - cs1[start]
+                nn1 = np.concatenate(
+                    [np.zeros(1, np.int64), np.cumsum((~null).astype(np.int64))]
+                )
+                mask = (nn1[pos + 1] - nn1[start]) == 0
+            elif kind == "lag_diff":
                 prev = np.empty(n, dtype=np.int64)
                 prev[1:] = v[:-1]
                 prev[0] = 0

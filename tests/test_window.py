@@ -76,6 +76,56 @@ class TestWindowOver:
                 == bv.fillna(-1).astype("int64").tolist()
             ), c
 
+    @pytest.mark.parametrize("frame", [1, 3, 7])
+    def test_moving_sum_matches_duckdb_with_nulls(self, ray_session, frame):
+        rng = np.random.default_rng(11)
+        n = 300
+        df = pd.DataFrame(
+            {
+                "k": pd.array(
+                    [None if x < 20 else int(x % 5) for x in rng.integers(0, 100, n)],
+                    dtype="Int64",
+                ),
+                "o": np.arange(n, dtype=np.int64),
+                "v": pd.array(
+                    [None if x < 30 else int(x) for x in rng.integers(0, 100, n)],
+                    dtype="Int64",
+                ),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(4)
+        out = window_over(
+            ds, "k", ["o"], {"ms": ("moving_sum", "v", frame)}
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", df)
+        ora = con.execute(
+            f"""
+            SELECT k, o, v,
+                   CAST(sum(v) OVER (PARTITION BY k ORDER BY o
+                        ROWS BETWEEN {frame - 1} PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS ms
+            FROM t
+            """
+        ).df()
+        a, b = _sorted_df(out), _sorted_df(ora)
+        assert len(a) == len(b) == n
+        for c in ["k", "o", "v", "ms"]:
+            assert a[c].isna().tolist() == b[c].isna().tolist(), c
+            assert (
+                a[c].fillna(-1).astype("int64").tolist()
+                == b[c].fillna(-1).astype("int64").tolist()
+            ), c
+
+    def test_moving_sum_bad_frame_raises(self, ray_session):
+        ds = rd.from_items([{"k": 1, "o": 1, "v": 2}])
+        with pytest.raises(ValueError):
+            window_over(ds, "k", ["o"], {"x": ("moving_sum", "v")})
+        with pytest.raises(ValueError):
+            window_over(ds, "k", ["o"], {"x": ("moving_sum", "v", 0)})
+        with pytest.raises(ValueError):
+            window_over(ds, "k", ["o"], {"x": ("run_sum", "v", 3)})
+
     def test_empty_input(self, ray_session):
         df = pd.DataFrame(
             {"k": pd.array([], dtype="int64"), "o": pd.array([], dtype="int64")}
