@@ -57,6 +57,10 @@ _OP_BY_TYPE = {
     0x20: "delete",
 }
 _V2_TYPES = {0x1E, 0x1F, 0x20}
+# run-length op encoding for the flat path (expanded via np.repeat)
+_OP_NAMES_ARROW = pa.array(["insert", "update", "delete"], pa.string())
+_OP_CODE_BY_TYPE = {0x17: 0, 0x1E: 0, 0x18: 1, 0x1F: 1, 0x19: 2, 0x20: 2}
+_OP_DELETE_CODE = 2
 
 
 def changefeed_arrow_type(col: ColumnDef) -> pa.DataType:
@@ -147,7 +151,16 @@ class _TableState:
     """Per-table-map decode state: compiled plan + remap into the target
     column order (late-binding cast, null-fill for added columns)."""
 
-    __slots__ = ("plan", "remap", "schema_ver", "key_src", "codegen")
+    __slots__ = (
+        "plan",
+        "remap",
+        "src_to_tgt",
+        "null_fill_tgts",
+        "key_list",
+        "schema_ver",
+        "key_src",
+        "codegen",
+    )
 
     def __init__(
         self,
@@ -158,11 +171,21 @@ class _TableState:
         self.plan = DecodePlan.compile(tm)
         name_to_src = {n: i for i, n in enumerate(self.plan.names)}
         self.remap = tuple(name_to_src.get(n) for n in target_names)
+        # inverse map for the flat path's direct-write decode: source
+        # ordinal -> target ordinal (None = dropped column, goes to a
+        # per-decoder trash list), plus the target ordinals with no
+        # source (added columns, null-filled per event)
+        tgt_of = {s: t for t, s in enumerate(self.remap) if s is not None}
+        self.src_to_tgt = tuple(tgt_of.get(s) for s in range(len(self.plan.names)))
+        self.null_fill_tgts = tuple(
+            t for t, s in enumerate(self.remap) if s is None
+        )
         # source ordinals of the merge-key columns (delete before-images
         # only need these decoded; everything else is skipped)
         self.key_src = frozenset(
             name_to_src[k] for k in key_names if k in name_to_src
         )
+        self.key_list = sorted(self.key_src)
         self.schema_ver = tm.schema_ver
         # per-(table, op) code-generated row decoders (hot path; falls
         # back to the closure readers for exotic column types)
@@ -320,6 +343,10 @@ class BinlogDecoder:
         self.n_rows = 0
         self.n_bytes = 0
         self.n_checksum_failures = 0
+        # flat-path reusable buffers: dropped-column sink (cleared per
+        # event) and before-image key lists (cleared per update event)
+        self._trash: list = []
+        self._bkey_lists: list[list] = []
 
     # -- reference F1 semantics (`EventsIterator.php:103-130`) --
     def _filtered(self, tm: TableMapDef) -> bool:
@@ -824,9 +851,16 @@ class BinlogDecoder:
         the dominant memory-bandwidth saving at scale."""
         n_target = len(self.target_names)
         cols: list[list] = [[] for _ in range(n_target)]
-        ops: list[str] = []
-        ev_seqs: list[int] = []
+        # metadata columns are run-length encoded per event and expanded
+        # ONCE with numpy at the end: [op]*n / [seq]*n temp lists and the
+        # per-element appends were ~10% of the kernel (measured)
+        op_codes: list[int] = []  # index into _OP_NAMES_ARROW
+        run_counts: list[int] = []
+        ev_vals: list[int] = []
         row_seqs: list[int] = []
+        # commit stamping mutates a per-row list in place (_handle_marker
+        # XID backfill rewrites earlier rows), so commit_seqs stays a
+        # plain per-row list
         commit_seqs: list[int] = []
 
         start_after = self.start_after_seq
@@ -859,8 +893,10 @@ class BinlogDecoder:
                 continue
             h = parse_header(payload, ctx.checksum_size)
             n_rows, tomb_rows = self._decode_rows_flat(payload, h, etype, st, cols)
-            op = _OP_BY_TYPE[etype]
-            ops.extend([op] * n_rows)
+            if n_rows:
+                op_codes.append(_OP_CODE_BY_TYPE[etype])
+                run_counts.append(n_rows)
+                ev_vals.append(int(event_seq))
             # tombstones for key-changing updates reuse their SOURCE row's
             # row_seq (as flatten_changefeed does): a later row in the same
             # UPDATE event may re-fill the vacated key, and its after-image
@@ -868,22 +904,31 @@ class BinlogDecoder:
             # lexsort.  No tie is possible: a tombstone's key always differs
             # from its own row's after-image key, and row_seq is unique per
             # row within the event.
-            ops.extend(["delete"] * len(tomb_rows))
+            if tomb_rows:
+                op_codes.append(_OP_DELETE_CODE)
+                run_counts.append(len(tomb_rows))
+                ev_vals.append(int(event_seq))
             total = n_rows + len(tomb_rows)
-            ev_seqs.extend([int(event_seq)] * total)
             row_seqs.extend(range(n_rows))
             row_seqs.extend(tomb_rows)
-            commit_seqs.extend([ctx.cur_commit] * total)
+            if total:
+                commit_seqs.extend([ctx.cur_commit] * total)
             self.n_rows += n_rows
 
-        if not ops:
+        if not run_counts:
             return self._empty
+        counts = np.asarray(run_counts, dtype=np.int64)
+        ops_arr = pa.DictionaryArray.from_arrays(
+            pa.array(np.repeat(np.asarray(op_codes, dtype=np.int8), counts)),
+            _OP_NAMES_ARROW,
+        ).dictionary_decode()
+        ev_arr = pa.array(np.repeat(np.asarray(ev_vals, dtype=np.int64), counts))
         st_type = self.struct_type
         arrays = [
             _build_child(cols[i], st_type.field(i).type) for i in range(n_target)
         ] + [
-            pa.array(ops, pa.string()),
-            pa.array(ev_seqs, pa.int64()),
+            ops_arr,
+            ev_arr,
             pa.array(row_seqs, pa.int32()),
             pa.array(commit_seqs, pa.int64()),
         ]
@@ -914,47 +959,68 @@ class BinlogDecoder:
             off += bml
 
         plan = st.plan
-        n_src = len(plan.readers)
         end = header.payload_size
 
-        scratch: list[list] = [[] for _ in range(n_src)]
-        bscratch: list[list] = [[] for _ in range(n_src)]
+        # DIRECT WRITE: codegen appends straight into the batch output
+        # lists (source ordinal -> target list; dropped columns go to a
+        # shared trash list) — the per-event scratch allocation + full
+        # extend-copy was ~10% of the kernel (measured).  A decode error
+        # aborts the whole call either way, so partial appends can never
+        # leak into a returned table.
+        src_to_tgt = st.src_to_tgt
+        trash = self._trash
+        out_lists = [
+            cols[t] if t is not None else trash for t in src_to_tgt
+        ]
+        if trash:
+            trash.clear()
+        bcols = self._bkey_lists
+        key_list = st.key_list
+        if is_update and key_list:
+            while len(bcols) < len(src_to_tgt):
+                bcols.append([])
+            for k in key_list:
+                bcols[k].clear()
         n_rows, off = st.codegen[op](
-            payload, off, end, scratch, bscratch, plan.readers, plan.skippers
+            payload, off, end, out_lists, bcols, plan.readers, plan.skippers
         )
-        remap = st.remap
-
-        nones = [None] * n_rows
-        for t_i, s_i in enumerate(remap):
-            cols[t_i].extend(scratch[s_i] if s_i is not None else nones)
-        if not is_update or not st.key_src:
+        for t_i in st.null_fill_tgts:  # added columns: no source bytes
+            cols[t_i].extend([None] * n_rows)
+        if not is_update or not key_list:
             return n_rows, []
         # key-CHANGING updates: the OLD key needs a tombstone row or its
         # stale image survives the merge (codegen decoded before-image
-        # key columns into bscratch).  Returns the SOURCE row index of each
+        # key columns into bcols).  Returns the SOURCE row index of each
         # tombstone so the caller can reuse that row's row_seq.
-        key_src = sorted(st.key_src)
-        if len(key_src) == 1:
+        if len(key_list) == 1:
             # dominant case (SIMPLE_PRIMARY_KEY is one column): a direct
-            # pairwise compare, no per-row any()/genexpr frames
-            bs, asc = bscratch[key_src[0]], scratch[key_src[0]]
-            moved = [r for r in range(n_rows) if bs[r] != asc[r]]
+            # pairwise compare against this event's tail of the output
+            # column, no per-row any()/genexpr frames
+            k0 = key_list[0]
+            bs, asc = bcols[k0], out_lists[k0]
+            base = len(asc) - n_rows
+            moved = [r for r in range(n_rows) if bs[r] != asc[base + r]]
         else:
             # zip-based per-column masks: C-level iteration, no per-row
             # any()/genexpr frames (measured ~2x on multi-column keys)
-            s0 = key_src[0]
-            mask = [x != y for x, y in zip(bscratch[s0], scratch[s0])]
-            for s in key_src[1:]:
+            s0 = key_list[0]
+            a0 = out_lists[s0]
+            mask = [x != y for x, y in zip(bcols[s0], a0[len(a0) - n_rows :])]
+            for s in key_list[1:]:
+                a_s = out_lists[s]
                 mask = [
                     a or (x != y)
-                    for a, x, y in zip(mask, bscratch[s], scratch[s])
+                    for a, x, y in zip(
+                        mask, bcols[s], a_s[len(a_s) - n_rows :]
+                    )
                 ]
             moved = [r for r, f in enumerate(mask) if f]
         if not moved:
             return n_rows, []
-        for t_i, s_i in enumerate(remap):
-            if s_i is not None and s_i in st.key_src:
-                cols[t_i].extend(bscratch[s_i][r] for r in moved)
+        key_src = st.key_src
+        for t_i, s_i in enumerate(st.remap):
+            if s_i is not None and s_i in key_src:
+                cols[t_i].extend(bcols[s_i][r] for r in moved)
             else:
                 cols[t_i].extend([None] * len(moved))
         return n_rows, moved
