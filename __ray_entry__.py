@@ -537,9 +537,12 @@ def _oracle_sql_dict() -> dict[str, str]:
                 FROM events) WHERE rn = 1
         """,
         "ivm_view_events": """
+            -- round_even: half-to-even matches np.rint/pc.round exactly
+            -- (DuckDB round() is half-away-from-zero — a latent parity
+            -- break on any value*100 landing exactly on .5)
             WITH ranked AS (
                 SELECT user_id, event_type,
-                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       CAST(round_even(value * 100, 0) AS BIGINT) AS cents,
                        row_number() OVER (
                            PARTITION BY user_id ORDER BY event_id DESC) AS rn
                 FROM events
@@ -852,8 +855,9 @@ def _oracle_sql_dict() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         """,
         "moving_sum_events": """
+            -- round_even matches np.rint/pc.round (half-to-even)
             SELECT event_id, user_id,
-                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                   CAST(sum(CAST(round_even(value * 100, 0) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY event_id
                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS mov7_cents

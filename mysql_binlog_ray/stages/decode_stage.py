@@ -157,6 +157,7 @@ class _TableState:
         "src_to_tgt",
         "null_fill_tgts",
         "key_list",
+        "key_trash_srcs",
         "schema_ver",
         "key_src",
         "codegen",
@@ -186,6 +187,13 @@ class _TableState:
             name_to_src[k] for k in key_names if k in name_to_src
         )
         self.key_list = sorted(self.key_src)
+        # merge-key source columns with NO target slot (a DDL dropped
+        # them from the latest layout): their after-images must go to
+        # dedicated per-event lists, never the shared trash — the
+        # key-change tombstone compare reads them back
+        self.key_trash_srcs = tuple(
+            s for s in self.key_list if self.src_to_tgt[s] is None
+        )
         self.schema_ver = tm.schema_ver
         # per-(table, op) code-generated row decoders (hot path; falls
         # back to the closure readers for exotic column types)
@@ -347,6 +355,7 @@ class BinlogDecoder:
         # event) and before-image key lists (cleared per update event)
         self._trash: list = []
         self._bkey_lists: list[list] = []
+        self._akey_lists: list[list] = []  # dropped-key after-images
 
     # -- reference F1 semantics (`EventsIterator.php:103-130`) --
     def _filtered(self, tm: TableMapDef) -> bool:
@@ -969,9 +978,24 @@ class BinlogDecoder:
         # leak into a returned table.
         src_to_tgt = st.src_to_tgt
         trash = self._trash
-        out_lists = [
-            cols[t] if t is not None else trash for t in src_to_tgt
-        ]
+        if st.key_trash_srcs:
+            # a merge-key column was dropped from the target layout: its
+            # after-image feeds the tombstone compare, so it gets a
+            # dedicated per-event list instead of the shared trash
+            akey = self._akey_lists
+            while len(akey) < len(src_to_tgt):
+                akey.append([])
+            for s in st.key_trash_srcs:
+                akey[s].clear()
+            key_src_set = st.key_src
+            out_lists = [
+                cols[t] if t is not None else (akey[s] if s in key_src_set else trash)
+                for s, t in enumerate(src_to_tgt)
+            ]
+        else:
+            out_lists = [
+                cols[t] if t is not None else trash for t in src_to_tgt
+            ]
         if trash:
             trash.clear()
         bcols = self._bkey_lists

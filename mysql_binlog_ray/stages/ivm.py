@@ -81,6 +81,15 @@ def changefeed_to_deltas(
     proj = kcols + [group_col, value_col, op_col] + scols
 
     def tag_feed(b: pa.Table) -> pa.Table:
+        vt = b.schema.field(value_col).type
+        if pa.types.is_unsigned_integer(vt):
+            # numpy negation of a uint array WRAPS (retracting 5 would
+            # add 2**64-5) — require a signed cast from the caller
+            raise ValueError(
+                f"changefeed_to_deltas: value column {value_col!r} is "
+                f"unsigned ({vt}); cast to a signed/float type first — "
+                "retraction negation would wrap"
+            )
         return b.select(proj).append_column(
             "_init", pa.array(np.zeros(b.num_rows, np.int8))
         )
@@ -166,7 +175,12 @@ def maintained_view(
 
         keep = pc.not_equal(b.column("d_count"), 0)
         b = b.filter(keep)
-        return b.rename_columns([group_col, count_name, value_name])
+        # rename BY NAME: positional renaming would silently mislabel if
+        # the aggregate's column order ever changed
+        new_names = {"d_count": count_name, "d_value": value_name}
+        return b.rename_columns(
+            [new_names.get(n, n) for n in b.schema.names]
+        ).select([group_col, count_name, value_name])
 
     return agg.map_batches(finish, batch_format="pyarrow")
 

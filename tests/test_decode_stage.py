@@ -190,6 +190,59 @@ class TestSchemaEvolution:
         assert out.column("schema_ver").to_pylist() == [1, 2]
 
 
+class TestDroppedKeyTombstones:
+    def test_key_change_compare_with_key_dropped_from_target(self):
+        """A merge-key column dropped from the LATEST target layout must
+        still drive the key-change tombstone compare from its own
+        per-event list — the shared trash list interleaves cells from
+        every dropped column, so reading key after-images out of it
+        misindexes (direct-write regression guard).  Here the target
+        drops BOTH path (a key) and commit, so a trash-based compare
+        would interleave path/commit cells."""
+        from mysql_binlog_ray.protocol.constants import COLLATION_UTF8MB4
+
+        tm0 = repos_table_map(False)  # repo, path, commit, lang, content
+        tm1 = TableMapDef(
+            table_id=tm0.table_id + 1,
+            schema_name="code",
+            table_name="repos",
+            columns=tuple(c for c in tm0.columns if c.name not in ("path", "commit")),
+            primary_key=(0,),
+            schema_ver=tm0.schema_ver + 1,
+        )
+        r1, r2 = _mk_row(1), _mk_row(2)
+        w = E.BinlogWriter()
+        evs = [
+            w.packet(EventType.FORMAT_DESCRIPTION, E.encode_format_description_body()),
+            w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm0)),
+            # one UPDATE event, two rows: row 0 keeps its key (but
+            # changes commit — a trash-interleaved compare would see the
+            # commit cell), row 1 changes its path
+            w.packet(
+                EventType.UPDATE_ROWS_V2,
+                E.encode_rows_body(
+                    tm0,
+                    [
+                        {"before": r1, "after": {**r1, "commit": "d" * 40}},
+                        {"before": r2, "after": {**r2, "path": "moved.py"}},
+                    ],
+                    "update",
+                ),
+            ),
+        ]
+        dec = BinlogDecoder(
+            registry_snapshot=[tm0.to_dict(), tm1.to_dict()],
+            output="flat",
+            key_cols=("repo", "path"),
+        )
+        out = dec(_batch(evs))
+        # 2 update rows + exactly ONE tombstone (row 1's key changed)
+        assert out.column("op").to_pylist() == ["update", "update", "delete"]
+        assert out.column("row_seq").to_pylist() == [0, 1, 1]
+        # the tombstone carries the OLD key's surviving target column
+        assert out.column("repo").to_pylist()[2] == r2["repo"]
+
+
 class TestGeneratedStream:
     def test_decode_counts_match_oplog(self, tmp_path):
         spec = StreamSpec(n_keys=100, n_ops=400, n_shards=2)

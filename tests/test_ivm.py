@@ -23,27 +23,9 @@ from mysql_binlog_ray.stages.ivm import (
 )
 
 
-def brute_view(feed: pd.DataFrame, key, group, value, seq, delete_op="delete"):
-    """Final state by replay, then GROUP BY — the re-aggregation the IVM
-    must equal."""
-    f = feed.sort_values(list(seq), kind="mergesort")
-    state: dict = {}
-    for row in f.itertuples(index=False):
-        k = tuple(getattr(row, c) for c in key)
-        if getattr(row, "op") == delete_op:
-            state.pop(k, None)
-        else:
-            state[k] = (getattr(row, group), getattr(row, value))
-    if not state:
-        return pd.DataFrame({group: [], "n_rows": [], "sum_value": []})
-    df = pd.DataFrame(state.values(), columns=[group, "v"])
-    out = df.groupby(group, as_index=False).agg(
-        n_rows=("v", "size"), sum_value=("v", "sum")
-    )
-    return out
-
-
 def brute_state(feed: pd.DataFrame, key, group, value, seq, delete_op="delete"):
+    """Final live state by sequential replay — the single source of truth
+    for both oracles."""
     f = feed.sort_values(list(seq), kind="mergesort")
     state: dict = {}
     for row in f.itertuples(index=False):
@@ -54,6 +36,17 @@ def brute_state(feed: pd.DataFrame, key, group, value, seq, delete_op="delete"):
             state[k] = (getattr(row, group), getattr(row, value))
     rows = [k + v for k, v in state.items()]
     return pd.DataFrame(rows, columns=list(key) + [group, value])
+
+
+def brute_view(feed: pd.DataFrame, key, group, value, seq, delete_op="delete"):
+    """Re-aggregation of the replayed final state — what the IVM must
+    equal.  Derived from brute_state so the replay exists ONCE."""
+    st = brute_state(feed, key, group, value, seq, delete_op)
+    if len(st) == 0:
+        return pd.DataFrame({group: [], "n_rows": [], "sum_value": []})
+    return st.groupby(group, as_index=False).agg(
+        n_rows=(value, "size"), sum_value=(value, "sum")
+    )
 
 
 def _norm(df: pd.DataFrame, group: str) -> pd.DataFrame:
@@ -116,6 +109,24 @@ class TestIvmDeltas:
         assert got["g"].tolist() == ["b"]
         assert got["n_rows"].tolist() == [1]
         assert got["sum_value"].tolist() == [5]
+
+    def test_unsigned_value_column_refused(self, ray_session):
+        feed = pd.DataFrame(
+            {
+                "k": np.array([1, 1], np.int64),
+                "g": ["a", "a"],
+                "v": np.array([5, 7], np.uint64),
+                "op": ["insert", "insert"],
+                "seq": np.array([0, 1], np.int64),
+            }
+        )
+        ds = rd.from_arrow(pa.Table.from_pandas(feed, preserve_index=False))
+        deltas = changefeed_to_deltas(
+            ds, key_cols=("k",), group_col="g", value_col="v",
+            seq_cols=("seq",), num_parts=2,
+        )
+        with pytest.raises(Exception, match="unsigned"):
+            deltas.materialize()
 
     @pytest.mark.parametrize("seed", [3, 13])
     def test_incremental_refresh_equals_full(self, ray_session, seed):
