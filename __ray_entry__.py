@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_documents": Q.incremental_dedup_documents,
         "shuffle_order_documents": Q.shuffle_order_documents,
         "pack_sequences_documents": Q.pack_sequences_documents,
+        "corpus_pipeline_documents": Q.corpus_pipeline_documents,
         "training_shards_documents": Q.training_shards_documents,
         "running_totals_events": Q.running_totals_events,
         "moving_sum_events": Q.moving_sum_events,
@@ -229,6 +230,59 @@ def _gopher_oracle() -> str:
                     AND n_stop >= 2 AS BIGINT) AS g_keep
             FROM m
         """
+
+
+def _corpus_pipeline_oracle() -> str:
+    """Gopher gate -> exact dedup -> splitmix shuffle -> packing, as ONE
+    SQL statement: each CTE is the already-proven oracle of the
+    corresponding stage (gopher metrics, min-doc_id dedup, row_number
+    over splitmix64 order, windowed prefix sum // SEQ_LEN)."""
+    from mysql_binlog_ray.pipelines.queries import SEQ_LEN
+    from mysql_binlog_ray.stages.ordered import SHUFFLE_SEED
+    from mysql_binlog_ray.stages.split import splitmix64_sql
+
+    ws = _WS_SQL
+    h = splitmix64_sql("doc_id", SHUFFLE_SEED)
+    return f"""
+        WITH g AS ({_gopher_oracle()}),
+        kept AS (
+          -- word-count + mean-word-length rules only: the full gate's
+          -- stopword criterion never passes on this synthetic corpus
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN g USING (doc_id)
+          WHERE g.g_n_words BETWEEN 50 AND 100000
+            AND g.g_mean_word_len BETWEEN 3.0 AND 10.0
+        ),
+        uniq AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (
+                PARTITION BY coalesce(text, '') ORDER BY doc_id) AS rn
+            FROM kept) WHERE rn = 1
+        ),
+        tok AS (
+          SELECT d.doc_id,
+                 len(string_split_regex(trim(d.text, {ws}),
+                     '[ \\t\\n\\r\\f\\v]+')) AS n_tokens,
+                 {h} AS hh
+          FROM documents d JOIN uniq USING (doc_id)
+        ),
+        ord AS (
+          SELECT doc_id, n_tokens,
+                 row_number() OVER (ORDER BY hh) - 1 AS position
+          FROM tok
+        ),
+        c AS (
+          SELECT doc_id, position, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY position
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS tok_start
+          FROM ord
+        )
+        SELECT doc_id, position, n_tokens, tok_start,
+               tok_start // {SEQ_LEN} AS seq_first,
+               (tok_start + n_tokens - 1) // {SEQ_LEN} AS seq_last
+        FROM c
+    """
 
 
 def _weighted_sample_oracle() -> str:
@@ -840,6 +894,7 @@ def _oracle_sql_dict() -> dict[str, str]:
         "chunk_documents": _chunk_documents_oracle(),
         "shuffle_order_documents": _shuffle_order_oracle(),
         "pack_sequences_documents": _pack_sequences_oracle(),
+        "corpus_pipeline_documents": _corpus_pipeline_oracle(),
         "training_shards_documents": _training_shards_oracle(),
         "running_totals_events": """
             -- running total in integer cents (floor(value*100) per row

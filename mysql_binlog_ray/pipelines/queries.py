@@ -1396,6 +1396,53 @@ def pack_sequences_documents(sf_dir: str):
     return pack_sequences(counted, "doc_id", "n_tokens", seq_len=SEQ_LEN)
 
 
+def corpus_pipeline_documents(sf_dir: str):
+    """Flagship corpus-preparation COMPOSITION — the end-to-end pipeline
+    a pre-training data engineer runs: Gopher quality gate (Rae et al.
+    2021) -> exact dedup (keep min doc_id per distinct text) ->
+    deterministic global shuffle -> concat-and-slice sequence packing.
+    Every stage is an independently-oracled operator; this query proves
+    they compose into one streaming plan and oracles the composition
+    end-to-end (one SQL statement reproduces all four stages).
+
+    The gate uses the Gopher word-count + mean-word-length rules only:
+    the full rule set's stopword criterion is tautologically false on
+    this synthetic corpus (<=1 distinct stopword per doc), so the
+    composed pipeline would be a 0-row no-op — the full gate is
+    exercised by `gopher_quality_documents`."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.ordered import hash_order_rank, pack_sequences
+    from ..stages.text import GopherQualityFilter, TokenCounter
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    scored = ds.map_batches(GopherQualityFilter(), batch_format="pandas")
+
+    def gate(b: pa.Table) -> pa.Table:
+        nw = b.column("g_n_words")
+        mwl = b.column("g_mean_word_len")
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(nw, 50), pc.less_equal(nw, 100_000)),
+            pc.and_(pc.greater_equal(mwl, 3.0), pc.less_equal(mwl, 10.0)),
+        )
+        return b.filter(keep).select(["doc_id", "text"])
+
+    kept = scored.map_batches(gate, batch_format="pyarrow")
+    unique = exact_dedup(kept, "text", "doc_id")
+    counted = unique.map_batches(TokenCounter(), batch_format="pandas", batch_size=1024)
+    slim = counted.map_batches(
+        lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+    )
+    ranked = hash_order_rank(slim, "doc_id")
+    packed = pack_sequences(ranked, id_col="position", tokens_col="n_tokens",
+                            seq_len=SEQ_LEN)
+    return packed.map_batches(
+        lambda b: b.select(
+            ["doc_id", "position", "n_tokens", "tok_start", "seq_first", "seq_last"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 SHARD_SEQS = 16
 
 

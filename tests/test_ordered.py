@@ -183,3 +183,31 @@ class TestPackSequences:
         # doc 2 spans tokens [15, 1035) -> sequences 0..1; doc 4 spans
         # [1038, 3086) -> sequences 1..3
         assert list(out["seq_last"]) == [0, 0, 1, 1, 3]
+
+
+class TestCorpusPipelineComposition:
+    def test_invariants_at_sf001(self, ray_session):
+        """The composed gate->dedup->shuffle->pack pipeline (exact parity
+        is the driver oracle's job — this guards the structural
+        invariants): positions are a permutation, offsets are the
+        exclusive prefix sum in position order, sequences are
+        contiguous."""
+        from mysql_binlog_ray.pipelines.queries import corpus_pipeline_documents
+
+        out = (
+            corpus_pipeline_documents("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values("position")
+            .reset_index(drop=True)
+        )
+        n = len(out)
+        assert n > 0, "gate kept nothing — composition is a no-op"
+        assert out["position"].tolist() == list(range(n))
+        assert out["doc_id"].is_unique
+        # exclusive prefix sum in shuffle order
+        expect = np.concatenate([[0], np.cumsum(out["n_tokens"].to_numpy())[:-1]])
+        assert out["tok_start"].to_numpy().tolist() == expect.tolist()
+        assert (out["seq_first"] <= out["seq_last"]).all()
+        assert (
+            out["seq_first"].to_numpy() == out["tok_start"].to_numpy() // 1024
+        ).all()
