@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_incremental_view": Q.cdc_incremental_view,
         # incremental view maintenance (SQL-oracled on the events table)
         "ivm_view_events": Q.ivm_view_events,
+        "ivm_segment_view_events": Q.ivm_segment_view_events,
     }
 
 
@@ -605,6 +606,22 @@ def _oracle_sql_dict() -> dict[str, str]:
                    CAST(sum(cents) AS BIGINT) AS sum_cents
             FROM ranked WHERE rn = 1 AND event_type <> 'error'
             GROUP BY event_type
+        """,
+        "ivm_segment_view_events": """
+            WITH ranked AS (
+                SELECT user_id, event_type,
+                       CAST(round_even(value * 100, 0) AS BIGINT) AS cents,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                FROM events
+            ), live AS (
+                SELECT user_id, cents FROM ranked
+                WHERE rn = 1 AND event_type <> 'error'
+            )
+            SELECT c.c_mktsegment, count(*) AS n_users,
+                   CAST(sum(l.cents) AS BIGINT) AS sum_cents
+            FROM live l JOIN customer c ON l.user_id = c.c_custkey
+            GROUP BY c.c_mktsegment
         """,
         "events_table_counts": """
             SELECT event_type, count(*) AS n_events,

@@ -748,6 +748,62 @@ def ivm_view_events(sf_dir: str):
     )
 
 
+def ivm_segment_view_events(sf_dir: str):
+    """Incrementally maintained aggregate over a STAR JOIN: per customer
+    market segment, live-user count + sum of value cents, where each
+    event upserts the per-user state ('error' deletes it) and the
+    segment comes from a broadcast dimension join applied to the change
+    stream BEFORE delta computation — the delta algebra then maintains
+    the joined view exactly (dimension is static, so enrich-then-delta
+    equals join-then-reaggregate, which is what the SQL oracle does)."""
+    from ..stages.ivm import changefeed_to_deltas, maintained_view
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
+    )
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.rint(b.column("value").to_numpy() * 100.0).astype(np.int64)
+        op = pc.if_else(
+            pc.equal(b.column("event_type"), pa.scalar("error")),
+            pa.scalar("delete"),
+            pa.scalar("insert"),
+        )
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "cents": pa.array(cents),
+                "op": op,
+                "event_id": b.column("event_id"),
+            }
+        )
+
+    feed = R.broadcast_join(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        cust,
+        "user_id",
+        "c_custkey",
+        ["c_mktsegment"],
+    )
+    deltas = changefeed_to_deltas(
+        feed,
+        key_cols=("user_id",),
+        group_col="c_mktsegment",
+        value_col="cents",
+        seq_cols=("event_id",),
+        op_col="op",
+        num_parts=16,
+    )
+    return maintained_view(
+        deltas, "c_mktsegment", count_name="n_users", value_name="sum_cents"
+    )
+
+
 def cdc_incremental_view(sf_dir: str):
     """Maintained aggregate view over the REAL binlog changefeed
     (stages/ivm.py): per-lang live-file count + total content bytes,
