@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_shards_documents": Q.training_shards_documents,
         "running_totals_events": Q.running_totals_events,
         "moving_sum_events": Q.moving_sum_events,
+        "user_journey_events": Q.user_journey_events,
         "histogram_events": Q.histogram_events,
         "unpivot_lineitem": Q.unpivot_lineitem,
         "scd2_events": Q.scd2_events,
@@ -927,13 +928,28 @@ def _oracle_sql_dict() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         """,
         "moving_sum_events": """
-            -- round_even matches np.rint/pc.round (half-to-even)
+            -- round_even matches np.rint/pc.round (half-to-even);
+            -- last_value needs the full frame spelled out (the SQL
+            -- default frame would return the CURRENT row)
+            WITH t AS (
+                SELECT event_id, user_id,
+                       CAST(round_even(value * 100, 0) AS BIGINT) AS cents
+                FROM events
+            )
             SELECT event_id, user_id,
-                   CAST(sum(CAST(round_even(value * 100, 0) AS BIGINT)) OVER (
-                       PARTITION BY user_id ORDER BY event_id
+                   CAST(sum(cents) OVER (w
                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
-                   ) AS BIGINT) AS mov7_cents
-            FROM events
+                   ) AS BIGINT) AS mov7_cents,
+                   first_value(cents) OVER w AS first_cents,
+                   last_value(cents) OVER (w ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND UNBOUNDED FOLLOWING) AS last_cents
+            FROM t
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        """,
+        "user_journey_events": """
+            SELECT user_id, count(*) AS n_events,
+                   string_agg(event_type, ',' ORDER BY event_id) AS journey
+            FROM events GROUP BY user_id
         """,
         "scd2_events": """
             SELECT user_id, event_id AS valid_from,

@@ -1658,7 +1658,11 @@ def moving_sum_events(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow"),
         "user_id",
         ["event_id"],
-        {"mov7_cents": ("moving_sum", "cents", 7)},
+        {
+            "mov7_cents": ("moving_sum", "cents", 7),
+            "first_cents": ("first_value", "cents"),
+            "last_cents": ("last_value", "cents"),
+        },
     )
     return out.map_batches(
         lambda b: pa.table(
@@ -1666,9 +1670,29 @@ def moving_sum_events(sf_dir: str):
                 "event_id": b.column("event_id"),
                 "user_id": b.column("user_id"),
                 "mov7_cents": b.column("mov7_cents").cast(pa.int64()),
+                "first_cents": b.column("first_cents").cast(pa.int64()),
+                "last_cents": b.column("last_cents").cast(pa.int64()),
             }
         ),
         batch_format="pyarrow",
+    )
+
+
+def user_journey_events(sf_dir: str):
+    """Ordered list/collect aggregate (SQL string_agg ... ORDER BY): each
+    user's full event-type journey in event_id order plus their event
+    count — one keyed exchange, C-level per-group join."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    )
+    return R.grouped_string_agg(
+        ds,
+        ["user_id"],
+        "event_type",
+        ["event_id"],
+        sep=",",
+        out_col="journey",
+        count_col="n_events",
     )
 
 

@@ -816,6 +816,38 @@ def hopping_window(
     return preagg_groupby(exploded, [*key_cols, "window_start"], spec)
 
 
+def grouped_string_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    val_col: str,
+    order_cols: list[str],
+    sep: str = ",",
+    out_col: str = "agg",
+    count_col: str = "n",
+) -> rd.Dataset:
+    """SQL ``string_agg(val, sep ORDER BY order_cols)`` + ``count(*)``
+    per key (the list/collect aggregate class): ONE keyed exchange
+    (``keyed_reduce``), per partition a stable mergesort by the order
+    columns then pandas' C-level per-group join — group cardinality
+    never appears in a Python loop of ours.  NULL values are skipped
+    (SQL string_agg semantics; an all-NULL group yields NULL), NULL keys
+    form one group each (``dropna=False``).  ``order_cols`` must totally
+    order rows within a key or the concatenation is nondeterministic."""
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        cnt = g.groupby(keys, sort=False, dropna=False).size().rename(count_col)
+        nn = g[g[val_col].notna()]
+        agg = (
+            nn.groupby(keys, sort=False, dropna=False)[val_col]
+            .agg(sep.join)
+            .rename(out_col)
+        )
+        return pd.concat([cnt, agg], axis=1).reset_index()
+
+    return keyed_reduce(ds, keys, combine)
+
+
 def group_percentiles(
     ds: rd.Dataset,
     keys: list[str],

@@ -30,7 +30,14 @@ from .relational import AggSpec, _PARTIAL_KIND, preagg_groupby
 # run_sum}, or (kind, in_col, frame_rows) for moving_sum
 WindowSpec = dict[str, tuple]
 
-_KINDS = ("row_number", "lag_diff", "run_sum", "moving_sum")
+_KINDS = (
+    "row_number",
+    "lag_diff",
+    "run_sum",
+    "moving_sum",
+    "first_value",
+    "last_value",
+)
 
 
 def _kcols(key_col: str | list[str]) -> list[str]:
@@ -76,6 +83,12 @@ def window_over(
       ROW)`` — a bounded sliding frame, computed as two gathers into the
       partition's prefix sums.  NULLs contribute nothing; the result is
       NULL when the frame holds no non-null value (SQL SUM semantics).
+    - ``first_value`` / ``last_value`` over ``in_col``: the key's first /
+      last row's value in the order — ``first_value(v) OVER w`` (default
+      frame already contains the first row) and ``last_value(v) OVER (w
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)`` (the
+      SQL default frame would make last_value the CURRENT row — spell
+      the full frame in oracles).  A NULL in that row yields NULL.
 
     NULL keys form ONE partition (SQL PARTITION BY parity).  NULL order
     keys sort last (DuckDB's ASC default).
@@ -177,7 +190,14 @@ def window_over(
                 continue
             null = g[f"_wfn_{in_col}"].to_numpy() == 1
             v = g[f"_wfv_{in_col}"].to_numpy()
-            if kind == "moving_sum":
+            if kind == "first_value":
+                d = v[base]
+                mask = null[base]
+            elif kind == "last_value":
+                last = np.repeat(pos[starts] + run_lens - 1, run_lens)
+                d = v[last]
+                mask = null[last]
+            elif kind == "moving_sum":
                 # frame [max(key_start, i-frame+1) .. i]: two gathers
                 # into prefix sums (values and non-null counts)
                 cs1 = np.concatenate([np.zeros(1, np.int64), np.cumsum(v)])

@@ -1532,3 +1532,47 @@ class TestApproxPercentilesBySample:
         ):
             # rank error O(1/sqrt(5000)) -> generous value-domain bound
             assert abs(a - e) < 5_000, (q, a, e)
+
+
+class TestGroupedStringAgg:
+    def test_matches_duckdb_with_null_vals_and_keys(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages import relational as R
+
+        rng = np.random.default_rng(5)
+        n = 300
+        df = pd.DataFrame(
+            {
+                "k": pd.array(
+                    [None if x < 20 else int(x % 9) for x in rng.integers(0, 100, n)],
+                    dtype="Int64",
+                ),
+                "o": np.arange(n, dtype=np.int64),
+                "v": [
+                    None if x < 25 else f"w{int(x) % 7}"
+                    for x in rng.integers(0, 100, n)
+                ],
+            }
+        )
+        out = R.grouped_string_agg(
+            rd.from_pandas(df).repartition(5), ["k"], "v", ["o"],
+            sep="|", out_col="agg", count_col="n",
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", df)
+        ora = con.execute(
+            """
+            SELECT k, count(*) AS n, string_agg(v, '|' ORDER BY o) AS agg
+            FROM t GROUP BY k
+            """
+        ).df()
+        a = out.sort_values("k", na_position="last").reset_index(drop=True)
+        b = ora.sort_values("k", na_position="last").reset_index(drop=True)
+        assert len(a) == len(b)
+        assert a["k"].isna().tolist() == b["k"].isna().tolist()
+        assert a["n"].astype("int64").tolist() == b["n"].astype("int64").tolist()
+        # all-NULL groups: DuckDB yields NULL, engine must too
+        assert a["agg"].isna().tolist() == b["agg"].isna().tolist()
+        assert a["agg"].fillna("").tolist() == b["agg"].fillna("").tolist()

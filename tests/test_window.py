@@ -117,6 +117,48 @@ class TestWindowOver:
                 == b[c].fillna(-1).astype("int64").tolist()
             ), c
 
+    def test_first_last_value_match_duckdb_with_nulls(self, ray_session):
+        rng = np.random.default_rng(23)
+        n = 250
+        df = pd.DataFrame(
+            {
+                "k": pd.array(
+                    [None if x < 15 else int(x % 6) for x in rng.integers(0, 100, n)],
+                    dtype="Int64",
+                ),
+                "o": np.arange(n, dtype=np.int64),
+                "v": pd.array(
+                    [None if x < 35 else int(x) for x in rng.integers(0, 100, n)],
+                    dtype="Int64",
+                ),
+            }
+        )
+        out = window_over(
+            rd.from_pandas(df).repartition(4),
+            "k",
+            ["o"],
+            {"fv": ("first_value", "v"), "lv": ("last_value", "v")},
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", df)
+        ora = con.execute(
+            """
+            SELECT k, o, v,
+                   first_value(v) OVER w AS fv,
+                   last_value(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING) AS lv
+            FROM t WINDOW w AS (PARTITION BY k ORDER BY o)
+            """
+        ).df()
+        a, b = _sorted_df(out), _sorted_df(ora)
+        assert len(a) == len(b) == n
+        for c in ["k", "o", "v", "fv", "lv"]:
+            assert a[c].isna().tolist() == b[c].isna().tolist(), c
+            assert (
+                a[c].fillna(-1).astype("int64").tolist()
+                == b[c].fillna(-1).astype("int64").tolist()
+            ), c
+
     def test_moving_sum_bad_frame_raises(self, ray_session):
         ds = rd.from_items([{"k": 1, "o": 1, "v": 2}])
         with pytest.raises(ValueError):
