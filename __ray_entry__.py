@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outer_join_user_funnel": Q.outer_join_user_funnel,
         "distinct_lang_source": Q.distinct_lang_source,
         "approx_distinct_users": Q.approx_distinct_users,
+        "approx_distinct_users_per_type": Q.approx_distinct_users_per_type,
         # dedup / text / similarity
         "dedup_exact_documents": Q.dedup_exact_documents,
         "doc_token_stats": Q.doc_token_stats,

@@ -975,6 +975,21 @@ def distinct_lang_source(sf_dir: str):
     return pairs.map_batches(lambda b: b.select(["lang", "source"]), batch_format="pyarrow")
 
 
+def approx_distinct_users_per_type(sf_dir: str):
+    """GROUPED HLL approximate count-distinct (approx_count_distinct ...
+    GROUP BY): sketches shuffle, values don't; per-partition merge is one
+    np.maximum.reduceat over stacked register matrices.  Pytest oracle:
+    <2.5% error per group vs exact (SQL hash parity impossible by
+    construction)."""
+    from ..stages.sketches import approx_distinct_per_group
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+    out = approx_distinct_per_group(
+        ds, ["event_type"], "user_id", out_col="approx_users", num_parts=8
+    )
+    return out.sort("event_type")
+
+
 def approx_distinct_users(sf_dir: str):
     """HLL approximate count-distinct (mergeable-sketch pattern); exact
     parity is impossible by construction, so the pytest oracle asserts

@@ -503,3 +503,99 @@ def incremental_dedup(
         return batch[keep].drop(columns=["_maybe_dup"])
 
     return probed.map_batches(confirm, batch_format="pandas")
+
+
+def _hll_estimate_rows(regs: np.ndarray) -> np.ndarray:
+    """Vectorized HLL estimate over a (groups, m) register matrix — the
+    same math as :meth:`HyperLogLog.estimate`, no per-group Python."""
+    g, m = regs.shape
+    alpha = 0.7213 / (1 + 1.079 / m)
+    inv = np.exp2(-regs.astype(np.float64)).sum(axis=1)
+    e = alpha * m * m / inv
+    zeros = (regs == 0).sum(axis=1)
+    small = (e <= 2.5 * m) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        lin = m * np.log(m / np.where(zeros == 0, 1, zeros))
+    return np.where(small, lin, e)
+
+
+def approx_distinct_per_group(
+    ds: rd.Dataset,
+    keys: list[str],
+    col: str,
+    p: int = 12,
+    out_col: str = "approx_distinct",
+    num_parts: int | None = None,
+) -> rd.Dataset:
+    """GROUPED approximate count-distinct: ``approx_count_distinct(col)
+    GROUP BY keys`` as mergeable HLL sketches.
+
+    Scale shape: each batch emits one 2^p-byte sketch row per key it
+    contains (the shuffle carries sketches, never values); ONE keyed
+    exchange (``relational.keyed_reduce``); the per-partition merge
+    stacks each key's sketch bytes into a (rows, m) uint8 matrix and
+    folds with ``np.maximum.reduceat`` — group cardinality never appears
+    in a Python loop.  Estimates are computed vectorized across groups.
+    NULL values are not members (SQL count-DISTINCT); NULL keys form one
+    group (SQL GROUP BY).  A group whose values are ALL NULL emits no
+    partial sketch and therefore no output row (SQL would emit it with
+    count 0) — union a count(*) groupby if empty groups must surface."""
+    from .relational import keyed_reduce
+
+    m = 1 << p
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        nn = batch[batch[col].notna()]
+        if len(nn) == 0:
+            return pd.DataFrame(
+                {**{k: pd.Series([], dtype=batch[k].dtype) for k in keys},
+                 "_sk": pd.Series([], dtype=object)}
+            )
+        hs = pd.util.hash_pandas_object(
+            nn[col].astype(str), index=False, hash_key="mysql_binlog_hll!"[:16]
+        ).to_numpy().astype(np.uint64)
+        codes = nn.groupby(keys, sort=False, dropna=False).ngroup().to_numpy()
+        order = np.argsort(codes, kind="stable")
+        codes_s, hs_s = codes[order], hs[order]
+        starts = np.flatnonzero(np.diff(codes_s, prepend=-1))
+        # one register matrix for every key in this batch, filled with a
+        # single grouped scatter-max
+        gidx = np.repeat(np.arange(len(starts)), np.diff(np.append(starts, len(codes_s))))
+        regs = np.zeros((len(starts), m), dtype=np.uint8)
+        idx = (hs_s >> np.uint64(64 - p)).astype(np.int64)
+        rest = hs_s << np.uint64(p)
+        with np.errstate(divide="ignore"):
+            lz = np.where(
+                rest == 0,
+                64 - p,
+                63 - np.floor(np.log2(rest.astype(np.float64) + 0.5)).astype(np.int64),
+            )
+        ranks = (np.minimum(lz, 64 - p) + 1).astype(np.uint8)
+        np.maximum.at(regs, (gidx, idx), ranks)
+        first_rows = nn.iloc[order[starts]]
+        out = {k: first_rows[k].to_numpy() for k in keys}
+        out["_sk"] = list(regs.tobytes()[i * m : (i + 1) * m] for i in range(len(starts)))
+        return pd.DataFrame(out)
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {**{k: pd.Series([], dtype=g[k].dtype) for k in keys},
+                 out_col: pd.Series([], dtype=np.int64)}
+            )
+        codes = g.groupby(keys, sort=False, dropna=False).ngroup().to_numpy()
+        order = np.argsort(codes, kind="stable")
+        g = g.iloc[order]
+        codes = codes[order]
+        regs = np.frombuffer(b"".join(g["_sk"]), dtype=np.uint8).reshape(-1, m)
+        starts = np.flatnonzero(np.diff(codes, prepend=-1))
+        merged = np.maximum.reduceat(regs, starts, axis=0)
+        est = np.rint(_hll_estimate_rows(merged)).astype(np.int64)
+        first_rows = g.iloc[starts]
+        out = {k: first_rows[k].to_numpy() for k in keys}
+        out[out_col] = est
+        return pd.DataFrame(out)
+
+    return keyed_reduce(parts, keys, combine, num_parts=num_parts)

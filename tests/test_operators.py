@@ -1576,3 +1576,56 @@ class TestGroupedStringAgg:
         # all-NULL groups: DuckDB yields NULL, engine must too
         assert a["agg"].isna().tolist() == b["agg"].isna().tolist()
         assert a["agg"].fillna("").tolist() == b["agg"].fillna("").tolist()
+
+
+class TestGroupedHll:
+    def test_grouped_estimates_within_error(self, ray_session):
+        """Grouped HLL vs exact per-group distinct counts: skewed group
+        sizes (10..20k distinct) across many batches so cross-batch
+        sketch merging is actually exercised."""
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.sketches import approx_distinct_per_group
+
+        rng = np.random.default_rng(17)
+        sizes = {"a": 10, "b": 500, "c": 5000, "d": 20000}
+        frames = []
+        for g, n_distinct in sizes.items():
+            vals = rng.integers(0, n_distinct, n_distinct * 3)  # with repeats
+            frames.append(pd.DataFrame({"g": g, "v": [f"{g}:{v}" for v in vals]}))
+        df = pd.concat(frames, ignore_index=True).sample(frac=1, random_state=3)
+        ds = rd.from_pandas(df).repartition(13)
+        out = (
+            approx_distinct_per_group(ds, ["g"], "v", num_parts=4)
+            .to_pandas()
+            .set_index("g")["approx_distinct"]
+        )
+        exact = df.groupby("g")["v"].nunique()
+        assert set(out.index) == set(exact.index)
+        for g in exact.index:
+            err = abs(out[g] - exact[g]) / exact[g]
+            assert err < 0.05, (g, out[g], exact[g], err)
+
+    def test_null_values_and_null_keys(self, ray_session):
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.sketches import approx_distinct_per_group
+
+        df = pd.DataFrame(
+            {
+                "g": ["x", "x", None, None, "y"],
+                "v": ["1", None, "2", "2", None],
+            }
+        )
+        out = (
+            approx_distinct_per_group(rd.from_pandas(df), ["g"], "v", num_parts=2)
+            .to_pandas()
+        )
+        got = {
+            (None if pd.isna(r["g"]) else r["g"]): int(r["approx_distinct"])
+            for _, r in out.iterrows()
+        }
+        # NULL values are not members; all-NULL groups drop out of the
+        # partials entirely (no sketch rows) — SQL approx_count_distinct
+        # over an empty set is 0 rows here since no sketch is emitted
+        assert got == {"x": 1, None: 1}
