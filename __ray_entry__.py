@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention_events": Q.cohort_retention_events,
         "join_orders_lineitem": Q.join_orders_lineitem,
         "bucketed_join_orders_lineitem": Q.bucketed_join_orders_lineitem,
+        "bucketed_point_lookup_documents": Q.bucketed_point_lookup_documents,
         "asof_clicks_purchases": Q.asof_clicks_purchases,
         "sessionize_events": Q.sessionize_events,
         "interval_click_in_purchase_window": Q.interval_click_in_purchase_window,
@@ -121,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_issues_final_state": Q.cdc_issues_final_state,
         "cdc_all_tables_changefeed": Q.cdc_all_tables_changefeed,
         "cdc_hot_keys": Q.cdc_hot_keys,
+        "cdc_point_lookup": Q.cdc_point_lookup,
         "cdc_windowed_activity": Q.cdc_windowed_activity,
         "cdc_incremental_view": Q.cdc_incremental_view,
         # incremental view maintenance (SQL-oracled on the events table)
@@ -743,6 +745,10 @@ def _oracle_sql_dict() -> dict[str, str]:
                        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
             GROUP BY o_orderkey, o_custkey
+        """,
+        "bucketed_point_lookup_documents": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id IN (3, 17, 42, 128, 250, 333, 444, 499, 100000)
         """,
         "asof_clicks_purchases": """
             WITH p AS (

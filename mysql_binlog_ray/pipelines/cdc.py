@@ -954,6 +954,61 @@ def read_lake(lake_dir: str) -> rd.Dataset:
     return ds.map_batches(_strip_hive, batch_format="pyarrow")
 
 
+def lake_point_lookup(lake_dir: str, keys) -> pa.Table:
+    """Partition-pruned point lookup over the exactly-once lake: hash the
+    requested keys with the manifest's recorded algorithm and read ONLY
+    the ``part=NNNNN`` files they map to, then keep exactly the requested
+    keys (semi-join).  O(distinct requested partitions) I/O — the
+    query-side payoff of the hash-clustered layout at 100 TB: a single-key
+    audit touches one file, never the lake.
+
+    ``keys`` is a ``pa.Table`` carrying the lake's key columns (manifest
+    ``key_cols``), or a list of scalars for a single-column key.  Returns
+    the matching live rows as one Arrow table (point lookups are small by
+    contract; use ``read_lake`` for scans).
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..stages.merge import partition_codes
+
+    m = read_manifest(lake_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {lake_dir}")
+    if m.get("hash_algo") != PARTITION_HASH_ALGO:
+        raise ValueError(
+            f"lake hashed with {m.get('hash_algo')!r}; this build computes "
+            f"{PARTITION_HASH_ALGO!r} — compact_lake() rewrites the layout"
+        )
+    key_cols = tuple(m["key_cols"])
+    if not isinstance(keys, pa.Table):
+        if len(key_cols) != 1:
+            raise ValueError(
+                f"lake is keyed by {key_cols}; pass a pa.Table with those columns"
+            )
+        keys = pa.table({key_cols[0]: pa.array(keys)})
+    keys = keys.select(list(key_cols)).combine_chunks()
+    live = {p["part"] for p in m["partitions"] if p["rows"] > 0}
+    codes = partition_codes(keys, key_cols, int(m["num_partitions"]))
+    wanted = sorted(set(int(c) for c in np.unique(codes)) & live)
+    if not wanted:
+        # zero-row result with the lake's real schema
+        any_part = next((p["part"] for p in m["partitions"] if p["rows"] > 0), None)
+        if any_part is None:
+            return pa.table({k: pa.array([], pa.null()) for k in key_cols})
+        return pq.read_schema(_lake_partition_path(lake_dir, any_part)).empty_table()
+    out = []
+    for part in wanted:
+        t = pq.read_table(_lake_partition_path(lake_dir, part))
+        probe = keys
+        for k in key_cols:
+            probe = probe.set_column(
+                probe.column_names.index(k), k, probe.column(k).cast(t.column(k).type)
+            )
+        out.append(t.join(probe, keys=list(key_cols), join_type="left semi"))
+    return pa.concat_tables(out)
+
+
 def follow(
     manifest: dict[str, Any],
     lake_dir: str,

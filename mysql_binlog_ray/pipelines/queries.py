@@ -962,6 +962,67 @@ def bucketed_join_orders_lineitem(sf_dir: str):
     )
 
 
+# fixed probe set for the point-lookup queries: doc_ids that exist at
+# every sf (documents is 500 rows at all scales) plus one absent id and
+# one duplicate request — the SQL oracle carries the same literal list
+POINT_LOOKUP_DOC_IDS = (3, 17, 17, 42, 128, 250, 333, 444, 499, 100000)
+
+
+def bucketed_point_lookup_documents(sf_dir: str):
+    """Bucket-pruned point lookup: documents written ONCE as a
+    hash-bucketed lake on doc_id (map-only write), then a fixed key set
+    is fetched by reading ONLY the row groups of the buckets those keys
+    hash to — never a table scan.  Semi-join semantics: the duplicate
+    request and the absent id contribute nothing."""
+    import hashlib as _hl
+    import tempfile
+
+    from ..stages.bucketed import point_lookup, write_bucketed
+    from ..state.checkpoint import read_manifest
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    base = f"{tempfile.gettempdir()}/mysql_binlog_ray/bucketed_docs_{tag}"
+    if read_manifest(base) is None:
+        docs = rd.read_parquet(
+            _t(sf_dir, "documents"), columns=["doc_id", "lang", "source", "n_chars"]
+        )
+        write_bucketed(docs, base, "doc_id", num_buckets=32)
+    return point_lookup(base, list(POINT_LOOKUP_DOC_IDS))
+
+
+def cdc_point_lookup(sf_dir: str):
+    """M7 query-side payoff: partition-pruned point lookup over the
+    exactly-once lake — the requested primary keys hash (poly64v2, the
+    manifest-recorded algorithm) to their ``part=NNNNN`` files and ONLY
+    those files are read.  Keys are derived from the generator's pure
+    key->(repo, path) function, so the probe set is deterministic;
+    deleted keys simply return nothing (semi-join)."""
+    from ..fixtures.generator import ContentFactory
+    from .cdc import CdcConfig, lake_point_lookup, run_to_lake
+
+    spec, manifest = cdc_manifest(sf_dir)
+    sf = _sf_of(sf_dir)
+    lake = f"/tmp/mysql_binlog_ray/lookup_lake_sf{sf}"
+    run_to_lake(manifest, lake, CdcConfig(num_partitions=16), resume=True)
+    gen = ContentFactory(spec)
+    pairs = [gen.repo_path(k) for k in (0, 1, 2, 3, 5, 8, 13, 21, 34, 55)]
+    req = pa.table(
+        {
+            "repo": pa.array([p[0] for p in pairs]),
+            "path": pa.array([p[1] for p in pairs]),
+        }
+    )
+    hit = lake_point_lookup(lake, req)
+    # content -> sha256 (stable, compact — same shape as cdc_final_state)
+    sha = [
+        hashlib.sha256(c.encode()).hexdigest()
+        for c in hit.column("content").to_pylist()
+    ]
+    return hit.drop_columns(["content"]).append_column(
+        "content_sha256", pa.array(sha, pa.string())
+    )
+
+
 def stratified_sample_documents(sf_dir: str):
     """Deterministic stratified sample: first 5 docs per language."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])

@@ -166,6 +166,96 @@ def _read_bucket(
     return pa.concat_tables(parts)
 
 
+def wanted_buckets(manifest: dict, keys: pa.Table) -> set[int]:
+    """Bucket ids the requested keys hash into under the manifest's
+    recorded (hash_algo, num_buckets) — the pruning set a point lookup
+    reads.  Exposed for tests/planning."""
+    if manifest.get("hash_algo") != HASH_ALGO:
+        raise ValueError(
+            f"lake hashed with {manifest.get('hash_algo')!r}, this build "
+            f"computes {HASH_ALGO!r} — rewrite the lake to look up by key"
+        )
+    key_cols = tuple(manifest["key_cols"])
+    codes = partition_codes(keys, key_cols, int(manifest["num_buckets"]))
+    return set(int(c) for c in np.unique(codes))
+
+
+def point_lookup(
+    out_dir: str,
+    keys,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Bucket-pruned point lookup: hash the requested key values with the
+    manifest's recorded algorithm and read ONLY the indexed row groups of
+    the buckets they map to — O(distinct requested buckets) I/O, never a
+    lake scan.  ``keys`` is a list of scalars (single-column key) or a
+    ``pa.Table`` with the lake's key columns.  Returns the matching rows
+    (semi-join semantics: duplicate requested keys do not duplicate rows;
+    absent keys return nothing).
+
+    The reference engine has no lake at all (it re-streams the binlog per
+    consumer); this is the query-side payoff of hash-clustered storage —
+    the same pruning a 256-node cluster needs so a single-key audit does
+    not touch 100 TB.
+    """
+    m = read_manifest(out_dir)
+    if m is None:
+        raise ValueError(f"no manifest in {out_dir} — not a bucketed lake")
+    key_cols = tuple(m["key_cols"])
+    if not isinstance(keys, pa.Table):
+        if len(key_cols) != 1:
+            raise ValueError(
+                f"lake is keyed by {key_cols}; pass a pa.Table with those columns"
+            )
+        keys = pa.table({key_cols[0]: pa.array(keys)})
+    for k in key_cols:
+        if k not in keys.column_names:
+            raise ValueError(f"keys table is missing key column {k!r}")
+        fam_stored = (m.get("key_families") or {}).get(k)
+        fam_req = _type_family(keys.column(k).type)
+        if fam_stored is not None and fam_stored != fam_req:
+            # e.g. float probe against an int-keyed lake: equal logical
+            # values hash to DIFFERENT buckets — refuse, never miss silently
+            raise ValueError(
+                f"key column {k!r} hashes as {fam_req}, lake stores {fam_stored} "
+                f"— cast the probe values"
+            )
+    keys = keys.select(list(key_cols)).combine_chunks()
+    idx = _bucket_index(m)
+    wanted = sorted(wanted_buckets(m, keys) & set(idx))
+    if not wanted:
+        return rd.from_items([])
+
+    # the semi-join needs the key columns even when the caller prunes
+    # them out; read the union, trim after the join
+    read_cols = (
+        None if columns is None else list(dict.fromkeys(list(columns) + list(key_cols)))
+    )
+
+    def lookup_one(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for b in batch["bucket"]:
+            t = _read_bucket(out_dir, idx[int(b)], read_cols)
+            # exact-match filter: hash pruning over-selects (other keys
+            # share the bucket); an Arrow semi-join keeps only requested
+            # keys and works for multi-column keys
+            probe = keys
+            for k in key_cols:
+                probe = probe.set_column(
+                    probe.column_names.index(k),
+                    k,
+                    probe.column(k).cast(t.column(k).type),
+                )
+            hit = t.join(probe, keys=list(key_cols), join_type="left semi")
+            if columns is not None:
+                hit = hit.select(list(columns))
+            outs.append(hit.to_pandas())
+        return pd.concat(outs, ignore_index=True)
+
+    buckets = rd.from_items([{"bucket": b} for b in wanted])
+    return buckets.map_batches(lookup_one, batch_format="pandas", batch_size=1)
+
+
 def join_bucketed(
     dir_left: str,
     dir_right: str,

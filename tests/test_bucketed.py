@@ -8,6 +8,8 @@ import pytest
 
 from mysql_binlog_ray.stages.bucketed import (
     join_bucketed,
+    point_lookup,
+    wanted_buckets,
     write_bucketed,
 )
 from mysql_binlog_ray.state.checkpoint import read_manifest
@@ -149,6 +151,63 @@ class TestBucketed:
         write_bucketed(rd.from_pandas(items), di, "l_orderkey", 16)
         with pytest.raises(ValueError, match="incompatible"):
             join_bucketed(do, di, "o_orderkey", "l_orderkey")
+
+    def test_point_lookup_matches_scan(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        orders, _ = _sides(n_orders=200)
+        do = str(tmp_path / "o")
+        m = write_bucketed(rd.from_pandas(orders).repartition(5), do, "o_orderkey", 32)
+        # present keys, a duplicate request, and absent keys
+        req = [3, 17, 17, 42, 199, 5000, -1]
+        got = (
+            point_lookup(do, req)
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        want = (
+            orders[orders["o_orderkey"].isin(req)]
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want)
+        # pruning is real: 5 distinct present keys can touch at most 5 of
+        # the 32 buckets (the point of the layout)
+        import pyarrow as pa
+
+        probed = wanted_buckets(m, pa.table({"o_orderkey": pa.array(req, pa.int64())}))
+        assert len(probed) <= len(set(req))
+        assert len(probed) < m["num_buckets"]
+
+    def test_point_lookup_column_pruning_and_int_widening(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        orders, _ = _sides()
+        do = str(tmp_path / "o")
+        write_bucketed(rd.from_pandas(orders), do, "o_orderkey", 8)
+        # int32 probe hashes identically to the stored int64 (both widen
+        # to int64 in poly64v2), and pruned columns still filter correctly
+        probe = pa.table({"o_orderkey": pa.array([7, 9], pa.int32())})
+        got = point_lookup(do, probe, columns=["o_val"]).to_pandas()
+        want = orders[orders["o_orderkey"].isin([7, 9])]["o_val"]
+        assert sorted(got.columns) == ["o_val"]
+        assert sorted(got["o_val"]) == sorted(want)
+
+    def test_point_lookup_family_mismatch_and_misses(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        orders, _ = _sides()
+        do = str(tmp_path / "o")
+        write_bucketed(rd.from_pandas(orders), do, "o_orderkey", 8)
+        # float probe against an int lake would hash to the wrong bucket:
+        # refuse rather than silently miss
+        with pytest.raises(ValueError, match="hashes as"):
+            point_lookup(do, pa.table({"o_orderkey": pa.array([7.0])}))
+        # all-absent probe returns an empty result, not an error
+        assert point_lookup(do, [100000, 100001]).count() == 0
 
     def test_wrong_key_rejected(self, ray_session, tmp_path):
         import ray.data as rd

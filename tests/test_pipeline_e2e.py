@@ -93,6 +93,66 @@ class TestExactlyOnce:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestLakePointLookup:
+    def test_lookup_matches_scan_and_prunes(self, small_stream, tmp_path):
+        import pyarrow as pa
+
+        from mysql_binlog_ray.pipelines.cdc import lake_point_lookup
+        from mysql_binlog_ray.stages.merge import partition_codes
+        from mysql_binlog_ray.state.checkpoint import read_manifest
+
+        spec, out, manifest = small_stream
+        lake = str(tmp_path / "lk")
+        run_to_lake(manifest, lake, CdcConfig(num_partitions=16))
+        full = read_lake(lake).to_pandas()
+        # a few live keys + one absent composite key + a duplicate request
+        sample = full[["repo", "path"]].drop_duplicates().head(4)
+        req = pa.table(
+            {
+                "repo": pa.array(
+                    list(sample["repo"]) + [sample["repo"].iloc[0], "no/such"]
+                ),
+                "path": pa.array(
+                    list(sample["path"]) + [sample["path"].iloc[0], "nope.txt"]
+                ),
+            }
+        )
+        got = (
+            lake_point_lookup(lake, req)
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        pairs = set(zip(sample["repo"], sample["path"]))
+        want = (
+            full[[tuple(x) in pairs for x in zip(full["repo"], full["path"])]]
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(want[got.columns])
+        # pruning: the requested keys map to at most len(req) of the 16
+        # partitions, so the lookup reads a strict subset of the lake
+        m = read_manifest(lake)
+        codes = set(partition_codes(req, ("repo", "path"), m["num_partitions"]))
+        assert len(codes) <= req.num_rows
+        assert len(codes) < sum(1 for p in m["partitions"] if p["rows"] > 0)
+
+    def test_lookup_all_absent_is_empty_with_schema(self, small_stream, tmp_path):
+        from mysql_binlog_ray.pipelines.cdc import lake_point_lookup
+
+        spec, out, manifest = small_stream
+        lake = str(tmp_path / "lk2")
+        run_to_lake(manifest, lake, CdcConfig(num_partitions=8))
+        import pyarrow as pa
+
+        got = lake_point_lookup(
+            lake, pa.table({"repo": pa.array(["x/y"]), "path": pa.array(["z"])})
+        )
+        assert got.num_rows == 0
+        assert "repo" in got.schema.names and "path" in got.schema.names
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSchemaEvolutionE2E:
     def test_ddl_mid_stream(self, tmp_path):
         spec = StreamSpec(n_keys=80, n_ops=400, n_shards=2, ddl_at=0.5)
