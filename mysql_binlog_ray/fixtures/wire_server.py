@@ -1,0 +1,164 @@
+"""In-process MySQL replica-protocol fixture server.
+
+Speaks just enough of the public server side — HandshakeV10,
+auth verification, COM_REGISTER_SLAVE / COM_BINLOG_DUMP, the event
+stream with EOF heartbeats — to exercise the client transport
+(`sources/wire.py`) byte-for-byte against generator-produced event
+packets, with no network and no real server.  The serve loop is
+deliberately strict: it validates the client's auth scramble and the
+exact command layouts, so a client-side framing bug fails the session
+instead of passing silently.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from ..sources.wire import (
+    CLIENT_PLUGIN_AUTH,
+    CLIENT_SECURE_CONNECTION,
+    COM_BINLOG_DUMP,
+    COM_QUIT,
+    COM_REGISTER_SLAVE,
+    MAX_PACKET_SIZE,
+    PacketConn,
+    WireError,
+    scramble_native_password,
+)
+
+SERVER_CAPABILITIES = 0x000FFFFF | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
+
+#: fixed handshake nonce: deterministic sessions, real 20-byte shape
+NONCE = bytes(range(1, 21))
+
+
+def build_handshake_v10(
+    server_version: str = "10.11.6-MariaDB-log",
+    connection_id: int = 42,
+    nonce: bytes = NONCE,
+) -> bytes:
+    caps = SERVER_CAPABILITIES
+    return (
+        bytes([10])
+        + server_version.encode()
+        + b"\x00"
+        + struct.pack("<I", connection_id)
+        + nonce[:8]
+        + b"\x00"
+        + struct.pack("<H", caps & 0xFFFF)
+        + bytes([45])  # utf8mb4_general_ci
+        + struct.pack("<H", 0x0002)  # status: autocommit
+        + struct.pack("<H", caps >> 16)
+        + bytes([len(nonce) + 1])
+        + b"\x00" * 10
+        + nonce[8:]
+        + b"\x00"  # auth-part-2 is NUL-terminated on the wire
+        + b"mysql_native_password\x00"
+    )
+
+
+def _send_large(conn: PacketConn, payload: bytes) -> None:
+    """Server-side send that SPLITS payloads at MAX_PACKET_SIZE (the
+    part of framing the client-side ``send_packet`` refuses): every
+    full-size fragment promises a continuation, including the empty
+    terminator when the length is an exact multiple."""
+    off = 0
+    while True:
+        chunk = payload[off : off + MAX_PACKET_SIZE]
+        conn.seq = (conn.seq + 1) & 0xFF
+        conn._sock.sendall(
+            struct.pack("<I", len(chunk))[:3] + bytes([conn.seq]) + chunk
+        )
+        off += len(chunk)
+        if len(chunk) < MAX_PACKET_SIZE:
+            return
+
+
+def serve_session(
+    sock,
+    event_packets,
+    user: str = "repl",
+    password: str = "secret",
+    server_version: str = "10.11.6-MariaDB-log",
+    heartbeat_every: int = 0,
+    wait_quit: bool = False,
+) -> dict:
+    """One full replica session over ``sock``: handshake -> auth check ->
+    REGISTER_SLAVE -> BINLOG_DUMP -> stream ``event_packets`` (each a
+    framed event payload with its leading OK byte) -> close.  Returns
+    what the server observed (for assertions)."""
+    conn = PacketConn(sock)
+    seen: dict = {"errors": []}
+
+    conn.send_packet(build_handshake_v10(server_version), reset_seq=True)
+    resp = conn.read_packet()
+    caps, _maxp, _cs = struct.unpack_from("<IIB", resp, 0)
+    body = resp[4 + 4 + 1 + 23 :]
+    nul = body.index(b"\x00")
+    got_user = body[:nul].decode()
+    alen = body[nul + 1]
+    got_auth = bytes(body[nul + 2 : nul + 2 + alen])
+    want_auth = scramble_native_password(password, NONCE)
+    seen["user"], seen["client_caps"] = got_user, caps
+    if got_user != user or got_auth != want_auth:
+        conn.send_packet(
+            b"\xff" + struct.pack("<H", 1045) + b"#28000Access denied"
+        )
+        seen["errors"].append("auth")
+        return seen
+    conn.send_packet(b"\x00\x00\x00\x02\x00\x00\x00")  # OK
+
+    def expect_command() -> bytes:
+        pkt = conn.read_packet()
+        if conn.seq != 0:
+            raise WireError("command did not reset sequence id")
+        return pkt
+
+    cmd = expect_command()
+    if cmd[0] != COM_REGISTER_SLAVE:
+        raise WireError(f"expected COM_REGISTER_SLAVE, got 0x{cmd[0]:02x}")
+    off = 1
+    (seen["slave_id"],) = struct.unpack_from("<I", cmd, off)
+    off += 4
+    vals = []
+    for _ in range(3):  # hostname, user, password — length-prefixed
+        ln = cmd[off]
+        off += 1
+        vals.append(cmd[off : off + ln].decode())
+        off += ln
+    seen["register"] = vals
+    seen["port"], seen["rank"], seen["master_id"] = struct.unpack_from(
+        "<HII", cmd, off
+    )
+    if off + 10 != len(cmd):
+        raise WireError("REGISTER_SLAVE payload has trailing bytes")
+    conn.send_packet(b"\x00\x00\x00\x02\x00\x00\x00")
+
+    cmd = expect_command()
+    if cmd[0] != COM_BINLOG_DUMP:
+        raise WireError(f"expected COM_BINLOG_DUMP, got 0x{cmd[0]:02x}")
+    seen["pos"], seen["flags"], seen["dump_slave_id"] = struct.unpack_from(
+        "<IHI", cmd, 1
+    )
+    seen["binlog_file"] = cmd[11:].decode()
+    conn.send_packet(b"\x00\x00\x00\x02\x00\x00\x00")
+
+    n = 0
+    for pkt in event_packets:
+        if heartbeat_every and n and n % heartbeat_every == 0:
+            conn.send_packet(b"\xfe\x00\x00\x00\x00")  # EOF heartbeat
+        _send_large(conn, bytes(pkt))
+        n += 1
+    seen["events_sent"] = n
+
+    # by default the server ends the stream by returning (the caller
+    # closes the socket -> the client sees a clean end-of-stream); with
+    # ``wait_quit`` it blocks for the client's COM_QUIT first (used when
+    # the client stops early via max_events)
+    if wait_quit:
+        try:
+            cmd = conn.read_packet()
+            seen["quit"] = bool(cmd and cmd[0] == COM_QUIT)
+        except WireError:
+            seen["quit"] = False
+    return seen

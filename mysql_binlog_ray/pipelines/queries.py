@@ -702,6 +702,61 @@ def cdc_changefeed_stats(sf_dir: str):
     )
 
 
+def cdc_wire_tail(sf_dir: str):
+    """S1/S4/S5 transport end-to-end: a full MySQL replica-protocol
+    session (handshake/auth scramble, COM_REGISTER_SLAVE,
+    COM_BINLOG_DUMP, heartbeat skipping, >16MB-safe framing) over an
+    in-process socketpair replaying the fixture stream byte-for-byte,
+    spooled to shards, then the UNCHANGED distributed decode.  Returns
+    per-op row counts — deterministic and equal to what the parquet
+    source yields on the same stream (only lineage seq numbering
+    differs, and it is excluded here)."""
+    import shutil
+    import socket
+    import threading
+
+    import pyarrow.parquet as pq
+
+    from ..fixtures.wire_server import serve_session
+    from ..sources.wire import BinlogWireClient, tail_to_shards
+    from .cdc import CdcConfig, decode_changefeed, read_event_stream
+
+    _, manifest = cdc_manifest(sf_dir)
+    payloads = []
+    for s in manifest["shards"]:
+        payloads.extend(
+            pq.read_table(s["path"], columns=["payload"])["payload"].to_pylist()
+        )
+
+    srv, cli = socket.socketpair()
+
+    def run_server():
+        try:
+            serve_session(srv, payloads, heartbeat_every=100)
+        finally:
+            srv.close()
+
+    t = threading.Thread(target=run_server, daemon=True)
+    t.start()
+    client = BinlogWireClient(cli, user="repl", password="secret", slave_id=7)
+    sf = _sf_of(sf_dir)
+    spool = f"/tmp/mysql_binlog_ray/wire_spool_sf{sf}"
+    shutil.rmtree(spool, ignore_errors=True)
+    res = tail_to_shards(client, spool, shard_events=4096)
+    cli.close()
+    t.join(timeout=60)
+
+    wire_manifest = dict(manifest, shards=res["shards"])
+    cf = decode_changefeed(
+        read_event_stream(wire_manifest), manifest["table_maps"], CdcConfig()
+    )
+    return R.preagg_groupby(
+        cf.map_batches(lambda b: b.select(["op"]), batch_format="pyarrow"),
+        ["op"],
+        {"n_rows": (None, "count")},
+    )
+
+
 def ivm_view_events(sf_dir: str):
     """Incremental materialized-view maintenance (stages/ivm.py) on the
     events table: each event upserts the per-user state (the CDC merge's

@@ -1,0 +1,440 @@
+"""MySQL client wire protocol (transport layer): S1/S4/S5/S6.
+
+The reference's only process boundary is one TCP socket speaking the
+public MySQL client/server protocol (`Connection.php:44-90,331-457`).
+This module re-implements that transport from the published protocol:
+
+- length+sequence packet framing with >16MB reassembly and the
+  sequence-continuity check (S6, `Connection.php:394-417`)
+- HandshakeV10 parse + ``mysql_native_password`` scramble +
+  HandshakeResponse41 (S1, `Connection.php:331-392`)
+- COM_REGISTER_SLAVE / COM_BINLOG_DUMP command builders and the
+  OK/EOF/ERR response walk (S4/S5, `Connection.php:159-217`)
+
+Two deliberate divergences from the reference, both documented where
+they occur: the register-slave payload follows the published layout
+(the reference writes the password bytes twice, shifting every later
+field — `Connection.php:169-171`), and ERR packets skip the
+protocol-4.1 SQL-state marker before the message.
+
+Architecture note (why this is a thin edge, not a Ray stage): a binlog
+dump is a single ordered socket — the same singleton the reference is
+built around.  The Ray-first design keeps that edge minimal:
+``BinlogWireClient`` tails the socket and ``tail_to_shards`` spools
+events into the standard ``(shard_id, event_seq, payload)`` parquet
+shards, at which point the ENTIRE existing distributed pipeline
+(parallel decode -> LWW merge -> exactly-once lake) applies unchanged.
+Parallelism never comes from the wire; it comes from fanning the
+spooled shards out, exactly as the file/parquet sources do.
+
+No live server exists in this sandbox; the protocol is exercised
+against an in-process fixture server (tests) that replays
+generator-produced event packets byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+from dataclasses import dataclass
+
+MAX_PACKET_SIZE = 0xFFFFFF
+
+COM_QUIT = 0x01
+COM_REGISTER_SLAVE = 0x15
+COM_BINLOG_DUMP = 0x12
+
+BINLOG_SEND_ANNOTATE_ROWS_EVENT = 2  # MariaDB dump flag (`Connection.php:31`)
+
+# capability bits (public protocol constants; `Capability.php`)
+CLIENT_LONG_PASSWORD = 0x00000001
+CLIENT_LONG_FLAG = 0x00000004
+CLIENT_NO_SCHEMA = 0x00000010
+CLIENT_PROTOCOL_41 = 0x00000200
+CLIENT_TRANSACTIONS = 0x00002000
+CLIENT_SECURE_CONNECTION = 0x00008000
+CLIENT_PLUGIN_AUTH = 0x00080000
+
+#: what our client offers before masking with the server's set
+#: (`Connection.php:359-367` — identical selection)
+CLIENT_CAPABILITIES = (
+    CLIENT_LONG_PASSWORD
+    | CLIENT_LONG_FLAG
+    | CLIENT_PROTOCOL_41
+    | CLIENT_NO_SCHEMA
+    | CLIENT_TRANSACTIONS
+    | CLIENT_SECURE_CONNECTION
+)
+
+PKT_OK = 0x00
+PKT_EOF = 0xFE
+PKT_ERR = 0xFF
+
+
+class WireError(Exception):
+    """Server ERR packet, or a protocol violation on the stream."""
+
+    def __init__(self, message: str, code: int = 0) -> None:
+        super().__init__(message)
+        self.code = code
+
+
+@dataclass(frozen=True)
+class ServerHandshake:
+    """Parsed HandshakeV10 (`ServerInfo.php`; public protocol layout)."""
+
+    protocol_version: int
+    server_version: str
+    connection_id: int
+    auth_plugin_data: bytes  # part1 + part2, NUL trimmed
+    capabilities: int
+    charset: int | None
+    status_flags: int | None
+    auth_plugin_name: str | None
+
+    @property
+    def is_mariadb(self) -> bool:
+        return "MariaDB" in self.server_version
+
+
+def parse_handshake_v10(payload: bytes) -> ServerHandshake:
+    """HandshakeV10: version(1) server-version(NUL) conn-id(4) auth1(8)
+    filler(1) cap-lo(2) charset(1) status(2) cap-hi(2) auth-len(1)
+    reserved(10) auth2(max(13, len-8)) plugin-name(NUL)."""
+    proto = payload[0]
+    nul = payload.index(b"\x00", 1)
+    server_version = payload[1:nul].decode("utf-8", "replace")
+    off = nul + 1
+    (conn_id,) = struct.unpack_from("<I", payload, off)
+    off += 4
+    auth1 = bytes(payload[off : off + 8])
+    off += 8 + 1  # filler
+    (cap_lo,) = struct.unpack_from("<H", payload, off)
+    off += 2
+    charset = status = None
+    caps = cap_lo
+    auth = auth1
+    plugin = None
+    if off < len(payload):
+        charset = payload[off]
+        off += 1
+        (status,) = struct.unpack_from("<H", payload, off)
+        off += 2
+        (cap_hi,) = struct.unpack_from("<H", payload, off)
+        off += 2
+        caps |= cap_hi << 16
+        if caps & CLIENT_PLUGIN_AUTH:
+            auth_len = payload[off]
+        else:
+            auth_len = 0
+        off += 1
+        off += 10  # reserved
+        if caps & CLIENT_SECURE_CONNECTION:
+            n2 = max(13, auth_len - 8)
+            auth = auth1 + bytes(payload[off : off + n2])
+            off += n2
+        if caps & CLIENT_PLUGIN_AUTH:
+            end = payload.index(b"\x00", off) if b"\x00" in payload[off:] else len(payload)
+            plugin = payload[off:end].decode("utf-8", "replace")
+    return ServerHandshake(
+        protocol_version=proto,
+        server_version=server_version,
+        connection_id=conn_id,
+        auth_plugin_data=auth,
+        capabilities=caps,
+        charset=charset,
+        status_flags=status,
+        auth_plugin_name=plugin,
+    )
+
+
+def scramble_native_password(password: str, nonce: bytes) -> bytes:
+    """``mysql_native_password``: SHA1(pw) XOR SHA1(nonce[:20] +
+    SHA1(SHA1(pw))) — empty password sends empty auth
+    (`Connection.php:369-376`; public auth spec)."""
+    if password == "":
+        return b""
+    h1 = hashlib.sha1(password.encode()).digest()
+    h2 = hashlib.sha1(h1).digest()
+    mask = hashlib.sha1(nonce[:20] + h2).digest()
+    return bytes(a ^ b for a, b in zip(h1, mask))
+
+
+def build_handshake_response(
+    user: str, auth: bytes, capabilities: int, collation: int = 33
+) -> bytes:
+    """HandshakeResponse41: caps(4) max-packet(4) charset(1) filler(23)
+    user(NUL) auth-len(1)+auth (`Connection.php:378-385`)."""
+    return (
+        struct.pack("<IIB", capabilities, MAX_PACKET_SIZE, collation)
+        + b"\x00" * 23
+        + user.encode()
+        + b"\x00"
+        + bytes([len(auth)])
+        + auth
+    )
+
+
+def build_register_slave(
+    slave_id: int, user: str, password: str, port: int, hostname: str = "localhost"
+) -> bytes:
+    """COM_REGISTER_SLAVE: server-id(4), then length-prefixed hostname /
+    user / password, port(2), replication-rank(4), master-id(4).
+
+    Divergence from the reference (documented): `Connection.php:169-171`
+    writes the password bytes TWICE after the single length prefix,
+    shifting the port/rank/master-id fields; this builder follows the
+    published packet layout instead.
+    """
+    h, u, p = hostname.encode(), user.encode(), password.encode()
+    return (
+        bytes([COM_REGISTER_SLAVE])
+        + struct.pack("<I", slave_id)
+        + bytes([len(h)])
+        + h
+        + bytes([len(u)])
+        + u
+        + bytes([len(p)])
+        + p
+        + struct.pack("<HII", port, 0, 0)
+    )
+
+
+def build_binlog_dump(
+    position: int, flags: int, slave_id: int, filename: str
+) -> bytes:
+    """COM_BINLOG_DUMP: pos(4) flags(2) server-id(4) filename(EOF)
+    (`Connection.php:185-196`)."""
+    return (
+        bytes([COM_BINLOG_DUMP])
+        + struct.pack("<IHI", position, flags, slave_id)
+        + filename.encode()
+    )
+
+
+class PacketConn:
+    """Length+sequence packet framing over any ``recv(n)/sendall(b)``
+    object (a socket, one end of a socketpair, or a test stub).
+
+    ``read_packet`` reassembles payloads split at MAX_PACKET_SIZE and
+    enforces sequence continuity across the fragments
+    (`Connection.php:394-417`); ``send_packet`` frames one payload and
+    refuses >16MB sends exactly as the reference does
+    (`Connection.php:445-457`).
+    """
+
+    def __init__(self, sock) -> None:
+        self._sock = sock
+        self.seq = -1
+
+    # -- byte-level helpers -------------------------------------------------
+    def _read_exact(self, n: int) -> bytes:
+        chunks = []
+        got = 0
+        while got < n:
+            c = self._sock.recv(n - got)
+            if not c:
+                raise WireError(f"connection closed mid-read ({got}/{n} bytes)")
+            chunks.append(c)
+            got += len(c)
+        return b"".join(chunks)
+
+    # -- packets ------------------------------------------------------------
+    def read_packet(self) -> bytes:
+        header = self._read_exact(4)
+        length = header[0] | (header[1] << 8) | (header[2] << 16)
+        self.seq = header[3]
+        data = bytearray(self._read_exact(length))
+        while length == MAX_PACKET_SIZE:
+            header = self._read_exact(4)
+            length = header[0] | (header[1] << 8) | (header[2] << 16)
+            self.seq = (self.seq + 1) & 0xFF
+            if header[3] != self.seq:
+                raise WireError("got packets out of order")
+            data += self._read_exact(length)
+        return bytes(data)
+
+    def send_packet(self, payload: bytes, reset_seq: bool = False) -> None:
+        if reset_seq:
+            self.seq = -1
+        if len(payload) > MAX_PACKET_SIZE:
+            raise WireError("sending large packets is not implemented")
+        self.seq = (self.seq + 1) & 0xFF
+        self._sock.sendall(
+            struct.pack("<I", len(payload))[:3] + bytes([self.seq]) + payload
+        )
+
+    def read_response(self) -> tuple[int, bytes]:
+        """Next packet classified by its first byte; ERR raises with the
+        server's code and message (`Connection.php:419-443`).  The
+        protocol-4.1 ``#xxxxx`` SQL-state marker is stripped from ERR
+        messages (the reference passes it through)."""
+        pkt = self.read_packet()
+        first = pkt[0] if pkt else PKT_EOF
+        if first == PKT_ERR:
+            (code,) = struct.unpack_from("<H", pkt, 1)
+            body = pkt[3:]
+            if body[:1] == b"#":
+                body = body[6:]
+            raise WireError(body.decode("utf-8", "replace"), code=code)
+        return first, pkt
+
+
+class BinlogWireClient:
+    """S1/S4/S5 session: handshake/auth, register as a replica, request
+    the dump, iterate event payloads (`Connection.php:44-58,205-217`).
+
+    The session-setup SQL phase (S2/S3/S7 — `SET NAMES`, config
+    validation, file/position selection) is the caller's concern here:
+    this sandbox has no server to query, and those semantics already
+    live in the fixture-generator invariants and the shard manifest.
+    ``binlog_file``/``binlog_position`` are passed in explicitly.
+    """
+
+    def __init__(
+        self,
+        sock,
+        user: str,
+        password: str,
+        slave_id: int = 666,
+        port: int = 3306,
+    ) -> None:
+        self.conn = PacketConn(sock)
+        self.user, self.password = user, password
+        self.slave_id, self.port = slave_id, port
+        self.server: ServerHandshake | None = None
+        self.flags = 0
+        self.n_events = 0
+        self.n_heartbeats = 0
+
+    def handshake(self) -> ServerHandshake:
+        self.server = parse_handshake_v10(self.conn.read_packet())
+        if self.server.protocol_version != 10:
+            raise WireError(
+                f"unsupported protocol version {self.server.protocol_version}"
+            )
+        caps = CLIENT_CAPABILITIES & self.server.capabilities
+        auth = scramble_native_password(
+            self.password, self.server.auth_plugin_data
+        )
+        self.conn.send_packet(build_handshake_response(self.user, auth, caps))
+        first, _ = self.conn.read_response()
+        if first != PKT_OK:
+            raise WireError("handshake failed")
+        return self.server
+
+    def register_slave(self) -> None:
+        self.conn.send_packet(
+            build_register_slave(self.slave_id, self.user, self.password, self.port),
+            reset_seq=True,
+        )
+        first, _ = self.conn.read_response()
+        if first != PKT_OK:
+            raise WireError("unable to register slave")
+
+    def dump_binlog(self, binlog_file: str, position: int = 4) -> None:
+        if self.server is not None and self.server.is_mariadb:
+            self.flags |= BINLOG_SEND_ANNOTATE_ROWS_EVENT
+        self.conn.send_packet(
+            build_binlog_dump(position, self.flags, self.slave_id, binlog_file),
+            reset_seq=True,
+        )
+        first, _ = self.conn.read_response()
+        if first != PKT_OK:
+            raise WireError("unable to start binlog dump")
+
+    def events(self):
+        """Yield framed event packets (leading OK byte KEPT — the shard
+        format downstream stores exactly this shape).  EOF heartbeat
+        frames are counted and skipped (`Connection.php:210-216`); a
+        clean server close ends the stream (the reference loops
+        forever — a finite fixture stream must be able to end)."""
+        while True:
+            try:
+                first, pkt = self.conn.read_response()
+            except WireError as e:
+                if "connection closed" in str(e) and e.code == 0:
+                    return
+                raise
+            if first == PKT_EOF:
+                self.n_heartbeats += 1
+                continue
+            self.n_events += 1
+            yield pkt
+
+    def close(self) -> None:
+        try:
+            self.conn.send_packet(bytes([COM_QUIT]), reset_seq=True)
+        except Exception:
+            pass
+
+
+def tail_to_shards(
+    client: BinlogWireClient,
+    out_dir: str,
+    shard_events: int = 4096,
+    binlog_file: str = "binlog.000001",
+    position: int = 4,
+    max_events: int | None = None,
+) -> dict:
+    """Drive a full replica session and spool the event stream into the
+    standard ``(shard_id, event_seq, payload)`` parquet shards — the
+    handoff point where the wire edge ends and the distributed pipeline
+    (decode -> merge -> lake) begins.  Files appear atomically (tmp +
+    rename), one per ``shard_events`` window, so a follower can ingest
+    completed shards while the tail is still running."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    client.handshake()
+    client.register_slave()
+    client.dump_binlog(binlog_file, position)
+
+    shards = []
+    buf: list[bytes] = []
+    seq = 0
+    shard_id = 0
+
+    def flush() -> None:
+        nonlocal shard_id
+        if not buf:
+            return
+        t = pa.table(
+            {
+                "shard_id": pa.array([shard_id] * len(buf), pa.int32()),
+                "event_seq": pa.array(
+                    range(seq - len(buf), seq), pa.int64()
+                ),
+                "payload": pa.array(buf, pa.binary()),
+            }
+        )
+        path = os.path.join(out_dir, f"events-{shard_id:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        shards.append(
+            {
+                "shard_id": shard_id,
+                "path": path,
+                "events": len(buf),
+                # generator-manifest parity: watermark pruning and
+                # selective resume key off these ranges
+                "first_event_seq": seq - len(buf),
+                "last_event_seq": seq - 1,
+            }
+        )
+        shard_id += 1
+        buf.clear()
+
+    for pkt in client.events():
+        buf.append(pkt)
+        seq += 1
+        if len(buf) >= shard_events:
+            flush()
+        if max_events is not None and seq >= max_events:
+            break
+    flush()
+    client.close()
+    return {"shards": shards, "events": seq, "heartbeats": client.n_heartbeats}

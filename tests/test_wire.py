@@ -1,0 +1,211 @@
+"""MySQL wire-protocol transport tests (S1/S4/S5/S6): packet framing
+with >16MB reassembly, handshake/auth, replica registration, binlog
+dump, and the full socketpair session feeding the standard pipeline."""
+
+import hashlib
+import socket
+import struct
+import threading
+
+import pytest
+
+from mysql_binlog_ray.fixtures.wire_server import (
+    NONCE,
+    build_handshake_v10,
+    serve_session,
+)
+from mysql_binlog_ray.sources.wire import (
+    MAX_PACKET_SIZE,
+    BinlogWireClient,
+    PacketConn,
+    WireError,
+    build_register_slave,
+    parse_handshake_v10,
+    scramble_native_password,
+    tail_to_shards,
+)
+
+
+class _BytesConn:
+    """recv()-only stub over a fixed byte string."""
+
+    def __init__(self, data: bytes) -> None:
+        self._data = memoryview(data)
+        self._off = 0
+
+    def recv(self, n: int) -> bytes:
+        chunk = bytes(self._data[self._off : self._off + n])
+        self._off += len(chunk)
+        return chunk
+
+    def sendall(self, b: bytes) -> None:  # pragma: no cover
+        raise AssertionError("read-only stub")
+
+
+def _frame(payload: bytes, seq: int) -> bytes:
+    return struct.pack("<I", len(payload))[:3] + bytes([seq]) + payload
+
+
+class TestFraming:
+    def test_reassembles_split_packet(self):
+        big = bytes(range(256)) * ((MAX_PACKET_SIZE // 256) + 3)
+        big = big[: MAX_PACKET_SIZE + 777]
+        wire = _frame(big[:MAX_PACKET_SIZE], 0) + _frame(big[MAX_PACKET_SIZE:], 1)
+        conn = PacketConn(_BytesConn(wire))
+        assert conn.read_packet() == big
+
+    def test_exact_multiple_needs_empty_terminator(self):
+        # a payload of exactly MAX_PACKET_SIZE promises a continuation;
+        # the terminator is the empty packet
+        big = b"\xab" * MAX_PACKET_SIZE
+        wire = _frame(big, 0) + _frame(b"", 1)
+        conn = PacketConn(_BytesConn(wire))
+        assert conn.read_packet() == big
+
+    def test_out_of_order_continuation_raises(self):
+        big = b"\x01" * (MAX_PACKET_SIZE + 5)
+        wire = _frame(big[:MAX_PACKET_SIZE], 0) + _frame(big[MAX_PACKET_SIZE:], 5)
+        conn = PacketConn(_BytesConn(wire))
+        with pytest.raises(WireError, match="out of order"):
+            conn.read_packet()
+
+    def test_err_packet_raises_with_code_and_clean_message(self):
+        payload = b"\xff" + struct.pack("<H", 1045) + b"#28000Access denied"
+        conn = PacketConn(_BytesConn(_frame(payload, 0)))
+        with pytest.raises(WireError, match="Access denied") as ei:
+            conn.read_response()
+        assert ei.value.code == 1045
+
+    def test_send_refuses_large_packet(self):
+        conn = PacketConn(_BytesConn(b""))
+        with pytest.raises(WireError, match="not implemented"):
+            conn.send_packet(b"x" * (MAX_PACKET_SIZE + 1))
+
+
+class TestHandshake:
+    def test_parse_round_trip(self):
+        hs = parse_handshake_v10(build_handshake_v10(connection_id=99))
+        assert hs.protocol_version == 10
+        assert hs.connection_id == 99
+        assert hs.is_mariadb
+        assert hs.auth_plugin_name == "mysql_native_password"
+        assert hs.auth_plugin_data[:20] == NONCE
+
+    def test_scramble_known_composition(self):
+        # independent recomputation of the public mysql_native_password
+        # formula: SHA1(pw) XOR SHA1(nonce . SHA1(SHA1(pw)))
+        pw, nonce = "secret", NONCE
+        h1 = hashlib.sha1(pw.encode()).digest()
+        want = bytes(
+            a ^ b
+            for a, b in zip(
+                h1, hashlib.sha1(nonce + hashlib.sha1(h1).digest()).digest()
+            )
+        )
+        assert scramble_native_password(pw, nonce) == want
+        assert scramble_native_password("", nonce) == b""
+
+    def test_register_slave_layout_is_spec_not_reference_bug(self):
+        # published layout: port immediately after ONE copy of the
+        # password (the reference writes it twice — Connection.php:169-171)
+        pkt = build_register_slave(7, "u", "pw", 3307)
+        off = 1 + 4
+        for want in (b"localhost", b"u", b"pw"):
+            ln = pkt[off]
+            assert pkt[off + 1 : off + 1 + ln] == want
+            off += 1 + ln
+        port, rank, master_id = struct.unpack_from("<HII", pkt, off)
+        assert (port, rank, master_id) == (3307, 0, 0)
+        assert off + 10 == len(pkt)
+
+
+def _serve_in_thread(sock, payloads, **kw):
+    out: dict = {}
+
+    def run():
+        try:
+            out.update(serve_session(sock, payloads, **kw))
+        except Exception as e:  # surfaced by the joining test
+            out["exception"] = repr(e)
+        finally:
+            sock.close()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t, out
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWireSession:
+    def test_full_session_feeds_standard_pipeline(self, small_stream, tmp_path):
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray.pipelines.cdc import CdcConfig, run_to_dataset
+
+        spec, out, manifest = small_stream
+        payloads = []
+        for s in manifest["shards"]:
+            payloads.extend(
+                pq.read_table(s["path"], columns=["payload"])["payload"].to_pylist()
+            )
+
+        srv, cli = socket.socketpair()
+        t, seen = _serve_in_thread(srv, payloads, heartbeat_every=7)
+        client = BinlogWireClient(cli, user="repl", password="secret", slave_id=123)
+        spool = str(tmp_path / "wire_shards")
+        res = tail_to_shards(client, spool, shard_events=64, binlog_file="binlog.000001")
+        cli.close()
+        t.join(timeout=30)
+
+        assert "exception" not in seen, seen
+        # the server saw exactly what the client was configured to send
+        assert seen["user"] == "repl"
+        assert seen["slave_id"] == seen["dump_slave_id"] == 123
+        assert seen["register"] == ["localhost", "repl", "secret"]
+        assert seen["binlog_file"] == "binlog.000001"
+        assert seen["pos"] == 4
+        # every event arrived; heartbeats were counted and skipped
+        assert res["events"] == seen["events_sent"] == len(payloads)
+        assert res["heartbeats"] == (len(payloads) - 1) // 7
+        # the spooled shards run the UNCHANGED distributed pipeline and
+        # reproduce the same final state as the original parquet shards
+        wire_manifest = dict(manifest, shards=res["shards"])
+        # value columns only: the wire tail renumbers event_seq (its own
+        # contiguous spool order), so lineage columns legitimately differ
+        value_cols = ["repo", "path", "commit", "lang", "content", "stars"]
+
+        def final(mf):
+            df = run_to_dataset(mf, CdcConfig(num_partitions=4)).to_pandas()
+            return (
+                df[[c for c in value_cols if c in df.columns]]
+                .sort_values(["repo", "path"])
+                .reset_index(drop=True)
+            )
+
+        assert final(manifest).equals(final(wire_manifest))
+
+    def test_giant_event_reassembles_through_session(self, tmp_path):
+        # one synthetic >16MB "event" packet exercises server-side split
+        # + client-side reassembly inside a real session
+        giant = b"\x00" + b"\x42" * (MAX_PACKET_SIZE + 1234)
+        srv, cli = socket.socketpair()
+        t, seen = _serve_in_thread(srv, [giant])
+        client = BinlogWireClient(cli, user="repl", password="secret")
+        client.handshake()
+        client.register_slave()
+        client.dump_binlog("binlog.000001")
+        got = list(client.events())
+        cli.close()
+        t.join(timeout=30)
+        assert "exception" not in seen, seen
+        assert len(got) == 1 and got[0] == giant
+
+    def test_wrong_password_is_access_denied(self):
+        srv, cli = socket.socketpair()
+        t, seen = _serve_in_thread(srv, [], password="other")
+        client = BinlogWireClient(cli, user="repl", password="secret")
+        with pytest.raises(WireError, match="Access denied") as ei:
+            client.handshake()
+        assert ei.value.code == 1045
+        cli.close()
+        t.join(timeout=30)
