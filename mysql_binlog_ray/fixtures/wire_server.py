@@ -18,12 +18,15 @@ from ..sources.wire import (
     CLIENT_PLUGIN_AUTH,
     CLIENT_SECURE_CONNECTION,
     COM_BINLOG_DUMP,
+    COM_QUERY,
     COM_QUIT,
     COM_REGISTER_SLAVE,
     MAX_PACKET_SIZE,
     PacketConn,
     WireError,
     scramble_native_password,
+    write_lenc_int,
+    write_lenc_str,
 )
 
 SERVER_CAPABILITIES = 0x000FFFFF | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
@@ -57,6 +60,77 @@ def build_handshake_v10(
     )
 
 
+#: a healthy-MariaDB session-setup surface (what the reference's
+#: constructor queries expect to see); tests override entries to force
+#: each validation failure
+DEFAULT_SQL = {
+    "SELECT @@global.binlog_format AS value": [{"value": "ROW"}],
+    "SELECT @@global.binlog_row_image AS value": [{"value": "FULL"}],
+    "SELECT @@global.binlog_row_metadata AS value": [{"value": "FULL"}],
+    "SHOW MASTER STATUS": [{"File": "binlog.000002", "Position": 4}],
+    "SHOW BINARY LOGS": [
+        {"Log_name": "binlog.000002", "File_size": 4096},
+        {"Log_name": "binlog.000001", "File_size": 1234},
+        {"Log_name": "binlog.000010", "File_size": 8},
+    ],
+    'SHOW BINLOG EVENTS IN "binlog.000001" FROM 4 LIMIT 1': [{"Pos": 4}],
+    "SELECT @@global.binlog_checksum AS value": [{"value": "CRC32"}],
+    "SELECT @@global.binlog_annotate_row_events AS value": [{"value": "0"}],
+}
+
+_OK = b"\x00\x00\x00\x02\x00\x00\x00"
+_EOF = b"\xfe\x00\x00\x02\x00"
+
+
+def _send_resultset(conn: PacketConn, rows: list[dict]) -> None:
+    """Text-protocol resultset: column count, ColumnDefinition41s, EOF,
+    length-encoded rows (0xfb = NULL), EOF.  Column types are inferred
+    from the python values so the client's typed conversion is
+    exercised (LONGLONG / DOUBLE / VAR_STRING)."""
+    names = list(rows[0].keys()) if rows else ["value"]
+
+    def col_type(name: str) -> int:
+        for r in rows:
+            v = r.get(name)
+            if isinstance(v, bool):
+                continue
+            if isinstance(v, int):
+                return 0x08  # LONGLONG
+            if isinstance(v, float):
+                return 0x05  # DOUBLE
+        return 0xFD  # VAR_STRING
+
+    conn.send_packet(write_lenc_int(len(names)))
+    for name in names:
+        nb = name.encode()
+        conn.send_packet(
+            write_lenc_str(b"def")
+            + write_lenc_str(b"")
+            + write_lenc_str(b"")
+            + write_lenc_str(b"")
+            + write_lenc_str(nb)
+            + write_lenc_str(nb)
+            + write_lenc_int(0x0C)
+            + struct.pack("<H", 33)  # charset
+            + struct.pack("<I", 255)  # display length
+            + bytes([col_type(name)])
+            + struct.pack("<H", 0)  # flags
+            + bytes([0])  # decimals
+            + b"\x00\x00"  # filler
+        )
+    conn.send_packet(_EOF)
+    for r in rows:
+        body = b""
+        for name in names:
+            v = r.get(name)
+            if v is None:
+                body += b"\xfb"
+            else:
+                body += write_lenc_str(str(v).encode())
+        conn.send_packet(body)
+    conn.send_packet(_EOF)
+
+
 def _send_large(conn: PacketConn, payload: bytes) -> None:
     """Server-side send that SPLITS payloads at MAX_PACKET_SIZE (the
     part of framing the client-side ``send_packet`` refuses): every
@@ -82,13 +156,20 @@ def serve_session(
     server_version: str = "10.11.6-MariaDB-log",
     heartbeat_every: int = 0,
     wait_quit: bool = False,
+    sql_responses: dict | None = None,
+    seen: dict | None = None,
 ) -> dict:
     """One full replica session over ``sock``: handshake -> auth check ->
     REGISTER_SLAVE -> BINLOG_DUMP -> stream ``event_packets`` (each a
     framed event payload with its leading OK byte) -> close.  Returns
     what the server observed (for assertions)."""
     conn = PacketConn(sock)
-    seen: dict = {"errors": []}
+    # observations land in the caller's dict IN PLACE, so a session the
+    # client abandons mid-way (expected in error-path tests) still
+    # exposes what the server saw up to that point
+    if seen is None:
+        seen = {}
+    seen["errors"] = []
 
     conn.send_packet(build_handshake_v10(server_version), reset_seq=True)
     resp = conn.read_packet()
@@ -114,7 +195,25 @@ def serve_session(
             raise WireError("command did not reset sequence id")
         return pkt
 
-    cmd = expect_command()
+    # S7 phase: answer ad-hoc text-protocol queries until the client
+    # registers as a replica (the reference's constructor sequence)
+    seen["queries"] = []
+    canned = dict(DEFAULT_SQL)
+    canned.update(sql_responses or {})
+    while True:
+        cmd = expect_command()
+        if cmd[0] != COM_QUERY:
+            break
+        sql = cmd[1:].decode()
+        seen["queries"].append(sql)
+        if sql.startswith("SET "):
+            conn.send_packet(_OK)
+        elif sql in canned:
+            _send_resultset(conn, canned[sql])
+        else:
+            conn.send_packet(
+                b"\xff" + struct.pack("<H", 1064) + b"#42000Unknown query: " + sql.encode()
+            )
     if cmd[0] != COM_REGISTER_SLAVE:
         raise WireError(f"expected COM_REGISTER_SLAVE, got 0x{cmd[0]:02x}")
     off = 1

@@ -742,7 +742,7 @@ def cdc_wire_tail(sf_dir: str):
     sf = _sf_of(sf_dir)
     spool = f"/tmp/mysql_binlog_ray/wire_spool_sf{sf}"
     shutil.rmtree(spool, ignore_errors=True)
-    res = tail_to_shards(client, spool, shard_events=4096)
+    res = tail_to_shards(client, spool, shard_events=4096, session_setup=True)
     cli.close()
     t.join(timeout=60)
 

@@ -42,6 +42,7 @@ from dataclasses import dataclass
 MAX_PACKET_SIZE = 0xFFFFFF
 
 COM_QUIT = 0x01
+COM_QUERY = 0x03
 COM_REGISTER_SLAVE = 0x15
 COM_BINLOG_DUMP = 0x12
 
@@ -70,6 +71,32 @@ CLIENT_CAPABILITIES = (
 PKT_OK = 0x00
 PKT_EOF = 0xFE
 PKT_ERR = 0xFF
+
+
+def write_lenc_int(n: int) -> bytes:
+    """Length-encoded integer (writer twin of
+    ``protocol.decode.read_coded_binary``)."""
+    if n < 251:
+        return bytes([n])
+    if n < 1 << 16:
+        return b"\xfc" + struct.pack("<H", n)
+    if n < 1 << 24:
+        return b"\xfd" + struct.pack("<I", n)[:3]
+    return b"\xfe" + struct.pack("<Q", n)
+
+
+def write_lenc_str(s: bytes) -> bytes:
+    return write_lenc_int(len(s)) + s
+
+
+def read_lenc_str(data: bytes, off: int) -> tuple[bytes | None, int]:
+    """Length-encoded string; lead byte 0xfb is SQL NULL."""
+    from ..protocol.decode import read_coded_binary
+
+    n, off = read_coded_binary(data, off)
+    if n is None:
+        return None, off
+    return bytes(data[off : off + n]), off + n
 
 
 class WireError(Exception):
@@ -213,6 +240,21 @@ def build_binlog_dump(
     )
 
 
+def _is_numeric(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def _natural_key(name: str):
+    """PHP SORT_NATURAL equivalent: digit runs compare numerically."""
+    import re
+
+    return [int(p) if p.isdigit() else p for p in re.split(r"(\d+)", name)]
+
+
 class PacketConn:
     """Length+sequence packet framing over any ``recv(n)/sendall(b)``
     object (a socket, one end of a socketpair, or a test stub).
@@ -324,6 +366,163 @@ class BinlogWireClient:
             raise WireError("handshake failed")
         return self.server
 
+    # -- S7: ad-hoc text-protocol SQL (`Connection.php:219-329`) ----------
+    def execute(self, sql: str):
+        """COM_QUERY: returns ``True`` for an OK response, or the typed
+        row dicts of a resultset (column-definition walk + per-type
+        conversion, mirroring the reference's mapping)."""
+        from ..protocol.constants import ColumnType
+        from ..protocol.decode import read_coded_binary
+
+        self.conn.send_packet(bytes([COM_QUERY]) + sql.encode(), reset_seq=True)
+        pkt = self.conn.read_packet()
+        first = pkt[0]
+        if first == PKT_ERR:
+            (code,) = struct.unpack_from("<H", pkt, 1)
+            body = pkt[3:]
+            if body[:1] == b"#":
+                body = body[6:]
+            raise WireError(body.decode("utf-8", "replace"), code=code)
+        if first == PKT_OK:
+            return True
+        if first == PKT_EOF:
+            return False
+
+        n_cols, _ = read_coded_binary(pkt, 0)
+        cols = []
+        for _ in range(n_cols):
+            cd = self.conn.read_packet()
+            off = 0
+            vals = []
+            for _f in range(6):  # catalog schema table org_table name org_name
+                v, off = read_lenc_str(cd, off)
+                vals.append(v)
+            _fix, off = read_coded_binary(cd, off)
+            (_charset,) = struct.unpack_from("<H", cd, off)
+            off += 2
+            (_length,) = struct.unpack_from("<I", cd, off)
+            off += 4
+            ctype = cd[off]
+            off += 1
+            (flags,) = struct.unpack_from("<H", cd, off)
+            cols.append(
+                {"name": vals[4].decode(), "type": ctype, "flags": flags}
+            )
+        if self.conn.read_packet()[0] != PKT_EOF:
+            raise WireError("missing EOF after column definitions")
+
+        _INT_TYPES = {
+            ColumnType.TINY,
+            ColumnType.SHORT,
+            ColumnType.INT24,
+            ColumnType.LONG,
+            ColumnType.YEAR,
+        }
+        rows = []
+        while True:
+            rp = self.conn.read_packet()
+            if rp[0] == PKT_EOF and len(rp) < 9:
+                break
+            if rp[0] == PKT_ERR:
+                (code,) = struct.unpack_from("<H", rp, 1)
+                raise WireError(rp[3:].decode("utf-8", "replace"), code=code)
+            off = 0
+            row = {}
+            for c in cols:
+                raw, off = read_lenc_str(rp, off)
+                if raw is None:
+                    row[c["name"]] = None
+                    continue
+                s = raw.decode("utf-8", "replace")
+                t = c["type"]
+                if t in _INT_TYPES:
+                    row[c["name"]] = int(s) if _is_numeric(s) else s
+                elif t == ColumnType.LONGLONG:
+                    # reference parity: unsigned (flag 0x20) or
+                    # non-numeric stays a string (GMP territory)
+                    row[c["name"]] = (
+                        s if (c["flags"] & 0x20 or not _is_numeric(s)) else int(s)
+                    )
+                elif t in (ColumnType.DOUBLE, ColumnType.FLOAT):
+                    row[c["name"]] = float(s) if _is_numeric(s) else s
+                else:
+                    row[c["name"]] = s
+            rows.append(row)
+        return rows
+
+    def query(self, sql: str) -> list:
+        r = self.execute(sql)
+        return r if isinstance(r, list) else []
+
+    # -- S2/S3: session setup (`Connection.php:44-90,102-157`) ------------
+    def session_setup(
+        self,
+        binlog_file: str | None = None,
+        binlog_position: int | None = None,
+        heartbeat_period: float = 30.0,
+        charset: str = "utf8mb4",
+        collation: str = "utf8mb4_general_ci",
+    ) -> tuple[str, int]:
+        """The reference constructor's post-auth sequence: SET NAMES,
+        server-config validation (S2), master status, binlog
+        file/position selection (S3), checksum + MariaDB capability
+        session vars, heartbeat period.  Returns the (file, position)
+        to pass to :meth:`dump_binlog`.
+        """
+        self.execute(f'SET NAMES "{charset}" COLLATE "{collation}"')
+        for var, want in (
+            ("binlog_format", "ROW"),
+            ("binlog_row_image", "FULL"),
+            ("binlog_row_metadata", "FULL"),
+        ):
+            got = self.query(f"SELECT @@global.{var} AS value")[0]["value"]
+            if got != want:
+                raise WireError(f"expected to have {var}={want}, server has {got}")
+        self.master_status = self.query("SHOW MASTER STATUS")
+
+        logs = {
+            r["Log_name"]: r.get("File_size") for r in self.query("SHOW BINARY LOGS")
+        }
+        if binlog_file is not None:
+            if binlog_file not in logs:
+                raise WireError(f"binlog file {binlog_file} is not found on server")
+            selected = binlog_file
+        elif not logs:
+            raise WireError("no binlog files were found on server")
+        else:
+            selected = min(logs, key=_natural_key)
+
+        pos = binlog_position if binlog_position is not None else 4
+        probe = self.execute(
+            f'SHOW BINLOG EVENTS IN "{selected}" FROM {pos} LIMIT 1'
+        )
+        if not (isinstance(probe, list) and probe and "Pos" in probe[0]):
+            raise WireError(f"no events found in {selected}:{pos}")
+        # reference parity (`Connection.php:156`): the requested position
+        # is VALIDATED but the dump always starts at the 4-byte header —
+        # downstream start-position skip (F2) owns offset semantics
+        pos = 4
+
+        if self.query("SELECT @@global.binlog_checksum AS value")[0]["value"] != "NONE":
+            self.execute("SET @master_binlog_checksum = @@global.binlog_checksum")
+
+        if self.server is not None and self.server.is_mariadb:
+            self.execute("SET @mariadb_slave_capability=4")
+            self.execute("SET @slave_gtid_strict_mode=0")
+            self.execute("SET @slave_gtid_ignore_duplicates=0")
+            if (
+                self.query(
+                    "SELECT @@global.binlog_annotate_row_events AS value"
+                )[0]["value"]
+                == "1"
+            ):
+                self.flags |= BINLOG_SEND_ANNOTATE_ROWS_EVENT
+
+        self.execute(
+            f"SET @master_heartbeat_period = {heartbeat_period * 1_000_000_000:f}"
+        )
+        return selected, pos
+
     def register_slave(self) -> None:
         self.conn.send_packet(
             build_register_slave(self.slave_id, self.user, self.password, self.port),
@@ -374,9 +573,10 @@ def tail_to_shards(
     client: BinlogWireClient,
     out_dir: str,
     shard_events: int = 4096,
-    binlog_file: str = "binlog.000001",
+    binlog_file: str | None = None,
     position: int = 4,
     max_events: int | None = None,
+    session_setup: bool = False,
 ) -> dict:
     """Drive a full replica session and spool the event stream into the
     standard ``(shard_id, event_seq, payload)`` parquet shards — the
@@ -389,6 +589,15 @@ def tail_to_shards(
 
     os.makedirs(out_dir, exist_ok=True)
     client.handshake()
+    if session_setup:
+        # full reference constructor sequence (S2/S3/S7): SET NAMES,
+        # config validation, file/position selection over the wire
+        # (binlog_file=None lets the server's natural-first file win)
+        binlog_file, position = client.session_setup(
+            binlog_file=binlog_file, binlog_position=position
+        )
+    elif binlog_file is None:
+        binlog_file = "binlog.000001"
     client.register_slave()
     client.dump_binlog(binlog_file, position)
 

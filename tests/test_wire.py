@@ -124,7 +124,7 @@ def _serve_in_thread(sock, payloads, **kw):
 
     def run():
         try:
-            out.update(serve_session(sock, payloads, **kw))
+            serve_session(sock, payloads, seen=out, **kw)
         except Exception as e:  # surfaced by the joining test
             out["exception"] = repr(e)
         finally:
@@ -133,6 +133,89 @@ def _serve_in_thread(sock, payloads, **kw):
     t = threading.Thread(target=run, daemon=True)
     t.start()
     return t, out
+
+
+class TestSqlAndSetup:
+    """S7 text-protocol executor + S2/S3 session setup, all driven
+    through the strict fixture server (no Ray needed)."""
+
+    def _client(self, **server_kw):
+        srv, cli = socket.socketpair()
+        t, seen = _serve_in_thread(srv, [], **server_kw)
+        c = BinlogWireClient(cli, user="repl", password="secret")
+        c.handshake()
+        return c, cli, t, seen
+
+    def test_resultset_typed_conversion(self):
+        c, cli, t, seen = self._client(
+            sql_responses={
+                "SELECT mix": [
+                    {"i": 7, "f": 1.5, "s": "x", "n": None},
+                    {"i": -2, "f": 0.25, "s": "y", "n": None},
+                ]
+            }
+        )
+        rows = c.query("SELECT mix")
+        assert rows == [
+            {"i": 7, "f": 1.5, "s": "x", "n": None},
+            {"i": -2, "f": 0.25, "s": "y", "n": None},
+        ]
+        assert isinstance(rows[0]["i"], int) and isinstance(rows[0]["f"], float)
+        with pytest.raises(WireError, match="Unknown query"):
+            c.execute("SELECT nope")
+        cli.close()
+        t.join(timeout=10)
+
+    def test_session_setup_selects_natural_first_file(self):
+        c, cli, t, seen = self._client()
+        f, pos = c.session_setup()
+        # natural sort of {000002, 000001, 000010} -> 000001; position is
+        # validated then reset to 4 (reference parity, Connection.php:156)
+        assert (f, pos) == ("binlog.000001", 4)
+        assert c.flags == 0  # annotate_row_events = 0
+        assert c.master_status == [{"File": "binlog.000002", "Position": 4}]
+        # the whole reference constructor sequence went over the wire
+        cli.close()
+        t.join(timeout=10)
+        qs = seen["queries"]
+        assert qs[0].startswith("SET NAMES")
+        assert "SHOW BINARY LOGS" in qs
+        assert "SET @master_binlog_checksum = @@global.binlog_checksum" in qs
+        assert "SET @mariadb_slave_capability=4" in qs  # MariaDB branch
+        assert any(q.startswith("SET @master_heartbeat_period") for q in qs)
+
+    def test_validation_failure_raises(self):
+        c, cli, t, seen = self._client(
+            sql_responses={
+                "SELECT @@global.binlog_format AS value": [{"value": "STATEMENT"}]
+            }
+        )
+        with pytest.raises(WireError, match="binlog_format=ROW"):
+            c.session_setup()
+        cli.close()
+        t.join(timeout=10)
+
+    def test_missing_requested_file_raises(self):
+        c, cli, t, seen = self._client()
+        with pytest.raises(WireError, match="not found on server"):
+            c.session_setup(binlog_file="binlog.999999")
+        cli.close()
+        t.join(timeout=10)
+
+    def test_annotate_flag_set_for_mariadb(self):
+        from mysql_binlog_ray.sources.wire import BINLOG_SEND_ANNOTATE_ROWS_EVENT
+
+        c, cli, t, seen = self._client(
+            sql_responses={
+                "SELECT @@global.binlog_annotate_row_events AS value": [
+                    {"value": "1"}
+                ]
+            }
+        )
+        c.session_setup()
+        assert c.flags & BINLOG_SEND_ANNOTATE_ROWS_EVENT
+        cli.close()
+        t.join(timeout=10)
 
 
 @pytest.mark.usefixtures("ray_session")
