@@ -569,6 +569,51 @@ class BinlogWireClient:
             pass
 
 
+def spool_shards(out_dir: str) -> list[dict]:
+    """Manifest entries for every committed shard in a spool directory
+    (the atomically-renamed ``events-NNNNN.parquet`` files) — feed these
+    to ``run_to_lake``/``follow`` to ingest everything the tail has
+    spooled so far, including shards from earlier tail sessions."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = []
+    if not os.path.isdir(out_dir):
+        return out
+    for f in sorted(os.listdir(out_dir)):
+        if not (f.startswith("events-") and f.endswith(".parquet")):
+            continue
+        path = os.path.join(out_dir, f)
+        t = pq.read_table(path, columns=["event_seq"])
+        if t.num_rows == 0:
+            continue
+        out.append(
+            {
+                "shard_id": int(f[len("events-") : -len(".parquet")]),
+                "path": path,
+                "events": t.num_rows,
+                "first_event_seq": int(pc.min(t.column("event_seq")).as_py()),
+                "last_event_seq": int(pc.max(t.column("event_seq")).as_py()),
+            }
+        )
+    return out
+
+
+def spool_state(out_dir: str) -> tuple[int, int]:
+    """(next_shard_id, next_event_seq) of an existing spool directory —
+    the resume point for a re-established tail.  Numbering continues so
+    a resumed tail's shards splice into the same manifest without seq
+    collisions (the lake's watermark then dedups any replayed prefix,
+    F2)."""
+    entries = spool_shards(out_dir)
+    if not entries:
+        return 0, 0
+    return (
+        max(e["shard_id"] for e in entries) + 1,
+        max(e["last_event_seq"] for e in entries) + 1,
+    )
+
+
 def tail_to_shards(
     client: BinlogWireClient,
     out_dir: str,
@@ -577,6 +622,7 @@ def tail_to_shards(
     position: int = 4,
     max_events: int | None = None,
     session_setup: bool = False,
+    resume: bool = False,
 ) -> dict:
     """Drive a full replica session and spool the event stream into the
     standard ``(shard_id, event_seq, payload)`` parquet shards — the
@@ -603,8 +649,8 @@ def tail_to_shards(
 
     shards = []
     buf: list[bytes] = []
-    seq = 0
-    shard_id = 0
+    shard_id, seq = spool_state(out_dir) if resume else (0, 0)
+    first_seq = seq
 
     def flush() -> None:
         nonlocal shard_id
@@ -642,8 +688,13 @@ def tail_to_shards(
         seq += 1
         if len(buf) >= shard_events:
             flush()
-        if max_events is not None and seq >= max_events:
+        if max_events is not None and seq - first_seq >= max_events:
             break
     flush()
     client.close()
-    return {"shards": shards, "events": seq, "heartbeats": client.n_heartbeats}
+    return {
+        "shards": shards,
+        "events": seq - first_seq,
+        "next_event_seq": seq,
+        "heartbeats": client.n_heartbeats,
+    }

@@ -267,6 +267,70 @@ class TestWireSession:
 
         assert final(manifest).equals(final(wire_manifest))
 
+    def test_reconnect_resume_tail_plus_follow_equals_single_shot(
+        self, small_stream, tmp_path
+    ):
+        """The production loop: tail a session, ingest, the connection
+        drops, a NEW session resumes the dump from the saved position,
+        the spool keeps numbering, follow() ingests the increment — the
+        lake equals a single-shot run (value columns; the lake watermark
+        makes the second ingest exactly-once)."""
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray.pipelines.cdc import (
+            CdcConfig,
+            follow,
+            read_lake,
+            run_to_lake,
+        )
+        from mysql_binlog_ray.sources.wire import spool_shards, spool_state
+
+        spec, out, manifest = small_stream
+        payloads = []
+        for s in manifest["shards"]:
+            payloads.extend(
+                pq.read_table(s["path"], columns=["payload"])["payload"].to_pylist()
+            )
+        k = len(payloads) // 2
+        spool = str(tmp_path / "spool")
+        lake = str(tmp_path / "lake")
+        cfg = CdcConfig(num_partitions=4)
+
+        # session 1: first half of the dump
+        srv, cli = socket.socketpair()
+        t, _ = _serve_in_thread(srv, payloads[:k])
+        c1 = BinlogWireClient(cli, user="repl", password="secret")
+        r1 = tail_to_shards(c1, spool, shard_events=64)
+        cli.close()
+        t.join(timeout=30)
+        run_to_lake(dict(manifest, shards=spool_shards(spool)), lake, cfg)
+
+        # session 2 (reconnect): the rest, spliced into the same spool
+        assert spool_state(spool) == (len(r1["shards"]), k)
+        srv, cli = socket.socketpair()
+        t, _ = _serve_in_thread(srv, payloads[k:])
+        c2 = BinlogWireClient(cli, user="repl", password="secret")
+        r2 = tail_to_shards(c2, spool, shard_events=64, resume=True)
+        cli.close()
+        t.join(timeout=30)
+        assert r2["next_event_seq"] == len(payloads)
+        follow(dict(manifest, shards=spool_shards(spool)), lake, cfg)
+
+        # single-shot reference lake over the original parquet shards
+        lake_ref = str(tmp_path / "lake_ref")
+        run_to_lake(manifest, lake_ref, cfg)
+        cols = ["repo", "path", "commit", "lang", "content", "stars"]
+
+        def snap(d):
+            df = read_lake(d).to_pandas()
+            return (
+                df[[c for c in cols if c in df.columns]]
+                .sort_values(["repo", "path"])
+                .reset_index(drop=True)
+            )
+
+        assert snap(lake).equals(snap(lake_ref))
+
     def test_giant_event_reassembles_through_session(self, tmp_path):
         # one synthetic >16MB "event" packet exercises server-side split
         # + client-side reassembly inside a real session
