@@ -970,6 +970,7 @@ def lake_point_lookup(lake_dir: str, keys) -> pa.Table:
     import numpy as np
     import pyarrow.parquet as pq
 
+    from ..stages.bucketed import _type_family, normalize_probe, probe_semi_join
     from ..stages.merge import partition_codes
 
     m = read_manifest(lake_dir)
@@ -981,31 +982,26 @@ def lake_point_lookup(lake_dir: str, keys) -> pa.Table:
             f"{PARTITION_HASH_ALGO!r} — compact_lake() rewrites the layout"
         )
     key_cols = tuple(m["key_cols"])
-    if not isinstance(keys, pa.Table):
-        if len(key_cols) != 1:
-            raise ValueError(
-                f"lake is keyed by {key_cols}; pass a pa.Table with those columns"
-            )
-        keys = pa.table({key_cols[0]: pa.array(keys)})
-    keys = keys.select(list(key_cols)).combine_chunks()
+    any_part = next((p["part"] for p in m["partitions"] if p["rows"] > 0), None)
+    if any_part is None:
+        return pa.table({k: pa.array([], pa.null()) for k in key_cols})
+    # family guard BEFORE pruning: the lake manifest predates families,
+    # so derive them from the stored partition schema — a float probe of
+    # an int-keyed lake would hash to the wrong partition and miss
+    schema = pq.read_schema(_lake_partition_path(lake_dir, any_part))
+    families = {
+        k: _type_family(schema.field(k).type) for k in key_cols if k in schema.names
+    }
+    keys = normalize_probe(keys, key_cols, families)
     live = {p["part"] for p in m["partitions"] if p["rows"] > 0}
     codes = partition_codes(keys, key_cols, int(m["num_partitions"]))
     wanted = sorted(set(int(c) for c in np.unique(codes)) & live)
     if not wanted:
-        # zero-row result with the lake's real schema
-        any_part = next((p["part"] for p in m["partitions"] if p["rows"] > 0), None)
-        if any_part is None:
-            return pa.table({k: pa.array([], pa.null()) for k in key_cols})
-        return pq.read_schema(_lake_partition_path(lake_dir, any_part)).empty_table()
+        return schema.empty_table()
     out = []
     for part in wanted:
         t = pq.read_table(_lake_partition_path(lake_dir, part))
-        probe = keys
-        for k in key_cols:
-            probe = probe.set_column(
-                probe.column_names.index(k), k, probe.column(k).cast(t.column(k).type)
-            )
-        out.append(t.join(probe, keys=list(key_cols), join_type="left semi"))
+        out.append(probe_semi_join(t, keys, key_cols))
     return pa.concat_tables(out)
 
 

@@ -1030,18 +1030,32 @@ def bucketed_point_lookup_documents(sf_dir: str):
     hash to — never a table scan.  Semi-join semantics: the duplicate
     request and the absent id contribute nothing."""
     import hashlib as _hl
+    import os as _os
+    import shutil as _sh
     import tempfile
 
     from ..stages.bucketed import point_lookup, write_bucketed
     from ..state.checkpoint import read_manifest
 
-    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    # cache key includes the SOURCE file identity (path, size, mtime):
+    # regenerated testdata gets a fresh dir instead of stale answers
+    src = _t(sf_dir, "documents")
+    st = _os.stat(src)
+    tag = _hl.md5(f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:12]
     base = f"{tempfile.gettempdir()}/mysql_binlog_ray/bucketed_docs_{tag}"
     if read_manifest(base) is None:
+        # build in a private dir, publish with an atomic rename; a
+        # concurrent builder that wins the rename just makes ours a
+        # discarded duplicate (content is identical by construction)
+        tmp = f"{base}.build-{_os.getpid()}"
         docs = rd.read_parquet(
-            _t(sf_dir, "documents"), columns=["doc_id", "lang", "source", "n_chars"]
+            src, columns=["doc_id", "lang", "source", "n_chars"]
         )
-        write_bucketed(docs, base, "doc_id", num_buckets=32)
+        write_bucketed(docs, tmp, "doc_id", num_buckets=32)
+        try:
+            _os.rename(tmp, base)
+        except OSError:
+            _sh.rmtree(tmp, ignore_errors=True)  # another run won the race
     return point_lookup(base, list(POINT_LOOKUP_DOC_IDS))
 
 

@@ -107,6 +107,14 @@ class WireError(Exception):
         self.code = code
 
 
+class CleanClose(WireError):
+    """The peer closed the connection AT a packet boundary (zero bytes
+    of the next header read) — the only closure that may legally end an
+    event stream.  Any other truncation is a WireError: a spool that
+    treats a mid-packet death as end-of-stream silently loses the tail
+    of the binlog."""
+
+
 @dataclass(frozen=True)
 class ServerHandshake:
     """Parsed HandshakeV10 (`ServerInfo.php`; public protocol layout)."""
@@ -240,6 +248,17 @@ def build_binlog_dump(
     )
 
 
+def _raise_err(pkt: bytes):
+    """ERR packet -> WireError(code, message) with the protocol-4.1
+    ``#xxxxx`` SQL-state marker stripped — ONE definition for every
+    context (pre-resultset, mid-resultset, event stream)."""
+    (code,) = struct.unpack_from("<H", pkt, 1)
+    body = pkt[3:]
+    if body[:1] == b"#":
+        body = body[6:]
+    raise WireError(body.decode("utf-8", "replace"), code=code)
+
+
 def _is_numeric(s: str) -> bool:
     try:
         float(s)
@@ -271,12 +290,14 @@ class PacketConn:
         self.seq = -1
 
     # -- byte-level helpers -------------------------------------------------
-    def _read_exact(self, n: int) -> bytes:
+    def _read_exact(self, n: int, at_boundary: bool = False) -> bytes:
         chunks = []
         got = 0
         while got < n:
             c = self._sock.recv(n - got)
             if not c:
+                if at_boundary and got == 0:
+                    raise CleanClose("connection closed at packet boundary")
                 raise WireError(f"connection closed mid-read ({got}/{n} bytes)")
             chunks.append(c)
             got += len(c)
@@ -284,7 +305,7 @@ class PacketConn:
 
     # -- packets ------------------------------------------------------------
     def read_packet(self) -> bytes:
-        header = self._read_exact(4)
+        header = self._read_exact(4, at_boundary=True)
         length = header[0] | (header[1] << 8) | (header[2] << 16)
         self.seq = header[3]
         data = bytearray(self._read_exact(length))
@@ -311,15 +332,24 @@ class PacketConn:
         """Next packet classified by its first byte; ERR raises with the
         server's code and message (`Connection.php:419-443`).  The
         protocol-4.1 ``#xxxxx`` SQL-state marker is stripped from ERR
-        messages (the reference passes it through)."""
+        messages (the reference passes it through).  A 0xFE first byte
+        is EOF only when the packet is short (<9 bytes, the protocol's
+        disambiguation rule); a long 0xFE packet is an
+        AuthSwitchRequest, surfaced with its plugin name instead of a
+        misleading generic failure."""
         pkt = self.read_packet()
-        first = pkt[0] if pkt else PKT_EOF
+        if not pkt:
+            raise WireError("empty packet")
+        first = pkt[0]
         if first == PKT_ERR:
-            (code,) = struct.unpack_from("<H", pkt, 1)
-            body = pkt[3:]
-            if body[:1] == b"#":
-                body = body[6:]
-            raise WireError(body.decode("utf-8", "replace"), code=code)
+            _raise_err(pkt)
+        if first == PKT_EOF and len(pkt) >= 9:
+            end = pkt.index(b"\x00", 1) if b"\x00" in pkt[1:] else len(pkt)
+            raise WireError(
+                "server requested auth plugin switch: "
+                f"{pkt[1:end].decode('utf-8', 'replace')!r} "
+                "(only mysql_native_password is implemented)"
+            )
         return first, pkt
 
 
@@ -378,11 +408,7 @@ class BinlogWireClient:
         pkt = self.conn.read_packet()
         first = pkt[0]
         if first == PKT_ERR:
-            (code,) = struct.unpack_from("<H", pkt, 1)
-            body = pkt[3:]
-            if body[:1] == b"#":
-                body = body[6:]
-            raise WireError(body.decode("utf-8", "replace"), code=code)
+            _raise_err(pkt)
         if first == PKT_OK:
             return True
         if first == PKT_EOF:
@@ -424,8 +450,7 @@ class BinlogWireClient:
             if rp[0] == PKT_EOF and len(rp) < 9:
                 break
             if rp[0] == PKT_ERR:
-                (code,) = struct.unpack_from("<H", rp, 1)
-                raise WireError(rp[3:].decode("utf-8", "replace"), code=code)
+                _raise_err(rp)
             off = 0
             row = {}
             for c in cols:
@@ -533,8 +558,9 @@ class BinlogWireClient:
             raise WireError("unable to register slave")
 
     def dump_binlog(self, binlog_file: str, position: int = 4) -> None:
-        if self.server is not None and self.server.is_mariadb:
-            self.flags |= BINLOG_SEND_ANNOTATE_ROWS_EVENT
+        # self.flags is decided during session_setup (the annotate flag
+        # only when @@global.binlog_annotate_row_events == '1', reference
+        # parity `Connection.php:84-86`) — dumpBinlog just sends it
         self.conn.send_packet(
             build_binlog_dump(position, self.flags, self.slave_id, binlog_file),
             reset_seq=True,
@@ -552,10 +578,11 @@ class BinlogWireClient:
         while True:
             try:
                 first, pkt = self.conn.read_response()
-            except WireError as e:
-                if "connection closed" in str(e) and e.code == 0:
-                    return
-                raise
+            except CleanClose:
+                # a close AT a packet boundary is the only legal stream
+                # end; a mid-packet death still raises (a spool that
+                # swallowed it would silently lose the binlog tail)
+                return
             if first == PKT_EOF:
                 self.n_heartbeats += 1
                 continue
@@ -603,8 +630,12 @@ def spool_state(out_dir: str) -> tuple[int, int]:
     """(next_shard_id, next_event_seq) of an existing spool directory —
     the resume point for a re-established tail.  Numbering continues so
     a resumed tail's shards splice into the same manifest without seq
-    collisions (the lake's watermark then dedups any replayed prefix,
-    F2)."""
+    collisions.  NOTE: continuation is positional, not content-based —
+    if the new dump session replays the stream from the beginning
+    (the reference always restarts at position 4, `Connection.php:156`),
+    pass ``skip_events=next_event_seq`` to ``tail_to_shards`` so the
+    already-spooled prefix is dropped instead of re-ingested under
+    fresh sequence numbers."""
     entries = spool_shards(out_dir)
     if not entries:
         return 0, 0
@@ -623,6 +654,7 @@ def tail_to_shards(
     max_events: int | None = None,
     session_setup: bool = False,
     resume: bool = False,
+    skip_events: int | None = None,
 ) -> dict:
     """Drive a full replica session and spool the event stream into the
     standard ``(shard_id, event_seq, payload)`` parquet shards — the
@@ -651,6 +683,9 @@ def tail_to_shards(
     buf: list[bytes] = []
     shard_id, seq = spool_state(out_dir) if resume else (0, 0)
     first_seq = seq
+    if skip_events is None:
+        skip_events = 0
+    to_skip = skip_events
 
     def flush() -> None:
         nonlocal shard_id
@@ -684,6 +719,12 @@ def tail_to_shards(
         buf.clear()
 
     for pkt in client.events():
+        if to_skip > 0:
+            # a dump session that replays from the start (reference
+            # semantics: position resets to 4) re-sends the prefix this
+            # spool already committed — drop it, never renumber it
+            to_skip -= 1
+            continue
         buf.append(pkt)
         seq += 1
         if len(buf) >= shard_events:
@@ -696,5 +737,6 @@ def tail_to_shards(
         "shards": shards,
         "events": seq - first_seq,
         "next_event_seq": seq,
+        "skipped": skip_events - to_skip,
         "heartbeats": client.n_heartbeats,
     }

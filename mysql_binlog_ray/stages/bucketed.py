@@ -166,6 +166,47 @@ def _read_bucket(
     return pa.concat_tables(parts)
 
 
+def normalize_probe(
+    keys, key_cols: tuple[str, ...], families: dict[str, str | None]
+) -> pa.Table:
+    """Shared point-lookup probe prep (bucketed lakes AND the CDC lake):
+    promote a scalar list to a one-column table, select the key columns,
+    and REFUSE a probe whose hash family differs from the stored one —
+    e.g. a float probe against an int-keyed lake hashes to a different
+    bucket under poly64v2 (int64 widening vs float64 bits), so it would
+    silently miss instead of failing loudly."""
+    if not isinstance(keys, pa.Table):
+        if len(key_cols) != 1:
+            raise ValueError(
+                f"lake is keyed by {key_cols}; pass a pa.Table with those columns"
+            )
+        keys = pa.table({key_cols[0]: pa.array(keys)})
+    for k in key_cols:
+        if k not in keys.column_names:
+            raise ValueError(f"keys table is missing key column {k!r}")
+        fam_stored = families.get(k)
+        fam_req = _type_family(keys.column(k).type)
+        if fam_stored is not None and fam_stored != fam_req:
+            raise ValueError(
+                f"key column {k!r} hashes as {fam_req}, lake stores {fam_stored} "
+                f"— cast the probe values"
+            )
+    return keys.select(list(key_cols)).combine_chunks()
+
+
+def probe_semi_join(
+    t: pa.Table, probe: pa.Table, key_cols: tuple[str, ...]
+) -> pa.Table:
+    """Keep exactly the probed keys: cast the probe to the stored key
+    types (safe within a hash family) and left-semi join — duplicate
+    requests do not duplicate rows, absent keys return nothing."""
+    for k in key_cols:
+        probe = probe.set_column(
+            probe.column_names.index(k), k, probe.column(k).cast(t.column(k).type)
+        )
+    return t.join(probe, keys=list(key_cols), join_type="left semi")
+
+
 def wanted_buckets(manifest: dict, keys: pa.Table) -> set[int]:
     """Bucket ids the requested keys hash into under the manifest's
     recorded (hash_algo, num_buckets) — the pruning set a point lookup
@@ -202,28 +243,19 @@ def point_lookup(
     if m is None:
         raise ValueError(f"no manifest in {out_dir} — not a bucketed lake")
     key_cols = tuple(m["key_cols"])
-    if not isinstance(keys, pa.Table):
-        if len(key_cols) != 1:
-            raise ValueError(
-                f"lake is keyed by {key_cols}; pass a pa.Table with those columns"
-            )
-        keys = pa.table({key_cols[0]: pa.array(keys)})
-    for k in key_cols:
-        if k not in keys.column_names:
-            raise ValueError(f"keys table is missing key column {k!r}")
-        fam_stored = (m.get("key_families") or {}).get(k)
-        fam_req = _type_family(keys.column(k).type)
-        if fam_stored is not None and fam_stored != fam_req:
-            # e.g. float probe against an int-keyed lake: equal logical
-            # values hash to DIFFERENT buckets — refuse, never miss silently
-            raise ValueError(
-                f"key column {k!r} hashes as {fam_req}, lake stores {fam_stored} "
-                f"— cast the probe values"
-            )
-    keys = keys.select(list(key_cols)).combine_chunks()
+    keys = normalize_probe(keys, key_cols, m.get("key_families") or {})
     idx = _bucket_index(m)
     wanted = sorted(wanted_buckets(m, keys) & set(idx))
     if not wanted:
+        # zero rows WITH the lake's schema on Dataset.schema() (Ray
+        # drops 0-row blocks in to_pandas(), but a schema-less
+        # rd.from_items([]) would lose the column names entirely)
+        if idx:
+            first = next(iter(idx.values()))[0][0]
+            t = pq.read_schema(os.path.join(out_dir, first)).empty_table()
+            if columns is not None:
+                t = t.select(list(columns))
+            return rd.from_arrow(t)
         return rd.from_items([])
 
     # the semi-join needs the key columns even when the caller prunes
@@ -237,16 +269,8 @@ def point_lookup(
         for b in batch["bucket"]:
             t = _read_bucket(out_dir, idx[int(b)], read_cols)
             # exact-match filter: hash pruning over-selects (other keys
-            # share the bucket); an Arrow semi-join keeps only requested
-            # keys and works for multi-column keys
-            probe = keys
-            for k in key_cols:
-                probe = probe.set_column(
-                    probe.column_names.index(k),
-                    k,
-                    probe.column(k).cast(t.column(k).type),
-                )
-            hit = t.join(probe, keys=list(key_cols), join_type="left semi")
+            # share the bucket)
+            hit = probe_semi_join(t, keys, key_cols)
             if columns is not None:
                 hit = hit.select(list(columns))
             outs.append(hit.to_pandas())

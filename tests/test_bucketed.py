@@ -209,6 +209,36 @@ class TestBucketed:
         # all-absent probe returns an empty result, not an error
         assert point_lookup(do, [100000, 100001]).count() == 0
 
+    def test_point_lookup_unoccupied_bucket_keeps_schema(self, ray_session, tmp_path):
+        # a probe that prunes to ZERO occupied buckets must still return
+        # the lake schema (a schema-less empty dataset crashes column
+        # selection in callers)
+        import pyarrow as pa
+        import ray.data as rd
+
+        orders, _ = _sides()
+        d1 = str(tmp_path / "one")
+        m1 = write_bucketed(rd.from_pandas(orders.head(1)), d1, "o_orderkey", 64)
+        occ = {e["bucket"] for e in m1["files"]}
+        probe_val = next(
+            v
+            for v in range(1000, 5000)
+            if not (
+                wanted_buckets(
+                    m1, pa.table({"o_orderkey": pa.array([v], pa.int64())})
+                )
+                & occ
+            )
+        )
+        # Ray drops 0-row blocks in to_pandas(), so schema rides on
+        # Dataset.schema() — which must NOT be None/empty here
+        miss = point_lookup(d1, [probe_val])
+        assert miss.count() == 0
+        assert miss.schema().names == ["o_orderkey", "o_val"]
+        miss_pruned = point_lookup(d1, [probe_val], columns=["o_val"])
+        assert miss_pruned.count() == 0
+        assert miss_pruned.schema().names == ["o_val"]
+
     def test_wrong_key_rejected(self, ray_session, tmp_path):
         import ray.data as rd
 

@@ -150,6 +150,12 @@ class TestLakePointLookup:
         )
         assert got.num_rows == 0
         assert "repo" in got.schema.names and "path" in got.schema.names
+        # a probe whose type hashes in a different family than the
+        # stored keys would prune to the wrong partition: refuse loudly
+        with pytest.raises(ValueError, match="hashes as"):
+            lake_point_lookup(
+                lake, pa.table({"repo": pa.array([1]), "path": pa.array([2])})
+            )
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -76,6 +76,31 @@ class TestFraming:
             conn.read_response()
         assert ei.value.code == 1045
 
+    def test_mid_packet_death_raises_not_truncates(self):
+        # a peer dying halfway through a frame must raise, never look
+        # like a clean end-of-stream (silent binlog-tail loss)
+        wire = _frame(b"\x00abc", 0) + _frame(b"\x00defgh", 1)[:7]
+        conn = PacketConn(_BytesConn(wire))
+        assert conn.read_packet() == b"\x00abc"
+        with pytest.raises(WireError, match="mid-read"):
+            conn.read_packet()
+
+    def test_clean_close_only_at_packet_boundary(self):
+        from mysql_binlog_ray.sources.wire import CleanClose
+
+        conn = PacketConn(_BytesConn(_frame(b"\x00abc", 0)))
+        assert conn.read_packet() == b"\x00abc"
+        with pytest.raises(CleanClose):
+            conn.read_packet()
+
+    def test_long_eof_is_auth_switch_not_eof(self):
+        # 0xFE with len >= 9 is an AuthSwitchRequest (e.g. MySQL 8's
+        # caching_sha2_password) — surface the plugin name
+        payload = b"\xfe" + b"caching_sha2_password" + b"\x00" + b"nonce123"
+        conn = PacketConn(_BytesConn(_frame(payload, 0)))
+        with pytest.raises(WireError, match="caching_sha2_password"):
+            conn.read_response()
+
     def test_send_refuses_large_packet(self):
         conn = PacketConn(_BytesConn(b""))
         with pytest.raises(WireError, match="not implemented"):
@@ -330,6 +355,64 @@ class TestWireSession:
             )
 
         assert snap(lake).equals(snap(lake_ref))
+
+    def test_full_replay_resume_skips_spooled_prefix(
+        self, small_stream, tmp_path
+    ):
+        """Reference reconnect semantics: the dump restarts at position
+        4 and replays EVERYTHING; skip_events drops the already-spooled
+        prefix so nothing is double-counted or renumbered."""
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray.sources.wire import spool_shards, spool_state
+
+        spec, out, manifest = small_stream
+        payloads = []
+        for s in manifest["shards"]:
+            payloads.extend(
+                pq.read_table(s["path"], columns=["payload"])["payload"].to_pylist()
+            )
+        k = len(payloads) // 3
+        spool = str(tmp_path / "spool_replay")
+
+        srv, cli = socket.socketpair()
+        t, _ = _serve_in_thread(srv, payloads[:k])
+        c1 = BinlogWireClient(cli, user="repl", password="secret")
+        tail_to_shards(c1, spool, shard_events=64)
+        cli.close()
+        t.join(timeout=30)
+
+        # reconnect: server replays the FULL stream from the start
+        _, next_seq = spool_state(spool)
+        srv, cli = socket.socketpair()
+        t, _ = _serve_in_thread(srv, payloads)
+        c2 = BinlogWireClient(cli, user="repl", password="secret")
+        r2 = tail_to_shards(
+            c2, spool, shard_events=64, resume=True, skip_events=next_seq
+        )
+        cli.close()
+        t.join(timeout=30)
+
+        assert r2["skipped"] == k
+        assert r2["events"] == len(payloads) - k
+        entries = spool_shards(spool)
+        total = sum(e["events"] for e in entries)
+        assert total == len(payloads)  # no duplicates, no gaps
+        seqs = []
+        for e in entries:
+            seqs.extend(
+                pq.read_table(e["path"], columns=["event_seq"])["event_seq"].to_pylist()
+            )
+        assert sorted(seqs) == list(range(len(payloads)))
+        # and the spooled payload BYTES equal the original stream in order
+        by_seq = {}
+        for e in entries:
+            t2 = pq.read_table(e["path"])
+            for s_, p_ in zip(
+                t2["event_seq"].to_pylist(), t2["payload"].to_pylist()
+            ):
+                by_seq[s_] = p_
+        assert [by_seq[i] for i in range(len(payloads))] == payloads
 
     def test_giant_event_reassembles_through_session(self, tmp_path):
         # one synthetic >16MB "event" packet exercises server-side split
