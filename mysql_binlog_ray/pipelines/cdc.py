@@ -998,11 +998,23 @@ def lake_point_lookup(lake_dir: str, keys) -> pa.Table:
     wanted = sorted(set(int(c) for c in np.unique(codes)) & live)
     if not wanted:
         return schema.empty_table()
-    out = []
-    for part in wanted:
+    if len(wanted) <= 8:
+        # a handful of files: driver-side reads beat task overhead
+        out = []
+        for part in wanted:
+            t = pq.read_table(_lake_partition_path(lake_dir, part))
+            out.append(probe_semi_join(t, keys, key_cols))
+        return pa.concat_tables(out)
+    # wide probe set: one Ray task per partition, probe broadcast once
+    keys_ref = ray.put(keys)
+
+    @ray.remote
+    def _lookup(part: int):
+        probe = ray.get(keys_ref)
         t = pq.read_table(_lake_partition_path(lake_dir, part))
-        out.append(probe_semi_join(t, keys, key_cols))
-    return pa.concat_tables(out)
+        return probe_semi_join(t, probe, key_cols)
+
+    return pa.concat_tables(ray.get([_lookup.remote(p) for p in wanted]))
 
 
 def follow(

@@ -157,6 +157,36 @@ class TestLakePointLookup:
                 lake, pa.table({"repo": pa.array([1]), "path": pa.array([2])})
             )
 
+    def test_wide_probe_takes_distributed_path(self, small_stream, tmp_path):
+        # >8 touched partitions fans out one Ray task per partition;
+        # result must equal a full-scan filter, same as the narrow path
+        import pyarrow as pa
+
+        from mysql_binlog_ray.pipelines.cdc import lake_point_lookup
+
+        spec, out, manifest = small_stream
+        lake = str(tmp_path / "lk3")
+        run_to_lake(manifest, lake, CdcConfig(num_partitions=16))
+        full = read_lake(lake).to_pandas()
+        sample = full[["repo", "path"]].drop_duplicates().head(60)
+        req = pa.table(
+            {"repo": pa.array(list(sample["repo"])), "path": pa.array(list(sample["path"]))}
+        )
+        got = (
+            lake_point_lookup(lake, req)
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        pairs = set(zip(sample["repo"], sample["path"]))
+        want = (
+            full[[tuple(x) in pairs for x in zip(full["repo"], full["path"])]]
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(want[got.columns])
+        assert len(got) == len(sample)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestSchemaEvolutionE2E:
