@@ -655,13 +655,21 @@ def tail_to_shards(
     session_setup: bool = False,
     resume: bool = False,
     skip_events: int | None = None,
+    manifest_extra: dict | None = None,
 ) -> dict:
     """Drive a full replica session and spool the event stream into the
     standard ``(shard_id, event_seq, payload)`` parquet shards — the
     handoff point where the wire edge ends and the distributed pipeline
     (decode -> merge -> lake) begins.  Files appear atomically (tmp +
     rename), one per ``shard_events`` window, so a follower can ingest
-    completed shards while the tail is still running."""
+    completed shards while the tail is still running.
+
+    With ``manifest_extra`` (the stream metadata a consumer needs —
+    ``table_maps`` etc.), every flush also republishes an atomic
+    ``manifest.json`` listing ALL committed shards, so a live
+    ``FollowDaemon`` pointed at the spool ingests the stream into the
+    exactly-once lake CONCURRENTLY with the tail — the full streaming
+    loop: socket -> spool -> follow -> lake."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -680,12 +688,29 @@ def tail_to_shards(
     client.dump_binlog(binlog_file, position)
 
     shards = []
+    prior_shards = spool_shards(out_dir) if resume else []
     buf: list[bytes] = []
     shard_id, seq = spool_state(out_dir) if resume else (0, 0)
     first_seq = seq
     if skip_events is None:
         skip_events = 0
     to_skip = skip_events
+
+    def publish() -> None:
+        # stream-manifest convention (generator parity): manifest.json,
+        # published atomically so a concurrent FollowDaemon never sees
+        # partial JSON or unrenamed shard paths
+        if manifest_extra is None:
+            return
+        import json as _json
+
+        path = os.path.join(out_dir, "manifest.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(dict(manifest_extra, shards=prior_shards + shards), f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
 
     def flush() -> None:
         nonlocal shard_id
@@ -717,6 +742,7 @@ def tail_to_shards(
         )
         shard_id += 1
         buf.clear()
+        publish()
 
     for pkt in client.events():
         if to_skip > 0:
@@ -732,6 +758,8 @@ def tail_to_shards(
         if max_events is not None and seq - first_seq >= max_events:
             break
     flush()
+    if not shards:
+        publish()  # an empty tail still leaves a readable manifest
     client.close()
     return {
         "shards": shards,

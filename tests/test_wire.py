@@ -414,6 +414,77 @@ class TestWireSession:
                 by_seq[s_] = p_
         assert [by_seq[i] for i in range(len(payloads))] == payloads
 
+    def test_live_tail_with_concurrent_follow_daemon(self, small_stream, tmp_path):
+        """The full streaming loop, all concurrent: socket -> spool
+        (manifest republished per flush) -> FollowDaemon -> exactly-once
+        lake.  The daemon ingests WHILE the tail runs; the final lake
+        equals a single-shot batch run."""
+        import time
+
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray.pipelines.cdc import (
+            CdcConfig,
+            follow,
+            read_lake,
+            run_to_lake,
+        )
+        from mysql_binlog_ray.pipelines.tailer import FollowDaemon
+
+        spec, out, manifest = small_stream
+        payloads = []
+        for s in manifest["shards"]:
+            payloads.extend(
+                pq.read_table(s["path"], columns=["payload"])["payload"].to_pylist()
+            )
+        meta = {k: v for k, v in manifest.items() if k != "shards"}
+        spool = str(tmp_path / "live_spool")
+        lake = str(tmp_path / "live_lake")
+        cfg = CdcConfig(num_partitions=4)
+
+        def throttled():
+            for i, p in enumerate(payloads):
+                if i and i % 400 == 0:
+                    time.sleep(0.3)  # give the daemon time to overlap
+                yield p
+
+        srv, cli = socket.socketpair()
+        t, seen = _serve_in_thread(srv, throttled())
+        daemon = FollowDaemon(
+            manifest_path=f"{spool}/manifest.json",
+            lake_dir=lake,
+            cfg=cfg,
+            interval_sec=0.1,
+        )
+        dt = threading.Thread(target=daemon.run, daemon=True)
+        dt.start()
+        client = BinlogWireClient(cli, user="repl", password="secret")
+        res = tail_to_shards(
+            client, spool, shard_events=64, manifest_extra=meta
+        )
+        cli.close()
+        t.join(timeout=60)
+        time.sleep(0.5)
+        daemon.stop()
+        dt.join(timeout=60)
+        assert res["events"] == len(payloads)
+        # deterministic catch-up: one final synchronous follow
+        follow(dict(meta, shards=res["shards"]), lake, cfg)
+
+        lake_ref = str(tmp_path / "live_lake_ref")
+        run_to_lake(manifest, lake_ref, cfg)
+        cols = ["repo", "path", "commit", "lang", "content", "stars"]
+
+        def snap(d):
+            df = read_lake(d).to_pandas()
+            return (
+                df[[c for c in cols if c in df.columns]]
+                .sort_values(["repo", "path"])
+                .reset_index(drop=True)
+            )
+
+        assert snap(lake).equals(snap(lake_ref))
+
     def test_giant_event_reassembles_through_session(self, tmp_path):
         # one synthetic >16MB "event" packet exercises server-side split
         # + client-side reassembly inside a real session
