@@ -209,6 +209,31 @@ class TestSqlAndSetup:
         assert "SET @mariadb_slave_capability=4" in qs  # MariaDB branch
         assert any(q.startswith("SET @master_heartbeat_period") for q in qs)
 
+    def test_mysql_flavor_skips_mariadb_vars(self):
+        # non-MariaDB server: no @mariadb_slave_capability / gtid SETs,
+        # no annotate query, flags stay 0
+        c, cli, t, seen = self._client(server_version="8.0.36")
+        f, pos = c.session_setup()
+        assert (f, pos) == ("binlog.000001", 4)
+        assert c.flags == 0
+        cli.close()
+        t.join(timeout=10)
+        qs = seen["queries"]
+        assert not any("mariadb" in q or "gtid" in q for q in qs)
+        assert not any("annotate" in q for q in qs)
+
+    def test_empty_password_sends_empty_auth(self):
+        srv, cli = socket.socketpair()
+        t, seen = _serve_in_thread(srv, [], password="")
+        c = BinlogWireClient(cli, user="repl", password="")
+        c.handshake()  # raises if the server rejects the empty auth
+        cli.close()
+        t.join(timeout=10)
+        # server verified the (empty) scramble and moved past auth; the
+        # client hanging up afterwards is the expected session end here
+        assert seen["errors"] == []
+        assert seen["user"] == "repl"
+
     def test_validation_failure_raises(self):
         c, cli, t, seen = self._client(
             sql_responses={
