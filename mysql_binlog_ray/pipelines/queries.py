@@ -1041,9 +1041,24 @@ def bucketed_point_lookup_documents(sf_dir: str):
     # regenerated testdata gets a fresh dir instead of stale answers
     src = _t(sf_dir, "documents")
     st = _os.stat(src)
-    tag = _hl.md5(f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:12]
-    base = f"{tempfile.gettempdir()}/mysql_binlog_ray/bucketed_docs_{tag}"
+    # dir name = source id + content fingerprint: regenerated testdata
+    # gets a fresh dir, and superseded fingerprints OF THE SAME SOURCE
+    # are swept (other sf_dirs' caches are untouched)
+    src_id = _hl.md5(src.encode()).hexdigest()[:8]
+    fp = _hl.md5(f"{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:8]
+    parent = f"{tempfile.gettempdir()}/mysql_binlog_ray"
+    prefix = f"bucketed_docs_{src_id}_"
+    base = f"{parent}/{prefix}{fp}"
     if read_manifest(base) is None:
+        if _os.path.isdir(parent):
+            for entry in _os.listdir(parent):
+                p = _os.path.join(parent, entry)
+                if (
+                    entry.startswith(prefix)
+                    and p != base
+                    and f"{fp}.build-" not in entry  # a CONCURRENT build
+                ):
+                    _sh.rmtree(p, ignore_errors=True)
         # build in a private dir, publish with an atomic rename; a
         # concurrent builder that wins the rename just makes ours a
         # discarded duplicate (content is identical by construction)

@@ -696,21 +696,32 @@ def tail_to_shards(
         skip_events = 0
     to_skip = skip_events
 
+    if manifest_extra is None and resume:
+        # a prior tail session published a manifest: keep publishing
+        # with ITS metadata, or a FollowDaemon watching the spool would
+        # silently freeze at the old shard list forever
+        mpath = os.path.join(out_dir, "manifest.json")
+        if os.path.exists(mpath):
+            import json as _json
+
+            with open(mpath) as f:
+                prior_meta = _json.load(f)
+            manifest_extra = {k: v for k, v in prior_meta.items() if k != "shards"}
+
     def publish() -> None:
         # stream-manifest convention (generator parity): manifest.json,
-        # published atomically so a concurrent FollowDaemon never sees
-        # partial JSON or unrenamed shard paths
+        # published atomically (fsync'd tmp + rename + dir fsync) so a
+        # concurrent FollowDaemon never sees partial JSON or unrenamed
+        # shard paths
         if manifest_extra is None:
             return
-        import json as _json
+        from ..state.checkpoint import atomic_write_json
 
-        path = os.path.join(out_dir, "manifest.json")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(dict(manifest_extra, shards=prior_shards + shards), f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
+        atomic_write_json(
+            out_dir,
+            dict(manifest_extra, shards=prior_shards + shards),
+            filename="manifest.json",
+        )
 
     def flush() -> None:
         nonlocal shard_id

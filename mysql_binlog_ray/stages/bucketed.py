@@ -184,8 +184,16 @@ def normalize_probe(
     for k in key_cols:
         if k not in keys.column_names:
             raise ValueError(f"keys table is missing key column {k!r}")
+        t = keys.column(k).type
+        if pa.types.is_null(t):
+            # an empty probe (pa.array([]) infers null) legitimately
+            # matches nothing — no family to check; a NON-empty all-NULL
+            # probe is a caller bug worth naming
+            if keys.num_rows == 0:
+                continue
+            raise ValueError(f"probe column {k!r} is untyped/all-NULL")
         fam_stored = families.get(k)
-        fam_req = _type_family(keys.column(k).type)
+        fam_req = _type_family(t)
         if fam_stored is not None and fam_stored != fam_req:
             raise ValueError(
                 f"key column {k!r} hashes as {fam_req}, lake stores {fam_stored} "

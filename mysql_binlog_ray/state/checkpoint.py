@@ -57,10 +57,13 @@ def commit_manifest(
     return m
 
 
-def atomic_write_json(lake_dir: str, payload: dict[str, Any]) -> None:
+def atomic_write_json(
+    lake_dir: str, payload: dict[str, Any], filename: str | None = None
+) -> None:
     """Atomically publish ``payload`` as the dir's manifest (fsync'd tmp
-    + rename on the same fs); shared by the CDC lake and the
-    training-shard sink."""
+    + rename on the same fs); shared by the CDC lake, the training-shard
+    sink, and the wire-tail spool (which uses the stream-manifest name
+    ``manifest.json`` via ``filename``)."""
     os.makedirs(lake_dir, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=lake_dir, prefix="._manifest-")
     try:
@@ -68,7 +71,12 @@ def atomic_write_json(lake_dir: str, payload: dict[str, Any]) -> None:
             json.dump(payload, f)
             f.flush()
             os.fsync(f.fileno())  # data durable BEFORE the rename commits
-        os.replace(tmp, manifest_path(lake_dir))
+        dest = (
+            manifest_path(lake_dir)
+            if filename is None
+            else os.path.join(lake_dir, filename)
+        )
+        os.replace(tmp, dest)
         _fsync_dir(lake_dir)  # rename durable too (power-loss safety)
     finally:
         if os.path.exists(tmp):

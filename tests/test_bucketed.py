@@ -208,6 +208,12 @@ class TestBucketed:
             point_lookup(do, pa.table({"o_orderkey": pa.array([7.0])}))
         # all-absent probe returns an empty result, not an error
         assert point_lookup(do, [100000, 100001]).count() == 0
+        # an EMPTY probe list (pa.array([]) infers null type) matches
+        # nothing — it must not trip the family guard
+        assert point_lookup(do, []).count() == 0
+        # a non-empty all-NULL probe is a caller bug, named clearly
+        with pytest.raises(ValueError, match="all-NULL"):
+            point_lookup(do, pa.table({"o_orderkey": pa.array([None, None])}))
 
     def test_point_lookup_unoccupied_bucket_keeps_schema(self, ray_session, tmp_path):
         # a probe that prunes to ZERO occupied buckets must still return

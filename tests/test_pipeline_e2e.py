@@ -168,10 +168,19 @@ class TestLakePointLookup:
         lake = str(tmp_path / "lk3")
         run_to_lake(manifest, lake, CdcConfig(num_partitions=16))
         full = read_lake(lake).to_pandas()
-        sample = full[["repo", "path"]].drop_duplicates().head(60)
+        # stride across the WHOLE lake: read_lake returns rows in
+        # partition-file order, so a head() sample clusters into the
+        # first few partitions and never reaches the distributed branch
+        uniq = full[["repo", "path"]].drop_duplicates()
+        sample = uniq.iloc[:: max(1, len(uniq) // 60)].head(60)
         req = pa.table(
             {"repo": pa.array(list(sample["repo"])), "path": pa.array(list(sample["path"]))}
         )
+        # guard the premise: this probe must actually exceed the 8-
+        # partition threshold, or the distributed branch has no coverage
+        from mysql_binlog_ray.stages.merge import partition_codes
+
+        assert len(set(partition_codes(req, ("repo", "path"), 16))) > 8
         got = (
             lake_point_lookup(lake, req)
             .to_pandas()

@@ -510,6 +510,46 @@ class TestWireSession:
 
         assert snap(lake).equals(snap(lake_ref))
 
+    def test_resumed_tail_keeps_publishing_prior_manifest(
+        self, small_stream, tmp_path
+    ):
+        """A resumed tail run WITHOUT manifest_extra must keep the
+        spool's manifest.json current using the prior session's
+        metadata — a stale manifest would freeze a FollowDaemon at the
+        old shard list forever, silently."""
+        import json
+
+        import pyarrow.parquet as pq
+
+        spec, out, manifest = small_stream
+        payloads = []
+        for s in manifest["shards"]:
+            payloads.extend(
+                pq.read_table(s["path"], columns=["payload"])["payload"].to_pylist()
+            )
+        k = len(payloads) // 2
+        meta = {k2: v for k2, v in manifest.items() if k2 != "shards"}
+        spool = str(tmp_path / "spool_manifest")
+
+        srv, cli = socket.socketpair()
+        t, _ = _serve_in_thread(srv, payloads[:k])
+        c1 = BinlogWireClient(cli, user="repl", password="secret")
+        tail_to_shards(c1, spool, shard_events=64, manifest_extra=meta)
+        cli.close()
+        t.join(timeout=30)
+
+        srv, cli = socket.socketpair()
+        t, _ = _serve_in_thread(srv, payloads[k:])
+        c2 = BinlogWireClient(cli, user="repl", password="secret")
+        tail_to_shards(c2, spool, shard_events=64, resume=True)  # no meta
+        cli.close()
+        t.join(timeout=30)
+
+        with open(f"{spool}/manifest.json") as f:
+            m2 = json.load(f)
+        assert sum(s["events"] for s in m2["shards"]) == len(payloads)
+        assert "table_maps" in m2  # prior metadata carried forward
+
     def test_giant_event_reassembles_through_session(self, tmp_path):
         # one synthetic >16MB "event" packet exercises server-side split
         # + client-side reassembly inside a real session
