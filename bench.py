@@ -96,6 +96,8 @@ def run_bench() -> dict:
         "neardup_clusters_distributed",
         "snapshot_diff_events",
         "outer_join_user_funnel",
+        "cdc_wire_tail",
+        "bucketed_point_lookup_documents",
     ]
     import __ray_entry__ as entry_mod
 

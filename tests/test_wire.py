@@ -160,6 +160,55 @@ def _serve_in_thread(sock, payloads, **kw):
     return t, out
 
 
+class TestFramingProperties:
+    """Property tests: any payload, any fragmentation, survives the
+    framing round-trip byte-exactly."""
+
+    def test_split_reassembly_round_trip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from mysql_binlog_ray.fixtures.wire_server import _send_large
+
+        class _Pipe:
+            def __init__(self):
+                self.buf = bytearray()
+
+            def sendall(self, b):
+                self.buf += b
+
+            def recv(self, n):
+                out = bytes(self.buf[:n])
+                del self.buf[:n]
+                return out
+
+        @given(
+            sizes=st.lists(
+                st.integers(min_value=0, max_value=300), min_size=1, max_size=6
+            ),
+            near_boundary=st.booleans(),
+        )
+        @settings(max_examples=30, deadline=None)
+        def check(sizes, near_boundary):
+            pipe = _Pipe()
+            tx = PacketConn(pipe)
+            payloads = []
+            for i, s in enumerate(sizes):
+                if near_boundary and i == 0:
+                    # force the continuation machinery (exact multiple
+                    # and off-by-a-few around MAX_PACKET_SIZE)
+                    s = MAX_PACKET_SIZE + (s % 3) - 1
+                payloads.append(bytes([i % 251]) * s)
+            for p in payloads:
+                _send_large(tx, p)
+            rx = PacketConn(pipe)
+            for p in payloads:
+                assert rx.read_packet() == p
+            assert pipe.buf == b""  # nothing left over
+
+        check()
+
+
 class TestSqlAndSetup:
     """S7 text-protocol executor + S2/S3 session setup, all driven
     through the strict fixture server (no Ray needed)."""
