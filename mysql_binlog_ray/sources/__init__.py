@@ -12,6 +12,7 @@ from .wire import (
     CleanClose,
     PacketConn,
     WireError,
+    purge_spool,
     spool_shards,
     spool_state,
     tail_to_shards,
@@ -24,6 +25,7 @@ __all__ = [
     "WireError",
     "binlog_files_to_dataset",
     "export_stream_to_binlog_files",
+    "purge_spool",
     "read_binlog_file",
     "spool_shards",
     "spool_state",

@@ -626,6 +626,54 @@ def spool_shards(out_dir: str) -> list[dict]:
     return out
 
 
+def purge_spool(out_dir: str, watermark: int) -> dict:
+    """Log truncation (the `PURGE BINARY LOGS` analog): delete committed
+    spool shards whose EVERY event is at or below ``watermark`` —
+    typically the lake manifest's watermark, past which no follow/resume
+    will ever read them again.  A shard straddling the watermark is
+    kept whole (shards are the atomic unit).  The spool's
+    ``manifest.json`` (if present) is republished without the purged
+    shards, atomically, so a concurrent FollowDaemon never sees a
+    manifest that references deleted files.
+
+    Returns ``{"purged": n_files, "kept": n_files, "freed_bytes": n}``.
+    Purging never touches the resume point: ``spool_state`` continues
+    from the surviving shards' numbering (a fully-purged spool would
+    reset numbering, so at least the newest shard is ALWAYS kept).
+    """
+    entries = spool_shards(out_dir)
+    if not entries:
+        return {"purged": 0, "kept": 0, "freed_bytes": 0}
+    # keep the newest shard unconditionally: it carries the numbering
+    # high-water mark a resumed tail splices onto
+    newest = max(e["shard_id"] for e in entries)
+    purged, kept, freed = [], [], 0
+    for e in entries:
+        if e["last_event_seq"] <= watermark and e["shard_id"] != newest:
+            purged.append(e)
+        else:
+            kept.append(e)
+    mpath = os.path.join(out_dir, "manifest.json")
+    if purged and os.path.exists(mpath):
+        # manifest first: readers must stop referencing the files
+        # BEFORE they disappear
+        import json as _json
+
+        from ..state.checkpoint import atomic_write_json
+
+        with open(mpath) as f:
+            meta = _json.load(f)
+        meta["shards"] = kept
+        atomic_write_json(out_dir, meta, filename="manifest.json")
+    for e in purged:
+        try:
+            freed += os.path.getsize(e["path"])
+            os.unlink(e["path"])
+        except OSError:
+            pass
+    return {"purged": len(purged), "kept": len(kept), "freed_bytes": freed}
+
+
 def spool_state(out_dir: str) -> tuple[int, int]:
     """(next_shard_id, next_event_seq) of an existing spool directory —
     the resume point for a re-established tail.  Numbering continues so

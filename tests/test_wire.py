@@ -559,6 +559,86 @@ class TestWireSession:
 
         assert snap(lake).equals(snap(lake_ref))
 
+    def test_purge_spool_then_resume_still_exact(self, small_stream, tmp_path):
+        """PURGE BINARY LOGS analog: shards fully below the lake
+        watermark are deleted (manifest republished FIRST), the newest
+        shard always survives to carry the numbering, and a resumed
+        tail + follow after the purge still reproduces the single-shot
+        lake."""
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray.pipelines.cdc import (
+            CdcConfig,
+            follow,
+            read_lake,
+            run_to_lake,
+        )
+        from mysql_binlog_ray.sources.wire import purge_spool, spool_shards
+
+        spec, out, manifest = small_stream
+        payloads = []
+        for s in manifest["shards"]:
+            payloads.extend(
+                pq.read_table(s["path"], columns=["payload"])["payload"].to_pylist()
+            )
+        k = len(payloads) // 2
+        meta = {k2: v for k2, v in manifest.items() if k2 != "shards"}
+        spool = str(tmp_path / "spool_purge")
+        lake = str(tmp_path / "lake_purge")
+        cfg = CdcConfig(num_partitions=4)
+
+        srv, cli = socket.socketpair()
+        t, _ = _serve_in_thread(srv, payloads[:k])
+        c1 = BinlogWireClient(cli, user="repl", password="secret")
+        tail_to_shards(c1, spool, shard_events=32, manifest_extra=meta)
+        cli.close()
+        t.join(timeout=30)
+        run_to_lake(dict(meta, shards=spool_shards(spool)), lake, cfg)
+
+        from mysql_binlog_ray.state.checkpoint import read_manifest
+
+        wm = read_manifest(lake)["watermark"]
+        res = purge_spool(spool, wm)
+        assert res["purged"] > 0 and res["freed_bytes"] > 0
+        # manifest agrees with the surviving files, newest shard kept
+        with open(f"{spool}/manifest.json") as f:
+            m2 = json.load(f)
+        on_disk = {e["shard_id"] for e in spool_shards(spool)}
+        assert {s["shard_id"] for s in m2["shards"]} == on_disk
+        assert max(on_disk) == max(
+            e["shard_id"] for e in m2["shards"]
+        )  # numbering high-water mark survives
+        for s in m2["shards"]:
+            assert os.path.exists(s["path"])
+        # idempotent re-purge
+        assert purge_spool(spool, wm)["purged"] == 0
+
+        # resume the tail and catch the lake up: still exact
+        srv, cli = socket.socketpair()
+        t, _ = _serve_in_thread(srv, payloads[k:])
+        c2 = BinlogWireClient(cli, user="repl", password="secret")
+        tail_to_shards(c2, spool, shard_events=32, resume=True)
+        cli.close()
+        t.join(timeout=30)
+        follow(dict(meta, shards=spool_shards(spool)), lake, cfg)
+
+        lake_ref = str(tmp_path / "lake_purge_ref")
+        run_to_lake(manifest, lake_ref, cfg)
+        cols = ["repo", "path", "commit", "lang", "content", "stars"]
+
+        def snap(d):
+            df = read_lake(d).to_pandas()
+            return (
+                df[[c for c in cols if c in df.columns]]
+                .sort_values(["repo", "path"])
+                .reset_index(drop=True)
+            )
+
+        assert snap(lake).equals(snap(lake_ref))
+
     def test_resumed_tail_keeps_publishing_prior_manifest(
         self, small_stream, tmp_path
     ):
