@@ -559,6 +559,86 @@ class TestWireSession:
 
         assert snap(lake).equals(snap(lake_ref))
 
+    def test_server_crash_mid_event_then_resume_exact(self, small_stream, tmp_path):
+        """Production crash story: the server dies halfway through an
+        event frame.  The tail RAISES (a silent truncation would commit
+        a hole), the spool keeps only complete shards, and a resumed
+        session with skip_events replays to an exact lake."""
+        import struct
+
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray.fixtures.wire_server import serve_session
+        from mysql_binlog_ray.pipelines.cdc import CdcConfig, read_lake, run_to_lake
+        from mysql_binlog_ray.sources.wire import spool_shards, spool_state
+
+        spec, out, manifest = small_stream
+        payloads = []
+        for s in manifest["shards"]:
+            payloads.extend(
+                pq.read_table(s["path"], columns=["payload"])["payload"].to_pylist()
+            )
+        k = len(payloads) * 2 // 3
+        meta = {k2: v for k2, v in manifest.items() if k2 != "shards"}
+        spool = str(tmp_path / "spool_crash")
+
+        def crashing_server(sock):
+            # serve the first k events normally, then die mid-frame
+            try:
+                seen: dict = {}
+                serve_session(sock, payloads[:k], seen=seen)
+                # hand-craft a TRUNCATED frame: full header promising
+                # more bytes than we send, then hard close
+                frame = struct.pack("<I", 100)[:3] + bytes([99]) + b"\x00partial"
+                sock.sendall(frame)
+            finally:
+                sock.close()
+
+        srv, cli = socket.socketpair()
+        t = threading.Thread(target=crashing_server, args=(srv,), daemon=True)
+        t.start()
+        c1 = BinlogWireClient(cli, user="repl", password="secret")
+        with pytest.raises(WireError, match="mid-read"):
+            tail_to_shards(c1, spool, shard_events=32, manifest_extra=meta)
+        cli.close()
+        t.join(timeout=30)
+
+        # only COMPLETE shards were committed; nothing partial
+        entries = spool_shards(spool)
+        n_spooled = sum(e["events"] for e in entries)
+        assert n_spooled <= k
+        assert n_spooled % 32 == 0  # whole shards only
+        seqs = [e["last_event_seq"] for e in entries]
+        assert max(seqs) == n_spooled - 1  # contiguous, no holes
+
+        # reconnect: full replay from the start, skip what's committed
+        _, next_seq = spool_state(spool)
+        srv, cli = socket.socketpair()
+        t, _ = _serve_in_thread(srv, payloads)
+        c2 = BinlogWireClient(cli, user="repl", password="secret")
+        tail_to_shards(
+            c2, spool, shard_events=32, resume=True, skip_events=next_seq
+        )
+        cli.close()
+        t.join(timeout=30)
+
+        lake = str(tmp_path / "lake_crash")
+        lake_ref = str(tmp_path / "lake_crash_ref")
+        cfg = CdcConfig(num_partitions=4)
+        run_to_lake(dict(meta, shards=spool_shards(spool)), lake, cfg)
+        run_to_lake(manifest, lake_ref, cfg)
+        cols = ["repo", "path", "commit", "lang", "content", "stars"]
+
+        def snap(d):
+            df = read_lake(d).to_pandas()
+            return (
+                df[[c for c in cols if c in df.columns]]
+                .sort_values(["repo", "path"])
+                .reset_index(drop=True)
+            )
+
+        assert snap(lake).equals(snap(lake_ref))
+
     def test_purge_spool_then_resume_still_exact(self, small_stream, tmp_path):
         """PURGE BINARY LOGS analog: shards fully below the lake
         watermark are deleted (manifest republished FIRST), the newest
