@@ -565,12 +565,19 @@ def generate_stream(
     return manifest
 
 
-def final_state_oracle(spec: StreamSpec, out_dir: str) -> pa.Table:
+def final_state_oracle(
+    spec: StreamSpec, out_dir: str, max_event_seq: int | None = None
+) -> pa.Table:
     """Sequential-replay oracle: last op per key in (event_seq, row_seq)
     order wins; delete removes the key (SURVEY §5.2 item 3).  Built from
-    the oplog + the same pure row synthesis the encoder used."""
+    the oplog + the same pure row synthesis the encoder used.
+    ``max_event_seq`` truncates the replay — the oracle for time-travel
+    reads (``pipelines.cdc.state_as_of``)."""
     oplog = pq.read_table(os.path.join(out_dir, "oplog.parquet"))
-    df = oplog.to_pandas().sort_values(["event_seq", "row_seq"])
+    df = oplog.to_pandas()
+    if max_event_seq is not None:
+        df = df[df["event_seq"] <= max_event_seq]
+    df = df.sort_values(["event_seq", "row_seq"])
     last = df.groupby("key").tail(1)
     live = last[last["op"] != 2]
     factory = ContentFactory(spec)

@@ -370,6 +370,34 @@ def run_to_dataset(
     return merge_lww(cf, cfg, extra_inputs=extra_inputs, already_flat=True)
 
 
+def state_as_of(
+    manifest: dict[str, Any],
+    watermark: int,
+    cfg: CdcConfig | None = None,
+) -> rd.Dataset:
+    """Time travel by log replay: the merged table state AS OF
+    ``watermark`` (inclusive) — every event with ``event_seq`` beyond it
+    is excluded BEFORE decode.  Shard pruning first (whole shards past
+    the watermark never leave storage — the read-side mirror of the F2
+    start-position skip), then a vectorized in-batch cut for the one
+    shard that straddles it.  As long as the spool/stream retains
+    events up to ``watermark`` (see ``sources.wire.purge_spool``), any
+    historical state is reproducible exactly.
+    """
+    import pyarrow.compute as pc
+
+    cfg = _with_flat_decode(cfg or CdcConfig())
+    keep = [s for s in manifest["shards"] if s["first_event_seq"] <= watermark]
+    pruned = dict(manifest, shards=keep)
+    events = read_event_stream(pruned)
+    events = events.map_batches(
+        lambda b: b.filter(pc.less_equal(b.column("event_seq"), watermark)),
+        batch_format="pyarrow",
+    )
+    cf = decode_changefeed(events, manifest["table_maps"], cfg)
+    return merge_lww(cf, cfg, already_flat=True)
+
+
 # ---------------------------------------------------------------------------
 # exactly-once lake sink (M7) + resume
 # ---------------------------------------------------------------------------

@@ -702,6 +702,30 @@ def cdc_changefeed_stats(sf_dir: str):
     )
 
 
+def cdc_time_travel(sf_dir: str):
+    """Time travel by log replay (`pipelines/cdc.py::state_as_of`): the
+    merged table state AS OF the stream's median event_seq — whole
+    shards past the watermark are pruned before decode.  Pytest oracle:
+    truncated sequential replay (`final_state_oracle(max_event_seq=w)`)."""
+    from .cdc import CdcConfig, state_as_of
+
+    _, manifest = cdc_manifest(sf_dir)
+    last = max(s["last_event_seq"] for s in manifest["shards"])
+    w = last // 2  # deterministic mid-stream watermark
+    ds = state_as_of(manifest, w, CdcConfig(num_partitions=16))
+
+    def shaify(batch: pa.Table) -> pa.Table:
+        sha = [
+            hashlib.sha256(c.encode()).hexdigest()
+            for c in batch.column("content").to_pylist()
+        ]
+        return batch.drop_columns(["content"]).append_column(
+            "content_sha256", pa.array(sha, pa.string())
+        )
+
+    return ds.map_batches(shaify, batch_format="pyarrow")
+
+
 def cdc_wire_tail(sf_dir: str):
     """S1/S4/S5 transport end-to-end: a full MySQL replica-protocol
     session (handshake/auth scramble, COM_REGISTER_SLAVE,

@@ -198,6 +198,32 @@ class TestLakePointLookup:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestTimeTravel:
+    def test_state_as_of_matches_truncated_replay_oracle(self, small_stream):
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray.pipelines.cdc import state_as_of
+
+        spec, out, manifest = small_stream
+        oplog = pq.read_table(f"{out}/oplog.parquet", columns=["event_seq"])
+        seqs = sorted(oplog["event_seq"].to_pylist())
+        for w in (seqs[len(seqs) // 3], seqs[-1] + 100):
+            got = _normalize(
+                state_as_of(manifest, w, CdcConfig(num_partitions=4)).to_pandas()
+            )
+            exp = final_state_oracle(spec, out, max_event_seq=w).to_pandas()
+            exp["stars"] = exp["stars"].astype("float64")
+            exp = exp.sort_values(["repo", "path"]).reset_index(drop=True)
+            assert got.equals(exp), f"time-travel state differs at watermark {w}"
+
+    def test_state_as_of_zero_is_empty(self, small_stream):
+        from mysql_binlog_ray.pipelines.cdc import state_as_of
+
+        spec, out, manifest = small_stream
+        assert state_as_of(manifest, 0, CdcConfig(num_partitions=4)).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSchemaEvolutionE2E:
     def test_ddl_mid_stream(self, tmp_path):
         spec = StreamSpec(n_keys=80, n_ops=400, n_shards=2, ddl_at=0.5)
