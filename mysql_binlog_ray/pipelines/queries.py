@@ -599,6 +599,18 @@ def cdc_multi_manifest(sf_dir: str):
     return spec, generate_stream(spec, f"/tmp/mysql_binlog_ray/streams/sf{sf}_multi")
 
 
+def _sha_content(batch: pa.Table) -> pa.Table:
+    """content -> content_sha256 (stable, compact) — ONE definition
+    shared by every cdc_* query that returns merged-table rows."""
+    sha = [
+        hashlib.sha256(c.encode()).hexdigest()
+        for c in batch.column("content").to_pylist()
+    ]
+    return batch.drop_columns(["content"]).append_column(
+        "content_sha256", pa.array(sha, pa.string())
+    )
+
+
 def cdc_final_state(sf_dir: str):
     """Flagship: full binlog decode -> LWW merge; returns the final table
     with content reduced to its sha256 (stable, compact)."""
@@ -606,19 +618,7 @@ def cdc_final_state(sf_dir: str):
 
     _, manifest = cdc_manifest(sf_dir)
     ds = run_to_dataset(manifest, CdcConfig(num_partitions=16))
-
-    def shaify(batch: pa.Table) -> pa.Table:
-        sha = [
-            hashlib.sha256(c.encode()).hexdigest()
-            for c in batch.column("content").to_pylist()
-        ]
-        return (
-            batch.drop_columns(["content"]).append_column(
-                "content_sha256", pa.array(sha, pa.string())
-            )
-        )
-
-    return ds.map_batches(shaify, batch_format="pyarrow")
+    return ds.map_batches(_sha_content, batch_format="pyarrow")
 
 
 def cdc_table_stats(sf_dir: str):
@@ -713,17 +713,7 @@ def cdc_time_travel(sf_dir: str):
     last = max(s["last_event_seq"] for s in manifest["shards"])
     w = last // 2  # deterministic mid-stream watermark
     ds = state_as_of(manifest, w, CdcConfig(num_partitions=16))
-
-    def shaify(batch: pa.Table) -> pa.Table:
-        sha = [
-            hashlib.sha256(c.encode()).hexdigest()
-            for c in batch.column("content").to_pylist()
-        ]
-        return batch.drop_columns(["content"]).append_column(
-            "content_sha256", pa.array(sha, pa.string())
-        )
-
-    return ds.map_batches(shaify, batch_format="pyarrow")
+    return ds.map_batches(_sha_content, batch_format="pyarrow")
 
 
 def cdc_wire_tail(sf_dir: str):
@@ -1075,13 +1065,23 @@ def bucketed_point_lookup_documents(sf_dir: str):
     base = f"{parent}/{prefix}{fp}"
     if read_manifest(base) is None:
         if _os.path.isdir(parent):
+            import time as _time
+
+            now = _time.time()
             for entry in _os.listdir(parent):
                 p = _os.path.join(parent, entry)
-                if (
-                    entry.startswith(prefix)
-                    and p != base
-                    and f"{fp}.build-" not in entry  # a CONCURRENT build
-                ):
+                if not entry.startswith(prefix) or p == base:
+                    continue
+                if ".build-" in entry:
+                    continue  # never race ANY in-progress build
+                try:
+                    age = now - _os.path.getmtime(p)
+                except OSError:
+                    continue
+                # only sweep dirs quiescent for a minute: a concurrent
+                # process that just published a NEWER fingerprint (we
+                # stat'ed before a testdata regeneration) is spared
+                if age > 60:
                     _sh.rmtree(p, ignore_errors=True)
         # build in a private dir, publish with an atomic rename; a
         # concurrent builder that wins the rename just makes ours a
@@ -1120,15 +1120,7 @@ def cdc_point_lookup(sf_dir: str):
             "path": pa.array([p[1] for p in pairs]),
         }
     )
-    hit = lake_point_lookup(lake, req)
-    # content -> sha256 (stable, compact — same shape as cdc_final_state)
-    sha = [
-        hashlib.sha256(c.encode()).hexdigest()
-        for c in hit.column("content").to_pylist()
-    ]
-    return hit.drop_columns(["content"]).append_column(
-        "content_sha256", pa.array(sha, pa.string())
-    )
+    return _sha_content(lake_point_lookup(lake, req))
 
 
 def stratified_sample_documents(sf_dir: str):

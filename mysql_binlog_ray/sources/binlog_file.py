@@ -19,7 +19,6 @@ import struct
 from typing import Iterable
 
 import pyarrow as pa
-import ray.data as rd
 
 from ..protocol.constants import EVENT_HEADER_LEN
 
@@ -59,11 +58,15 @@ def read_binlog_file(data: bytes) -> list[bytes]:
     return out
 
 
-def binlog_files_to_dataset(paths: list[str]) -> rd.Dataset:
-    """Binlog files -> the decode stage's input shape.  One read task per
-    file (files are the ordering unit); event_seq is synthesized as
-    (file_index << 32) | position-in-file, preserving the total order the
-    file layout defines."""
+def binlog_files_to_dataset(paths: list[str]):
+    """Binlog files -> the decode stage's input shape (`ray.data.Dataset`).
+    One read task per file (files are the ordering unit); event_seq is
+    synthesized as (file_index << 32) | position-in-file, preserving the
+    total order the file layout defines.  Ray is imported HERE, not at
+    module top: the sources package must stay importable without paying
+    (or having) Ray — the wire transport is a thin no-Ray edge."""
+    import ray.data as rd
+
     items = [{"path": p, "file_idx": i} for i, p in enumerate(sorted(paths))]
 
     def load(batch: dict) -> pa.Table:

@@ -636,42 +636,64 @@ def purge_spool(out_dir: str, watermark: int) -> dict:
     shards, atomically, so a concurrent FollowDaemon never sees a
     manifest that references deleted files.
 
-    Returns ``{"purged": n_files, "kept": n_files, "freed_bytes": n}``.
-    Purging never touches the resume point: ``spool_state`` continues
-    from the surviving shards' numbering (a fully-purged spool would
-    reset numbering, so at least the newest shard is ALWAYS kept).
+    Returns ``{"purged": n, "kept": n, "failed": n, "freed_bytes": n}``
+    — a shard whose file could not be unlinked counts as ``failed``,
+    not ``purged``, so disk accounting never over-reports.  Purging
+    never touches the resume point: ``spool_state`` continues from the
+    surviving shards' numbering (a fully-purged spool would reset
+    numbering, so at least the newest shard is ALWAYS kept).
+
+    Concurrency with a LIVE tail: the purge watermark is persisted to
+    ``_purge.json`` and the tail's per-flush ``publish()`` filters its
+    shard list through it, so a flush racing the purge can never
+    resurrect deleted paths in ``manifest.json``.  (Run one purge at a
+    time; MySQL's own PURGE BINARY LOGS has the same discipline.)
     """
+    import json as _json
+
+    from ..state.checkpoint import atomic_write_json
+
     entries = spool_shards(out_dir)
     if not entries:
-        return {"purged": 0, "kept": 0, "freed_bytes": 0}
+        return {"purged": 0, "kept": 0, "failed": 0, "freed_bytes": 0}
     # keep the newest shard unconditionally: it carries the numbering
     # high-water mark a resumed tail splices onto
     newest = max(e["shard_id"] for e in entries)
-    purged, kept, freed = [], [], 0
+    to_purge, kept = [], []
     for e in entries:
         if e["last_event_seq"] <= watermark and e["shard_id"] != newest:
-            purged.append(e)
+            to_purge.append(e)
         else:
             kept.append(e)
+    # watermark sidecar FIRST: a concurrent tail's next publish()
+    # filters through it even before the manifest below lands
+    if to_purge:
+        atomic_write_json(
+            out_dir, {"purge_watermark": int(watermark)}, filename="_purge.json"
+        )
     mpath = os.path.join(out_dir, "manifest.json")
-    if purged and os.path.exists(mpath):
-        # manifest first: readers must stop referencing the files
+    if to_purge and os.path.exists(mpath):
+        # manifest next: readers must stop referencing the files
         # BEFORE they disappear
-        import json as _json
-
-        from ..state.checkpoint import atomic_write_json
-
         with open(mpath) as f:
             meta = _json.load(f)
         meta["shards"] = kept
         atomic_write_json(out_dir, meta, filename="manifest.json")
-    for e in purged:
+    purged, failed, freed = 0, 0, 0
+    for e in to_purge:
         try:
-            freed += os.path.getsize(e["path"])
+            size = os.path.getsize(e["path"])
             os.unlink(e["path"])
+            purged += 1
+            freed += size
         except OSError:
-            pass
-    return {"purged": len(purged), "kept": len(kept), "freed_bytes": freed}
+            failed += 1  # still on disk; next purge retries it
+    return {
+        "purged": purged,
+        "kept": len(kept),
+        "failed": failed,
+        "freed_bytes": freed,
+    }
 
 
 def spool_state(out_dir: str) -> tuple[int, int]:
@@ -763,11 +785,28 @@ def tail_to_shards(
         # shard paths
         if manifest_extra is None:
             return
+        import json as _json
+
         from ..state.checkpoint import atomic_write_json
 
+        listed = prior_shards + shards
+        # a concurrent purge_spool records its watermark in _purge.json;
+        # filtering through it here means a flush racing the purge can
+        # never resurrect deleted shard paths in the manifest
+        ppath = os.path.join(out_dir, "_purge.json")
+        if os.path.exists(ppath):
+            try:
+                with open(ppath) as f:
+                    pw = int(_json.load(f)["purge_watermark"])
+            except (OSError, ValueError, KeyError):
+                # unreadable sidecar: SKIP this publish rather than risk
+                # resurrecting purged paths — the next flush retries and
+                # a one-window-stale manifest only delays a follower
+                return
+            listed = [e for e in listed if e["last_event_seq"] > pw]
         atomic_write_json(
             out_dir,
-            dict(manifest_extra, shards=prior_shards + shards),
+            dict(manifest_extra, shards=listed),
             filename="manifest.json",
         )
 

@@ -222,6 +222,32 @@ class TestTimeTravel:
         spec, out, manifest = small_stream
         assert state_as_of(manifest, 0, CdcConfig(num_partitions=4)).count() == 0
 
+    def test_state_as_of_mid_ddl_watermark(self, tmp_path):
+        # the tricky truncation point: AFTER the ALTER but BEFORE stream
+        # end — surviving state mixes null-padded pre-DDL rows with
+        # post-DDL rows carrying stars
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray.pipelines.cdc import state_as_of
+
+        spec = StreamSpec(n_keys=80, n_ops=400, n_shards=2, ddl_at=0.5)
+        out = str(tmp_path / "ddl_tt")
+        manifest = generate_stream(spec, out)
+        oplog = pq.read_table(f"{out}/oplog.parquet").to_pandas()
+        ddl_seq = int(oplog.loc[oplog["op_idx"] >= spec.ddl_op, "event_seq"].min())
+        last = int(oplog["event_seq"].max())
+        w = (ddl_seq + last) // 2
+        assert ddl_seq < w < last  # genuinely mid-DDL-to-end
+        got = _normalize(
+            state_as_of(manifest, w, CdcConfig(num_partitions=4)).to_pandas()
+        )
+        # both populations must be present at this watermark
+        assert got["stars"].notna().any() and got["stars"].isna().any()
+        exp = final_state_oracle(spec, out, max_event_seq=w).to_pandas()
+        exp["stars"] = exp["stars"].astype("float64")
+        exp = exp.sort_values(["repo", "path"]).reset_index(drop=True)
+        assert got.equals(exp)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestSchemaEvolutionE2E:

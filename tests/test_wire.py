@@ -696,13 +696,20 @@ class TestWireSession:
         # idempotent re-purge
         assert purge_spool(spool, wm)["purged"] == 0
 
-        # resume the tail and catch the lake up: still exact
+        # resume the tail and catch the lake up: still exact — and the
+        # resumed session's publish() must NOT resurrect purged paths
+        # (it filters through the _purge.json watermark sidecar)
         srv, cli = socket.socketpair()
         t, _ = _serve_in_thread(srv, payloads[k:])
         c2 = BinlogWireClient(cli, user="repl", password="secret")
         tail_to_shards(c2, spool, shard_events=32, resume=True)
         cli.close()
         t.join(timeout=30)
+        with open(f"{spool}/manifest.json") as f:
+            m3 = json.load(f)
+        for s in m3["shards"]:
+            assert os.path.exists(s["path"]), "manifest references a purged file"
+            assert s["last_event_seq"] > wm  # nothing at/below the purge line
         follow(dict(meta, shards=spool_shards(spool)), lake, cfg)
 
         lake_ref = str(tmp_path / "lake_purge_ref")
