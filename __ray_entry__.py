@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_documents": Q.split_documents,
         "mixture_sample_documents": Q.mixture_sample_documents,
         "chunk_documents": Q.chunk_documents_query,
+        "gear_chunks_documents": Q.gear_chunks_documents,
         "incremental_dedup_documents": Q.incremental_dedup_documents,
         "shuffle_order_documents": Q.shuffle_order_documents,
         "pack_sequences_documents": Q.pack_sequences_documents,
@@ -919,6 +920,38 @@ def _oracle_sql_dict() -> dict[str, str]:
             FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
         """,
         "chunk_documents": _chunk_documents_oracle(),
+        # Gear CDC boundaries: g < 2^64 cast to HUGEINT, shifted <= 63
+        # -> each term < 2^127 (fits HUGEINT); %-reduced BEFORE the sum
+        # so 64 terms stay < 2^70.  SUM must be HUGEINT: DuckDB's
+        # SUM(UHUGEINT) silently returns a DOUBLE and destroys the low
+        # bits the boundary rule reads.
+        "gear_chunks_documents": """
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents
+            ), chars AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS i,
+                     CAST(md5_number_lower('gear_' || substr(t, CAST(i AS INT), 1)) AS HUGEINT) AS g,
+                     length(t) AS n
+              FROM d, unnest(range(1, length(t) + 1)) AS r(i)
+            ), h AS (
+              SELECT c1.doc_id, c1.i, c1.n,
+                     SUM((c2.g << CAST(c1.i - c2.i AS HUGEINT)) % (CAST(1 AS HUGEINT) << 64))
+                       % (CAST(1 AS HUGEINT) << 64) AS hv
+              FROM chars c1 JOIN chars c2
+                ON c1.doc_id = c2.doc_id AND c2.i BETWEEN c1.i - 63 AND c1.i
+              GROUP BY c1.doc_id, c1.i, c1.n
+            ), cuts AS (
+              SELECT doc_id, i FROM h WHERE i < n AND hv % 64 = 0
+            ), agg AS (
+              SELECT doc_id, count(*) AS n_cuts, min(i) AS first_cut, max(i) AS last_cut
+              FROM cuts GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN length(d.t) = 0 THEN 0 ELSE coalesce(a.n_cuts, 0) + 1 END AS n_chunks,
+                   coalesce(a.first_cut, -1) AS first_cut,
+                   coalesce(a.last_cut, -1) AS last_cut
+            FROM d LEFT JOIN agg a USING (doc_id)
+        """,
         "shuffle_order_documents": _shuffle_order_oracle(),
         "pack_sequences_documents": _pack_sequences_oracle(),
         "corpus_pipeline_documents": _corpus_pipeline_oracle(),

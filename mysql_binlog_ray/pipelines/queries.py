@@ -1123,6 +1123,20 @@ def cdc_point_lookup(sf_dir: str):
     return _sha_content(lake_point_lookup(lake, req))
 
 
+def gear_chunks_documents(sf_dir: str):
+    """Content-defined chunking (Gear rolling hash, the FastCDC / dedup-
+    storage boundary primitive): per-document chunk count and first/last
+    cut positions under the pure boundary rule (low 6 hash bits zero,
+    expected chunk ~64 chars).  Boundaries move WITH the content, so an
+    early edit shifts one chunk instead of re-chunking the document —
+    the property fixed-size chunking lacks.  Exact SQL oracle (HUGEINT
+    windowed Gear sum; terms stay under 2^127 by construction)."""
+    from ..stages.text import gear_chunk_stats
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(gear_chunk_stats, batch_format="pandas")
+
+
 def stratified_sample_documents(sf_dir: str):
     """Deterministic stratified sample: first 5 docs per language."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])

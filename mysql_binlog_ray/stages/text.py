@@ -563,3 +563,102 @@ class GopherQualityFilter:
         out["g_n_stopwords"] = n_stop
         out["g_keep"] = keep.astype(np.int64)
         return out
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (Gear rolling hash — the FastCDC/dedup-storage
+# boundary primitive; Xia et al., "FastCDC", USENIX ATC 2016)
+# ---------------------------------------------------------------------------
+
+_GEAR: np.ndarray | None = None
+
+
+def _gear_table() -> np.ndarray:
+    """Per-byte gear values = word_hash64('gear_' + chr(b)) so the SQL
+    oracle reproduces them with md5_number_lower('gear_' || c) exactly
+    (ASCII parity — same documented caveat as Fingerprinter)."""
+    global _GEAR
+    if _GEAR is None:
+        from .dedup import word_hash64
+
+        _GEAR = np.array(
+            [word_hash64("gear_" + chr(b)) for b in range(256)], dtype=np.uint64
+        )
+    return _GEAR
+
+
+def gear_chunk_stats(
+    batch: "pd.DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    avg_bits: int = 6,
+) -> "pd.DataFrame":
+    """Content-defined chunk boundaries per document: a cut AFTER char
+    position i (1-based, i < len) whenever the Gear hash
+
+        h_i = sum_{j=max(1, i-63)..i} G[c_j] * 2^(i-j)  (mod 2^64)
+
+    has its low ``avg_bits`` bits zero — boundaries move WITH the
+    content, so an insertion early in a document shifts at most one
+    chunk instead of re-chunking everything (the property fixed-size
+    chunking lacks, and why dedup storage uses CDC).  This is the pure
+    boundary rule (expected chunk length 2^avg_bits); production
+    min/max clamps are a caller-side post-pass and deliberately NOT
+    applied here so the rule stays exactly SQL-reproducible.
+
+    Fully vectorized: one concatenated gear array for the whole batch
+    (63 zero-gear separators keep windows from crossing documents —
+    zeros contribute nothing to the sum), 64 shifted adds, one boolean
+    scan.  Returns (id, n_chunks, first_cut, last_cut).
+    """
+    G = _gear_table()
+    texts = batch[text_col].fillna("").tolist()
+    ids = batch[id_col].to_numpy()
+    zero_gap = np.zeros(63, dtype=np.uint64)
+    parts: list[np.ndarray] = []
+    lens: list[int] = []
+    for t in texts:
+        b = np.frombuffer(t.encode(), dtype=np.uint8)
+        parts.append(zero_gap)
+        parts.append(G[b])
+        lens.append(len(b))
+    if not parts:
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "n_chunks": pd.Series(dtype="int64"),
+                "first_cut": pd.Series(dtype="int64"),
+                "last_cut": pd.Series(dtype="int64"),
+            }
+        )
+    g = np.concatenate(parts)
+    h = g.copy()
+    for k in range(1, 64):
+        h[k:] += g[:-k] << np.uint64(k)  # uint64 wraparound == mod 2^64
+    is_cut = (h & np.uint64((1 << avg_bits) - 1)) == 0
+
+    n_chunks = np.empty(len(lens), dtype=np.int64)
+    first = np.full(len(lens), -1, dtype=np.int64)
+    last = np.full(len(lens), -1, dtype=np.int64)
+    pos = 0
+    for d, n in enumerate(lens):
+        pos += 63  # separator
+        if n == 0:
+            n_chunks[d] = 0
+            pos += n
+            continue
+        # cuts allowed after positions 1..n-1 (never after the last char)
+        cuts = np.flatnonzero(is_cut[pos : pos + n - 1]) + 1 if n > 1 else np.empty(0, dtype=np.int64)
+        n_chunks[d] = len(cuts) + 1
+        if len(cuts):
+            first[d] = cuts[0]
+            last[d] = cuts[-1]
+        pos += n
+    return pd.DataFrame(
+        {
+            id_col: ids.astype(np.int64),
+            "n_chunks": n_chunks,
+            "first_cut": first,
+            "last_cut": last,
+        }
+    )

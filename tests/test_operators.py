@@ -126,6 +126,57 @@ class TestDedup:
 
 @pytest.mark.usefixtures("ray_session")
 class TestText:
+    def test_gear_chunk_stats_matches_naive_definition(self):
+        import random
+
+        from mysql_binlog_ray.stages.dedup import word_hash64
+        from mysql_binlog_ray.stages.text import _gear_table, gear_chunk_stats
+
+        G = _gear_table()
+
+        def naive(text, bits=6):
+            b = text.encode()
+            n = len(b)
+            cuts = []
+            for i in range(1, n):  # cut after position i, never after last
+                h = 0
+                for j in range(max(1, i - 63), i + 1):
+                    h = (h + int(G[b[j - 1]]) * (2 ** (i - j))) % (1 << 64)
+                if h % (1 << bits) == 0:
+                    cuts.append(i)
+            return (
+                0 if n == 0 else len(cuts) + 1,
+                cuts[0] if cuts else -1,
+                cuts[-1] if cuts else -1,
+            )
+
+        rng = random.Random(11)
+        texts = [
+            "".join(rng.choice("abcdef ghij.,") for _ in range(rng.randint(0, 180)))
+            for _ in range(30)
+        ] + ["", "x", "y" * 63, "z" * 64, "w" * 65]
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        got = gear_chunk_stats(df)
+        for i, t in enumerate(texts):
+            row = got.iloc[i]
+            assert (row.n_chunks, row.first_cut, row.last_cut) == naive(t), i
+
+    def test_gear_chunks_shift_locally_not_globally(self):
+        # the CDC property: prepending text re-chunks only a prefix —
+        # cuts far past the edit keep their content-relative positions
+        from mysql_binlog_ray.stages.text import gear_chunk_stats
+
+        base = "the quick brown fox jumps over the lazy dog. " * 20
+        edited = "INSERTED PREFIX " + base
+        df = pd.DataFrame({"doc_id": [1, 2], "text": [base, edited]})
+        g = gear_chunk_stats(df)
+        # both documents end with the same content, so their LAST cut
+        # must land on the same content-relative offset from the end
+        end_off_base = len(base) - g.iloc[0].last_cut
+        end_off_edit = len(edited) - g.iloc[1].last_cut
+        assert g.iloc[0].n_chunks > 2
+        assert end_off_base == end_off_edit
+
     def test_token_counter_matches_split_semantics(self):
         df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b  c", "  x ", ""]})
         out = TokenCounter()(df)
