@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample_documents": Q.mixture_sample_documents,
         "chunk_documents": Q.chunk_documents_query,
         "gear_chunks_documents": Q.gear_chunks_documents,
+        "chunk_dedup_documents": Q.chunk_dedup_documents,
         "incremental_dedup_documents": Q.incremental_dedup_documents,
         "shuffle_order_documents": Q.shuffle_order_documents,
         "pack_sequences_documents": Q.pack_sequences_documents,
@@ -951,6 +952,46 @@ def _oracle_sql_dict() -> dict[str, str]:
                    coalesce(a.first_cut, -1) AS first_cut,
                    coalesce(a.last_cut, -1) AS last_cut
             FROM d LEFT JOIN agg a USING (doc_id)
+        """,
+        # chunk-level storage dedup on the same Gear boundary rule;
+        # spans from cuts + {0, len} sentinels via a lag window
+        "chunk_dedup_documents": """
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents
+            ), chars AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS i,
+                     CAST(md5_number_lower('gear_' || substr(t, CAST(i AS INT), 1)) AS HUGEINT) AS g,
+                     length(t) AS n
+              FROM d, unnest(range(1, length(t) + 1)) AS r(i)
+            ), h AS (
+              SELECT c1.doc_id, c1.i, c1.n,
+                     SUM((c2.g << CAST(c1.i - c2.i AS HUGEINT)) % (CAST(1 AS HUGEINT) << 64))
+                       % (CAST(1 AS HUGEINT) << 64) AS hv
+              FROM chars c1 JOIN chars c2
+                ON c1.doc_id = c2.doc_id AND c2.i BETWEEN c1.i - 63 AND c1.i
+              GROUP BY c1.doc_id, c1.i, c1.n
+            ), cuts AS (
+              SELECT doc_id, i FROM h WHERE i < n AND hv % 64 = 0
+            ), bounds AS (
+              SELECT doc_id, i FROM cuts
+              UNION ALL SELECT doc_id, 0 FROM d WHERE length(t) > 0
+              UNION ALL SELECT doc_id, length(t) FROM d WHERE length(t) > 0
+            ), spans AS (
+              SELECT doc_id, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS lo, i AS hi
+              FROM bounds
+            ), chunks AS (
+              SELECT md5_number_lower(substr(d.t, CAST(s.lo + 1 AS INT), CAST(s.hi - s.lo AS INT))) AS ch,
+                     s.hi - s.lo AS l
+              FROM spans s JOIN d USING (doc_id)
+              WHERE s.lo IS NOT NULL AND s.hi > s.lo
+            ), uniq AS (
+              SELECT ch, min(l) AS l, count(*) AS cnt FROM chunks GROUP BY ch
+            )
+            SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+                   CAST(sum(cnt * l) AS BIGINT) AS total_chars,
+                   count(*) AS n_unique_chunks,
+                   CAST(sum(l) AS BIGINT) AS unique_chars
+            FROM uniq
         """,
         "shuffle_order_documents": _shuffle_order_oracle(),
         "pack_sequences_documents": _pack_sequences_oracle(),

@@ -1137,6 +1137,49 @@ def gear_chunks_documents(sf_dir: str):
     return ds.map_batches(gear_chunk_stats, batch_format="pandas")
 
 
+def chunk_dedup_documents(sf_dir: str):
+    """Chunk-level storage dedup — the metric content-defined chunking
+    exists for: chunk every document at Gear boundaries, count distinct
+    chunks and the bytes a chunk store would actually hold.  Only slim
+    (hash64, len) rows shuffle (bodies never leave the chunking task);
+    ONE keyed exchange to distinct-count, then a 4-number reduce.
+    Integer columns only (no float ratio) so the oracle hashes exactly."""
+    from ..stages.text import gear_chunk_rows
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    rows = ds.map_batches(gear_chunk_rows, batch_format="pandas")
+    per_hash = R.preagg_groupby(
+        rows, ["h"], {"cnt": (None, "count"), "l": ("l", "min")}
+    )
+
+    def part(b: pa.Table) -> pa.Table:
+        cnt = b.column("cnt").to_numpy()
+        length = b.column("l").to_numpy()
+        return pa.table(
+            {
+                "_k": pa.array([1], pa.int64()),
+                "n_chunks": pa.array([int(cnt.sum())], pa.int64()),
+                "total_chars": pa.array([int((cnt * length).sum())], pa.int64()),
+                "n_unique_chunks": pa.array([len(cnt)], pa.int64()),
+                "unique_chars": pa.array([int(length.sum())], pa.int64()),
+            }
+        )
+
+    one = R.preagg_groupby(
+        per_hash.map_batches(part, batch_format="pyarrow"),
+        ["_k"],
+        {
+            "n_chunks": ("n_chunks", "sum"),
+            "total_chars": ("total_chars", "sum"),
+            "n_unique_chunks": ("n_unique_chunks", "sum"),
+            "unique_chars": ("unique_chars", "sum"),
+        },
+    )
+    return one.map_batches(
+        lambda b: b.drop_columns(["_k"]), batch_format="pyarrow"
+    )
+
+
 def stratified_sample_documents(sf_dir: str):
     """Deterministic stratified sample: first 5 docs per language."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])

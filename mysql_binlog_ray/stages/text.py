@@ -662,3 +662,60 @@ def gear_chunk_stats(
             "last_cut": last,
         }
     )
+
+
+def gear_chunk_rows(
+    batch: "pd.DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    avg_bits: int = 6,
+) -> "pd.DataFrame":
+    """Slim (chunk_hash64, chunk_len) rows under the same Gear boundary
+    rule as :func:`gear_chunk_stats` — the input to chunk-level storage
+    dedup.  Chunk hash = ``word_hash64(chunk_text)`` so the SQL twin is
+    ``md5_number_lower(chunk)``.  Only hashes and lengths ever shuffle;
+    chunk bodies stay in this task."""
+    from .dedup import word_hash64
+
+    G = _gear_table()
+    texts = batch[text_col].fillna("").tolist()
+    zero_gap = np.zeros(63, dtype=np.uint64)
+    parts: list[np.ndarray] = []
+    lens: list[int] = []
+    for t in texts:
+        b = np.frombuffer(t.encode(), dtype=np.uint8)
+        parts.append(zero_gap)
+        parts.append(G[b])
+        lens.append(len(b))
+    out_h: list[int] = []
+    out_l: list[int] = []
+    if parts:
+        g = np.concatenate(parts)
+        h = g.copy()
+        for k in range(1, 64):
+            h[k:] += g[:-k] << np.uint64(k)
+        is_cut = (h & np.uint64((1 << avg_bits) - 1)) == 0
+        pos = 0
+        for t, n in zip(texts, lens):
+            pos += 63
+            if n == 0:
+                continue
+            cuts = (
+                np.flatnonzero(is_cut[pos : pos + n - 1]) + 1
+                if n > 1
+                else np.empty(0, dtype=np.int64)
+            )
+            lo = 0
+            for hi in [*cuts.tolist(), n]:
+                out_h.append(word_hash64(t[lo:hi]))
+                out_l.append(hi - lo)
+                lo = hi
+            pos += n
+    return pd.DataFrame(
+        {
+            "h": np.array(out_h, dtype=np.uint64).view(np.int64)
+            if out_h
+            else pd.Series(dtype="int64"),
+            "l": pd.Series(out_l, dtype="int64"),
+        }
+    )

@@ -177,6 +177,38 @@ class TestText:
         assert g.iloc[0].n_chunks > 2
         assert end_off_base == end_off_edit
 
+    def test_chunk_dedup_duplicated_corpus_property(self):
+        # duplicating every document doubles the chunk stream but the
+        # unique-chunk store stays IDENTICAL — the storage-dedup point
+        import numpy as np
+
+        from mysql_binlog_ray.stages.text import gear_chunk_rows
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog. " * 8,
+            "pack my box with five dozen liquor jugs! " * 6,
+            "",
+        ]
+        base = pd.DataFrame({"doc_id": range(3), "text": texts})
+        double = pd.DataFrame({"doc_id": range(6), "text": texts + texts})
+
+        def stats(df):
+            r = gear_chunk_rows(df)
+            u = r.groupby("h")["l"].min()
+            return (
+                len(r),
+                int(r["l"].sum()),
+                len(u),
+                int(u.sum()),
+            )
+
+        n1, t1, u1, uc1 = stats(base)
+        n2, t2, u2, uc2 = stats(double)
+        assert t1 == sum(len(t) for t in texts)
+        assert (n2, t2) == (2 * n1, 2 * t1)
+        assert (u2, uc2) == (u1, uc1)
+        assert uc1 <= t1 and u1 <= n1
+
     def test_token_counter_matches_split_semantics(self):
         df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b  c", "  x ", ""]})
         out = TokenCounter()(df)
