@@ -351,6 +351,31 @@ def _mixture_sample_oracle() -> str:
 # the engine's re.ASCII \s includes it); the LSH word hash is DuckDB's
 # md5_number_lower == stages.dedup.word_hash64, bit-for-bit
 _WS_SQL = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+
+# Gear content-defined-chunking boundary rule (stages/text.py::_gear_cuts),
+# shared by the gear_chunks and chunk_dedup oracles.  Arithmetic bounds:
+# g < 2^64 cast to HUGEINT, shifted <= 63 -> each term < 2^127 (fits
+# HUGEINT); %-reduced BEFORE the sum so 64 terms stay < 2^70.  SUM must
+# be HUGEINT: DuckDB's SUM(UHUGEINT) silently returns a DOUBLE and
+# destroys the low bits the boundary rule reads.
+_GEAR_CUTS_CTES = """
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents
+            ), chars AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS i,
+                     CAST(md5_number_lower('gear_' || substr(t, CAST(i AS INT), 1)) AS HUGEINT) AS g,
+                     length(t) AS n
+              FROM d, unnest(range(1, length(t) + 1)) AS r(i)
+            ), h AS (
+              SELECT c1.doc_id, c1.i, c1.n,
+                     SUM((c2.g << CAST(c1.i - c2.i AS HUGEINT)) % (CAST(1 AS HUGEINT) << 64))
+                       % (CAST(1 AS HUGEINT) << 64) AS hv
+              FROM chars c1 JOIN chars c2
+                ON c1.doc_id = c2.doc_id AND c2.i BETWEEN c1.i - 63 AND c1.i
+              GROUP BY c1.doc_id, c1.i, c1.n
+            ), cuts AS (
+              SELECT doc_id, i FROM h WHERE i < n AND hv % 64 = 0
+            )"""
 _W64 = 1 << 64
 _MERSENNE61 = (1 << 61) - 1
 _POLY_B = 1099511628211
@@ -921,29 +946,10 @@ def _oracle_sql_dict() -> dict[str, str]:
             FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
         """,
         "chunk_documents": _chunk_documents_oracle(),
-        # Gear CDC boundaries: g < 2^64 cast to HUGEINT, shifted <= 63
-        # -> each term < 2^127 (fits HUGEINT); %-reduced BEFORE the sum
-        # so 64 terms stay < 2^70.  SUM must be HUGEINT: DuckDB's
-        # SUM(UHUGEINT) silently returns a DOUBLE and destroys the low
-        # bits the boundary rule reads.
-        "gear_chunks_documents": """
-            WITH d AS (
-              SELECT doc_id, coalesce(text, '') AS t FROM documents
-            ), chars AS (
-              SELECT doc_id, CAST(i AS BIGINT) AS i,
-                     CAST(md5_number_lower('gear_' || substr(t, CAST(i AS INT), 1)) AS HUGEINT) AS g,
-                     length(t) AS n
-              FROM d, unnest(range(1, length(t) + 1)) AS r(i)
-            ), h AS (
-              SELECT c1.doc_id, c1.i, c1.n,
-                     SUM((c2.g << CAST(c1.i - c2.i AS HUGEINT)) % (CAST(1 AS HUGEINT) << 64))
-                       % (CAST(1 AS HUGEINT) << 64) AS hv
-              FROM chars c1 JOIN chars c2
-                ON c1.doc_id = c2.doc_id AND c2.i BETWEEN c1.i - 63 AND c1.i
-              GROUP BY c1.doc_id, c1.i, c1.n
-            ), cuts AS (
-              SELECT doc_id, i FROM h WHERE i < n AND hv % 64 = 0
-            ), agg AS (
+        # Gear CDC boundaries (shared CTE chain _GEAR_CUTS_CTES — ONE
+        # source of truth for the boundary rule both oracles assume)
+        "gear_chunks_documents": _GEAR_CUTS_CTES
+        + """, agg AS (
               SELECT doc_id, count(*) AS n_cuts, min(i) AS first_cut, max(i) AS last_cut
               FROM cuts GROUP BY doc_id
             )
@@ -955,24 +961,8 @@ def _oracle_sql_dict() -> dict[str, str]:
         """,
         # chunk-level storage dedup on the same Gear boundary rule;
         # spans from cuts + {0, len} sentinels via a lag window
-        "chunk_dedup_documents": """
-            WITH d AS (
-              SELECT doc_id, coalesce(text, '') AS t FROM documents
-            ), chars AS (
-              SELECT doc_id, CAST(i AS BIGINT) AS i,
-                     CAST(md5_number_lower('gear_' || substr(t, CAST(i AS INT), 1)) AS HUGEINT) AS g,
-                     length(t) AS n
-              FROM d, unnest(range(1, length(t) + 1)) AS r(i)
-            ), h AS (
-              SELECT c1.doc_id, c1.i, c1.n,
-                     SUM((c2.g << CAST(c1.i - c2.i AS HUGEINT)) % (CAST(1 AS HUGEINT) << 64))
-                       % (CAST(1 AS HUGEINT) << 64) AS hv
-              FROM chars c1 JOIN chars c2
-                ON c1.doc_id = c2.doc_id AND c2.i BETWEEN c1.i - 63 AND c1.i
-              GROUP BY c1.doc_id, c1.i, c1.n
-            ), cuts AS (
-              SELECT doc_id, i FROM h WHERE i < n AND hv % 64 = 0
-            ), bounds AS (
+        "chunk_dedup_documents": _GEAR_CUTS_CTES
+        + """, bounds AS (
               SELECT doc_id, i FROM cuts
               UNION ALL SELECT doc_id, 0 FROM d WHERE length(t) > 0
               UNION ALL SELECT doc_id, length(t) FROM d WHERE length(t) > 0
@@ -992,6 +982,7 @@ def _oracle_sql_dict() -> dict[str, str]:
                    count(*) AS n_unique_chunks,
                    CAST(sum(l) AS BIGINT) AS unique_chars
             FROM uniq
+            HAVING count(*) > 0  -- empty corpus: 0 rows, matching the engine
         """,
         "shuffle_order_documents": _shuffle_order_oracle(),
         "pack_sequences_documents": _pack_sequences_oracle(),

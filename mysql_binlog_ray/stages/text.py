@@ -611,49 +611,20 @@ def gear_chunk_stats(
     zeros contribute nothing to the sum), 64 shifted adds, one boolean
     scan.  Returns (id, n_chunks, first_cut, last_cut).
     """
-    G = _gear_table()
-    texts = batch[text_col].fillna("").tolist()
+    encoded, cut_lists = _gear_cuts(batch[text_col].fillna("").tolist(), avg_bits)
     ids = batch[id_col].to_numpy()
-    zero_gap = np.zeros(63, dtype=np.uint64)
-    parts: list[np.ndarray] = []
-    lens: list[int] = []
-    for t in texts:
-        b = np.frombuffer(t.encode(), dtype=np.uint8)
-        parts.append(zero_gap)
-        parts.append(G[b])
-        lens.append(len(b))
-    if not parts:
-        return pd.DataFrame(
-            {
-                id_col: pd.Series(dtype="int64"),
-                "n_chunks": pd.Series(dtype="int64"),
-                "first_cut": pd.Series(dtype="int64"),
-                "last_cut": pd.Series(dtype="int64"),
-            }
-        )
-    g = np.concatenate(parts)
-    h = g.copy()
-    for k in range(1, 64):
-        h[k:] += g[:-k] << np.uint64(k)  # uint64 wraparound == mod 2^64
-    is_cut = (h & np.uint64((1 << avg_bits) - 1)) == 0
-
-    n_chunks = np.empty(len(lens), dtype=np.int64)
-    first = np.full(len(lens), -1, dtype=np.int64)
-    last = np.full(len(lens), -1, dtype=np.int64)
-    pos = 0
-    for d, n in enumerate(lens):
-        pos += 63  # separator
-        if n == 0:
+    n_docs = len(encoded)
+    n_chunks = np.empty(n_docs, dtype=np.int64)
+    first = np.full(n_docs, -1, dtype=np.int64)
+    last = np.full(n_docs, -1, dtype=np.int64)
+    for d, (b, cuts) in enumerate(zip(encoded, cut_lists)):
+        if len(b) == 0:
             n_chunks[d] = 0
-            pos += n
             continue
-        # cuts allowed after positions 1..n-1 (never after the last char)
-        cuts = np.flatnonzero(is_cut[pos : pos + n - 1]) + 1 if n > 1 else np.empty(0, dtype=np.int64)
         n_chunks[d] = len(cuts) + 1
         if len(cuts):
             first[d] = cuts[0]
             last[d] = cuts[-1]
-        pos += n
     return pd.DataFrame(
         {
             id_col: ids.astype(np.int64),
@@ -664,6 +635,47 @@ def gear_chunk_stats(
     )
 
 
+def _gear_cuts(
+    texts: list[str], avg_bits: int
+) -> tuple[list[bytes], list[np.ndarray]]:
+    """ONE Gear boundary kernel for both chunk consumers: per document,
+    the utf-8 bytes and the byte positions (1-based, < len) whose window
+    hash has the low ``avg_bits`` bits zero.  Vectorized: one
+    concatenated gear array for the whole batch (63 zero-gear separators
+    keep windows from crossing documents — zeros contribute nothing to
+    the sum), 64 shifted adds, one boolean scan.  Positions are BYTE
+    offsets throughout; slicing/hashing must use the returned bytes,
+    never the str (byte vs char offsets diverge on non-ASCII text)."""
+    G = _gear_table()
+    zero_gap = np.zeros(63, dtype=np.uint64)
+    encoded: list[bytes] = []
+    parts: list[np.ndarray] = []
+    for t in texts:
+        raw = t.encode()
+        encoded.append(raw)
+        parts.append(zero_gap)
+        parts.append(G[np.frombuffer(raw, dtype=np.uint8)])
+    cut_lists: list[np.ndarray] = []
+    if not parts:
+        return encoded, cut_lists
+    g = np.concatenate(parts)
+    h = g.copy()
+    for k in range(1, 64):
+        h[k:] += g[:-k] << np.uint64(k)  # uint64 wraparound == mod 2^64
+    is_cut = (h & np.uint64((1 << avg_bits) - 1)) == 0
+    pos = 0
+    empty = np.empty(0, dtype=np.int64)
+    for raw in encoded:
+        n = len(raw)
+        pos += 63  # separator
+        # cuts allowed after positions 1..n-1 (never after the last byte)
+        cut_lists.append(
+            np.flatnonzero(is_cut[pos : pos + n - 1]) + 1 if n > 1 else empty
+        )
+        pos += n
+    return encoded, cut_lists
+
+
 def gear_chunk_rows(
     batch: "pd.DataFrame",
     text_col: str = "text",
@@ -671,46 +683,28 @@ def gear_chunk_rows(
     avg_bits: int = 6,
 ) -> "pd.DataFrame":
     """Slim (chunk_hash64, chunk_len) rows under the same Gear boundary
-    rule as :func:`gear_chunk_stats` — the input to chunk-level storage
-    dedup.  Chunk hash = ``word_hash64(chunk_text)`` so the SQL twin is
-    ``md5_number_lower(chunk)``.  Only hashes and lengths ever shuffle;
-    chunk bodies stay in this task."""
-    from .dedup import word_hash64
+    rule as :func:`gear_chunk_stats` (shared kernel: :func:`_gear_cuts`)
+    — the input to chunk-level storage dedup.  Chunks are BYTE slices
+    hashed as bytes (internally consistent for any input); on ASCII text
+    that equals ``md5_number_lower(chunk)``, the SQL twin (same
+    documented parity caveat as Fingerprinter).  Only hashes and lengths
+    ever shuffle; chunk bodies stay in this task."""
+    import hashlib as _hl
 
-    G = _gear_table()
-    texts = batch[text_col].fillna("").tolist()
-    zero_gap = np.zeros(63, dtype=np.uint64)
-    parts: list[np.ndarray] = []
-    lens: list[int] = []
-    for t in texts:
-        b = np.frombuffer(t.encode(), dtype=np.uint8)
-        parts.append(zero_gap)
-        parts.append(G[b])
-        lens.append(len(b))
+    encoded, cut_lists = _gear_cuts(batch[text_col].fillna("").tolist(), avg_bits)
     out_h: list[int] = []
     out_l: list[int] = []
-    if parts:
-        g = np.concatenate(parts)
-        h = g.copy()
-        for k in range(1, 64):
-            h[k:] += g[:-k] << np.uint64(k)
-        is_cut = (h & np.uint64((1 << avg_bits) - 1)) == 0
-        pos = 0
-        for t, n in zip(texts, lens):
-            pos += 63
-            if n == 0:
-                continue
-            cuts = (
-                np.flatnonzero(is_cut[pos : pos + n - 1]) + 1
-                if n > 1
-                else np.empty(0, dtype=np.int64)
+    for raw, cuts in zip(encoded, cut_lists):
+        n = len(raw)
+        if n == 0:
+            continue
+        lo = 0
+        for hi in [*cuts.tolist(), n]:
+            out_h.append(
+                int.from_bytes(_hl.md5(raw[lo:hi]).digest()[8:16], "little")
             )
-            lo = 0
-            for hi in [*cuts.tolist(), n]:
-                out_h.append(word_hash64(t[lo:hi]))
-                out_l.append(hi - lo)
-                lo = hi
-            pos += n
+            out_l.append(hi - lo)
+            lo = hi
     return pd.DataFrame(
         {
             "h": np.array(out_h, dtype=np.uint64).view(np.int64)

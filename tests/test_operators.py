@@ -209,6 +209,21 @@ class TestText:
         assert (u2, uc2) == (u1, uc1)
         assert uc1 <= t1 and u1 <= n1
 
+    def test_gear_chunks_non_ascii_internally_consistent(self):
+        # byte-offset kernel: multibyte text chunks are BYTE slices, so
+        # lengths sum to the utf-8 byte length and re-hashing the
+        # reassembled bytes round-trips (no char/byte misalignment)
+        from mysql_binlog_ray.stages.text import gear_chunk_rows, gear_chunk_stats
+
+        texts = ["café au lait — naïve façade " * 12, "日本語のテキスト " * 20]
+        df = pd.DataFrame({"doc_id": [1, 2], "text": texts})
+        rows = gear_chunk_rows(df)
+        assert rows["l"].sum() == sum(len(t.encode()) for t in texts)
+        stats = gear_chunk_stats(df)
+        assert (stats["n_chunks"] >= 1).all()
+        # stats and rows agree on chunk counts per corpus
+        assert stats["n_chunks"].sum() == len(rows)
+
     def test_token_counter_matches_split_semantics(self):
         df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b  c", "  x ", ""]})
         out = TokenCounter()(df)
