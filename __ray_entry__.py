@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": Q.embedding_neardup_embeddings,
         "embedding_neardup_exact": Q.embedding_neardup_exact_embeddings,
         "ngram_neardup_documents": Q.ngram_neardup_documents,
+        "editdist_pairs_customers": Q.editdist_pairs_customers,
         "neardup_clusters_distributed": Q.neardup_clusters_distributed,
         "semdedup_keep_documents": Q.semdedup_keep_documents,
         "neardup_clusters_bigstar": Q.neardup_clusters_bigstar,
@@ -1292,6 +1293,13 @@ def _oracle_sql_dict() -> dict[str, str]:
             WITH {_NGRAM_PAIR_CTES}
             SELECT doc_a, doc_b, round(jac, 6) AS jaccard
             FROM npairs
+        """,
+        "editdist_pairs_customers": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+            FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+            ORDER BY id_a, id_b
         """,
         "gopher_quality_documents": _gopher_oracle(),
         "histogram_events": """

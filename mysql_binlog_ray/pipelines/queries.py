@@ -479,6 +479,17 @@ def ngram_neardup_documents(sf_dir: str):
     return ngram_jaccard_dedup(ds, threshold=0.5)
 
 
+def editdist_pairs_customers(sf_dir: str):
+    """EXACT byte-level Levenshtein near-dup pairs over customer names
+    (entity-resolution fuzzy matching; DuckDB ``levenshtein`` is also
+    byte-level, so the oracle is a plain brute-force join)."""
+    from ..stages.fuzzy import editdist_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    out = editdist_pairs(ds, max_dist=1, col="c_name", id_col="c_custkey")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def embedding_neardup_exact_embeddings(sf_dir: str):
     """EXACT cosine near-dup pairs (broadcast-corpus matmul, pair ids
     only — similarity values differ from DuckDB's float32 kernel in the

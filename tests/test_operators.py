@@ -1727,3 +1727,93 @@ class TestGroupedHll:
         # partials entirely (no sketch rows) — SQL approx_count_distinct
         # over an empty set is 0 rows here since no sketch is emitted
         assert got == {"x": 1, None: 1}
+
+
+class TestEditdistPairs:
+    """Edit-distance (Levenshtein) fuzzy matching — stages/fuzzy.py."""
+
+    @staticmethod
+    def _lev(a: str, b: str) -> int:
+        a, b = a.encode(), b.encode()
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev = dp[:]
+            dp[0] = i
+            for j in range(1, len(b) + 1):
+                dp[j] = min(prev[j] + 1, dp[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1]))
+        return dp[len(b)]
+
+    def _brute(self, strs, d):
+        return sorted(
+            (i, j, self._lev(strs[i], strs[j]))
+            for i in range(len(strs))
+            for j in range(i + 1, len(strs))
+            if self._lev(strs[i], strs[j]) <= d
+        )
+
+    def test_kernel_parity_adversarial(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from mysql_binlog_ray.stages.fuzzy import _lev_filter, _padded_bytes
+
+        base = "Customer#0000"
+        strs = ["", "a", "aa", "aaa", "aaaa", base, base + "1", base + "12",
+                "x" + base, "abcabc", "bcabca", "ab", "ba", "abc", "cab"]
+        rng = __import__("random").Random(5)
+        strs += ["".join(rng.choice("ab0é") for _ in range(rng.randint(0, 9))) for _ in range(120)]
+        mat, lens = _padded_bytes(pa.array(strs), 64)
+        ai, bi = np.triu_indices(len(strs), k=1)
+        for d in (0, 1, 2, 4):
+            got = _lev_filter(mat[ai], lens[ai], mat[bi], lens[bi], d)
+            exp = np.array([min(self._lev(strs[i], strs[j]), d + 1) for i, j in zip(ai, bi)])
+            assert (got == exp).all()
+
+    def test_ray_path_matches_brute_force_and_tile_independence(self, ray_session):
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.fuzzy import editdist_pairs
+
+        rng = __import__("random").Random(13)
+        strs = ["".join(rng.choice("abc0") for _ in range(rng.randint(0, 6))) for _ in range(150)]
+        ds = rd.from_items([{"id": i, "name": s} for i, s in enumerate(strs)])
+        for d in (1, 2):
+            exp = self._brute(strs, d)
+            for tile_rows, scan in ((7, 5), (64, 16), (4096, 4096)):
+                out = editdist_pairs(
+                    ds, max_dist=d, col="name", id_col="id",
+                    tile_rows=tile_rows, scan_batch_rows=scan,
+                )
+                assert list(out.itertuples(index=False, name=None)) == exp
+
+    def test_byte_level_unicode_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.fuzzy import editdist_pairs
+
+        # DuckDB levenshtein counts BYTE edits ('é' is 2 UTF-8 bytes);
+        # the operator must agree on non-ASCII input
+        strs = ["héllo", "hello", "hèllo", "hell", "héllò"]
+        ds = rd.from_items([{"id": i, "name": s} for i, s in enumerate(strs)])
+        out = editdist_pairs(ds, max_dist=2, col="name", id_col="id")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT unnest(range(5)) AS id, unnest(?) AS name", [strs]
+        )
+        exp = con.execute(
+            """SELECT a.id, b.id, levenshtein(a.name, b.name)
+               FROM t a JOIN t b ON a.id < b.id
+               WHERE levenshtein(a.name, b.name) <= 2 ORDER BY 1, 2"""
+        ).fetchall()
+        assert list(out.itertuples(index=False, name=None)) == [tuple(r) for r in exp]
+
+    def test_max_len_guard(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.fuzzy import editdist_pairs
+
+        ds = rd.from_items([{"id": 0, "name": "x" * 300}, {"id": 1, "name": "y"}])
+        with pytest.raises(Exception, match="max_len"):
+            editdist_pairs(ds, max_dist=1, col="name", id_col="id", max_len=256)
