@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_exact": Q.embedding_neardup_exact_embeddings,
         "ngram_neardup_documents": Q.ngram_neardup_documents,
         "editdist_pairs_customers": Q.editdist_pairs_customers,
+        "vector_stats_by_label": Q.vector_stats_by_label,
         "neardup_clusters_distributed": Q.neardup_clusters_distributed,
         "semdedup_keep_documents": Q.semdedup_keep_documents,
         "neardup_clusters_bigstar": Q.neardup_clusters_bigstar,
@@ -1293,6 +1294,13 @@ def _oracle_sql_dict() -> dict[str, str]:
             WITH {_NGRAM_PAIR_CTES}
             SELECT doc_a, doc_b, round(jac, 6) AS jaccard
             FROM npairs
+        """,
+        "vector_stats_by_label": """
+            SELECT label, dim, min(v) AS vmin, max(v) AS vmax, count(*) AS n
+            FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                         generate_subscripts(embedding, 1) AS dim
+                  FROM embeddings)
+            GROUP BY label, dim ORDER BY label, dim
         """,
         "editdist_pairs_customers": """
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

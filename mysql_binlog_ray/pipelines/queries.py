@@ -479,6 +479,15 @@ def ngram_neardup_documents(sf_dir: str):
     return ngram_jaccard_dedup(ds, threshold=0.5)
 
 
+def vector_stats_by_label(sf_dir: str):
+    """Per-label elementwise embedding range profile (normalization
+    stats per class) — exact float min/max, no arithmetic reordering."""
+    from ..stages.similarity import vector_stats_by_group
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["label", "embedding"])
+    return vector_stats_by_group(ds, group_col="label", vec_col="embedding")
+
+
 def editdist_pairs_customers(sf_dir: str):
     """EXACT byte-level Levenshtein near-dup pairs over customer names
     (entity-resolution fuzzy matching; DuckDB ``levenshtein`` is also

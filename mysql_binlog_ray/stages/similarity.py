@@ -244,6 +244,70 @@ class IvfIndex:
         return out
 
 
+def vector_stats_by_group(
+    ds: rd.Dataset,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Per-group elementwise feature-range profile of an embedding
+    column: ``(group, dim, vmin, vmax, n)`` with ``dim`` 1-based (==
+    DuckDB ``generate_subscripts``).  The normalization-stats building
+    block for per-class feature scaling.
+
+    min/max are EXACT in floating point (no summation-order
+    sensitivity — this is why the profile is range-based, not
+    mean-based: a distributed mean's partial-sum order is not
+    reproducible bit-for-bit against a SQL oracle).
+
+    Scale shape: one vectorized ``reduceat`` partial per batch emits
+    (groups-in-batch x dim) slim rows; the only exchange is the final
+    tiny groupby over (group, dim)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(tab: pa.Table) -> pa.Table:
+        g = tab[group_col].to_numpy()
+        m = _mat_from_arrow(tab[vec_col])
+        order = np.argsort(g, kind="stable")
+        gs, ms = g[order], m[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]]) if len(gs) else np.array([], np.int64)
+        if not len(starts):
+            return pa.table(
+                {
+                    group_col: pa.array([], tab.schema.field(group_col).type),
+                    "dim": pa.array([], pa.int64()),
+                    "vmin": pa.array([], pa.float64()),
+                    "vmax": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        vmin = np.minimum.reduceat(ms, starts, axis=0)
+        vmax = np.maximum.reduceat(ms, starts, axis=0)
+        counts = np.diff(np.r_[starts, len(gs)])
+        ng, dim = vmin.shape
+        return pa.table(
+            {
+                group_col: pa.array(np.repeat(gs[starts], dim)).cast(
+                    tab.schema.field(group_col).type
+                ),
+                "dim": pa.array(np.tile(np.arange(1, dim + 1), ng)),
+                "vmin": pa.array(vmin.ravel()),
+                "vmax": pa.array(vmax.ravel()),
+                "n": pa.array(np.repeat(counts, dim).astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "dim"])
+        .aggregate(
+            Min("vmin", alias_name="vmin"),
+            Max("vmax", alias_name="vmax"),
+            Sum("n", alias_name="n"),
+        )
+    )
+    return out.sort([group_col, "dim"])
+
+
 # ---------------------------------------------------------------------------
 # Tiled all-pairs machinery (shared by the exact and IVF-clustered near-dup)
 # ---------------------------------------------------------------------------

@@ -1817,3 +1817,29 @@ class TestEditdistPairs:
         ds = rd.from_items([{"id": 0, "name": "x" * 300}, {"id": 1, "name": "y"}])
         with pytest.raises(Exception, match="max_len"):
             editdist_pairs(ds, max_dist=1, col="name", id_col="id", max_len=256)
+
+
+class TestVectorStatsByGroup:
+    def test_matches_numpy_across_batch_layouts(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.similarity import vector_stats_by_group
+
+        rng = np.random.default_rng(9)
+        n, dim = 230, 5
+        labels = rng.integers(0, 4, n)
+        vecs = rng.normal(size=(n, dim)).astype(np.float32)
+        items = [{"label": int(l), "embedding": v.tolist()} for l, v in zip(labels, vecs)]
+        for nblocks in (1, 7):
+            ds = rd.from_items(items, override_num_blocks=nblocks)
+            out = vector_stats_by_group(ds).to_pandas()
+            # exact float64 equality: min/max are order-insensitive
+            for lab in range(4):
+                sub = vecs[labels == lab].astype(np.float64)
+                got = out[out["label"] == lab].sort_values("dim")
+                assert (got["vmin"].to_numpy() == sub.min(axis=0)).all()
+                assert (got["vmax"].to_numpy() == sub.max(axis=0)).all()
+                assert (got["n"] == len(sub)).all()
+                assert list(got["dim"]) == list(range(1, dim + 1))
