@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_neardup_documents": Q.ngram_neardup_documents,
         "editdist_pairs_customers": Q.editdist_pairs_customers,
         "vector_stats_by_label": Q.vector_stats_by_label,
+        "zorder_events": Q.zorder_events,
         "neardup_clusters_distributed": Q.neardup_clusters_distributed,
         "semdedup_keep_documents": Q.semdedup_keep_documents,
         "neardup_clusters_bigstar": Q.neardup_clusters_bigstar,
@@ -609,6 +610,15 @@ def _snapshot_export_oracle() -> str:
                user_id, event_id, event_type, value
         FROM r WHERE rn = 1
     """
+
+
+def _zorder_oracle() -> str:
+    from mysql_binlog_ray.stages.layout import zorder_sql_expr
+
+    z = zorder_sql_expr(
+        ["user_id", "CAST(floor(COALESCE(value, 0)) AS BIGINT)"], bits=16
+    )
+    return f"SELECT event_id, {z} AS zval FROM events"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1295,6 +1305,7 @@ def _oracle_sql_dict() -> dict[str, str]:
             SELECT doc_a, doc_b, round(jac, 6) AS jaccard
             FROM npairs
         """,
+        "zorder_events": _zorder_oracle(),
         "vector_stats_by_label": """
             SELECT label, dim, min(v) AS vmin, max(v) AS vmax, count(*) AS n
             FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,

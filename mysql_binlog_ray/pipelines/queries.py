@@ -479,6 +479,31 @@ def ngram_neardup_documents(sf_dir: str):
     return ngram_jaccard_dedup(ds, threshold=0.5)
 
 
+def zorder_events(sf_dir: str):
+    """Z-order (Morton) clustering key over (user_id, floor(value)) —
+    the multi-column lake-layout sort; exact integer interleave, so the
+    oracle is the same bit expression."""
+    from ..stages.layout import add_zorder_key
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "value"])
+
+    def quantize(tab: pa.Table) -> pa.Table:
+        v = tab["value"].to_numpy(zero_copy_only=False)
+        y = np.floor(np.nan_to_num(v, nan=0.0)).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": tab["event_id"],
+                "user_id": tab["user_id"],
+                "_y": pa.array(y),
+            }
+        )
+
+    keyed = add_zorder_key(
+        ds.map_batches(quantize, batch_format="pyarrow"), ["user_id", "_y"], bits=16
+    )
+    return keyed.select_columns(["event_id", "zval"]).sort("zval")
+
+
 def vector_stats_by_label(sf_dir: str):
     """Per-label elementwise embedding range profile (normalization
     stats per class) — exact float min/max, no arithmetic reordering."""

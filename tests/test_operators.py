@@ -1843,3 +1843,78 @@ class TestVectorStatsByGroup:
                 assert (got["vmax"].to_numpy() == sub.max(axis=0)).all()
                 assert (got["n"] == len(sub)).all()
                 assert list(got["dim"]) == list(range(1, dim + 1))
+
+
+class TestZorderLayout:
+    def test_interleave_matches_reference_bits(self):
+        import numpy as np
+
+        from mysql_binlog_ray.stages.layout import zorder_values
+
+        rng = np.random.default_rng(21)
+        x = rng.integers(-5, 70000, 500).astype(np.int64)
+        y = rng.integers(0, 70000, 500).astype(np.int64)
+        got = zorder_values([x, y], bits=16)
+
+        def ref(a, b):
+            am, bm = a & 0xFFFF, b & 0xFFFF
+            z = 0
+            for k in range(16):
+                z |= ((am >> k) & 1) << (2 * k)
+                z |= ((bm >> k) & 1) << (2 * k + 1)
+            return z
+
+        exp = np.array([ref(int(a), int(b)) for a, b in zip(x, y)])
+        assert (got == exp).all()
+
+    def test_sql_expr_matches_numpy(self):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+
+        from mysql_binlog_ray.stages.layout import zorder_sql_expr, zorder_values
+
+        rng = np.random.default_rng(4)
+        df = pd.DataFrame(
+            {"a": rng.integers(0, 1 << 20, 300), "b": rng.integers(-100, 1 << 20, 300)}
+        )
+        expr = zorder_sql_expr(["a", "b"], bits=16)
+        got = duckdb.sql(f"SELECT {expr} AS z FROM df").fetchnumpy()["z"]
+        exp = zorder_values([df["a"].to_numpy(), df["b"].to_numpy()], bits=16)
+        assert (got == exp).all()
+
+    def test_clustering_improves_two_dim_block_locality(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.layout import zorder_sort
+
+        rng = np.random.default_rng(7)
+        n = 20_000
+        items = [
+            {"x": int(a), "y": int(b)}
+            for a, b in zip(rng.integers(0, 4096, n), rng.integers(0, 4096, n))
+        ]
+        ds = rd.from_items(items, override_num_blocks=16)
+
+        def blocks_touched(sorted_ds):
+            """Blocks whose min/max stats intersect selective x-only and
+            y-only predicates — the min/max file-pruning model (64
+            blocks; windows away from the curve's top-level splits)."""
+            spans = [
+                (b["x"].min(), b["x"].max(), b["y"].min(), b["y"].max())
+                for b in sorted_ds.iter_batches(batch_size=n // 64, batch_format="numpy")
+            ]
+            total = 0
+            for lo, hi in ((900, 963), (3100, 3163)):
+                total += sum(1 for x0, x1, _, _ in spans if x0 <= hi and x1 >= lo)
+                total += sum(1 for _, _, y0, y1 in spans if y0 <= hi and y1 >= lo)
+            return total
+
+        z_touch = blocks_touched(zorder_sort(ds, ["x", "y"], bits=12))
+        x_touch = blocks_touched(ds.sort("x"))
+        # a single-column sort prunes perfectly on x but leaves y
+        # unconstrained (a y predicate touches EVERY block); the z-order
+        # curve bounds both dimensions, so the combined touch count drops
+        # (measured ~47 vs ~134 at this seed)
+        assert z_touch < x_touch / 1.5
