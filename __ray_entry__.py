@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "editdist_pairs_customers": Q.editdist_pairs_customers,
         "vector_stats_by_label": Q.vector_stats_by_label,
         "zorder_events": Q.zorder_events,
+        "resample_fill_events": Q.resample_fill_events,
         "neardup_clusters_distributed": Q.neardup_clusters_distributed,
         "semdedup_keep_documents": Q.semdedup_keep_documents,
         "neardup_clusters_bigstar": Q.neardup_clusters_bigstar,
@@ -1306,6 +1307,22 @@ def _oracle_sql_dict() -> dict[str, str]:
             FROM npairs
         """,
         "zorder_events": _zorder_oracle(),
+        "resample_fill_events": """
+            WITH b AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT unnest(generate_series((SELECT min(bucket) FROM b),
+                                            (SELECT max(bucket) FROM b))) AS bucket
+            ),
+            g AS (SELECT DISTINCT event_type FROM events)
+            SELECT g.event_type, r.bucket, COALESCE(b.n, 0) AS n
+            FROM g CROSS JOIN r
+            LEFT JOIN b ON b.event_type = g.event_type AND b.bucket = r.bucket
+        """,
         "vector_stats_by_label": """
             SELECT label, dim, min(v) AS vmin, max(v) AS vmax, count(*) AS n
             FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,

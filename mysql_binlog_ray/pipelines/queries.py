@@ -479,6 +479,15 @@ def ngram_neardup_documents(sf_dir: str):
     return ngram_jaccard_dedup(ds, threshold=0.5)
 
 
+def resample_fill_events(sf_dir: str):
+    """Hourly per-event_type counts with gap fill over the dense global
+    hour range (time-series regularization)."""
+    from ..stages.window import resample_fill
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type"])
+    return resample_fill(ds, ts_col="ts", group_col="event_type", unit_sec=3600)
+
+
 def zorder_events(sf_dir: str):
     """Z-order (Morton) clustering key over (user_id, floor(value)) —
     the multi-column lake-layout sort; exact integer interleave, so the

@@ -647,3 +647,89 @@ def grouping_sets_aggregate(
         return b.drop_columns([f"_isn_{c}" for c in keys])
 
     return rolled.map_batches(restore, batch_format="pyarrow")
+
+
+def resample_fill(
+    ds: rd.Dataset,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    unit_sec: int = 3600,
+) -> rd.Dataset:
+    """Calendar resampling with gap fill: per (group, time bucket)
+    counts over the DENSE global bucket range — buckets with no events
+    appear with ``n = 0`` (the time-series regularization step ahead of
+    windowed models; SQL twin: ``generate_series`` cross join).
+
+    Intended for bounded group cardinality (categories, tables,
+    sources).  Scale shape: one pre-aggregated groupby reduces the
+    input to (group x active-bucket) partial rows; the dense grid —
+    which IS the output, so nothing larger than the output is ever
+    built — is generated distributed from ``rd.range`` over buckets
+    with the aggregated counts broadcast once via ``ray.put``."""
+    import ray
+
+    _TICKS = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+
+    def bucketize(tab: pa.Table) -> pa.Table:
+        # divisor follows the column's actual timestamp unit (parquet is
+        # typically us; pandas-originated data is ns)
+        ticks = _TICKS[tab.schema.field(ts_col).type.unit]
+        raw = tab[ts_col].to_numpy().view("int64")
+        return pa.table(
+            {group_col: tab[group_col], "bucket": pa.array(raw // (unit_sec * ticks))}
+        )
+
+    counts = preagg_groupby(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        [group_col, "bucket"],
+        {"n": (None, "count")},
+    ).to_pandas()  # O(groups x active buckets) == O(output): bounded
+    if counts.empty:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        )
+    lo, hi = int(counts["bucket"].min()), int(counts["bucket"].max())
+    groups = sorted(counts[group_col].unique())
+    per_group = {
+        g: (
+            sub["bucket"].to_numpy(np.int64),
+            sub["n"].to_numpy(np.int64),
+        )
+        for g, sub in (
+            (g, counts[counts[group_col] == g].sort_values("bucket"))
+            for g in groups
+        )
+    }
+    bc = ray.put((groups, per_group))
+    cache: dict = {}
+
+    def fill(tab: pa.Table) -> pa.Table:
+        state = cache.get("s")
+        if state is None:
+            state = cache["s"] = ray.get(bc)
+        gs, pg = state
+        buckets = tab["id"].to_numpy() + lo
+        out_g, out_b, out_n = [], [], []
+        for g in gs:
+            gb, gn = pg[g]
+            idx = np.searchsorted(gb, buckets)
+            idx_c = np.minimum(idx, len(gb) - 1)
+            n = np.where(gb[idx_c] == buckets, gn[idx_c], 0)
+            out_g.append(np.full(len(buckets), g, dtype=object))
+            out_b.append(buckets)
+            out_n.append(n)
+        return pa.table(
+            {
+                group_col: pa.array(np.concatenate(out_g)),
+                "bucket": pa.array(np.concatenate(out_b)),
+                "n": pa.array(np.concatenate(out_n).astype(np.int64)),
+            }
+        )
+
+    return rd.range(hi - lo + 1).map_batches(fill, batch_format="pyarrow")

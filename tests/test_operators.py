@@ -1819,6 +1819,37 @@ class TestEditdistPairs:
             editdist_pairs(ds, max_dist=1, col="name", id_col="id", max_len=256)
 
 
+    def test_kernel_property_roundtrip(self):
+        """Hypothesis: the vectorized trimmed DP equals the classic DP on
+        arbitrary byte strings (covers padding, trims, pruning, unicode)."""
+        import numpy as np
+        import pyarrow as pa
+        from hypothesis import given, settings, strategies as st
+
+        from mysql_binlog_ray.stages.fuzzy import _lev_filter, _padded_bytes
+
+        lev = TestEditdistPairs._lev
+
+        @settings(max_examples=80, deadline=None)
+        @given(
+            pairs=st.lists(
+                st.tuples(st.text(max_size=12), st.text(max_size=12)),
+                min_size=1,
+                max_size=20,
+            ),
+            d=st.integers(0, 4),
+        )
+        def check(pairs, d):
+            flat = [s for ab in pairs for s in ab]
+            mat, lens = _padded_bytes(pa.array(flat, pa.string()), 256)
+            ai = np.arange(0, len(flat), 2)
+            bi = ai + 1
+            got = _lev_filter(mat[ai], lens[ai], mat[bi], lens[bi], d)
+            exp = np.array([min(lev(a, b), d + 1) for a, b in pairs])
+            assert (got == exp).all()
+
+        check()
+
 class TestVectorStatsByGroup:
     def test_matches_numpy_across_batch_layouts(self, ray_session):
         import numpy as np
@@ -1918,3 +1949,4 @@ class TestZorderLayout:
         # curve bounds both dimensions, so the combined touch count drops
         # (measured ~47 vs ~134 at this seed)
         assert z_touch < x_touch / 1.5
+

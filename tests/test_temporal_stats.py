@@ -361,3 +361,47 @@ class TestAsofSnapshotsCompositeKeys:
         got = got.astype({"k1": "float64", "payload": "int64", "watermark": "int64"})
         exp = exp.astype({"k1": "float64", "payload": "int64", "watermark": "int64"})
         pd.testing.assert_frame_equal(got, exp)
+
+
+class TestResampleFill:
+    def test_gaps_filled_and_counts_exact(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.window import resample_fill
+
+        base = pd.Timestamp("2025-01-01 00:30:00")
+        rows = [
+            # type a: hours 0, 0, 3 (gap at 1, 2); type b: hour 2 only
+            {"ts": base, "event_type": "a"},
+            {"ts": base + pd.Timedelta(minutes=5), "event_type": "a"},
+            {"ts": base + pd.Timedelta(hours=3), "event_type": "a"},
+            {"ts": base + pd.Timedelta(hours=2), "event_type": "b"},
+        ]
+        ds = rd.from_pandas(pd.DataFrame(rows))
+        out = resample_fill(ds, unit_sec=3600).to_pandas()
+        out = out.sort_values(["event_type", "bucket"]).reset_index(drop=True)
+        h0 = int(base.value // (3600 * 10**9))
+        assert len(out) == 8  # 2 groups x 4 dense hours
+        a = out[out["event_type"] == "a"]["n"].tolist()
+        b = out[out["event_type"] == "b"]["n"].tolist()
+        assert a == [2, 0, 0, 1]
+        assert b == [0, 0, 1, 0]
+        assert out["bucket"].min() == h0 and out["bucket"].max() == h0 + 3
+
+    def test_empty_input(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.window import resample_fill
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"ts": pd.Series(dtype="datetime64[us]"),
+                          "event_type": pd.Series(dtype="string")})
+        )
+        out = resample_fill(ds)
+        # Ray's to_pandas() drops columns on empty datasets; the typed
+        # schema is the contract
+        assert out.schema().names == ["event_type", "bucket", "n"]
+        assert out.count() == 0
