@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_stats_by_label": Q.vector_stats_by_label,
         "zorder_events": Q.zorder_events,
         "resample_fill_events": Q.resample_fill_events,
+        "winsorize_events": Q.winsorize_events,
         "neardup_clusters_distributed": Q.neardup_clusters_distributed,
         "semdedup_keep_documents": Q.semdedup_keep_documents,
         "neardup_clusters_bigstar": Q.neardup_clusters_bigstar,
@@ -1307,6 +1308,20 @@ def _oracle_sql_dict() -> dict[str, str]:
             FROM npairs
         """,
         "zorder_events": _zorder_oracle(),
+        "winsorize_events": """
+            WITH b AS (
+              SELECT event_type,
+                     quantile_disc(value, 0.05) AS lo,
+                     quantile_disc(value, 0.95) AS hi
+              FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type,
+                   CASE WHEN e.value IS NULL THEN NULL
+                        WHEN e.value < b.lo THEN b.lo
+                        WHEN e.value > b.hi THEN b.hi
+                        ELSE e.value END AS clipped
+            FROM events e JOIN b USING (event_type)
+        """,
         "resample_fill_events": """
             WITH b AS (
               SELECT event_type,

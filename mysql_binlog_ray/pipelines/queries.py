@@ -479,6 +479,16 @@ def ngram_neardup_documents(sf_dir: str):
     return ngram_jaccard_dedup(ds, threshold=0.5)
 
 
+def winsorize_events(sf_dir: str):
+    """Per-event_type winsorization of value at the exact p05/p95
+    discrete percentiles (outlier clipping for feature pipelines)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+    out = R.winsorize(ds, ["event_type"], "value", 0.05, 0.95)
+    return out.select_columns(["event_id", "event_type", "clipped"])
+
+
 def resample_fill_events(sf_dir: str):
     """Hourly per-event_type counts with gap fill over the dense global
     hour range (time-series regularization)."""

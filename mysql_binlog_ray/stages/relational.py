@@ -905,6 +905,45 @@ def group_percentiles(
     return keyed_reduce(ds, keys, combine)
 
 
+def winsorize(
+    ds: rd.Dataset,
+    keys: list[str],
+    val_col: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    out_col: str = "clipped",
+) -> rd.Dataset:
+    """Per-group winsorization: clip ``val_col`` to its group's
+    [q_lo, q_hi] EXACT discrete percentiles (``quantile_disc`` — clip
+    bounds are actual data values, so no interpolation arithmetic and
+    the SQL oracle matches bit-for-bit).  NULL values stay NULL.
+
+    Scale shape: bounds come from :func:`group_percentiles` (one keyed
+    exchange, one row per group) and are broadcast once via ``ray.put``;
+    the clip is a stateless vectorized ``map_batches``.  Intended for
+    bounded group cardinality (the bounds table is the broadcast)."""
+    bounds = group_percentiles(ds, keys, val_col, [q_lo, q_hi], ["_lo", "_hi"]).to_pandas()
+    bc = ray.put(bounds)
+    cache: dict = {}
+
+    def clip(batch: pd.DataFrame) -> pd.DataFrame:
+        b = cache.get("b")
+        if b is None:
+            b = cache["b"] = ray.get(bc)
+        merged = batch.merge(b, on=keys, how="left")
+        v = merged[val_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        lo = merged["_lo"].to_numpy(dtype=np.float64, na_value=np.nan)
+        hi = merged["_hi"].to_numpy(dtype=np.float64, na_value=np.nan)
+        # groups absent from bounds cannot occur (bounds derive from the
+        # same input); all-NULL groups have NaN bounds and NaN values,
+        # so the NaN-propagating clip is vacuously correct there
+        batch = batch.copy()
+        batch[out_col] = np.clip(v, lo, hi)
+        return batch
+
+    return ds.map_batches(clip, batch_format="pandas")
+
+
 def grouped_top_n(
     ds: rd.Dataset,
     group_cols: list[str],

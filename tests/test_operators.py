@@ -1950,3 +1950,38 @@ class TestZorderLayout:
         # (measured ~47 vs ~134 at this seed)
         assert z_touch < x_touch / 1.5
 
+
+
+class TestWinsorize:
+    def test_clip_bounds_and_nulls(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.relational import winsorize
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame(
+            {
+                "g": np.repeat(["a", "b"], 100),
+                "v": np.concatenate([rng.normal(0, 1, 100), rng.normal(50, 10, 100)]),
+            }
+        )
+        df.loc[5, "v"] = None  # NULL stays NULL
+        out = (
+            winsorize(rd.from_pandas(df), ["g"], "v", 0.10, 0.90)
+            .to_pandas()
+            .sort_index()
+        )
+        for g in ("a", "b"):
+            vals = df[df["g"] == g]["v"].dropna().sort_values().to_numpy()
+            n = len(vals)
+            lo = vals[int(np.ceil(0.10 * n)) - 1]
+            hi = vals[int(np.ceil(0.90 * n)) - 1]
+            got = out[out["g"] == g]["clipped"]
+            src = df[df["g"] == g]["v"]
+            exp = src.clip(lo, hi)
+            assert np.allclose(got.dropna(), exp.dropna(), rtol=0, atol=0)
+            assert got.isna().equals(src.isna())
+            # bounds are actual data values (quantile_disc semantics)
+            assert got.min() == lo and got.max() == hi
