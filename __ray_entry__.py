@@ -1327,13 +1327,16 @@ def _oracle_sql_dict() -> dict[str, str]:
               SELECT event_type,
                      CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
                      count(*) AS n
-              FROM events GROUP BY 1, 2
+              FROM events
+              WHERE ts IS NOT NULL AND event_type IS NOT NULL
+              GROUP BY 1, 2
             ),
             r AS (
               SELECT unnest(generate_series((SELECT min(bucket) FROM b),
                                             (SELECT max(bucket) FROM b))) AS bucket
             ),
-            g AS (SELECT DISTINCT event_type FROM events)
+            g AS (SELECT DISTINCT event_type FROM events
+                  WHERE ts IS NOT NULL AND event_type IS NOT NULL)
             SELECT g.event_type, r.bucket, COALESCE(b.n, 0) AS n
             FROM g CROSS JOIN r
             LEFT JOIN b ON b.event_type = g.event_type AND b.bucket = r.bucket

@@ -32,6 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 import ray
@@ -53,6 +54,13 @@ def _padded_bytes(arr: pa.ChunkedArray | pa.Array, max_len: int) -> tuple[np.nda
     MinHash/SimHash/n-gram operators."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if arr.null_count:
+        # NULL slots have undefined offset deltas in the Arrow spec —
+        # they could read as garbage bytes or empty strings; either
+        # silently diverges from SQL (levenshtein(NULL, x) IS NULL, so
+        # NULL never pairs).  _string_tiles filters NULLs; reaching here
+        # with one is a caller bug.
+        raise ValueError("_padded_bytes: NULL strings must be filtered first")
     bin_arr = arr.cast(pa.binary())
     # offsets/data relative to the array's own slice offset
     offsets = np.frombuffer(bin_arr.buffers()[1], np.int32)[
@@ -192,6 +200,10 @@ def _string_tiles(
     ARE the broadcast tiles (driver holds refs only)."""
 
     def to_tile(tab: pa.Table) -> pa.Table:
+        # NULL strings never pair (SQL: levenshtein(NULL, x) IS NULL,
+        # excluded by any distance predicate) — drop them here so every
+        # downstream buffer walk sees only valid slots
+        tab = tab.filter(pc.is_valid(tab[col]))
         return pa.table({id_col: tab[id_col], col: tab[col].cast(pa.large_binary())})
 
     return ds.map_batches(to_tile, batch_format="pyarrow", batch_size=tile_rows).materialize()
@@ -251,16 +263,14 @@ def editdist_pairs(
                 # Equal-length pairs always fit in min(widths): a string
                 # longer than the other side's max length has no
                 # equal-length partner there.
-                w = min(b_mat.shape[1], t_mat.shape[1])
-                ham = np.zeros((len(b_ids), len(t_ids)), np.int32)
-                for p in range(w):
-                    ham += b_mat[:, p : p + 1] != t_mat[None, :, p]
-                eq_hit = (
-                    keep
-                    & (b_lens[:, None] == t_lens[None, :])
-                    & (ham <= 1)
-                )
-                bi_e, ti_e = np.nonzero(eq_hit)
+                eq = keep & (b_lens[:, None] == t_lens[None, :])
+                bi_e = ti_e = np.array([], np.int64)
+                if eq.any():
+                    w = min(b_mat.shape[1], t_mat.shape[1])
+                    ham = np.zeros((len(b_ids), len(t_ids)), np.int32)
+                    for p in range(w):
+                        ham += b_mat[:, p : p + 1] != t_mat[None, :, p]
+                    bi_e, ti_e = np.nonzero(eq & (ham <= 1))
                 if len(bi_e):
                     out.append(
                         pd.DataFrame(

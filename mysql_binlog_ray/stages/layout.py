@@ -49,6 +49,10 @@ def zorder_sql_expr(col_exprs: list[str], bits: int = 16) -> str:
     """The identical interleave as a SQL expression over pre-masked
     integer expressions (generate with the SAME bits/column order)."""
     n = len(col_exprs)
+    if n * bits > 63:  # same guard as zorder_values — the twins must
+        raise ValueError(  # refuse the same inputs, not silently overflow
+            f"{n} cols x {bits} bits exceeds the int64 z-value"
+        )
     terms = []
     for c, e in enumerate(col_exprs):
         masked = f"(({e}) & {(1 << bits) - 1})"
@@ -67,6 +71,15 @@ def add_zorder_key(
     map stage; caller quantizes non-integer dimensions first)."""
 
     def add_z(tab: pa.Table) -> pa.Table:
+        for c in cols:
+            if tab[c].null_count:
+                # a NULL key would decode to NaN and take an arbitrary
+                # int64 bit pattern (the SQL twin yields NULL z) —
+                # refuse instead of silently clustering garbage
+                raise ValueError(
+                    f"add_zorder_key: column {c!r} has NULLs — COALESCE/"
+                    "quantize it first (the SQL twin's `x & mask` is NULL)"
+                )
         arrs = [tab[c].to_numpy(zero_copy_only=False) for c in cols]
         return tab.append_column(out_col, pa.array(zorder_values(arrs, bits)))
 

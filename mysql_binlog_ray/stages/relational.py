@@ -918,19 +918,28 @@ def winsorize(
     bounds are actual data values, so no interpolation arithmetic and
     the SQL oracle matches bit-for-bit).  NULL values stay NULL.
 
+    Rows with a NULL group key are DROPPED (the SQL twin's inner
+    ``JOIN ... USING (keys)`` never matches NULL keys; pandas merge
+    would silently match NaN==NaN and diverge from the oracle).
+
     Scale shape: bounds come from :func:`group_percentiles` (one keyed
-    exchange, one row per group) and are broadcast once via ``ray.put``;
-    the clip is a stateless vectorized ``map_batches``.  Intended for
-    bounded group cardinality (the bounds table is the broadcast)."""
+    exchange, one row per group) and are broadcast once; the clip is a
+    stateless vectorized ``map_batches``.  Intended for bounded group
+    cardinality (the bounds table is the broadcast)."""
+
+    def drop_null_keys(tab: pa.Table) -> pa.Table:
+        mask = None
+        for k in keys:
+            v = pc.is_valid(tab[k])
+            mask = v if mask is None else pc.and_(mask, v)
+        return tab.filter(mask)
+
+    ds = ds.map_batches(drop_null_keys, batch_format="pyarrow")
     bounds = group_percentiles(ds, keys, val_col, [q_lo, q_hi], ["_lo", "_hi"]).to_pandas()
-    bc = ray.put(bounds)
-    cache: dict = {}
+    get_bounds = broadcast_once(bounds)
 
     def clip(batch: pd.DataFrame) -> pd.DataFrame:
-        b = cache.get("b")
-        if b is None:
-            b = cache["b"] = ray.get(bc)
-        merged = batch.merge(b, on=keys, how="left")
+        merged = batch.merge(get_bounds(), on=keys, how="left")
         v = merged[val_col].to_numpy(dtype=np.float64, na_value=np.nan)
         lo = merged["_lo"].to_numpy(dtype=np.float64, na_value=np.nan)
         hi = merged["_hi"].to_numpy(dtype=np.float64, na_value=np.nan)

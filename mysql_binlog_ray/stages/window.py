@@ -660,17 +660,27 @@ def resample_fill(
     appear with ``n = 0`` (the time-series regularization step ahead of
     windowed models; SQL twin: ``generate_series`` cross join).
 
+    Rows with a NULL timestamp or NULL group are DROPPED (a NaT views
+    as INT64_MIN and would stretch the dense range by ~10^12 buckets;
+    a NULL group never joins in the SQL twin — both match SQL
+    aggregate/join semantics only by exclusion).
+
     Intended for bounded group cardinality (categories, tables,
     sources).  Scale shape: one pre-aggregated groupby reduces the
     input to (group x active-bucket) partial rows; the dense grid —
     which IS the output, so nothing larger than the output is ever
     built — is generated distributed from ``rd.range`` over buckets
-    with the aggregated counts broadcast once via ``ray.put``."""
-    import ray
+    with the aggregated counts broadcast once."""
+    import pyarrow.compute as pc
+
+    from .relational import broadcast_once
 
     _TICKS = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
 
     def bucketize(tab: pa.Table) -> pa.Table:
+        tab = tab.filter(
+            pc.and_(pc.is_valid(tab[ts_col]), pc.is_valid(tab[group_col]))
+        )
         # divisor follows the column's actual timestamp unit (parquet is
         # typically us; pandas-originated data is ns)
         ticks = _TICKS[tab.schema.field(ts_col).type.unit]
@@ -706,14 +716,10 @@ def resample_fill(
             for g in groups
         )
     }
-    bc = ray.put((groups, per_group))
-    cache: dict = {}
+    get_state = broadcast_once((groups, per_group))
 
     def fill(tab: pa.Table) -> pa.Table:
-        state = cache.get("s")
-        if state is None:
-            state = cache["s"] = ray.get(bc)
-        gs, pg = state
+        gs, pg = get_state()
         buckets = tab["id"].to_numpy() + lo
         out_g, out_b, out_n = [], [], []
         for g in gs:

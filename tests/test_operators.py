@@ -1985,3 +1985,76 @@ class TestWinsorize:
             assert got.isna().equals(src.isna())
             # bounds are actual data values (quantile_disc semantics)
             assert got.min() == lo and got.max() == hi
+
+
+class TestSessionReviewRegressions:
+    """Round-3 continuation review fixes: NULL handling in the new
+    operators must match their SQL twins (or refuse loudly)."""
+
+    def test_editdist_null_strings_never_pair(self, ray_session):
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.fuzzy import editdist_pairs
+
+        items = [
+            {"id": 0, "name": "abc"},
+            {"id": 1, "name": None},   # levenshtein(NULL, x) IS NULL in SQL
+            {"id": 2, "name": "abd"},
+            {"id": 3, "name": None},
+        ]
+        out = editdist_pairs(rd.from_items(items), max_dist=3, col="name", id_col="id")
+        assert list(out.itertuples(index=False, name=None)) == [(0, 2, 1)]
+
+    def test_resample_fill_drops_null_ts_and_group(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.window import resample_fill
+
+        base = pd.Timestamp("2025-01-01 00:30:00")
+        df = pd.DataFrame(
+            {
+                "ts": [base, pd.NaT, base + pd.Timedelta(hours=1), base],
+                "event_type": ["a", "a", "a", None],
+            }
+        )
+        out = resample_fill(rd.from_pandas(df)).to_pandas()
+        # NaT must not stretch the range to INT64_MIN; NULL group dropped
+        assert len(out) == 2
+        assert out["n"].tolist() == [1, 1]
+
+    def test_winsorize_drops_null_group_keys(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.relational import winsorize
+
+        df = pd.DataFrame(
+            {"g": ["a"] * 10 + [None], "v": list(range(10)) + [99.0]}
+        )
+        out = winsorize(rd.from_pandas(df), ["g"], "v", 0.1, 0.9).to_pandas()
+        # the SQL twin's inner JOIN USING (g) drops NULL-key rows
+        assert len(out) == 10
+        assert out["g"].notna().all()
+
+    def test_zorder_null_key_raises(self, ray_session):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.layout import add_zorder_key
+
+        ds = rd.from_pandas(pd.DataFrame({"x": [1, None, 3], "y": [1, 2, 3]}))
+        with pytest.raises(Exception, match="NULL"):
+            add_zorder_key(ds, ["x", "y"]).materialize()
+
+    def test_zorder_sql_expr_overflow_guard(self):
+        import pytest
+
+        from mysql_binlog_ray.stages.layout import zorder_sql_expr, zorder_values
+
+        with pytest.raises(ValueError, match="int64"):
+            zorder_sql_expr(["a", "b", "c", "d"], bits=16)
+        import numpy as np
+        with pytest.raises(ValueError, match="int64"):
+            zorder_values([np.arange(2)] * 4, bits=16)
