@@ -1065,12 +1065,21 @@ def compact_lake(
     lake_dir: str,
     new_num_partitions: int,
     cfg: CdcConfig | None = None,
+    zorder_cols: list[str] | None = None,
+    zorder_bits: int = 16,
 ) -> dict[str, Any]:
     """Lake maintenance: rewrite the lake under a new partition count
     (e.g. after data growth made partitions lopsided).  Content is
     unchanged — rows re-hash to new partitions, lineage preserved —
     and the switch is atomic via the manifest commit.  Old partition
     dirs beyond the new count are removed after the commit.
+
+    ``zorder_cols`` (integer columns) switches the intra-partition row
+    order from the key sort to the Morton curve over those columns (the
+    OPTIMIZE ZORDER analog): parquet row-group min/max stats then prune
+    on EVERY listed column for range scans over the lake.  Partition
+    membership, content, watermark, and resume metadata are untouched —
+    only row order inside each partition file changes.
     """
     import shutil as _shutil
 
@@ -1093,9 +1102,27 @@ def compact_lake(
     def write_part(group: pa.Table) -> pa.Table:
         part = int(group.column("_part")[0].as_py())
         final = group.drop_columns(["_part"])
-        final = final.take(
-            pc.sort_indices(final, sort_keys=[(k, "ascending") for k in key_cols])
-        )
+        if zorder_cols:
+            import numpy as np
+
+            from ..stages.layout import zorder_values
+
+            # NULLs (e.g. schema-evolution null-fill) map to 0 for the
+            # curve — this is a PHYSICAL row-order choice only; values
+            # are untouched, so no oracle/SQL parity is at stake (unlike
+            # add_zorder_key, which refuses NULLs)
+            z = zorder_values(
+                [
+                    pc.fill_null(final[c], 0).to_numpy(zero_copy_only=False)
+                    for c in zorder_cols
+                ],
+                zorder_bits,
+            )
+            final = final.take(pa.array(np.argsort(z, kind="stable")))
+        else:
+            final = final.take(
+                pc.sort_indices(final, sort_keys=[(k, "ascending") for k in key_cols])
+            )
         size = atomic_write_parquet(
             final, _lake_partition_path(staging, part), compression="zstd"
         )

@@ -122,6 +122,41 @@ class TestCompaction:
         follow(manifest, lake, CdcConfig(num_partitions=4))
         assert _normalize(read_lake(lake).to_pandas()).equals(before)
 
+    def test_zorder_compact_preserves_content_and_orders_rows(
+        self, small_stream, tmp_path
+    ):
+        import glob
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray.stages.layout import zorder_values
+
+        spec, out, manifest = small_stream
+        lake = str(tmp_path / "zlake")
+        run_to_lake(manifest, lake, CdcConfig(num_partitions=8))
+        before = _normalize(read_lake(lake).to_pandas())
+        m2 = compact_lake(lake, 8, zorder_cols=["stars", "event_seq"])
+        assert m2["num_partitions"] == 8
+        after = _normalize(read_lake(lake).to_pandas())
+        assert before.equals(after)
+        # every partition file is physically ordered by the Morton key
+        for f in glob.glob(f"{lake}/part=*/*.parquet"):
+            import pyarrow.compute as pc
+
+            t = pq.read_table(f, columns=["stars", "event_seq"])
+            z = zorder_values(
+                [
+                    pc.fill_null(t["stars"], 0).to_numpy(),
+                    t["event_seq"].to_numpy(),
+                ],
+                16,
+            )
+            assert (np.diff(z) >= 0).all(), f
+        # follow still works on the z-ordered lake
+        follow(manifest, lake, CdcConfig(num_partitions=8))
+        assert _normalize(read_lake(lake).to_pandas()).equals(before)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestSelectiveResume:
