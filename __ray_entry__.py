@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_events": Q.zorder_events,
         "resample_fill_events": Q.resample_fill_events,
         "winsorize_events": Q.winsorize_events,
+        "quantile_sketch_events": Q.quantile_sketch_events,
         "neardup_clusters_distributed": Q.neardup_clusters_distributed,
         "semdedup_keep_documents": Q.semdedup_keep_documents,
         "neardup_clusters_bigstar": Q.neardup_clusters_bigstar,

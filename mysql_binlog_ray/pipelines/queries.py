@@ -479,6 +479,20 @@ def ngram_neardup_documents(sf_dir: str):
     return ngram_jaccard_dedup(ds, threshold=0.5)
 
 
+def quantile_sketch_events(sf_dir: str):
+    """Mergeable MRL quantile sketch over events.value (the bounded-
+    state scale path next to the exact group_percentiles); approximate,
+    so rows-only here — the rank-error bound is pytest-checked."""
+    from ..stages.sketches import quantile_sketch
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
+    sk = quantile_sketch(ds, "value", k=1024)
+    qs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    import pandas as pd
+
+    return pd.DataFrame({"q": qs, "estimate": sk.quantiles(qs)})
+
+
 def winsorize_events(sf_dir: str):
     """Per-event_type winsorization of value at the exact p05/p95
     discrete percentiles (outlier clipping for feature pipelines)."""

@@ -599,3 +599,130 @@ def approx_distinct_per_group(
         return pd.DataFrame(out)
 
     return keyed_reduce(parts, keys, combine, num_parts=num_parts)
+
+
+class MrlQuantileSketch:
+    """Deterministic mergeable quantile sketch (Manku–Rajagopalan–
+    Lindsay collapse rule: two full level-``l`` buffers merge-sort and
+    keep alternate elements as one level-``l+1`` buffer of weight
+    ``2^(l+1)``).  Rank error is O(log^2(n/k) / k) — with k=1024 well
+    under 1% rank error at millions of rows — and the structure is a
+    mergeable summary: merging per-block sketches equals (up to the same
+    bound) sketching the concatenation.  Deterministic given a fold
+    order (no KLL coin flips), so the driver folds partials in sorted
+    partition order for run-to-run stability; the bound itself holds for
+    ANY fold order.
+
+    Storage: ``levels[l]`` is ONE sorted float64 array; every compaction
+    is vectorized (np.sort + strided slice), no per-item Python."""
+
+    def __init__(self, k: int = 1024) -> None:
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.n = 0  # total weight (rows observed)
+        self._parity = 0  # alternating compaction offset
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return
+        self.n += len(v)
+        self.levels[0] = np.sort(np.concatenate([self.levels[0], v]))
+        self._compact()
+
+    def _compact(self) -> None:
+        l = 0
+        while l < len(self.levels):
+            buf = self.levels[l]
+            if len(buf) < 2 * self.k:
+                l += 1
+                continue
+            # classic MRL collapse: promote alternate elements of the
+            # whole sorted buffer (even count; at most one element stays
+            # behind), alternating the offset between compactions to
+            # balance rank bias
+            promote_n = len(buf) & ~1
+            head, tail = buf[:promote_n], buf[promote_n:]
+            picked = head[self._parity :: 2]
+            self._parity ^= 1
+            self.levels[l] = tail
+            if l + 1 == len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            up = self.levels[l + 1]
+            self.levels[l + 1] = np.sort(np.concatenate([up, picked]))
+            l += 1
+
+    def merge(self, other: "MrlQuantileSketch") -> "MrlQuantileSketch":
+        out = MrlQuantileSketch(self.k)
+        out.n = self.n + other.n
+        out._parity = self._parity ^ other._parity
+        depth = max(len(self.levels), len(other.levels))
+        out.levels = []
+        for l in range(depth):
+            a = self.levels[l] if l < len(self.levels) else np.empty(0, np.float64)
+            b = other.levels[l] if l < len(other.levels) else np.empty(0, np.float64)
+            out.levels.append(np.sort(np.concatenate([a, b])))
+        out._compact()
+        return out
+
+    def quantiles(self, qs: list[float]) -> list[float]:
+        """Weighted-rank picks (``quantile_disc`` style: smallest sketch
+        element whose cumulative weight reaches q * n)."""
+        if self.n == 0:
+            return [float("nan")] * len(qs)
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate(
+            [np.full(len(b), 1 << l, np.int64) for l, b in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        total = cum[-1]
+        out = []
+        for q in qs:
+            target = max(1, int(np.ceil(q * total - 1e-9)))
+            out.append(float(vals[np.searchsorted(cum, target)]))
+        return out
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.k, self.n, self._parity, self.levels), protocol=4)
+
+    @staticmethod
+    def from_bytes(b: bytes) -> "MrlQuantileSketch":
+        import pickle
+
+        k, n, parity, levels = pickle.loads(b)
+        out = MrlQuantileSketch(k)
+        out.n, out._parity, out.levels = n, parity, levels
+        return out
+
+
+def quantile_sketch(ds: rd.Dataset, col: str, k: int = 1024) -> MrlQuantileSketch:
+    """Distributed MRL quantile sketch of ``col``: one sketch per block
+    (vectorized sort-based inserts), a tree-merge level in tasks, then a
+    deterministic driver fold over O(tasks) partials of O(k log) floats
+    each — the driver never sees the data.  NULL/NaN values are ignored
+    (SQL aggregate semantics)."""
+
+    def block_sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        sk = MrlQuantileSketch(k)
+        sk.add(batch[col].to_numpy(dtype=np.float64, na_value=np.nan))
+        return pd.DataFrame({"sketch": [sk.to_bytes()]})
+
+    def tree_merge(batch: pd.DataFrame) -> pd.DataFrame:
+        acc = MrlQuantileSketch(k)
+        for b in batch["sketch"].tolist():
+            acc = acc.merge(MrlQuantileSketch.from_bytes(b))
+        return pd.DataFrame({"sketch": [acc.to_bytes()]})
+
+    partials = ds.map_batches(block_sketch, batch_format="pandas").map_batches(
+        tree_merge, batch_format="pandas", batch_size=64
+    )
+    rows = partials.take_all()
+    acc = MrlQuantileSketch(k)
+    for b in sorted(r["sketch"] for r in rows):  # deterministic fold order
+        acc = acc.merge(MrlQuantileSketch.from_bytes(b))
+    return acc

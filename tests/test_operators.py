@@ -2058,3 +2058,70 @@ class TestSessionReviewRegressions:
         import numpy as np
         with pytest.raises(ValueError, match="int64"):
             zorder_values([np.arange(2)] * 4, bits=16)
+
+
+class TestMrlQuantileSketch:
+    def test_rank_error_bound_and_mergeability(self):
+        import numpy as np
+
+        from mysql_binlog_ray.stages.sketches import MrlQuantileSketch
+
+        rng = np.random.default_rng(2)
+        data = rng.lognormal(3, 2, 200_000)
+        srt = np.sort(data)
+        qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+
+        def rank_errs(sk):
+            return [
+                abs(np.searchsorted(srt, e) / len(data) - q)
+                for q, e in zip(qs, sk.quantiles(qs))
+            ]
+
+        sk = MrlQuantileSketch(1024)
+        for chunk in np.array_split(data, 50):
+            sk.add(chunk)
+        assert max(rank_errs(sk)) < 0.01  # measured ~5e-4
+
+        # mergeable: folding 8 shard sketches keeps the same bound, and
+        # serialization round-trips
+        parts = []
+        for chunk in np.array_split(data, 8):
+            p = MrlQuantileSketch(1024)
+            p.add(chunk)
+            parts.append(MrlQuantileSketch.from_bytes(p.to_bytes()))
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.merge(p)
+        assert acc.n == len(data)
+        assert max(rank_errs(acc)) < 0.01
+        # bounded state: O(k log(n/k)) floats, far below n
+        assert sum(len(b) for b in acc.levels) < 8 * 1024
+
+    def test_nan_ignored_and_exact_when_small(self):
+        import numpy as np
+
+        from mysql_binlog_ray.stages.sketches import MrlQuantileSketch
+
+        sk = MrlQuantileSketch(64)
+        sk.add(np.array([5.0, np.nan, 1.0, 3.0, np.nan]))
+        assert sk.n == 3
+        # below capacity the sketch is exact quantile_disc
+        assert sk.quantiles([0.5]) == [3.0]
+        assert sk.quantiles([1.0]) == [5.0]
+        assert sk.quantiles([0.01]) == [1.0]
+
+    def test_distributed_sketch(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.sketches import quantile_sketch
+
+        rng = np.random.default_rng(5)
+        vals = rng.normal(100, 15, 50_000)
+        ds = rd.from_pandas(pd.DataFrame({"v": vals}), override_num_blocks=16)
+        sk = quantile_sketch(ds, "v", k=1024)
+        assert sk.n == len(vals)
+        srt = np.sort(vals)
+        for q, e in zip([0.1, 0.5, 0.9], sk.quantiles([0.1, 0.5, 0.9])):
+            assert abs(np.searchsorted(srt, e) / len(vals) - q) < 0.01
