@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_fill_events": Q.resample_fill_events,
         "winsorize_events": Q.winsorize_events,
         "quantile_sketch_events": Q.quantile_sketch_events,
+        "quantile_sketch_per_type_events": Q.quantile_sketch_per_type_events,
         "neardup_clusters_distributed": Q.neardup_clusters_distributed,
         "semdedup_keep_documents": Q.semdedup_keep_documents,
         "neardup_clusters_bigstar": Q.neardup_clusters_bigstar,
@@ -1309,6 +1310,13 @@ def _oracle_sql_dict() -> dict[str, str]:
             FROM npairs
         """,
         "zorder_events": _zorder_oracle(),
+        "quantile_sketch_per_type_events": """
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.95) AS p95,
+                   count(value) AS n
+            FROM events GROUP BY event_type
+        """,
         "winsorize_events": """
             WITH b AS (
               SELECT event_type,

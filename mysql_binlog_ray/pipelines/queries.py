@@ -493,6 +493,19 @@ def quantile_sketch_events(sf_dir: str):
     return pd.DataFrame({"q": qs, "estimate": sk.quantiles(qs)})
 
 
+def quantile_sketch_per_type_events(sf_dir: str):
+    """Per-event_type mergeable quantiles (MRL).  k=4096 keeps every
+    sf0.01 group (~2000 rows) below the 2k compaction threshold, so the
+    sketch is in its EXACT quantile_disc regime at oracle scale — the
+    approximate regime is bound-checked in TestMrlQuantileSketch."""
+    from ..stages.sketches import quantile_sketch_per_group
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    return quantile_sketch_per_group(
+        ds, ["event_type"], "value", [0.5, 0.95], k=4096
+    )
+
+
 def winsorize_events(sf_dir: str):
     """Per-event_type winsorization of value at the exact p05/p95
     discrete percentiles (outlier clipping for feature pipelines)."""

@@ -726,3 +726,91 @@ def quantile_sketch(ds: rd.Dataset, col: str, k: int = 1024) -> MrlQuantileSketc
     for b in sorted(r["sketch"] for r in rows):  # deterministic fold order
         acc = acc.merge(MrlQuantileSketch.from_bytes(b))
     return acc
+
+
+def quantile_sketch_per_group(
+    ds: rd.Dataset,
+    keys: list[str],
+    col: str,
+    qs: list[float],
+    k: int = 1024,
+    out_cols: list[str] | None = None,
+) -> rd.Dataset:
+    """GROUPED mergeable quantiles: ``quantile_disc(col, q) GROUP BY
+    keys`` as per-group MRL sketches — the bounded-state scale path next
+    to the exact ``relational.group_percentiles`` (which shuffles every
+    value; this shuffles O(k log n) floats per group).
+
+    Below capacity (group rows < 2k) the sketch never compacts and the
+    answers are EXACT ``quantile_disc`` — the regime the SQL oracle
+    checks; the approximate regime is bound-checked in
+    ``TestMrlQuantileSketch``.  NULL values are ignored (SQL aggregate
+    semantics); NULL keys form one group; all-NULL groups emit no row.
+
+    Scale shape: each batch emits one serialized sketch per key it
+    contains (the shuffle carries sketches, never values); ONE keyed
+    exchange (``relational.keyed_reduce``); per-partition folds loop
+    over DISTINCT groups only, each fold a vectorized merge."""
+    from .relational import keyed_reduce
+
+    out_cols = out_cols or [f"p{int(q * 100)}" for q in qs]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        nn = batch[batch[col].notna()]
+        if len(nn) == 0:
+            return pd.DataFrame(
+                {**{kc: pd.Series([], dtype=batch[kc].dtype) for kc in keys},
+                 "_qsk": pd.Series([], dtype=object)}
+            )
+        codes = nn.groupby(keys, sort=False, dropna=False).ngroup().to_numpy()
+        order = np.argsort(codes, kind="stable")
+        vals = nn[col].to_numpy(dtype=np.float64)[order]
+        codes_s = codes[order]
+        starts = np.flatnonzero(np.diff(codes_s, prepend=-1))
+        ends = np.append(starts[1:], len(codes_s))
+        sks = []
+        for s, e in zip(starts, ends):  # loop over DISTINCT groups only
+            sk = MrlQuantileSketch(k)
+            sk.add(vals[s:e])
+            sks.append(sk.to_bytes())
+        first_rows = nn.iloc[order[starts]]
+        out = {kc: first_rows[kc].to_numpy() for kc in keys}
+        out["_qsk"] = sks
+        return pd.DataFrame(out)
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            **{kc: pd.Series([], dtype=g[kc].dtype) for kc in keys},
+            **{oc: pd.Series([], dtype=np.float64) for oc in out_cols},
+            "n": pd.Series([], dtype=np.int64),
+        }
+        if len(g) == 0:
+            return pd.DataFrame(empty)
+        codes = g.groupby(keys, sort=False, dropna=False).ngroup().to_numpy()
+        order = np.argsort(codes, kind="stable")
+        g = g.iloc[order]
+        codes = codes[order]
+        starts = np.flatnonzero(np.diff(codes, prepend=-1))
+        ends = np.append(starts[1:], len(codes))
+        rows: dict = {oc: [] for oc in out_cols}
+        ns = []
+        payloads = g["_qsk"].tolist()
+        for s, e in zip(starts, ends):
+            acc = None
+            for b in sorted(payloads[s:e]):  # deterministic fold order
+                sk = MrlQuantileSketch.from_bytes(b)
+                acc = sk if acc is None else acc.merge(sk)
+            est = acc.quantiles(qs)
+            for oc, v in zip(out_cols, est):
+                rows[oc].append(v)
+            ns.append(acc.n)
+        first_rows = g.iloc[starts]
+        out = {kc: first_rows[kc].to_numpy() for kc in keys}
+        for oc in out_cols:
+            out[oc] = np.array(rows[oc], np.float64)
+        out["n"] = np.array(ns, np.int64)
+        return pd.DataFrame(out)
+
+    return keyed_reduce(parts, keys, combine)

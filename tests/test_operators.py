@@ -2125,3 +2125,47 @@ class TestMrlQuantileSketch:
         srt = np.sort(vals)
         for q, e in zip([0.1, 0.5, 0.9], sk.quantiles([0.1, 0.5, 0.9])):
             assert abs(np.searchsorted(srt, e) / len(vals) - q) < 0.01
+
+    def test_grouped_sketch_exact_below_capacity_and_bounded_above(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.sketches import quantile_sketch_per_group
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame(
+            {
+                "g": np.repeat(["a", "b", "c"], 3000),
+                "v": rng.normal(0, 1, 9000),
+            }
+        )
+        df.loc[2, "v"] = None
+        ds = rd.from_pandas(df, override_num_blocks=7)
+
+        def exact_disc(vals, q):
+            vals = np.sort(vals[~np.isnan(vals)])
+            return vals[int(np.ceil(q * len(vals))) - 1]
+
+        # exact regime: k=4096 (capacity 8192 > 3000 rows/group)
+        out = (
+            quantile_sketch_per_group(ds, ["g"], "v", [0.5, 0.9], k=4096)
+            .to_pandas()
+            .set_index("g")
+        )
+        for g in ("a", "b", "c"):
+            vals = df[df["g"] == g]["v"].to_numpy(dtype=np.float64)
+            assert out.loc[g, "p50"] == exact_disc(vals, 0.5)
+            assert out.loc[g, "p90"] == exact_disc(vals, 0.9)
+            assert out.loc[g, "n"] == np.count_nonzero(~np.isnan(vals))
+
+        # approximate regime: k=64 — rank error still bounded
+        out2 = (
+            quantile_sketch_per_group(ds, ["g"], "v", [0.5], k=64)
+            .to_pandas()
+            .set_index("g")
+        )
+        for g in ("a", "b", "c"):
+            vals = np.sort(df[df["g"] == g]["v"].dropna().to_numpy())
+            rank = np.searchsorted(vals, out2.loc[g, "p50"]) / len(vals)
+            assert abs(rank - 0.5) < 0.05
