@@ -315,3 +315,58 @@ class TestConfigEnvArgsLayering:
         # empty STREAM_DIR must not satisfy the required= check
         with pytest.raises(SystemExit):
             build_parser({"STREAM_DIR": ""}).parse_args([])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAuditLake:
+    def test_clean_lake_matches_and_tamper_is_pinpointed(self, small_stream, tmp_path):
+        import glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray.pipelines.cdc import audit_lake
+
+        spec, out, manifest = small_stream
+        lake = str(tmp_path / "audit_lake")
+        run_to_lake(manifest, lake, CdcConfig(num_partitions=8))
+
+        rep = audit_lake(manifest, lake)
+        assert rep["match"].all()
+        assert (rep["expected_rows"] == rep["actual_rows"]).all()
+
+        # tamper: flip one row's content in one partition file
+        victim = sorted(glob.glob(f"{lake}/part=*/*.parquet"))[0]
+        t = pq.read_table(victim)
+        content = t["content"].to_pylist()
+        content[0] = content[0] + "!TAMPERED"
+        t = t.set_column(
+            t.schema.get_field_index("content"), "content", pa.array(content)
+        )
+        pq.write_table(t, victim)
+        vpart = int(victim.split("part=")[1].split("/")[0])
+
+        rep2 = audit_lake(manifest, lake)
+        bad = rep2[~rep2["match"]]
+        assert list(bad["part"]) == [vpart]
+        # counts still line up — only the digest catches a value flip
+        assert (bad["expected_rows"] == bad["actual_rows"]).all()
+
+    def test_lost_row_detected_by_count(self, small_stream, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray.pipelines.cdc import audit_lake
+
+        spec, out, manifest = small_stream
+        lake = str(tmp_path / "audit_lake2")
+        run_to_lake(manifest, lake, CdcConfig(num_partitions=8))
+        victim = sorted(glob.glob(f"{lake}/part=*/*.parquet"))[-1]
+        t = pq.read_table(victim)
+        pq.write_table(t.slice(1), victim)  # drop one row
+        vpart = int(victim.split("part=")[1].split("/")[0])
+        rep = audit_lake(manifest, lake)
+        bad = rep[~rep["match"]]
+        assert list(bad["part"]) == [vpart]
+        assert (bad["actual_rows"] == bad["expected_rows"] - 1).all()
