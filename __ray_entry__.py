@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_events": Q.winsorize_events,
         "quantile_sketch_events": Q.quantile_sketch_events,
         "quantile_sketch_per_type_events": Q.quantile_sketch_per_type_events,
+        "bpe_tokens_documents": Q.bpe_tokens_documents,
         "neardup_clusters_distributed": Q.neardup_clusters_distributed,
         "semdedup_keep_documents": Q.semdedup_keep_documents,
         "neardup_clusters_bigstar": Q.neardup_clusters_bigstar,

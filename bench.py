@@ -98,6 +98,13 @@ def run_bench() -> dict:
         "outer_join_user_funnel",
         "cdc_wire_tail",
         "bucketed_point_lookup_documents",
+        # round-3 continuation operators
+        "editdist_pairs_customers",
+        "zorder_events",
+        "resample_fill_events",
+        "winsorize_events",
+        "vector_stats_by_label",
+        "quantile_sketch_events",
     ]
     import __ray_entry__ as entry_mod
 

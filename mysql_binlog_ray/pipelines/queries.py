@@ -493,6 +493,19 @@ def quantile_sketch_events(sf_dir: str):
     return pd.DataFrame({"q": qs, "estimate": sk.quantiles(qs)})
 
 
+def bpe_tokens_documents(sf_dir: str):
+    """BPE vocabulary induction (200 merges) + application over the
+    documents corpus — per-doc word and subword-token counts.  Iterative
+    training is not SQL-expressible (rows-only); the learner is
+    pytest-oracled against a naive reference implementation and the
+    Sennrich et al. 2016 worked example."""
+    from ..stages.bpe import apply_bpe, train_bpe
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    merges = train_bpe(ds, num_merges=200)
+    return apply_bpe(ds, merges)
+
+
 def quantile_sketch_per_type_events(sf_dir: str):
     """Per-event_type mergeable quantiles (MRL).  k=4096 keeps every
     sf0.01 group (~2000 rows) below the 2k compaction threshold, so the

@@ -2169,3 +2169,99 @@ class TestMrlQuantileSketch:
             vals = np.sort(df[df["g"] == g]["v"].dropna().to_numpy())
             rank = np.searchsorted(vals, out2.loc[g, "p50"]) / len(vals)
             assert abs(rank - 0.5) < 0.05
+
+
+class TestBpe:
+    """BPE vocabulary induction + application — stages/bpe.py."""
+
+    @staticmethod
+    def _naive_learn(word_counts, num_merges):
+        """Reference learner: full pair-count recompute every merge."""
+        words = {i: list(w) + ["</w>"] for i, w in enumerate(word_counts)}
+        counts = {i: c for i, (_, c) in enumerate(word_counts.items())}
+        words = {i: list(w) + ["</w>"] for i, w in enumerate(word_counts)}
+        merges = []
+        for _ in range(num_merges):
+            pc = {}
+            for i, syms in words.items():
+                for p in zip(syms, syms[1:]):
+                    pc[p] = pc.get(p, 0) + counts[i]
+            if not pc:
+                break
+            (a, b) = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append((a, b))
+            for i, syms in words.items():
+                out, j = [], 0
+                while j < len(syms):
+                    if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                        out.append(a + b)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                words[i] = out
+        return merges
+
+    def test_sennrich_worked_example(self):
+        import pandas as pd
+
+        from mysql_binlog_ray.stages.bpe import encode_word, learn_merges
+
+        wc = pd.DataFrame(
+            {"word": ["low", "lower", "newest", "widest"], "cnt": [5, 2, 6, 3]}
+        )
+        merges = learn_merges(wc, 4)
+        # Sennrich et al. 2016 fig. 1: es, est, est</w>, lo
+        assert merges == [("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")]
+        ranks = {tuple(p): i for i, p in enumerate(learn_merges(wc, 10))}
+        assert encode_word("lowest", ranks) == ["low", "est</w>"]
+
+    def test_indexed_learner_matches_naive(self):
+        import random
+
+        import pandas as pd
+
+        from mysql_binlog_ray.stages.bpe import learn_merges
+
+        rng = random.Random(17)
+        vocab = {}
+        for _ in range(120):
+            w = "".join(rng.choice("abcde") for _ in range(rng.randint(1, 8)))
+            vocab[w] = vocab.get(w, 0) + rng.randint(1, 50)
+        wc = pd.DataFrame({"word": list(vocab), "cnt": list(vocab.values())})
+        got = learn_merges(wc, 60)
+        exp = self._naive_learn(vocab, 60)
+        assert got == exp
+
+    def test_distributed_train_apply_deterministic(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.bpe import apply_bpe, encode_word, train_bpe
+
+        docs = [
+            {"doc_id": i, "text": t}
+            for i, t in enumerate(
+                ["the lower river", "the newest widest low", "low low lower the"] * 20
+            )
+        ]
+        merges_a = train_bpe(rd.from_items(docs, override_num_blocks=1), num_merges=30)
+        merges_b = train_bpe(rd.from_items(docs, override_num_blocks=7), num_merges=30)
+        assert merges_a == merges_b  # block-layout independent
+
+        out = (
+            apply_bpe(rd.from_items(docs), merges_a)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ranks = {tuple(p): i for i, p in enumerate(merges_a)}
+        import re
+
+        for _, row in out.head(6).iterrows():
+            text = docs[int(row["doc_id"])]["text"]
+            words = re.findall(r"[a-z]+", text.lower())
+            assert row["n_words"] == len(words)
+            assert row["n_bpe_tokens"] == sum(
+                len(encode_word(w, ranks)) for w in words
+            )
