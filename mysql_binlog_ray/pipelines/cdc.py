@@ -1107,17 +1107,32 @@ def compact_lake(
 
             from ..stages.layout import zorder_values
 
-            # NULLs (e.g. schema-evolution null-fill) map to 0 for the
-            # curve — this is a PHYSICAL row-order choice only; values
-            # are untouched, so no oracle/SQL parity is at stake (unlike
-            # add_zorder_key, which refuses NULLs)
-            z = zorder_values(
-                [
-                    pc.fill_null(final[c], 0).to_numpy(zero_copy_only=False)
-                    for c in zorder_cols
-                ],
-                zorder_bits,
-            )
+            # Each column is MIN-MAX NORMALIZED into the bits budget per
+            # file before interleaving — without this, any column whose
+            # range exceeds 2^bits aliases (x & 0xFFFF) and the curve
+            # degenerates to ordering by the low bits, destroying the
+            # promised min/max pruning.  NULL/NaN map to the column min
+            # (sort first, deterministic).  All of this is a PHYSICAL
+            # row-order choice only; values are untouched, so no
+            # oracle/SQL parity is at stake (unlike add_zorder_key,
+            # which refuses NULLs and keeps mask semantics for its SQL
+            # twin).
+            top = float((1 << zorder_bits) - 1)
+            quantized = []
+            for c in zorder_cols:
+                x = final[c].to_numpy(zero_copy_only=False).astype(np.float64)
+                finite = np.isfinite(x)
+                lo = float(x[finite].min()) if finite.any() else 0.0
+                hi = float(x[finite].max()) if finite.any() else 0.0
+                x = np.where(finite, x, lo)
+                span = hi - lo
+                q = (
+                    ((x - lo) * (top / span)).astype(np.int64)
+                    if span > 0
+                    else np.zeros(len(x), np.int64)
+                )
+                quantized.append(q)
+            z = zorder_values(quantized, zorder_bits)
             final = final.take(pa.array(np.argsort(z, kind="stable")))
         else:
             final = final.take(
@@ -1180,13 +1195,23 @@ def audit_lake(
     digest (sum mod 2^64 of vectorized row hashes), so a single flipped
     value, duplicated row, or lost row pinpoints its partition.
 
+    The LAKE side buckets each row by the ``part=`` directory it was
+    physically read from (not by re-hashing its key), so a row stored in
+    the WRONG partition file — the misplacement class a partition-pruned
+    lookup would silently miss — shows up as a digest mismatch in both
+    the partition it left and the one it invaded.  The replay side
+    buckets by the expected key hash.
+
     Scale shape: both sides reduce inside ``map_batches`` to per-
     (batch, partition) partial rows of (part, rows, digest); the driver
     folds O(batches x touched-partitions) slim rows with a numpy
-    groupby — neither the lake nor the replay is ever materialized.
+    groupby.  The replay output is materialized ONCE (its schema is
+    needed for the column intersection and ``Dataset.schema()`` on a
+    lazy plan would execute the shuffle a second time) — the audit holds
+    one copy of the final table in the object store while it runs.
 
     Returns a pandas frame (part, expected_rows, actual_rows, match)
-    sorted by part, one row per partition of the committed layout.
+    sorted by part, one row per partition holding data on either side.
     Numeric columns are normalized to float64 before hashing so parquet
     nullable-int round-trips hash identically to the in-memory replay.
     """
@@ -1200,15 +1225,27 @@ def audit_lake(
     key_cols = tuple(m.get("key_cols") or cfg.key_cols)
     nparts = int(m["num_partitions"])
 
-    expected = run_to_dataset(manifest, cfg)
-    actual = read_lake(lake_dir)
+    expected = run_to_dataset(manifest, cfg).materialize()
+    # hive-partitioned read keeps the physical `part` column
+    actual = rd.read_parquet(
+        [
+            _lake_partition_path(lake_dir, p["part"])
+            for p in m["partitions"]
+            if p["rows"] > 0
+        ]
+    )
     common = sorted(
-        set(expected.schema().names) & set(actual.schema().names)
+        (set(expected.schema().names) & set(actual.schema().names)) - {"part"}
     )
 
     def digest_partials(tab: pa.Table) -> pa.Table:
-        tab = add_partition_column(tab, key_cols, nparts)
-        part = tab.column("_part").to_numpy()
+        if "part" in tab.column_names:
+            # lake side: the directory the row physically lives in
+            part = tab.column("part").to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            # replay side: where the row SHOULD live
+            tab = add_partition_column(tab, key_cols, nparts)
+            part = tab.column("_part").to_numpy()
         pdf = tab.select(common).to_pandas()
         for c in common:
             if pd.api.types.is_numeric_dtype(pdf[c]):
@@ -1251,15 +1288,21 @@ def audit_lake(
 
     exp = fold(expected)
     act = fold(actual)
-    out = exp.merge(act, on="part", how="outer", suffixes=("_exp", "_act")).fillna(0)
-    out["match"] = (out["rows_exp"] == out["rows_act"]) & (
-        out["digest_exp"] == out["digest_act"]
-    )
+    out = exp.merge(act, on="part", how="outer", suffixes=("_exp", "_act"))
+    # nullable Int64 keeps the 64-bit digests exact through the outer
+    # merge — a float64 promotion would compare at 53-bit precision and
+    # a subtle corruption near 2^63 could falsely match
+    for c in ("rows_exp", "rows_act", "digest_exp", "digest_act"):
+        out[c] = out[c].astype("Int64")
+    out["match"] = (
+        (out["rows_exp"] == out["rows_act"])
+        & (out["digest_exp"] == out["digest_act"])
+    ).fillna(False).astype(bool)
     return pd.DataFrame(
         {
             "part": out["part"].astype(np.int64),
-            "expected_rows": out["rows_exp"].astype(np.int64),
-            "actual_rows": out["rows_act"].astype(np.int64),
+            "expected_rows": out["rows_exp"].fillna(0).astype(np.int64),
+            "actual_rows": out["rows_act"].fillna(0).astype(np.int64),
             "match": out["match"],
         }
     ).sort_values("part").reset_index(drop=True)

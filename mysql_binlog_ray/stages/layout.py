@@ -39,6 +39,13 @@ def zorder_values(cols: list[np.ndarray], bits: int = 16) -> np.ndarray:
     z = np.zeros(len(cols[0]), np.uint64)
     one = np.uint64(1)
     for c, x in enumerate(cols):
+        if not np.issubdtype(np.asarray(x).dtype, np.integer):
+            # a float column (NaN from nullable ints!) would astype to
+            # an arbitrary bit pattern — quantize to ints first
+            raise ValueError(
+                f"zorder_values: column {c} has non-integer dtype "
+                f"{np.asarray(x).dtype}; quantize it before interleaving"
+            )
         xm = x.astype(np.int64).view(np.uint64) & mask
         for k in range(bits):
             z |= ((xm >> np.uint64(k)) & one) << np.uint64(k * n + c)

@@ -848,6 +848,12 @@ def grouped_string_agg(
     return keyed_reduce(ds, keys, combine)
 
 
+def pct_col_names(qs: list[float]) -> list[str]:
+    """``p50``-style names; round, don't truncate — ``int(0.29 * 100)``
+    is 28 (float representation), which would misname the column."""
+    return [f"p{round(q * 100)}" for q in qs]
+
+
 def group_percentiles(
     ds: rd.Dataset,
     keys: list[str],
@@ -865,7 +871,7 @@ def group_percentiles(
     Scale shape: ONE keyed exchange (``keyed_reduce``); the per-partition
     combine is a single vectorized sort + ``np.searchsorted``-free offset
     pick — no per-group Python, no global sort of the whole input."""
-    out_cols = out_cols or [f"p{int(q * 100)}" for q in qs]
+    out_cols = out_cols or pct_col_names(qs)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         # NaN sorts last within each group, so the non-null values of a

@@ -745,18 +745,22 @@ def quantile_sketch_per_group(
     answers are EXACT ``quantile_disc`` — the regime the SQL oracle
     checks; the approximate regime is bound-checked in
     ``TestMrlQuantileSketch``.  NULL values are ignored (SQL aggregate
-    semantics); NULL keys form one group; all-NULL groups emit no row.
+    semantics); NULL keys form one group; a group whose values are ALL
+    NULL is still emitted, with NULL (NaN) quantiles and n=0 — matching
+    SQL GROUP BY and the ``group_percentiles`` convention.
 
     Scale shape: each batch emits one serialized sketch per key it
     contains (the shuffle carries sketches, never values); ONE keyed
     exchange (``relational.keyed_reduce``); per-partition folds loop
     over DISTINCT groups only, each fold a vectorized merge."""
-    from .relational import keyed_reduce
+    from .relational import keyed_reduce, pct_col_names
 
-    out_cols = out_cols or [f"p{int(q * 100)}" for q in qs]
+    out_cols = out_cols or pct_col_names(qs)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        nn = batch[batch[col].notna()]
+        nn = batch  # keep NULL-value rows: MrlQuantileSketch.add drops
+        # NaN itself, and an all-NULL group must still emit its (empty)
+        # sketch so the group surfaces with NULL quantiles
         if len(nn) == 0:
             return pd.DataFrame(
                 {**{kc: pd.Series([], dtype=batch[kc].dtype) for kc in keys},
@@ -764,7 +768,7 @@ def quantile_sketch_per_group(
             )
         codes = nn.groupby(keys, sort=False, dropna=False).ngroup().to_numpy()
         order = np.argsort(codes, kind="stable")
-        vals = nn[col].to_numpy(dtype=np.float64)[order]
+        vals = nn[col].to_numpy(dtype=np.float64, na_value=np.nan)[order]
         codes_s = codes[order]
         starts = np.flatnonzero(np.diff(codes_s, prepend=-1))
         ends = np.append(starts[1:], len(codes_s))

@@ -2177,7 +2177,6 @@ class TestBpe:
     @staticmethod
     def _naive_learn(word_counts, num_merges):
         """Reference learner: full pair-count recompute every merge."""
-        words = {i: list(w) + ["</w>"] for i, w in enumerate(word_counts)}
         counts = {i: c for i, (_, c) in enumerate(word_counts.items())}
         words = {i: list(w) + ["</w>"] for i, w in enumerate(word_counts)}
         merges = []
@@ -2265,3 +2264,23 @@ class TestBpe:
             assert row["n_bpe_tokens"] == sum(
                 len(encode_word(w, ranks)) for w in words
             )
+
+    def test_grouped_sketch_emits_all_null_group(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.sketches import quantile_sketch_per_group
+
+        df = pd.DataFrame(
+            {"g": ["a", "a", "b", "b"], "v": [1.0, 2.0, None, None]}
+        )
+        out = (
+            quantile_sketch_per_group(rd.from_pandas(df), ["g"], "v", [0.5], k=64)
+            .to_pandas()
+            .set_index("g")
+        )
+        # SQL GROUP BY emits the all-NULL group with NULL quantile, n=0
+        assert set(out.index) == {"a", "b"}
+        assert out.loc["b", "n"] == 0 and np.isnan(out.loc["b", "p50"])
+        assert out.loc["a", "n"] == 2 and out.loc["a", "p50"] == 1.0

@@ -141,17 +141,22 @@ class TestCompaction:
         after = _normalize(read_lake(lake).to_pandas())
         assert before.equals(after)
         # every partition file is physically ordered by the Morton key
-        for f in glob.glob(f"{lake}/part=*/*.parquet"):
-            import pyarrow.compute as pc
+        # over the per-file min-max-normalized columns (the compaction's
+        # quantization — raw masking would alias ranges > 2^bits)
+        def quantize(col):
+            x = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            finite = np.isfinite(x)
+            lo = x[finite].min() if finite.any() else 0.0
+            hi = x[finite].max() if finite.any() else 0.0
+            x = np.where(finite, x, lo)
+            span = hi - lo
+            if span <= 0:
+                return np.zeros(len(x), np.int64)
+            return ((x - lo) * (65535.0 / span)).astype(np.int64)
 
+        for f in glob.glob(f"{lake}/part=*/*.parquet"):
             t = pq.read_table(f, columns=["stars", "event_seq"])
-            z = zorder_values(
-                [
-                    pc.fill_null(t["stars"], 0).to_numpy(),
-                    t["event_seq"].to_numpy(),
-                ],
-                16,
-            )
+            z = zorder_values([quantize(t["stars"]), quantize(t["event_seq"])], 16)
             assert (np.diff(z) >= 0).all(), f
         # follow still works on the z-ordered lake
         follow(manifest, lake, CdcConfig(num_partitions=8))
@@ -370,3 +375,29 @@ class TestAuditLake:
         bad = rep[~rep["match"]]
         assert list(bad["part"]) == [vpart]
         assert (bad["actual_rows"] == bad["expected_rows"] - 1).all()
+
+    def test_misplaced_row_detected_in_both_partitions(self, small_stream, tmp_path):
+        """A row stored in the WRONG part= file (right content, wrong
+        placement) must flag BOTH partitions — the lake side buckets by
+        physical file, not by re-hashing the key."""
+        import glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray.pipelines.cdc import audit_lake
+
+        spec, out, manifest = small_stream
+        lake = str(tmp_path / "audit_lake3")
+        run_to_lake(manifest, lake, CdcConfig(num_partitions=8))
+        files = sorted(glob.glob(f"{lake}/part=*/*.parquet"))
+        src, dst = files[0], files[1]
+        ts, td = pq.read_table(src), pq.read_table(dst)
+        moved = ts.slice(0, 1)
+        pq.write_table(ts.slice(1), src)
+        pq.write_table(pa.concat_tables([td, moved]), dst)
+        p_src = int(src.split("part=")[1].split("/")[0])
+        p_dst = int(dst.split("part=")[1].split("/")[0])
+        rep = audit_lake(manifest, lake)
+        bad = set(rep[~rep["match"]]["part"])
+        assert bad == {p_src, p_dst}
