@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_point_lookup": Q.cdc_point_lookup,
         "cdc_wire_tail": Q.cdc_wire_tail,
         "cdc_time_travel": Q.cdc_time_travel,
+        "cdc_schema_history": Q.cdc_schema_history,
         "cdc_windowed_activity": Q.cdc_windowed_activity,
         "cdc_incremental_view": Q.cdc_incremental_view,
         # incremental view maintenance (SQL-oracled on the events table)

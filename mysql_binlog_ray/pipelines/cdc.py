@@ -1306,3 +1306,44 @@ def audit_lake(
             "match": out["match"],
         }
     ).sort_values("part").reset_index(drop=True)
+
+
+def schema_history(
+    manifest: dict[str, Any],
+    start_after_seq: int | None = None,
+    checksum_size: int = 4,
+) -> rd.Dataset:
+    """DDL changelog of the stream: one row per QUERY event —
+    ``(event_seq, schema_name, sql)`` in stream order.  The lineage
+    surface for schema evolution (M3/M9): which DDL landed, where in
+    the sequence, against which schema.
+
+    Scale shape: a distributed payload-prefix scan (one type-byte peek
+    per event, full parse only for the rare QUERY events) — the same
+    pattern as ``build_xid_index``; output is O(DDL count)."""
+    from ..protocol.constants import EventType
+    from ..protocol.decode import parse_header, parse_query
+    from ..stages.decode_stage import BinlogDecoder
+
+    def extract(batch: pa.Table) -> pa.Table:
+        seqs: list[int] = []
+        schemas: list[str] = []
+        sqls: list[str] = []
+        event_seqs = batch.column("event_seq").to_numpy(zero_copy_only=False)
+        for seq, payload in zip(event_seqs, BinlogDecoder._payload_views(batch)):
+            if payload[5] == EventType.QUERY:
+                header = parse_header(payload, checksum_size)
+                schema, sql = parse_query(bytes(payload), header)
+                seqs.append(int(seq))
+                schemas.append(schema)
+                sqls.append(sql)
+        return pa.table(
+            {
+                "event_seq": pa.array(seqs, pa.int64()),
+                "schema_name": pa.array(schemas, pa.string()),
+                "sql": pa.array(sqls, pa.string()),
+            }
+        )
+
+    events = read_event_stream(manifest, start_after_seq)
+    return events.map_batches(extract, batch_format="pyarrow").sort("event_seq")

@@ -806,6 +806,17 @@ def cdc_changefeed_stats(sf_dir: str):
     )
 
 
+def cdc_schema_history(sf_dir: str):
+    """DDL changelog of the stream (schema-evolution lineage): one row
+    per QUERY event with its position in the sequence.  Binlog wire
+    format is not SQL-parseable (rows-only); the generator's known DDL
+    is pytest-asserted."""
+    from .cdc import schema_history
+
+    _, manifest = cdc_manifest(sf_dir)
+    return schema_history(manifest)
+
+
 def cdc_time_travel(sf_dir: str):
     """Time travel by log replay (`pipelines/cdc.py::state_as_of`): the
     merged table state AS OF the stream's median event_seq — whole

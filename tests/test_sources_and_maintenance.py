@@ -401,3 +401,26 @@ class TestAuditLake:
         rep = audit_lake(manifest, lake)
         bad = set(rep[~rep["match"]]["part"])
         assert bad == {p_src, p_dst}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSchemaHistory:
+    def test_ddl_changelog_matches_generator(self, small_stream):
+        from mysql_binlog_ray.pipelines.cdc import schema_history
+
+        spec, out, manifest = small_stream
+        pdf = schema_history(manifest).to_pandas()
+        # the generator emits exactly one ALTER at ddl_op
+        assert len(pdf) == 1
+        assert pdf.loc[0, "schema_name"] == "code"
+        assert pdf.loc[0, "sql"] == "ALTER TABLE repos ADD COLUMN stars BIGINT"
+        assert pdf.loc[0, "event_seq"] > 0
+
+    def test_no_ddl_stream_is_empty(self, tmp_path):
+        from mysql_binlog_ray.fixtures.generator import StreamSpec, generate_stream
+        from mysql_binlog_ray.pipelines.cdc import schema_history
+
+        spec = StreamSpec(n_keys=50, n_ops=200, n_shards=1, ddl_at=None)
+        m = generate_stream(spec, str(tmp_path / "noddl"))
+        pdf = schema_history(m).to_pandas()
+        assert len(pdf) == 0
