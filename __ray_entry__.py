@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_events": Q.zorder_events,
         "resample_fill_events": Q.resample_fill_events,
         "winsorize_events": Q.winsorize_events,
+        "rank_events_per_user": Q.rank_events_per_user,
         "quantile_sketch_events": Q.quantile_sketch_events,
         "quantile_sketch_per_type_events": Q.quantile_sketch_per_type_events,
         "bpe_tokens_documents": Q.bpe_tokens_documents,
@@ -1327,6 +1328,13 @@ def _oracle_sql_dict() -> dict[str, str]:
                    quantile_disc(value, 0.95) AS p95,
                    count(value) AS n
             FROM events GROUP BY event_type
+        """,
+        "rank_events_per_user": """
+            SELECT event_id, user_id,
+                   CAST(RANK() OVER w AS BIGINT) AS rnk,
+                   percent_rank() OVER w AS prnk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS LAST)
         """,
         "winsorize_events": """
             WITH b AS (

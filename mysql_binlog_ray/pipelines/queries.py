@@ -523,6 +523,30 @@ def quantile_sketch_per_type_events(sf_dir: str):
     )
 
 
+def rank_events_per_user(sf_dir: str):
+    """RANK / PERCENT_RANK of each event within its user's timeline —
+    tie-aware SQL rank semantics; percent_rank is one IEEE division of
+    the same two integers on both sides, so the oracle is bit-exact."""
+    from ..stages.window import window_over
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+    out = window_over(
+        ds,
+        "user_id",
+        ["event_id"],
+        {"rnk": ("rank", "ts"), "prnk": ("percent_rank", "ts")},
+    )
+    def finish(b: pa.Table) -> pa.Table:
+        # rebuild (not select) to drop the pandas Int64 extension
+        # metadata the window combine's pandas blocks carry — it would
+        # round-trip back as a nullable extension dtype downstream
+        return pa.table({c: b[c] for c in ["event_id", "user_id", "rnk", "prnk"]})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def winsorize_events(sf_dir: str):
     """Per-event_type winsorization of value at the exact p05/p95
     discrete percentiles (outlier clipping for feature pipelines)."""

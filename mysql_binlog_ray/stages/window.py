@@ -37,6 +37,8 @@ _KINDS = (
     "moving_sum",
     "first_value",
     "last_value",
+    "rank",
+    "percent_rank",
 )
 
 
@@ -89,6 +91,14 @@ def window_over(
       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)`` (the
       SQL default frame would make last_value the CURRENT row — spell
       the full frame in oracles).  A NULL in that row yields NULL.
+    - ``rank`` / ``percent_rank`` over ``in_col``: ``RANK() OVER
+      (PARTITION BY key ORDER BY v ASC NULLS LAST)`` — ties (including
+      the NULL tie group) share a rank, and a NULL value still GETS a
+      rank (SQL never NULLs rank itself).  ``percent_rank`` is the
+      standard ``(rank - 1) / (rows_in_key - 1)`` as float64 (0.0 for a
+      single-row key) — one IEEE division of the same two integers on
+      both sides, so it matches a SQL oracle bit-for-bit.  Note these
+      rank by ``in_col``, independent of ``order_cols``.
 
     NULL keys form ONE partition (SQL PARTITION BY parity).  NULL order
     keys sort last (DuckDB's ASC default).
@@ -207,6 +217,35 @@ def window_over(
                     [np.zeros(1, np.int64), np.cumsum((~null).astype(np.int64))]
                 )
                 mask = (nn1[pos + 1] - nn1[start]) == 0
+            elif kind in ("rank", "percent_rank"):
+                # sort each key by (null flag, value): ASC NULLS LAST;
+                # tie groups (same null flag + value within a key) share
+                # the rank of their first sorted position
+                order = np.lexsort((v, null, kc))
+                kcs, vs, ns = kc[order], v[order], null[order]
+                poss = np.arange(n, dtype=np.int64)
+                keystart = np.ones(n, dtype=bool)
+                grpstart = np.ones(n, dtype=bool)
+                if n > 1:
+                    keystart[1:] = kcs[1:] != kcs[:-1]
+                    grpstart[1:] = (
+                        keystart[1:] | (ns[1:] != ns[:-1]) | (vs[1:] != vs[:-1])
+                    )
+                ks = np.flatnonzero(keystart)
+                keybase = np.repeat(poss[ks], np.diff(np.append(ks, n)))
+                gs = np.flatnonzero(grpstart)
+                grpbase = np.repeat(poss[gs], np.diff(np.append(gs, n)))
+                rank_sorted = grpbase - keybase + 1
+                rank = np.empty(n, dtype=np.int64)
+                rank[order] = rank_sorted
+                if kind == "rank":
+                    out[out_col] = pd.Series(rank, dtype="Int64")
+                else:
+                    lens = np.repeat(run_lens, run_lens)
+                    out[out_col] = np.where(
+                        lens > 1, (rank - 1) / np.maximum(lens - 1, 1), 0.0
+                    )
+                continue
             elif kind == "lag_diff":
                 prev = np.empty(n, dtype=np.int64)
                 prev[1:] = v[:-1]

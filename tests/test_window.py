@@ -519,3 +519,41 @@ class TestCohortRetention:
         ).to_pandas()
         # user 1 contributes (c,0) and (c,9); null user and null ts drop
         assert int(got["n_users"].sum()) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRankKinds:
+    def test_rank_and_percent_rank_ties_and_nulls(self):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.window import window_over
+
+        df = pd.DataFrame(
+            {
+                "k": ["a"] * 5 + ["b"] * 3 + [None] * 2,
+                "id": range(10),
+                "v": pd.array([3, 1, 3, None, 2, 7, 7, 7, 5, None], dtype="Int64"),
+            }
+        )
+        out = (
+            window_over(
+                rd.from_pandas(df),
+                "k",
+                ["id"],
+                {"rnk": ("rank", "v"), "prnk": ("percent_rank", "v")},
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        exp = con.execute(
+            """SELECT id, CAST(RANK() OVER w AS BIGINT) AS rnk,
+                      percent_rank() OVER w AS prnk
+               FROM df WINDOW w AS (PARTITION BY k ORDER BY v ASC NULLS LAST)
+               ORDER BY id"""
+        ).fetchdf()
+        assert list(out["rnk"].astype("int64")) == list(exp["rnk"])
+        assert list(out["prnk"]) == list(exp["prnk"])  # bit-exact
