@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_fill_events": Q.resample_fill_events,
         "winsorize_events": Q.winsorize_events,
         "rank_events_per_user": Q.rank_events_per_user,
+        "mad_outliers_events": Q.mad_outliers_events,
         "quantile_sketch_events": Q.quantile_sketch_events,
         "quantile_sketch_per_type_events": Q.quantile_sketch_per_type_events,
         "bpe_tokens_documents": Q.bpe_tokens_documents,
@@ -1328,6 +1329,26 @@ def _oracle_sql_dict() -> dict[str, str]:
                    quantile_disc(value, 0.95) AS p95,
                    count(value) AS n
             FROM events GROUP BY event_type
+        """,
+        "mad_outliers_events": """
+            WITH base AS (
+              SELECT event_id, event_type, value FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ),
+            med AS (
+              SELECT event_type, quantile_disc(value, 0.5) AS m
+              FROM base GROUP BY 1
+            ),
+            dev AS (
+              SELECT b.event_id, b.event_type, abs(b.value - med.m) AS d
+              FROM base b JOIN med USING (event_type)
+            ),
+            mad AS (
+              SELECT event_type, quantile_disc(d, 0.5) AS md
+              FROM dev GROUP BY 1
+            )
+            SELECT dev.event_id, dev.event_type, dev.d > 3.0 * mad.md AS is_outlier
+            FROM dev JOIN mad USING (event_type)
         """,
         "rank_events_per_user": """
             SELECT event_id, user_id,

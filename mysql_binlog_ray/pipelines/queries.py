@@ -523,6 +523,16 @@ def quantile_sketch_per_type_events(sf_dir: str):
     )
 
 
+def mad_outliers_events(sf_dir: str):
+    """Robust per-event_type outlier flags via median absolute
+    deviation — exact quantile_disc statistics, bit-exact flag math."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+    out = R.mad_outliers(ds, ["event_type"], "value", k=3.0)
+    return out.select_columns(["event_id", "event_type", "is_outlier"])
+
+
 def rank_events_per_user(sf_dir: str):
     """RANK / PERCENT_RANK of each event within its user's timeline —
     tie-aware SQL rank semantics; percent_rank is one IEEE division of

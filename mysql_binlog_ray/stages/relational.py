@@ -959,6 +959,59 @@ def winsorize(
     return ds.map_batches(clip, batch_format="pandas")
 
 
+def mad_outliers(
+    ds: rd.Dataset,
+    keys: list[str],
+    val_col: str,
+    k: float = 3.0,
+    out_col: str = "is_outlier",
+) -> rd.Dataset:
+    """Per-group robust outlier detection via the median absolute
+    deviation: flag rows with ``|v - median| > k * MAD`` (both the
+    median and the MAD are EXACT ``quantile_disc`` picks, and the flag
+    is one subtraction, one abs, one multiply, one compare — identical
+    IEEE ops on both sides, so the SQL oracle matches bit-for-bit).
+
+    Rows with NULL group keys or NULL values are dropped (the SQL
+    twin's inner joins never match NULL keys; a NULL value has no
+    defined deviation).
+
+    Scale shape: two ``group_percentiles`` exchanges (median, then MAD
+    over deviations) with the small per-group tables broadcast once
+    each; the flagging pass is a stateless vectorized map."""
+
+    def drop_nulls(tab: pa.Table) -> pa.Table:
+        mask = pc.is_valid(tab[val_col])
+        for kc in keys:
+            mask = pc.and_(mask, pc.is_valid(tab[kc]))
+        return tab.filter(mask)
+
+    ds = ds.map_batches(drop_nulls, batch_format="pyarrow")
+    med = group_percentiles(ds, keys, val_col, [0.5], ["_med"]).to_pandas()
+    get_med = broadcast_once(med)
+
+    def add_dev(batch: pd.DataFrame) -> pd.DataFrame:
+        merged = batch.merge(get_med(), on=keys, how="left")
+        batch = batch.copy()
+        batch["_dev"] = np.abs(
+            merged[val_col].to_numpy(dtype=np.float64)
+            - merged["_med"].to_numpy(dtype=np.float64)
+        )
+        return batch
+
+    with_dev = ds.map_batches(add_dev, batch_format="pandas")
+    mad = group_percentiles(with_dev, keys, "_dev", [0.5], ["_mad"]).to_pandas()
+    get_mad = broadcast_once(mad)
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        merged = batch.merge(get_mad(), on=keys, how="left")
+        out = batch.drop(columns=["_dev"]).copy()
+        out[out_col] = batch["_dev"].to_numpy() > k * merged["_mad"].to_numpy()
+        return out
+
+    return with_dev.map_batches(flag, batch_format="pandas")
+
+
 def grouped_top_n(
     ds: rd.Dataset,
     group_cols: list[str],

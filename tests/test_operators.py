@@ -2284,3 +2284,37 @@ class TestBpe:
         assert set(out.index) == {"a", "b"}
         assert out.loc["b", "n"] == 0 and np.isnan(out.loc["b", "p50"])
         assert out.loc["a", "n"] == 2 and out.loc["a", "p50"] == 1.0
+
+
+class TestMadOutliers:
+    def test_flags_match_reference_and_null_handling(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.relational import mad_outliers
+
+        rng = np.random.default_rng(8)
+        df = pd.DataFrame(
+            {
+                "g": np.repeat(["a", "b"], 50),
+                "v": np.concatenate(
+                    [rng.normal(0, 1, 50), rng.normal(100, 5, 50)]
+                ),
+            }
+        )
+        df.loc[3, "v"] = 50.0   # wild outlier in group a
+        df.loc[7, "v"] = None   # dropped
+        df.loc[60, "g"] = None  # dropped
+        out = mad_outliers(rd.from_pandas(df), ["g"], "v", k=3.0).to_pandas()
+        assert len(out) == 98  # two NULL rows dropped
+        for g in ("a", "b"):
+            vals = df[(df["g"] == g) & df["v"].notna()]["v"].to_numpy()
+            med = np.sort(vals)[int(np.ceil(0.5 * len(vals))) - 1]
+            dev = np.abs(vals - med)
+            mad = np.sort(dev)[int(np.ceil(0.5 * len(dev))) - 1]
+            exp = dev > 3.0 * mad
+            got = out[out["g"] == g]["is_outlier"].to_numpy()
+            assert (got == exp).all()
+        # the planted outlier is flagged
+        assert out[(out["g"] == "a") & (out["v"] == 50.0)]["is_outlier"].all()
