@@ -105,6 +105,8 @@ def run_bench() -> dict:
         "winsorize_events",
         "vector_stats_by_label",
         "quantile_sketch_events",
+        "rank_events_per_user",
+        "mad_outliers_events",
     ]
     import __ray_entry__ as entry_mod
 
