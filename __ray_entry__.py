@@ -790,8 +790,12 @@ def _oracle_sql_dict() -> dict[str, str]:
             SELECT o_orderkey, o_custkey,
                    COUNT(*) AS n_items,
                    CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
+                   -- CAST the SUM itself too: DuckDB SUM(BIGINT) yields
+                   -- HUGEINT (arriving as float64 through Arrow) while the
+                   -- engine emits int64 — values identical, typed hash not
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                       AS revenue_e4
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
             GROUP BY o_orderkey, o_custkey
         """,

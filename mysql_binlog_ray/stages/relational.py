@@ -185,18 +185,25 @@ def normalize_empty_blocks(ds: rd.Dataset, proto: dict[str, str]) -> rd.Dataset:
     return ds.map_batches(fix, batch_format="pyarrow")
 
 
-def drop_empty_blocks(ds: rd.Dataset, proto: dict[str, str] | pa.Schema) -> rd.Dataset:
+def drop_empty_blocks(
+    ds: rd.Dataset, proto: dict[str, str] | pa.Schema | None = None
+) -> rd.Dataset:
     """Physically remove 0-row blocks from a dataset.
 
     Ray 2.49 SKIPS map UDFs on 0-row blocks (``plan_udf_map_op.py``'s
     empty-block passthrough), so the schema-less empty blocks some
     all-to-all ops emit survive :func:`normalize_empty_blocks` untouched
-    and crash block-level consumers (``Dataset.join``'s per-partition
-    Arrow join fails with "No match for key field ...").  This
-    materializes the input and rebuilds it from the non-empty block
-    REFS — the driver touches refs + metadata only, never rows.  Use it
-    on SMALL shuffle outputs (aggregates) feeding a join; ``proto``
-    (Arrow type aliases) supplies the schema when every block is empty.
+    and crash block-level consumers.  Worse, the hash-shuffle JOIN's
+    schema broadcast races on them: ``_shuffle_block`` early-returns on a
+    0-row block WITHOUT broadcasting the input schema while the driver
+    still marks schemas as broadcast (``hash_shuffle.py:223`` vs
+    ``:588``), so if an empty block happens to be shuffled first the
+    aggregators finalize zero-column partitions and ``pa.Table.join``
+    dies with "No match for key field ...".  This materializes the input
+    and rebuilds it from the non-empty block REFS — the driver touches
+    refs + metadata only, never rows.  ``proto`` (Arrow type aliases or a
+    schema) supplies the schema when every block is empty; when omitted,
+    the schema is recovered from the executed bundles.
     """
     @ray.remote(num_cpus=0)
     def _count(blk) -> int:
@@ -204,7 +211,13 @@ def drop_empty_blocks(ds: rd.Dataset, proto: dict[str, str] | pa.Schema) -> rd.D
 
     refs = []
     unknown: list = []
+    seen_schema: pa.Schema | None = None
     for bundle in ds.iter_internal_ref_bundles():
+        if seen_schema is None:
+            s = getattr(bundle, "schema", None)
+            s = getattr(s, "base_schema", s)
+            if isinstance(s, pa.Schema) and len(s.names):
+                seen_schema = s
         for ref, meta in bundle.blocks:
             if meta.num_rows is None:
                 # unknown count: counted in a 0-CPU task — the block's
@@ -214,11 +227,19 @@ def drop_empty_blocks(ds: rd.Dataset, proto: dict[str, str] | pa.Schema) -> rd.D
                 refs.append(ref)
     refs.extend(ref for (ref, cnt) in unknown if ray.get(cnt))
     if not refs:
-        schema = (
-            proto
-            if isinstance(proto, pa.Schema)
-            else pa.schema([(c, pa.type_for_alias(t)) for c, t in proto.items()])
-        )
+        if isinstance(proto, pa.Schema):
+            schema = proto
+        elif proto is not None:
+            schema = pa.schema(
+                [(c, pa.type_for_alias(t)) for c, t in proto.items()]
+            )
+        elif seen_schema is not None:
+            schema = seen_schema
+        else:
+            raise ValueError(
+                "drop_empty_blocks: every block is empty and no schema is "
+                "recoverable — pass `proto`"
+            )
         return rd.from_arrow(schema.empty_table())
     return rd.from_arrow_refs(refs)
 
@@ -528,6 +549,53 @@ def sessionize(
     return keyed_reduce(ds, [key_col], combine)
 
 
+def _scrub_join_input(ds: rd.Dataset) -> tuple[rd.Dataset, bool]:
+    """Make one join input safe for Ray's hash-shuffle join.
+
+    Ray 2.49's join races on 0-row input blocks: ``_shuffle_block``
+    early-returns on an empty block WITHOUT broadcasting that side's
+    schema while the driver marks schemas as broadcast anyway
+    (``hash_shuffle.py:223`` vs ``:588``), so when an empty block is
+    shuffled first, data-less partitions finalize as zero-column tables
+    and ``pa.Table.join`` dies with "No match for key field ...".
+
+    Bare file-read leaves pass through untouched — a parquet fragment
+    block always carries its file's rows, and scrubbing would
+    materialize the read.  Every TRANSFORMED input (filters,
+    pre-aggregates, shuffle outputs — the ones that CAN emit empty
+    blocks) is scrubbed with :func:`drop_empty_blocks`; the
+    materialization this implies is acceptable because the join buffers
+    both sides inside its aggregators anyway.
+
+    Returns ``(dataset, known_empty)``; ``known_empty`` lets the caller
+    skip the shuffle join entirely (an ALL-empty side re-triggers the
+    same schema-broadcast race even after scrubbing, since its one
+    schema-bearing empty block is still skipped by ``_shuffle_block``).
+    """
+    try:
+        dag = ds._logical_plan.dag
+        is_file_leaf = (
+            type(dag).__name__ in ("Read", "ReadFiles")
+            and not dag.input_dependencies
+        )
+    except Exception:
+        is_file_leaf = False
+    if is_file_leaf:
+        return ds, False
+    scrubbed = drop_empty_blocks(ds)
+    # drop_empty_blocks returns a driver-created MaterializedDataset whose
+    # row count is block metadata — count() here reads metadata only.
+    return scrubbed, scrubbed.count() == 0
+
+
+def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema(list(zip(s.names, s.types)))
+
+
 def hash_join(
     left_ds: rd.Dataset,
     right_ds: rd.Dataset,
@@ -543,7 +611,40 @@ def hash_join(
     LEAF input sizes (parquet metadata — no plan execution; falls back
     to 64 when a side isn't a leaf read), the same ~256 MB-per-partition
     rule as ``keyed_reduce``: a fixed constant would hand each join task
-    O(corpus / constant) rows at 100 TB."""
+    O(corpus / constant) rows at 100 TB.
+
+    Inputs are scrubbed of 0-row blocks first (:func:`_scrub_join_input`
+    — Ray's schema-broadcast race), and a KNOWN-empty side short-circuits
+    the shuffle: the join degenerates to a per-batch Arrow join of the
+    live side against an empty table of the other side's schema (exact
+    semantics for every join type, zero all-to-all)."""
+    left_ds, l_empty = _scrub_join_input(left_ds)
+    right_ds, r_empty = _scrub_join_input(right_ds)
+    if l_empty or r_empty:
+        verb = join_type.replace("_", " ")
+        if l_empty and r_empty:
+            lt = _arrow_schema(left_ds).empty_table()
+            rt = _arrow_schema(right_ds).empty_table()
+            return rd.from_arrow(
+                lt.join(rt, keys=[on], right_keys=[right_on], join_type=verb)
+            )
+        if l_empty:
+            empty_left = _arrow_schema(left_ds).empty_table()
+
+            def join_vs_empty_left(b: pa.Table) -> pa.Table:
+                return empty_left.join(
+                    b, keys=[on], right_keys=[right_on], join_type=verb
+                )
+
+            return right_ds.map_batches(join_vs_empty_left, batch_format="pyarrow")
+        empty_right = _arrow_schema(right_ds).empty_table()
+
+        def join_vs_empty_right(b: pa.Table) -> pa.Table:
+            return b.join(
+                empty_right, keys=[on], right_keys=[right_on], join_type=verb
+            )
+
+        return left_ds.map_batches(join_vs_empty_right, batch_format="pyarrow")
     if num_partitions is None:
         lb = metadata_size_bytes(left_ds)
         rb = metadata_size_bytes(right_ds)

@@ -1188,6 +1188,111 @@ class TestDropEmptyBlocks:
         assert out.count() == 0
         assert out.schema().names == ["k"]
 
+    def test_proto_optional_schema_recovered_from_bundles(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.relational import drop_empty_blocks
+
+        schema = pa.schema([("k", pa.int64()), ("v", pa.string())])
+        ds = rd.from_arrow([schema.empty_table(), schema.empty_table()])
+        out = drop_empty_blocks(ds)
+        assert out.count() == 0
+        assert out.schema().names == ["k", "v"]
+
+
+class TestHashJoinEmptyBlockRace:
+    """Ray 2.49's hash-shuffle join races on 0-row input blocks: the
+    shuffle task early-returns on an empty block WITHOUT broadcasting
+    that side's schema while the driver marks schemas as broadcast
+    anyway, so when an empty filtered block is shuffled first the
+    aggregators finalize zero-column partitions and pa.Table.join dies
+    with "No match for key field".  Before hash_join scrubbed its inputs
+    this repro failed 10/10 at 8 CPUs (driver row
+    skew_join_events_customer, CORRECTNESS_r03); after it must pass 100%
+    of trials."""
+
+    def _skewed_inputs(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        # 32 blocks; the filter keeps rows in only the LAST one, so the
+        # shuffle almost surely sees an empty block first.
+        parts = []
+        for i in range(32):
+            keep = 7 if i == 31 else -1
+            parts.append(
+                pa.table(
+                    {
+                        "k": pa.array([keep] * 100, type=pa.int64()),
+                        "x": pa.array(np.arange(100), type=pa.int64()),
+                    }
+                )
+            )
+        left = rd.from_arrow(parts)
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([7], type=pa.int64()),
+                    "y": pa.array([99], type=pa.int64()),
+                }
+            )
+        )
+        return left, right
+
+    def test_mostly_empty_filtered_partitions_20x(self, ray_session):
+        import pyarrow.compute as pc
+
+        from mysql_binlog_ray.stages.relational import hash_join
+
+        left, right = self._skewed_inputs()
+
+        def keep_pos(b):
+            return b.filter(pc.greater(b.column("k"), 0))
+
+        for _ in range(20):
+            l2 = left.map_batches(keep_pos, batch_format="pyarrow")
+            assert hash_join(l2, right, "k", "k").count() == 100
+
+    def test_known_empty_sides_short_circuit(self, ray_session):
+        import pyarrow.compute as pc
+
+        from mysql_binlog_ray.stages.relational import hash_join
+
+        left, right = self._skewed_inputs()
+
+        def keep_none(b):
+            return b.filter(pc.greater(b.column("k"), 10**9))
+
+        def keep_pos(b):
+            return b.filter(pc.greater(b.column("k"), 0))
+
+        l_empty = left.map_batches(keep_none, batch_format="pyarrow")
+        r_empty = right.map_batches(keep_none, batch_format="pyarrow")
+        l_live = left.map_batches(keep_pos, batch_format="pyarrow")
+
+        # empty left, inner: empty result with the full joined schema
+        out = hash_join(l_empty, right, "k", "k")
+        assert out.count() == 0
+        assert out.schema().names == ["k", "x", "y"]
+        # empty right, left_outer: every left row survives, right cols null
+        rows = hash_join(l_live, r_empty, "k", "k", join_type="left_outer").take_all()
+        assert len(rows) == 100
+        assert all(r["y"] is None for r in rows)
+        # empty right, full_outer == left side with null right cols
+        assert (
+            hash_join(l_live, r_empty, "k", "k", join_type="full_outer").count()
+            == 100
+        )
+        # empty left, full_outer == right side with null left cols
+        rows = hash_join(l_empty, right, "k", "k", join_type="full_outer").take_all()
+        assert len(rows) == 1 and rows[0]["y"] == 99 and rows[0]["x"] is None
+        # both empty
+        out = hash_join(l_empty, r_empty, "k", "k", join_type="full_outer")
+        assert out.count() == 0
+        assert out.schema().names == ["k", "x", "y"]
+
 
 class TestRemoveDuplicateSpans:
     """Substring-level exact dedup vs a brute-force per-corpus reference:
