@@ -167,3 +167,39 @@ def test_cc_bigstar_matches_min_label_on_two_components():
         }
     )
     pd.testing.assert_frame_equal(_big(e, num_parts=2), _dist(e, num_parts=2))
+
+
+def test_minhash_dedup_clusters_distributed_equals_union_find(ray_session):
+    """minhash_dedup_clusters now routes through the distributed BSP CC
+    by default (round-3 verdict #4); both paths must produce identical
+    (doc_id, cluster_id) tables on a corpus with planted near-dups."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from mysql_binlog_ray.stages.dedup import minhash_dedup_clusters
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = []
+    for i in range(60):
+        docs.append(" ".join(rng.choice(vocab, size=50)))
+    # planted near-dup chains: 0~60~61 and 1~62
+    for base, n in ((0, 2), (1, 1)):
+        for j in range(n):
+            words = docs[base].split()
+            for k in rng.integers(0, len(words), 2):
+                words[int(k)] = "CHANGED"
+            docs.append(" ".join(words))
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+    dist = minhash_dedup_clusters(
+        rd.from_pandas(df), threshold=0.4, distributed=True
+    ).to_pandas()
+    uf = minhash_dedup_clusters(
+        rd.from_pandas(df), threshold=0.4, distributed=False
+    ).to_pandas()
+    dist = dist.sort_values("doc_id").reset_index(drop=True)
+    uf = uf.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(dist, uf)
+    assert len(dist) >= 3  # the planted chains clustered

@@ -87,6 +87,54 @@ class TestDedup:
         # random 60-word docs over 500 vocab are not 50% similar
         assert len(got) < 40
 
+    def test_minhash_verify_distributed_matches_naive(self):
+        """The verify stage ships signatures as rows through two keyed
+        exchanges (round-3 verdict: no O(candidates) driver
+        materialization).  Its estimates must equal the naive driver-side
+        per-pair signature comparison bit-for-bit, including pairs below
+        threshold being absent."""
+        import ray.data as rd_
+
+        from mysql_binlog_ray.stages.dedup import (
+            MinHasher,
+            verify_minhash_pairs_distributed,
+        )
+
+        df = _doc_corpus()
+        hasher_kwargs = dict(
+            text_col="text", id_col="doc_id", num_perm=128, bands=32, shingle_k=5
+        )
+        # candidate pairs: a mix of planted near-dups and random non-dups
+        pairs = pd.DataFrame(
+            {
+                "doc_a": [0, 1, 2, 3, 5, 10, 40],
+                "doc_b": [130, 131, 122, 123, 125, 20, 90],
+            }
+        )
+        out = (
+            verify_minhash_pairs_distributed(
+                rd_.from_pandas(df), pairs, hasher_kwargs, threshold=0.5
+            )
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        # the returned dataset carries only (doc_a, doc_b, est) — never a
+        # signature column (the O(pairs)-on-driver contract)
+        assert sorted(out.columns) == ["doc_a", "doc_b", "est_jaccard"]
+        mh = MinHasher(**hasher_kwargs)
+        sigs = {i: mh.signature(t) for i, t in zip(df["doc_id"], df["text"])}
+        naive = {
+            (a, b): float((sigs[a] == sigs[b]).mean())
+            for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+        }
+        expect = {k: v for k, v in naive.items() if v >= 0.5}
+        got = {
+            (int(r.doc_a), int(r.doc_b)): float(r.est_jaccard)
+            for r in out.itertuples()
+        }
+        assert got == expect
+
     def test_simhash_exact_dup_distance_zero(self):
         df = _doc_corpus()
         got = simhash_pairs(rd.from_pandas(df), max_hamming=0).to_pandas()
