@@ -1275,38 +1275,50 @@ def _oracle_sql_dict() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42
         """,
-        # multimodal fake-codec pipelines: payloads are encode(text)[:N]
-        # byte prefixes == substr(text, 1, N) on the ASCII testdata, and
-        # the fake decode is md5-derived, so the whole pipeline is SQL
+        # multimodal REAL-codec pipelines: the engine encodes each doc's
+        # text bytes into a genuine PNG / WAV / PNG-frame-stream and
+        # decodes it back with the stdlib codecs; because the pixel /
+        # sample bytes ARE the text bytes (padded with zeros; samples
+        # x16), dims, mean luma, duration and energy all recompute
+        # exactly from character ordinals on the ASCII testdata
         "multimodal_image_pipeline": """
             WITH p AS (
               SELECT doc_id, substr(coalesce(text,''), 1, 4096) AS s FROM documents
             ), d AS (
-              SELECT doc_id,
-                CAST(64 + ((md5_number_upper(s) & 255) % 64) AS INTEGER) AS width,
-                CAST(64 + (((md5_number_upper(s) >> 8) & 255) % 64) AS INTEGER) AS height
+              -- gray8 PNG: width 32, height = ceil(len/32) (min 1),
+              -- zero-padded final row
+              SELECT doc_id, s, length(s) AS n,
+                CAST(greatest(1, CAST(ceil(length(s) / 32.0) AS BIGINT)) AS INTEGER)
+                  AS height
               FROM p
+            ), e AS (
+              SELECT doc_id, SUM(ord(substr(s, i, 1))) AS su
+              FROM d, unnest(generate_series(1, n)) AS t(i)
+              GROUP BY doc_id
             )
-            SELECT doc_id, width, height,
-                   CAST(width AS BIGINT) * height AS n_pixels,
-                   CAST(32 AS INTEGER) AS thumb_w, CAST(32 AS INTEGER) AS thumb_h
-            FROM d
+            SELECT d.doc_id, CAST(32 AS INTEGER) AS width, d.height,
+                   CAST(32 AS BIGINT) * d.height AS n_pixels,
+                   CAST(COALESCE(e.su, 0) AS DOUBLE) / (32 * d.height) / 255.0
+                     AS mean_luma,
+                   CAST(8 AS INTEGER) AS thumb_w, CAST(8 AS INTEGER) AS thumb_h
+            FROM d LEFT JOIN e ON d.doc_id = e.doc_id
         """,
         "multimodal_av_pipeline": """
             WITH p AS (
               SELECT doc_id, substr(coalesce(text,''), 1, 8192) AS s FROM documents
             ), e AS (
-              -- energy: mean byte value of the first 256 payload bytes
+              -- energy: samples are byte*16, so mean|sample|/32768 =
+              -- (16 * SUM(ord)) / n / 32768 over the WHOLE payload
               SELECT doc_id, SUM(ord(substr(s, i, 1))) AS su
-              FROM p, unnest(generate_series(1, least(256, length(s)))) AS t(i)
+              FROM p, unnest(generate_series(1, length(s))) AS t(i)
               GROUP BY doc_id
             )
             SELECT p.doc_id,
-                   CAST(length(s) // 2 AS DOUBLE) / 16000 AS duration_sec,
-                   CAST(length(s) // 2 AS BIGINT) AS n_frames_audio,
-                   (CAST(COALESCE(su, 0) AS DOUBLE)
-                    / greatest(1, least(256, length(s)))) / 255.0 AS energy,
-                   CAST(4 AS INTEGER) AS n_frames_video
+                   CAST(length(s) AS DOUBLE) / 16000 AS duration_sec,
+                   CAST(length(s) AS BIGINT) AS n_frames_audio,
+                   CAST(16 * COALESCE(su, 0) AS DOUBLE)
+                    / greatest(1, length(s)) / 32768.0 AS energy,
+                   CAST(least(1 + p.doc_id % 5, 4) AS INTEGER) AS n_frames_video
             FROM p LEFT JOIN e ON p.doc_id = e.doc_id
         """,
         "minhash_neardup_documents": _minhash_neardup_oracle(),

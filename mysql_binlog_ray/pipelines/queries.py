@@ -633,46 +633,87 @@ def embedding_neardup_exact_embeddings(sf_dir: str):
 
 
 def multimodal_image_pipeline(sf_dir: str):
-    """Multimodal plumbing demo: synthesize binary 'images' from document
-    text bytes, then run the decode->resize actor stages (fake codec)."""
-    from ..stages.multimodal import ImageDecoder, ImageResizer
+    """Multimodal pipeline over GENUINELY encoded images: each document's
+    text bytes become an 8-bit grayscale PNG (width 32, zero-padded final
+    row; a real zlib-compressed, CRC'd file), which the decode->resize
+    actor stages then REALLY decode (inflate + unfilter + CRC check) and
+    nearest-neighbor resize.  The oracle recomputes dims and mean luma
+    from character ordinals — exact because the pixel bytes ARE the text
+    bytes."""
+    from ..stages.multimodal import ImageDecoder, ImageResizer, encode_png
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
-    def to_binary(batch: pa.Table) -> pa.Table:
-        payloads = [t.encode()[:4096] for t in batch.column("text").to_pylist()]
+    def to_png(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for t in batch.column("text").to_pylist():
+            raw = (t or "").encode()[:4096]
+            h = max(1, -(-len(raw) // 32))
+            px = np.zeros(32 * h, dtype=np.uint8)
+            px[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+            payloads.append(encode_png(px.reshape(h, 32)))
         return pa.table(
             {"doc_id": batch.column("doc_id"), "image": pa.array(payloads, pa.binary())}
         )
 
-    imgs = ds.map_batches(to_binary, batch_format="pyarrow")
+    imgs = ds.map_batches(to_png, batch_format="pyarrow")
     decoded = imgs.map_batches(
         ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
     )
     resized = decoded.map_batches(
-        ImageResizer, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        ImageResizer,
+        fn_constructor_kwargs={"target": (8, 8)},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
     )
     return resized.map_batches(
-        lambda b: b.select(["doc_id", "width", "height", "n_pixels", "thumb_w", "thumb_h"]),
+        lambda b: b.select(
+            ["doc_id", "width", "height", "n_pixels", "mean_luma", "thumb_w", "thumb_h"]
+        ),
         batch_format="pyarrow",
     )
 
 
 def multimodal_av_pipeline(sf_dir: str):
-    """Audio + video plumbing demo: synthesize binary payloads from doc
-    text bytes, run featurize (audio) and frame-sample (video) actor
-    stages, emit flattened metadata."""
-    from ..stages.multimodal import AudioFeaturizer, VideoFrameSampler
+    """Audio + video pipeline over GENUINELY encoded payloads: each
+    document's text bytes become (a) a real 16 kHz 16-bit mono WAV whose
+    samples are ``byte * 16`` (stdlib ``wave`` writer), and (b) a
+    concatenated-PNG frame stream (PNG-MJPEG) with ``1 + doc_id % 5``
+    real frames.  The featurize stage decodes the WAV header + samples
+    via ``wave``; the sampler splits the stream into real frames.  The
+    oracle recomputes duration/energy from character ordinals (exact —
+    the samples ARE the text bytes x16) and the sampled frame count from
+    ``doc_id``."""
+    from ..stages.multimodal import (
+        AudioFeaturizer,
+        VideoFrameSampler,
+        encode_png,
+        encode_wav,
+    )
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def to_binary(batch: pa.Table) -> pa.Table:
-        payloads = [t.encode()[:8192] for t in batch.column("text").to_pylist()]
+        audio, video = [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            raw = (t or "").encode()[:8192]
+            samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16) * 16
+            audio.append(encode_wav(samples, sample_rate=16000))
+            k = 1 + int(doc_id) % 5
+            frame_px = np.zeros(32, dtype=np.uint8)
+            frame_px[: min(32, len(raw))] = np.frombuffer(
+                raw[:32], dtype=np.uint8
+            )
+            frame = encode_png(frame_px.reshape(4, 8))
+            video.append(frame * k)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "audio": pa.array(payloads, pa.binary()),
-                "video": pa.array(payloads, pa.binary()),
+                "audio": pa.array(audio, pa.binary()),
+                "video": pa.array(video, pa.binary()),
             }
         )
 

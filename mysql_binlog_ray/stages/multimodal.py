@@ -1,14 +1,28 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) column plumbing with REAL stdlib codecs.
 
 Media travel as opaque ``binary`` columns with typed metadata columns;
 decode / feature-extract / resize / frame-sample are actor-pool
-``map_batches`` stages.  The actual codec libraries (Pillow, ffmpeg,
-torchaudio, ...) are NOT in this container, so the codec call itself is
-stubbed: with ``fake=True`` (the default here) a deterministic fake
-decoder derived from the payload bytes stands in, keeping every
-Ray-facing part — schema, batch sizing, actor signature, output layout —
-real and testable; with ``fake=False`` the stages raise
-``NotImplementedError`` at the exact call site a codec would occupy.
+``map_batches`` stages.  The heavyweight codec libraries (Pillow,
+ffmpeg, torchaudio, ...) are not in this container, but two real
+formats decode with the standard library alone and are implemented
+genuinely here:
+
+- **PNG** — full decode via ``zlib``: IHDR parse, IDAT inflate, all five
+  scanline filters (None/Sub/Up/Average/Paeth) unfiltered, CRC checked;
+  plus a matching encoder (filter 0 + zlib) used by the re-size stage
+  and the test fixtures.  8-bit gray / RGB / RGBA; interlaced or
+  non-8-bit files raise (named, never silent).
+- **WAV** — via the stdlib ``wave`` module: duration, frame count and a
+  mean-|sample| energy over 16-bit PCM.
+- **Frame streams** — a concatenated-PNG stream (the PNG analogue of
+  MJPEG's concatenated JPEGs) splits on the 8-byte PNG signature; the
+  sampler picks N evenly spaced real frames.
+
+Each stage dispatches PER PAYLOAD on the magic bytes: a real PNG/WAV
+payload always decodes genuinely; non-matching payloads fall back to the
+deterministic fake decode when ``fake=True`` (kept for byte-oracle
+fixtures) or raise ``NotImplementedError`` naming the missing codec when
+``fake=False``.
 
 Batch-size guidance: media payloads are KB..MB wide — run these stages
 with a small ``batch_size`` (e.g. 64) and ``batch_format="pyarrow"`` so
@@ -18,9 +32,184 @@ binary columns never round-trip through pandas object dtype.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
+import zlib
 
 import numpy as np
 import pyarrow as pa
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (pure stdlib: struct + zlib)
+# ---------------------------------------------------------------------------
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal real PNG encoder: 8-bit gray ``(h, w)`` or RGB(A)
+    ``(h, w, 3|4)`` array -> PNG bytes (filter 0 rows, one zlib IDAT)."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        color_type, channels = 0, 1
+        h, w = arr.shape
+    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
+        color_type = 2 if arr.shape[2] == 3 else 6
+        h, w, channels = arr.shape
+    else:
+        raise ValueError(f"encode_png: unsupported array shape {arr.shape}")
+    if h < 1 or w < 1:
+        raise ValueError("encode_png: empty image")
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 per scanline, vectorized: prepend a zero column
+    rows = arr.reshape(h, w * channels)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), rows], axis=1
+    ).tobytes()
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc_:
+        return a
+    return b if pb <= pc_ else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Real PNG decode: returns ``(h, w)`` uint8 for gray or
+    ``(h, w, channels)`` for multi-channel images.  Checks chunk CRCs;
+    raises on interlaced or non-8-bit files (the honest subset a
+    stdlib-only decoder can do exactly)."""
+    if not data.startswith(PNG_SIG):
+        raise ValueError("decode_png: not a PNG (bad signature)")
+    pos = len(PNG_SIG)
+    width = height = None
+    color_type = channels = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"decode_png: CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8:
+                raise NotImplementedError(f"decode_png: bit depth {depth} (only 8)")
+            if interlace:
+                raise NotImplementedError("decode_png: Adam7 interlacing")
+            if color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(f"decode_png: color type {color_type}")
+            channels = _PNG_CHANNELS[color_type]
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("decode_png: missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("decode_png: unexpected inflated size")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = raw[:, 0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(height):
+        f = filters[y]
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up — fully vectorized
+            rec = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 1:
+                    rec[x] = (line[x] + a) & 0xFF
+                elif f == 3:
+                    rec[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    rec[x] = (line[x] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"decode_png: unknown filter {f}")
+        out[y] = rec.astype(np.uint8)
+    if channels == 1:
+        return out
+    return out.reshape(height, width, channels)
+
+
+def resize_nearest(pixels: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (index maps, fully vectorized)."""
+    h, w = pixels.shape[:2]
+    ys = np.minimum((np.arange(target_h) * h) // target_h, h - 1)
+    xs = np.minimum((np.arange(target_w) * w) // target_w, w - 1)
+    return pixels[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# WAV codec (stdlib wave module)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples -> WAV bytes via the stdlib ``wave`` writer."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes(np.ascontiguousarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """WAV bytes -> ``(sample_rate, int16 samples of channel 0)``."""
+    with wave.open(io.BytesIO(data), "rb") as wv:
+        rate = wv.getframerate()
+        n = wv.getnframes()
+        width = wv.getsampwidth()
+        channels = wv.getnchannels()
+        if width != 2:
+            raise NotImplementedError(f"decode_wav: sample width {width} (only 16-bit)")
+        frames = np.frombuffer(wv.readframes(n), dtype="<i2")
+    if channels > 1:
+        frames = frames[::channels]
+    return rate, frames
+
+
+def split_png_stream(data: bytes) -> list[bytes]:
+    """Split a concatenated-PNG stream (PNG analogue of MJPEG) into its
+    frames by scanning for the 8-byte PNG signature."""
+    offs = []
+    i = data.find(PNG_SIG)
+    while i != -1:
+        offs.append(i)
+        i = data.find(PNG_SIG, i + len(PNG_SIG))
+    return [data[s:e] for s, e in zip(offs, offs[1:] + [len(data)])]
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int]:
@@ -34,8 +223,11 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
 class ImageDecoder:
     """binary image -> (width, height, n_pixels, mean_luma) metadata.
 
-    Real implementation would call e.g. PIL.Image.open at the marked
-    site; schema and actor shape are identical.
+    A payload carrying the PNG signature decodes GENUINELY
+    (:func:`decode_png`: inflate + unfilter + CRC); ``mean_luma`` is the
+    mean decoded sample value / 255 (all channels).  Non-PNG payloads use
+    the deterministic fake decode when ``fake=True`` (byte-oracle
+    fixtures) or raise naming the missing codec.
     """
 
     def __init__(self, data_col: str = "image", fake: bool = True) -> None:
@@ -46,26 +238,40 @@ class ImageDecoder:
         payloads = batch.column(self.data_col).to_pylist()
         w, h, lum = [], [], []
         for p in payloads:
-            if not self.fake:
+            p = p or b""
+            if p.startswith(PNG_SIG):
+                px = decode_png(p)
+                h.append(int(px.shape[0]))
+                w.append(int(px.shape[1]))
+                # int sum then two float divides — bit-identical to the
+                # SQL oracle's CAST(su AS DOUBLE) / n / 255.0
+                lum.append(float(int(px.sum(dtype=np.int64))) / px.size / 255.0)
+            elif self.fake:
+                fw, fh = _fake_dims(p)
+                w.append(fw)
+                h.append(fh)
+                lum.append((sum(p[:64]) / max(1, len(p[:64]))) / 255.0 if p else 0.0)
+            else:
                 raise NotImplementedError(
-                    "image codec not available in this environment; "
+                    "image codec not available for non-PNG payload; "
                     "install Pillow and decode here"
                 )
-            fw, fh = _fake_dims(p or b"")
-            w.append(fw)
-            h.append(fh)
-            lum.append((sum(p[:64]) / max(1, len(p[:64]))) / 255.0 if p else 0.0)
         return (
             batch.append_column("width", pa.array(w, pa.int32()))
             .append_column("height", pa.array(h, pa.int32()))
             .append_column("n_pixels", pa.array([a * b for a, b in zip(w, h)], pa.int64()))
-            .append_column("mean_luma", pa.array(np.round(lum, 6), pa.float64()))
+            .append_column("mean_luma", pa.array(lum, pa.float64()))
         )
 
 
 class ImageResizer:
-    """binary image -> binary thumbnail + new dims.  Fake mode emits a
-    deterministic hash-payload of the requested size marker."""
+    """binary image -> binary thumbnail + new dims.
+
+    PNG payloads resize GENUINELY: decode -> nearest-neighbor -> PNG
+    re-encode (the thumb column is a valid PNG that round-trips through
+    :func:`decode_png`).  Non-PNG payloads emit the deterministic fake
+    hash-thumb when ``fake=True`` or raise.
+    """
 
     def __init__(self, data_col: str = "image", target: tuple[int, int] = (32, 32), fake: bool = True) -> None:
         self.data_col = data_col
@@ -76,10 +282,14 @@ class ImageResizer:
         out = []
         tw, th = self.target
         for p in batch.column(self.data_col).to_pylist():
-            if not self.fake:
-                raise NotImplementedError("image resize codec not available")
-            dims = tw.to_bytes(2, "little") + th.to_bytes(2, "little")
-            out.append(hashlib.blake2b((p or b"") + dims, digest_size=32).digest())
+            p = p or b""
+            if p.startswith(PNG_SIG):
+                out.append(encode_png(resize_nearest(decode_png(p), tw, th)))
+            elif self.fake:
+                dims = tw.to_bytes(2, "little") + th.to_bytes(2, "little")
+                out.append(hashlib.blake2b(p + dims, digest_size=32).digest())
+            else:
+                raise NotImplementedError("image resize codec not available for non-PNG payload")
         return (
             batch.append_column("thumb", pa.array(out, pa.binary()))
             .append_column("thumb_w", pa.array([tw] * batch.num_rows, pa.int32()))
@@ -88,7 +298,13 @@ class ImageResizer:
 
 
 class AudioFeaturizer:
-    """binary audio -> (duration_sec, n_frames, energy) metadata stub."""
+    """binary audio -> (duration_sec, n_frames, energy) metadata.
+
+    A RIFF/WAVE payload decodes GENUINELY via the stdlib ``wave`` reader:
+    ``n_frames`` and ``duration_sec`` from the header, ``energy`` =
+    mean(|int16 sample|) / 32768 over channel 0.  Non-WAV payloads use
+    the fake s16le interpretation when ``fake=True`` or raise.
+    """
 
     def __init__(self, data_col: str = "audio", sample_rate: int = 16000, fake: bool = True) -> None:
         self.data_col = data_col
@@ -98,15 +314,25 @@ class AudioFeaturizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         dur, nf, en = [], [], []
         for p in batch.column(self.data_col).to_pylist():
-            if not self.fake:
-                raise NotImplementedError("audio codec not available")
-            n = len(p or b"") // 2  # pretend s16le mono
-            # no rounding: Python round() (binary half-even) and DuckDB
-            # round() (decimal half-away) diverge on ties — the raw IEEE
-            # quotients are deterministic and identical on both sides
-            dur.append(n / self.sample_rate)
-            nf.append(n)
-            en.append((sum((p or b"")[:256]) / max(1, len((p or b"")[:256]))) / 255.0)
+            p = p or b""
+            if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                rate, samples = decode_wav(p)
+                n = len(samples)
+                # int sum, then float divides (SQL-oracle bit-parity)
+                total = int(np.abs(samples.astype(np.int64)).sum())
+                dur.append(n / rate)
+                nf.append(n)
+                en.append(float(total) / max(1, n) / 32768.0)
+            elif self.fake:
+                n = len(p) // 2  # pretend s16le mono
+                # no rounding: Python round() (binary half-even) and DuckDB
+                # round() (decimal half-away) diverge on ties — the raw IEEE
+                # quotients are deterministic and identical on both sides
+                dur.append(n / self.sample_rate)
+                nf.append(n)
+                en.append((sum(p[:256]) / max(1, len(p[:256]))) / 255.0)
+            else:
+                raise NotImplementedError("audio codec not available for non-WAV payload")
         return (
             batch.append_column("duration_sec", pa.array(dur, pa.float64()))
             .append_column("n_frames", pa.array(nf, pa.int64()))
@@ -115,7 +341,14 @@ class AudioFeaturizer:
 
 
 class VideoFrameSampler:
-    """binary video -> list<binary> of N sampled "frames" (fake: slices)."""
+    """binary video -> list<binary> of <= N sampled frames.
+
+    A concatenated-PNG stream (PNG-MJPEG; payload starts with the PNG
+    signature) splits into its REAL frames and samples N evenly spaced
+    ones — each emitted frame is a complete, decodable PNG.  Other
+    payloads use the fake byte-slice sampler when ``fake=True`` or raise
+    (general video containers need ffmpeg, absent here).
+    """
 
     def __init__(self, data_col: str = "video", n_frames: int = 4, fake: bool = True) -> None:
         self.data_col = data_col
@@ -125,9 +358,18 @@ class VideoFrameSampler:
     def __call__(self, batch: pa.Table) -> pa.Table:
         frames = []
         for p in batch.column(self.data_col).to_pylist():
-            if not self.fake:
-                raise NotImplementedError("video codec not available")
             p = p or b""
-            step = max(1, len(p) // self.n_frames)
-            frames.append([p[i * step : i * step + 16] for i in range(self.n_frames)])
+            if p.startswith(PNG_SIG):
+                all_frames = split_png_stream(p)
+                k = len(all_frames)
+                if k <= self.n_frames:
+                    frames.append(all_frames)
+                else:
+                    idx = (np.arange(self.n_frames) * k) // self.n_frames
+                    frames.append([all_frames[int(i)] for i in idx])
+            elif self.fake:
+                step = max(1, len(p) // self.n_frames)
+                frames.append([p[i * step : i * step + 16] for i in range(self.n_frames)])
+            else:
+                raise NotImplementedError("video codec not available for non-PNG-stream payload")
         return batch.append_column("frames", pa.array(frames, pa.list_(pa.binary())))

@@ -373,6 +373,152 @@ class TestMultimodal:
         assert out.count() == 2
 
 
+class TestRealCodecs:
+    """The stdlib codecs are REAL: PNG encode/decode roundtrips
+    bit-exactly (all five scanline filters unfilter correctly, CRCs
+    checked), WAV roundtrips through the wave module, and the stages
+    dispatch on payload magic."""
+
+    def test_png_roundtrip_gray_rgb_rgba(self):
+        from mysql_binlog_ray.stages.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(3)
+        for shape in [(5, 7), (1, 1), (16, 3), (6, 4, 3), (3, 9, 4)]:
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            out = decode_png(encode_png(px))
+            np.testing.assert_array_equal(out, px)
+
+    def test_png_all_filter_types_unfilter(self):
+        """Hand-filter scanlines with each PNG filter type and check the
+        decoder recovers the original pixels (our encoder only emits
+        filter 0, so this exercises Sub/Up/Average/Paeth directly)."""
+        import struct
+        import zlib
+
+        from mysql_binlog_ray.stages.multimodal import PNG_SIG, decode_png
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+            if pa_ <= pb and pa_ <= pc_:
+                return a
+            return b if pb <= pc_ else c
+
+        rng = np.random.default_rng(5)
+        h, w, bpp = 5, 6, 1
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8).astype(int)
+        filters = [0, 1, 2, 3, 4]
+        raw = bytearray()
+        for y, f in enumerate(filters):
+            raw.append(f)
+            for x in range(w):
+                cur = px[y][x]
+                a = px[y][x - bpp] if x >= bpp else 0
+                b = px[y - 1][x] if y else 0
+                c = px[y - 1][x - bpp] if y and x >= bpp else 0
+                if f == 0:
+                    v = cur
+                elif f == 1:
+                    v = cur - a
+                elif f == 2:
+                    v = cur - b
+                elif f == 3:
+                    v = cur - ((a + b) >> 1)
+                else:
+                    v = cur - paeth(a, b, c)
+                raw.append(v & 0xFF)
+
+        def chunk(tag, payload):
+            crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+            return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+        data = (
+            PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        np.testing.assert_array_equal(decode_png(data), px.astype(np.uint8))
+
+    def test_png_crc_mismatch_raises(self):
+        from mysql_binlog_ray.stages.multimodal import decode_png, encode_png
+
+        data = bytearray(encode_png(np.zeros((2, 2), dtype=np.uint8)))
+        data[20] ^= 0xFF  # corrupt a byte inside IHDR
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(data))
+
+    def test_wav_roundtrip(self):
+        from mysql_binlog_ray.stages.multimodal import decode_wav, encode_wav
+
+        rng = np.random.default_rng(4)
+        samples = rng.integers(-32768, 32767, size=777, dtype=np.int16)
+        rate, got = decode_wav(encode_wav(samples, sample_rate=8000))
+        assert rate == 8000
+        np.testing.assert_array_equal(got, samples)
+
+    def test_image_decoder_real_path(self):
+        from mysql_binlog_ray.stages.multimodal import ImageDecoder, encode_png
+
+        rng = np.random.default_rng(6)
+        px = rng.integers(0, 256, size=(10, 32), dtype=np.uint8)
+        t = pa.table({"image": pa.array([encode_png(px)], pa.binary())})
+        out = ImageDecoder(fake=False)(t)  # real PNG never hits the stub
+        assert out.column("width").to_pylist() == [32]
+        assert out.column("height").to_pylist() == [10]
+        assert out.column("n_pixels").to_pylist() == [320]
+        expect = float(int(px.sum(dtype=np.int64))) / px.size / 255.0
+        assert out.column("mean_luma").to_pylist()[0] == expect
+
+    def test_image_resizer_real_path_roundtrips(self):
+        from mysql_binlog_ray.stages.multimodal import (
+            ImageResizer,
+            decode_png,
+            encode_png,
+            resize_nearest,
+        )
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, size=(20, 16), dtype=np.uint8)
+        t = pa.table({"image": pa.array([encode_png(px)], pa.binary())})
+        out = ImageResizer(target=(8, 4), fake=False)(t)
+        thumb = decode_png(out.column("thumb").to_pylist()[0])
+        np.testing.assert_array_equal(thumb, resize_nearest(px, 8, 4))
+        assert thumb.shape == (4, 8)
+
+    def test_audio_featurizer_real_path(self):
+        from mysql_binlog_ray.stages.multimodal import AudioFeaturizer, encode_wav
+
+        samples = np.array([100, -200, 300, -400], dtype=np.int16)
+        t = pa.table({"audio": pa.array([encode_wav(samples, 16000)], pa.binary())})
+        out = AudioFeaturizer(fake=False)(t)
+        assert out.column("n_frames").to_pylist() == [4]
+        assert out.column("duration_sec").to_pylist()[0] == 4 / 16000
+        assert out.column("energy").to_pylist()[0] == 1000.0 / 4 / 32768.0
+
+    def test_video_sampler_real_frame_stream(self):
+        from mysql_binlog_ray.stages.multimodal import (
+            VideoFrameSampler,
+            decode_png,
+            encode_png,
+        )
+
+        frames = [
+            encode_png(np.full((2, 2), i, dtype=np.uint8)) for i in range(6)
+        ]
+        stream = b"".join(frames)
+        t = pa.table({"video": pa.array([stream], pa.binary())})
+        out = VideoFrameSampler(n_frames=4, fake=False)(t)
+        got = out.column("frames").to_pylist()[0]
+        assert len(got) == 4
+        # evenly spaced real frames: indices floor(i*6/4) = 0,1,3,4
+        assert [int(decode_png(f)[0, 0]) for f in got] == [0, 1, 3, 4]
+        # two frames -> both kept verbatim
+        t2 = pa.table({"video": pa.array([b"".join(frames[:2])], pa.binary())})
+        got2 = VideoFrameSampler(n_frames=4, fake=False)(t2).column("frames").to_pylist()[0]
+        assert got2 == frames[:2]
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestRelationalKernels:
     def test_preagg_groupby_equals_pandas(self):
