@@ -586,7 +586,11 @@ def zorder_events(sf_dir: str):
 
     def quantize(tab: pa.Table) -> pa.Table:
         v = tab["value"].to_numpy(zero_copy_only=False)
-        y = np.floor(np.nan_to_num(v, nan=0.0)).astype(np.int64)
+        # NULL -> 0 like the SQL twin's COALESCE; +/-inf must NOT reach
+        # astype(int64) (undefined bit pattern, and the SQL CAST would
+        # error) — clip to the exactly-representable int64 envelope first
+        y = np.floor(np.nan_to_num(v, nan=0.0, posinf=2.0**62, neginf=-(2.0**62)))
+        y = np.clip(y, -(2.0**62), 2.0**62).astype(np.int64)
         return pa.table(
             {
                 "event_id": tab["event_id"],

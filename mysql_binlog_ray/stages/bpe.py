@@ -143,6 +143,10 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+_WORD_MEMO_CAP = 2_000_000  # ~entries; reset beyond (bounds worker heap)
+_WORD_MEMO: dict[int, dict[str, int]] = {}  # worker-global, keyed by table
+
+
 def apply_bpe(
     ds: rd.Dataset,
     merges: list[tuple[str, str]],
@@ -151,16 +155,23 @@ def apply_bpe(
 ) -> rd.Dataset:
     """Encode every document with a learned merge table; returns
     (id, n_words, n_bpe_tokens) per document.  The table is broadcast
-    once; encoding memoizes per DISTINCT word per worker."""
+    once; encoding memoizes per DISTINCT word per WORKER PROCESS — the
+    memo lives in a module-global keyed by the merge table (a dict in
+    the driver-built closure would be re-deserialized per task, shrinking
+    the memo's scope to one task), and resets past ``_WORD_MEMO_CAP``
+    entries so a huge vocabulary cannot grow a worker's heap unboundedly."""
     from .relational import broadcast_once
 
     get_ranks = broadcast_once(
         merges, prepare=lambda ms: {tuple(p): i for i, p in enumerate(ms)}
     )
-    memo: dict[str, int] = {}
+    memo_key = hash(tuple(map(tuple, merges)))
 
     def encode(batch: pd.DataFrame) -> pd.DataFrame:
         ranks = get_ranks()
+        memo = _WORD_MEMO.setdefault(memo_key, {})
+        if len(memo) > _WORD_MEMO_CAP:
+            memo.clear()
         words = batch[text_col].str.lower().str.findall(_WORD_RE)
         n_words = words.str.len().fillna(0).astype(np.int64)
         flat = words.explode().dropna()

@@ -951,8 +951,20 @@ def grouped_string_agg(
 
 def pct_col_names(qs: list[float]) -> list[str]:
     """``p50``-style names; round, don't truncate — ``int(0.29 * 100)``
-    is 28 (float representation), which would misname the column."""
-    return [f"p{round(q * 100)}" for q in qs]
+    is 28 (float representation), which would misname the column.
+
+    Raises when two quantiles collide onto one name (banker's rounding:
+    qs=[0.135, 0.145] both yield ``p14``) — a silent duplicate would
+    overwrite one output column in ``group_percentiles`` and crash
+    ``quantile_sketch_per_group`` with a length mismatch; callers with
+    sub-percent quantiles must pass explicit ``out_cols``."""
+    names = [f"p{round(q * 100)}" for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"pct_col_names: quantiles {qs} collide onto duplicate column "
+            f"names {names} — pass explicit out_cols"
+        )
+    return names
 
 
 def group_percentiles(

@@ -812,9 +812,18 @@ def quantile_sketch_per_group(
             ns.append(acc.n)
         first_rows = g.iloc[starts]
         out = {kc: first_rows[kc].to_numpy() for kc in keys}
+        ns_arr = np.array(ns, np.int64)
+        empty_groups = ns_arr == 0
         for oc in out_cols:
-            out[oc] = np.array(rows[oc], np.float64)
-        out["n"] = np.array(ns, np.int64)
+            picked = pd.Series(np.array(rows[oc], np.float64))
+            if empty_groups.any():
+                # all-NULL group: true typed NULL quantiles, not NaN
+                # floats — the group_percentiles / SQL-oracle convention
+                # (an Arrow-nullity comparison flags NaN-for-NULL cells)
+                picked = picked.convert_dtypes()
+                picked[empty_groups] = pd.NA
+            out[oc] = picked
+        out["n"] = ns_arr
         return pd.DataFrame(out)
 
     return keyed_reduce(parts, keys, combine)
