@@ -24,6 +24,7 @@ from ..sources.wire import (
     MAX_PACKET_SIZE,
     PacketConn,
     WireError,
+    scramble_caching_sha2,
     scramble_native_password,
     write_lenc_int,
     write_lenc_str,
@@ -39,6 +40,7 @@ def build_handshake_v10(
     server_version: str = "10.11.6-MariaDB-log",
     connection_id: int = 42,
     nonce: bytes = NONCE,
+    auth_plugin: str = "mysql_native_password",
 ) -> bytes:
     caps = SERVER_CAPABILITIES
     return (
@@ -56,7 +58,8 @@ def build_handshake_v10(
         + b"\x00" * 10
         + nonce[8:]
         + b"\x00"  # auth-part-2 is NUL-terminated on the wire
-        + b"mysql_native_password\x00"
+        + auth_plugin.encode()
+        + b"\x00"
     )
 
 
@@ -158,11 +161,21 @@ def serve_session(
     wait_quit: bool = False,
     sql_responses: dict | None = None,
     seen: dict | None = None,
+    auth_plugin: str = "mysql_native_password",
+    sha2_full_auth: bool = False,
+    auth_switch_to: str | None = None,
 ) -> dict:
     """One full replica session over ``sock``: handshake -> auth check ->
     REGISTER_SLAVE -> BINLOG_DUMP -> stream ``event_packets`` (each a
     framed event payload with its leading OK byte) -> close.  Returns
-    what the server observed (for assertions)."""
+    what the server observed (for assertions).
+
+    Auth modes: ``auth_plugin`` picks the greeting's plugin
+    (mysql_native_password or caching_sha2_password); ``sha2_full_auth``
+    makes the sha2 path demand full authentication (auth-cache miss —
+    the client must fail with an actionable error); ``auth_switch_to``
+    sends an AuthSwitchRequest to that plugin with a FRESH nonce after
+    the initial response and verifies the re-scrambled reply."""
     conn = PacketConn(sock)
     # observations land in the caller's dict IN PLACE, so a session the
     # client abandons mid-way (expected in error-path tests) still
@@ -171,7 +184,10 @@ def serve_session(
         seen = {}
     seen["errors"] = []
 
-    conn.send_packet(build_handshake_v10(server_version), reset_seq=True)
+    conn.send_packet(
+        build_handshake_v10(server_version, auth_plugin=auth_plugin),
+        reset_seq=True,
+    )
     resp = conn.read_packet()
     caps, _maxp, _cs = struct.unpack_from("<IIB", resp, 0)
     body = resp[4 + 4 + 1 + 23 :]
@@ -179,14 +195,41 @@ def serve_session(
     got_user = body[:nul].decode()
     alen = body[nul + 1]
     got_auth = bytes(body[nul + 2 : nul + 2 + alen])
-    want_auth = scramble_native_password(password, NONCE)
+    seen["client_plugin"] = (
+        body[nul + 2 + alen :].split(b"\x00")[0].decode() or None
+        if len(body) > nul + 2 + alen
+        else None
+    )
+    scramblers = {
+        "mysql_native_password": scramble_native_password,
+        "caching_sha2_password": scramble_caching_sha2,
+    }
     seen["user"], seen["client_caps"] = got_user, caps
-    if got_user != user or got_auth != want_auth:
+
+    def deny() -> dict:
         conn.send_packet(
             b"\xff" + struct.pack("<H", 1045) + b"#28000Access denied"
         )
         seen["errors"].append("auth")
         return seen
+
+    cur_plugin, nonce = auth_plugin, NONCE
+    if auth_switch_to is not None:
+        # AuthSwitchRequest: 0xFE plugin NUL new-nonce NUL
+        cur_plugin, nonce = auth_switch_to, bytes(range(101, 121))
+        conn.send_packet(
+            b"\xfe" + cur_plugin.encode() + b"\x00" + nonce + b"\x00"
+        )
+        got_auth = bytes(conn.read_packet())
+    want_auth = scramblers[cur_plugin](password, nonce)
+    if got_user != user or got_auth != want_auth:
+        return deny()
+    if cur_plugin == "caching_sha2_password":
+        if sha2_full_auth:
+            conn.send_packet(b"\x01\x04")  # perform_full_authentication
+            seen["errors"].append("sha2_full_auth_requested")
+            return seen
+        conn.send_packet(b"\x01\x03")  # fast_auth_success
     conn.send_packet(b"\x00\x00\x00\x02\x00\x00\x00")  # OK
 
     def expect_command() -> bytes:

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from .constants import COLLATION_CODECS, ColumnType
+from .constants import ColumnType, collation_codec
 from .decode import DecodePlan
 from .model import ColumnDef
 
@@ -50,8 +50,8 @@ def _inline_read(col: ColumnDef, idx: int) -> str | None:
             f"out_{idx}.append(int.from_bytes(data[off:off+{w}], 'little', signed={sign})); "
             f"off += {w}"
         )
-    if t in (ColumnType.VARCHAR, ColumnType.STRING) and col.charset in COLLATION_CODECS:
-        codec = COLLATION_CODECS[col.charset]
+    if t in (ColumnType.VARCHAR, ColumnType.STRING) and collation_codec(col.charset):
+        codec = collation_codec(col.charset)
         # utf-8 text: append RAW BYTES — the Arrow build casts binary ->
         # string, validating utf-8 once in C instead of a per-cell
         # Python decode + re-encode round-trip (the decode hot path's
@@ -66,8 +66,8 @@ def _inline_read(col: ColumnDef, idx: int) -> str | None:
             f"_l = data[off]; off += 1; "
             f"out_{idx}.append({cell}); off += _l"
         )
-    if t is ColumnType.BLOB and col.charset in COLLATION_CODECS:
-        codec = COLLATION_CODECS[col.charset]
+    if t is ColumnType.BLOB and collation_codec(col.charset):
+        codec = collation_codec(col.charset)
         cell = f"bytes(data[off:off+_l])" if codec == "utf-8" else f"str(data[off:off+_l], '{codec}')"
         lb = col.length_bytes
         return (

@@ -143,19 +143,52 @@ class OptMeta(IntEnum):
     COLUMN_VISIBILITY = 12
 
 
-# Collation ids the reference can convert (Collation.php:984-996).
+# Collation ids the reference can convert (Collation.php:984-996), plus
+# the charset breadth a real-user table needs (the reference and earlier
+# rounds THREW on anything else; see collation_codec below).
 COLLATION_LATIN1 = 8  # latin1_swedish_ci -> Windows-1252
 COLLATION_UTF8MB3 = 33  # utf8mb3_general_ci -> UTF-8
 COLLATION_UTF8MB4 = 45  # utf8mb4_general_ci -> UTF-8
 COLLATION_BINARY = 63  # binary pseudo-charset -> tagged base64
 
 #: Python codec per collation id; the MySQL "latin1" is cp1252
-#: (documented quirk, `Collation.php:986-993`).
+#: (documented quirk, `Collation.php:986-993`).  Ids are the published
+#: MySQL collation table (information_schema.COLLATIONS).
 COLLATION_CODECS: dict[int, str] = {
-    COLLATION_LATIN1: "cp1252",
-    COLLATION_UTF8MB3: "utf-8",
-    COLLATION_UTF8MB4: "utf-8",
+    # latin1_* family -> cp1252
+    5: "cp1252", COLLATION_LATIN1: "cp1252", 15: "cp1252", 31: "cp1252",
+    47: "cp1252", 48: "cp1252", 49: "cp1252", 94: "cp1252",
+    11: "ascii",  # ascii_general_ci
+    65: "ascii",  # ascii_bin
+    # cp1251_* family
+    14: "cp1251", 23: "cp1251", 50: "cp1251", 51: "cp1251", 52: "cp1251",
+    # gbk
+    28: "gbk", 87: "gbk",
+    # utf8mb3
+    COLLATION_UTF8MB3: "utf-8", 83: "utf-8",
+    # utf8mb4 (incl. utf8mb4_bin)
+    COLLATION_UTF8MB4: "utf-8", 46: "utf-8",
 }
+
+
+def collation_codec(charset: int) -> str | None:
+    """Python codec for a MySQL collation id, or ``None`` when unmapped
+    (the decoder then passes the raw bytes through as tagged base64 —
+    an escape hatch, not an exception: the reference and rounds 1-3
+    threw, which turns one exotic column into a dead pipeline).
+
+    The range rules cover the published collation blocks: 192-223 are
+    the utf8mb3_*_ci family, 224-247 the utf8mb4_*_ci family, and
+    255-323 the MySQL 8 utf8mb4_*_0900_* family (255 =
+    utf8mb4_0900_ai_ci, the MySQL 8 DEFAULT)."""
+    codec = COLLATION_CODECS.get(charset)
+    if codec is not None:
+        return codec
+    if 192 <= charset <= 223:
+        return "utf-8"
+    if 224 <= charset <= 247 or 255 <= charset <= 323:
+        return "utf-8"
+    return None
 
 #: Prefix the reference prepends to base64-encoded binary values at the
 #: JSON edge (`/root/reference/src/Deserializer/RowFactory.php:108`).

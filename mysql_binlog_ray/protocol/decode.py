@@ -35,7 +35,7 @@ from .constants import (
     BINARY_TAG,
     CHARACTER_TYPES,
     COLLATION_BINARY,
-    COLLATION_CODECS,
+    collation_codec,
     INTEGER_TYPES,
     ROW_EVENT_TYPES,
     SKIP_EVENT_TYPES,
@@ -226,7 +226,13 @@ def _decode_bit(data: bytes, off: int, nbytes: int, bits: int) -> tuple[str, int
 def _text_value(raw: bytes, charset: int) -> str:
     if charset == COLLATION_BINARY:
         return BINARY_TAG + base64.b64encode(raw).decode("ascii")
-    return raw.decode(COLLATION_CODECS[charset])
+    codec = collation_codec(charset)
+    if codec is None:
+        # unmapped collation: tagged-base64 passthrough instead of the
+        # reference's exception — the bytes survive losslessly and the
+        # pipeline keeps flowing (charset escape hatch)
+        return BINARY_TAG + base64.b64encode(raw).decode("ascii")
+    return raw.decode(codec)
 
 
 # ---------------------------------------------------------------------------
@@ -331,13 +337,21 @@ def make_cell_reader(col: ColumnDef) -> CellReader:
 
         return read_json
     if t is ColumnType.GEOMETRY:
-        # opaque WKB payload, surfaced as tagged base64 like binary BLOBs
+        # SRID+WKB parsed to 'SRID=n;WKT' for point/linestring/polygon
+        # (beyond the reference, which THROWS here — RowFactory.php:163-165);
+        # other geometry types / malformed payloads keep the tagged-base64
+        # passthrough, never a wrong answer
+        from .geometry import wkb_to_ewkt
+
         glb = col.length_bytes
 
         def read_geometry(data: bytes, off: int) -> tuple[Any, int]:
             ln = int.from_bytes(data[off : off + glb], "little")
             off += glb
             raw = bytes(data[off : off + ln])
+            ewkt = wkb_to_ewkt(raw)
+            if ewkt is not None:
+                return ewkt, off + ln
             return BINARY_TAG + base64.b64encode(raw).decode("ascii"), off + ln
 
         return read_geometry

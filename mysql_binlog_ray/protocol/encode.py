@@ -23,7 +23,7 @@ from .constants import (
     BINLOG_START_POS,
     CHARACTER_TYPES,
     COLLATION_BINARY,
-    COLLATION_CODECS,
+    collation_codec,
     EVENT_HEADER_LEN,
     INTEGER_TYPES,
     ColumnType,
@@ -52,7 +52,10 @@ def write_coded_binary(n: int | None) -> bytes:
 def _encode_text(value: str, charset: int) -> bytes:
     if charset == COLLATION_BINARY:
         return value.encode("utf-8") if isinstance(value, str) else bytes(value)
-    return value.encode(COLLATION_CODECS[charset])
+    codec = collation_codec(charset)
+    if codec is None:
+        raise ValueError(f"encoder: unmapped collation id {charset}")
+    return value.encode(codec)
 
 
 def _encode_decimal(value: str, precision: int, scale: int) -> bytes:

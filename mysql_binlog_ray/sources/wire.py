@@ -58,7 +58,9 @@ CLIENT_SECURE_CONNECTION = 0x00008000
 CLIENT_PLUGIN_AUTH = 0x00080000
 
 #: what our client offers before masking with the server's set
-#: (`Connection.php:359-367` — identical selection)
+#: (`Connection.php:359-367`, plus CLIENT_PLUGIN_AUTH — the reference is
+#: sha1-only; we also speak caching_sha2_password, the MySQL 8 default,
+#: which requires naming the plugin in the handshake response)
 CLIENT_CAPABILITIES = (
     CLIENT_LONG_PASSWORD
     | CLIENT_LONG_FLAG
@@ -66,6 +68,7 @@ CLIENT_CAPABILITIES = (
     | CLIENT_NO_SCHEMA
     | CLIENT_TRANSACTIONS
     | CLIENT_SECURE_CONNECTION
+    | CLIENT_PLUGIN_AUTH
 )
 
 PKT_OK = 0x00
@@ -196,12 +199,42 @@ def scramble_native_password(password: str, nonce: bytes) -> bytes:
     return bytes(a ^ b for a, b in zip(h1, mask))
 
 
+def scramble_caching_sha2(password: str, nonce: bytes) -> bytes:
+    """``caching_sha2_password`` fast-path scramble (the MySQL 8 default;
+    public auth spec — beyond the sha1-only reference): SHA256(pw) XOR
+    SHA256(SHA256(SHA256(pw)) + nonce[:20]); empty password sends empty
+    auth."""
+    if password == "":
+        return b""
+    h1 = hashlib.sha256(password.encode()).digest()
+    h2 = hashlib.sha256(h1).digest()
+    mask = hashlib.sha256(h2 + nonce[:20]).digest()
+    return bytes(a ^ b for a, b in zip(h1, mask))
+
+
+#: plugin name -> scramble fn; the negotiation loop consults this for
+#: both the greeting's plugin and any AuthSwitchRequest target
+AUTH_PLUGINS = {
+    "mysql_native_password": scramble_native_password,
+    "caching_sha2_password": scramble_caching_sha2,
+}
+
+#: caching_sha2_password AuthMoreData status bytes (public protocol)
+_SHA2_FAST_AUTH_SUCCESS = 3
+_SHA2_PERFORM_FULL_AUTH = 4
+
+
 def build_handshake_response(
-    user: str, auth: bytes, capabilities: int, collation: int = 33
+    user: str,
+    auth: bytes,
+    capabilities: int,
+    collation: int = 33,
+    auth_plugin: str | None = None,
 ) -> bytes:
     """HandshakeResponse41: caps(4) max-packet(4) charset(1) filler(23)
-    user(NUL) auth-len(1)+auth (`Connection.php:378-385`)."""
-    return (
+    user(NUL) auth-len(1)+auth [plugin NUL when CLIENT_PLUGIN_AUTH]
+    (`Connection.php:378-385`; plugin-name tail per the public spec)."""
+    out = (
         struct.pack("<IIB", capabilities, MAX_PACKET_SIZE, collation)
         + b"\x00" * 23
         + user.encode()
@@ -209,6 +242,9 @@ def build_handshake_response(
         + bytes([len(auth)])
         + auth
     )
+    if auth_plugin is not None and capabilities & CLIENT_PLUGIN_AUTH:
+        out += auth_plugin.encode() + b"\x00"
+    return out
 
 
 def build_register_slave(
@@ -348,7 +384,8 @@ class PacketConn:
             raise WireError(
                 "server requested auth plugin switch: "
                 f"{pkt[1:end].decode('utf-8', 'replace')!r} "
-                "(only mysql_native_password is implemented)"
+                "(auth switches are only valid during the handshake — "
+                "see BinlogWireClient.handshake)"
             )
         return first, pkt
 
@@ -380,21 +417,68 @@ class BinlogWireClient:
         self.n_events = 0
         self.n_heartbeats = 0
 
+    def _scramble_for(self, plugin: str, nonce: bytes) -> bytes:
+        fn = AUTH_PLUGINS.get(plugin)
+        if fn is None:
+            raise WireError(
+                f"server requires auth plugin {plugin!r}; only "
+                f"{sorted(AUTH_PLUGINS)} are implemented"
+            )
+        return fn(self.password, nonce)
+
     def handshake(self) -> ServerHandshake:
+        """Handshake + auth negotiation.  Supports mysql_native_password
+        (reference parity) and caching_sha2_password's FAST path (the
+        MySQL 8 default, beyond the reference), including an
+        AuthSwitchRequest to either plugin.  caching_sha2's FULL path
+        (cache miss) needs TLS or an RSA key exchange — no crypto
+        library exists in this environment, so it fails with an
+        actionable error naming the plugin and the fix."""
         self.server = parse_handshake_v10(self.conn.read_packet())
         if self.server.protocol_version != 10:
             raise WireError(
                 f"unsupported protocol version {self.server.protocol_version}"
             )
         caps = CLIENT_CAPABILITIES & self.server.capabilities
-        auth = scramble_native_password(
-            self.password, self.server.auth_plugin_data
+        plugin = self.server.auth_plugin_name or "mysql_native_password"
+        auth = self._scramble_for(plugin, self.server.auth_plugin_data)
+        self.conn.send_packet(
+            build_handshake_response(self.user, auth, caps, auth_plugin=plugin)
         )
-        self.conn.send_packet(build_handshake_response(self.user, auth, caps))
-        first, _ = self.conn.read_response()
-        if first != PKT_OK:
-            raise WireError("handshake failed")
-        return self.server
+        for _ in range(4):  # OK / ERR / AuthSwitch / AuthMoreData rounds
+            pkt = self.conn.read_packet()
+            if not pkt:
+                raise WireError("empty packet during auth")
+            first = pkt[0]
+            if first == PKT_OK:
+                return self.server
+            if first == PKT_ERR:
+                _raise_err(pkt)
+            if first == PKT_EOF and len(pkt) >= 9:
+                # AuthSwitchRequest: plugin(NUL) + new nonce — rescramble
+                end = pkt.index(b"\x00", 1)
+                plugin = pkt[1:end].decode("utf-8", "replace")
+                nonce = pkt[end + 1 :].rstrip(b"\x00")
+                self.conn.send_packet(self._scramble_for(plugin, nonce))
+                continue
+            if first == 0x01 and plugin == "caching_sha2_password":
+                # AuthMoreData: fast-auth verdict
+                status = pkt[1] if len(pkt) > 1 else -1
+                if status == _SHA2_FAST_AUTH_SUCCESS:
+                    continue  # OK packet follows
+                if status == _SHA2_PERFORM_FULL_AUTH:
+                    raise WireError(
+                        "caching_sha2_password full authentication requested "
+                        "(auth-cache miss): the RSA/TLS exchange it needs is "
+                        "unavailable here — connect once with another client "
+                        "to prime the server's auth cache, enable TLS, or "
+                        "use a mysql_native_password account"
+                    )
+                raise WireError(
+                    f"unexpected caching_sha2 auth status {status}"
+                )
+            raise WireError(f"unexpected auth packet 0x{first:02x}")
+        raise WireError("auth negotiation did not converge")
 
     # -- S7: ad-hoc text-protocol SQL (`Connection.php:219-329`) ----------
     def execute(self, sql: str):

@@ -88,12 +88,24 @@ def metadata_size_bytes(ds: rd.Dataset) -> int | None:
 def adaptive_num_parts(
     size_bytes: int,
     target_part_bytes: int = 256 << 20,
-    min_parts: int = 64,
+    min_parts: int | None = None,
     max_parts: int = 1 << 18,
 ) -> int:
     """Partition fanout sized to the INPUT (~256 MB per partition), not a
     constant: each reduce task materializes one whole partition, so a
-    fixed fanout means O(corpus / constant) rows per task at 100 TB."""
+    fixed fanout means O(corpus / constant) rows per task at 100 TB.
+
+    The default FLOOR scales with the cluster (``min(64, CPUs)``, >= 4):
+    on a big cluster small-but-not-tiny inputs still fan out to 64 ways,
+    while a laptop-sized session stops paying 64 shuffle partitions of
+    scheduling overhead for kilobyte inputs — per-query constant cost is
+    what bounds how many operators a correctness harness can check."""
+    if min_parts is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
+        except Exception:
+            cpus = 8
+        min_parts = max(4, min(64, cpus))
     return max(min_parts, min(max_parts, -(-int(size_bytes) // target_part_bytes)))
 
 
@@ -135,6 +147,15 @@ def keyed_reduce(
 
     if num_parts is None and est_input_bytes is not None:
         num_parts = adaptive_num_parts(est_input_bytes, target_part_bytes)
+
+    if num_parts is None:
+        # a LEAF input's size is answerable from parquet/block metadata —
+        # size from it directly and skip the tagging materialization
+        # below entirely (one streaming plan, no object-store pinning);
+        # the tag column adds ~1% bytes, irrelevant to a /256MB ceil
+        leaf_bytes = metadata_size_bytes(ds)
+        if leaf_bytes is not None:
+            num_parts = adaptive_num_parts(leaf_bytes, target_part_bytes)
 
     if num_parts is None:
         def tag_full(b: pa.Table) -> pa.Table:

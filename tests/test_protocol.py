@@ -480,6 +480,92 @@ class TestGeometryColumn:
         data = b"\x00" * 3 + cell + b"\xff"
         assert plan.skippers[1](data, 3) == 3 + len(cell)
 
+    def test_wkb_point_both_byte_orders(self):
+        from mysql_binlog_ray.protocol.geometry import ewkt_point, wkb_to_ewkt
+
+        assert wkb_to_ewkt(ewkt_point(4326, 1.0, 2.0)) == "SRID=4326;POINT(1 2)"
+        assert (
+            wkb_to_ewkt(ewkt_point(0, -0.5, 1e10, big_endian=True))
+            == "SRID=0;POINT(-0.5 10000000000)"
+        )
+
+    def test_wkb_linestring_and_polygon_with_hole(self):
+        import struct
+
+        from mysql_binlog_ray.protocol.geometry import wkb_to_ewkt
+
+        def pts(*xy):
+            return b"".join(struct.pack("<dd", x, y) for x, y in xy)
+
+        ls = (
+            (4326).to_bytes(4, "little")
+            + b"\x01"
+            + struct.pack("<I", 2)
+            + struct.pack("<I", 3)
+            + pts((0, 0), (1.5, 2), (3, 4))
+        )
+        assert wkb_to_ewkt(ls) == "SRID=4326;LINESTRING(0 0,1.5 2,3 4)"
+        poly = (
+            (0).to_bytes(4, "little")
+            + b"\x01"
+            + struct.pack("<I", 3)
+            + struct.pack("<I", 2)  # two rings
+            + struct.pack("<I", 4)
+            + pts((0, 0), (4, 0), (4, 4), (0, 0))
+            + struct.pack("<I", 4)
+            + pts((1, 1), (2, 1), (2, 2), (1, 1))
+        )
+        assert (
+            wkb_to_ewkt(poly)
+            == "SRID=0;POLYGON((0 0,4 0,4 4,0 0),(1 1,2 1,2 2,1 1))"
+        )
+
+    def test_wkb_unsupported_and_malformed_return_none(self):
+        import struct
+
+        from mysql_binlog_ray.protocol.geometry import ewkt_point, wkb_to_ewkt
+
+        # MULTIPOINT (type 4): not parsed -> passthrough
+        mp = (0).to_bytes(4, "little") + b"\x01" + struct.pack("<I", 4) + b"\x00" * 8
+        assert wkb_to_ewkt(mp) is None
+        # truncated point
+        assert wkb_to_ewkt(ewkt_point(0, 1, 2)[:-3]) is None
+        # trailing junk after a clean point
+        assert wkb_to_ewkt(ewkt_point(0, 1, 2) + b"\x00") is None
+        # bogus byte-order flag
+        bad = bytearray(ewkt_point(0, 1, 2))
+        bad[4] = 9
+        assert wkb_to_ewkt(bytes(bad)) is None
+        assert wkb_to_ewkt(b"") is None
+
+    def test_geometry_changefeed_emits_ewkt(self):
+        from mysql_binlog_ray.protocol import decode as D
+        from mysql_binlog_ray.protocol import encode as E
+        from mysql_binlog_ray.protocol.constants import EventType
+        from mysql_binlog_ray.protocol.encode import BinlogWriter
+        from mysql_binlog_ray.protocol.geometry import ewkt_point
+
+        tm = TableMapDef(
+            table_id=402, schema_name="s", table_name="g2",
+            columns=(
+                ColumnDef("id", ColumnType.LONG, nullable=False, signed=True),
+                ColumnDef("geom", ColumnType.GEOMETRY, nullable=True, length_bytes=4),
+            ),
+            primary_key=(0,), schema_ver=1,
+        )
+        cell = ewkt_point(3857, 2.5, -7.25)
+        w = BinlogWriter(server_id=1)
+        tmev = w.packet(EventType.TABLE_MAP, E.encode_table_map_body(tm))
+        wr = w.packet(
+            EventType.WRITE_ROWS_V2,
+            E.encode_rows_body(tm, [{"id": 1, "geom": cell}], "insert"),
+        )
+        tm2 = D.parse_table_map(tmev, D.parse_header(tmev, 4))
+        ev = D.parse_rows_event(
+            wr, D.parse_header(wr, 4), {tm2.table_id: D.DecodePlan.compile(tm2)}
+        )
+        assert ev.rows[0]["geom"] == "SRID=3857;POINT(2.5 -7.25)"
+
 
 class TestWireFormatFixes:
     """Round-2 review pass 4: real-MySQL wire-format correctness the

@@ -130,6 +130,25 @@ class TestHandshake:
         assert scramble_native_password(pw, nonce) == want
         assert scramble_native_password("", nonce) == b""
 
+    def test_sha2_scramble_known_composition(self):
+        # independent recomputation of the public caching_sha2_password
+        # fast-path formula: SHA256(pw) XOR SHA256(SHA256(SHA256(pw)) . nonce)
+        from mysql_binlog_ray.sources.wire import scramble_caching_sha2
+
+        pw, nonce = "secret", NONCE
+        h1 = hashlib.sha256(pw.encode()).digest()
+        want = bytes(
+            a ^ b
+            for a, b in zip(
+                h1,
+                hashlib.sha256(
+                    hashlib.sha256(h1).digest() + nonce
+                ).digest(),
+            )
+        )
+        assert scramble_caching_sha2(pw, nonce) == want
+        assert scramble_caching_sha2("", nonce) == b""
+
     def test_register_slave_layout_is_spec_not_reference_bug(self):
         # published layout: port immediately after ONE copy of the
         # password (the reference writes it twice — Connection.php:169-171)
@@ -219,6 +238,71 @@ class TestSqlAndSetup:
         c = BinlogWireClient(cli, user="repl", password="secret")
         c.handshake()
         return c, cli, t, seen
+
+    def test_caching_sha2_fast_path(self):
+        # MySQL 8 default plugin, auth-cache hit: AuthMoreData
+        # fast_auth_success then OK; the full session proceeds normally
+        c, cli, t, seen = self._client(
+            auth_plugin="caching_sha2_password", server_version="8.0.36"
+        )
+        assert seen["errors"] == []
+        assert seen["client_plugin"] == "caching_sha2_password"
+        rows = c.query("SELECT @@global.binlog_format AS value")
+        assert rows == [{"value": "ROW"}]
+        cli.close()
+        t.join(timeout=10)
+
+    def test_caching_sha2_full_auth_actionable_error(self):
+        srv, cli = socket.socketpair()
+        t, seen = _serve_in_thread(
+            srv, [], auth_plugin="caching_sha2_password", sha2_full_auth=True
+        )
+        c = BinlogWireClient(cli, user="repl", password="secret")
+        with pytest.raises(WireError, match="full authentication.*auth cache|prime the server"):
+            c.handshake()
+        cli.close()
+        t.join(timeout=10)
+        assert "sha2_full_auth_requested" in seen["errors"]
+
+    def test_caching_sha2_wrong_password_denied(self):
+        srv, cli = socket.socketpair()
+        t, seen = _serve_in_thread(srv, [], auth_plugin="caching_sha2_password")
+        c = BinlogWireClient(cli, user="repl", password="WRONG")
+        with pytest.raises(WireError, match="Access denied"):
+            c.handshake()
+        cli.close()
+        t.join(timeout=10)
+        assert seen["errors"] == ["auth"]
+
+    def test_auth_switch_native_to_sha2(self):
+        # greeting says native, server switches to sha2 with a fresh
+        # nonce; the client must re-scramble with the NEW nonce/plugin
+        c, cli, t, seen = self._client(
+            auth_plugin="mysql_native_password",
+            auth_switch_to="caching_sha2_password",
+            server_version="8.0.36",
+        )
+        assert seen["errors"] == []
+        cli.close()
+        t.join(timeout=10)
+
+    def test_auth_switch_sha2_to_native(self):
+        c, cli, t, seen = self._client(
+            auth_plugin="caching_sha2_password",
+            auth_switch_to="mysql_native_password",
+        )
+        assert seen["errors"] == []
+        cli.close()
+        t.join(timeout=10)
+
+    def test_unknown_plugin_actionable_error(self):
+        srv, cli = socket.socketpair()
+        t, seen = _serve_in_thread(srv, [], auth_plugin="sha256_password")
+        c = BinlogWireClient(cli, user="repl", password="secret")
+        with pytest.raises(WireError, match="sha256_password"):
+            c.handshake()
+        cli.close()
+        t.join(timeout=10)
 
     def test_resultset_typed_conversion(self):
         c, cli, t, seen = self._client(
