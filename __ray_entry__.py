@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_shards_documents": Q.training_shards_documents,
         "running_totals_events": Q.running_totals_events,
         "moving_sum_events": Q.moving_sum_events,
+        "lag_lead_events": Q.lag_lead_events,
+        "mode_event_type_per_user": Q.mode_event_type_per_user,
         "user_journey_events": Q.user_journey_events,
         "histogram_events": Q.histogram_events,
         "unpivot_lineitem": Q.unpivot_lineitem,
@@ -1043,6 +1045,36 @@ def _oracle_sql_dict() -> dict[str, str]:
                        PRECEDING AND UNBOUNDED FOLLOWING) AS last_cents
             FROM t
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        """,
+        "lag_lead_events": """
+            -- round_even matches pc.round (half-to-even); LAG/LEAD NULL
+            -- outside the partition is COALESCEd to -1 on both sides
+            -- (cents are non-negative)
+            WITH t AS (
+                SELECT event_id, user_id,
+                       CAST(round_even(value * 100, 0) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   COALESCE(lag(cents) OVER w, -1) AS lag_cents,
+                   COALESCE(lead(cents) OVER w, -1) AS lead_cents,
+                   COALESCE(lag(cents, 3) OVER w, -1) AS lag3_cents
+            FROM t
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        """,
+        "mode_event_type_per_user": """
+            SELECT user_id, event_type AS mode_event_type,
+                   CAST(cnt AS BIGINT) AS n_mode
+            FROM (
+                SELECT user_id, event_type, count(*) AS cnt,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY count(*) DESC, event_type
+                       ) AS rn
+                FROM events
+                WHERE event_type IS NOT NULL
+                GROUP BY user_id, event_type
+            ) WHERE rn = 1
         """,
         "user_journey_events": """
             SELECT user_id, count(*) AS n_events,

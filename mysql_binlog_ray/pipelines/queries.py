@@ -2109,6 +2109,72 @@ def moving_sum_events(sf_dir: str):
     )
 
 
+def lag_lead_events(sf_dir: str):
+    """Raw LAG/LEAD window values (offsets 1 and 3) per user ordered by
+    event_id — the value-shift class ``lag_diff``/``run_sum`` don't
+    cover.  One keyed exchange; the shift is two numpy gathers per
+    partition (stages/window.py lag/lead).  NULL-outside-partition is
+    surfaced as -1 (COALESCE convention of the other window oracles;
+    cents are non-negative)."""
+    from ..stages.window import window_over
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b.column("value"), pa.scalar(100.0))).cast(
+            pa.int64()
+        )
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "cents": cents,
+            }
+        )
+
+    out = window_over(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        ["event_id"],
+        {
+            "lag_cents": ("lag", "cents", 1),
+            "lead_cents": ("lead", "cents", 1),
+            "lag3_cents": ("lag", "cents", 3),
+        },
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        cols = {"event_id": b.column("event_id"), "user_id": b.column("user_id")}
+        for c in ("lag_cents", "lead_cents", "lag3_cents"):
+            cols[c] = pc.fill_null(b.column(c).cast(pa.int64()), pa.scalar(-1))
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def mode_event_type_per_user(sf_dir: str):
+    """Per-user modal event type with deterministic lexicographic
+    tie-break — the argmax-of-counts aggregate class.  Per-batch partial
+    counts collapse duplicates before the single exchange
+    (stages/relational.py mode_per_group)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+    out = R.mode_per_group(ds, ["user_id"], "event_type", count_col="n_mode")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "mode_event_type": b.column("event_type"),
+                "n_mode": b.column("n_mode").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def user_journey_events(sf_dir: str):
     """Ordered list/collect aggregate (SQL string_agg ... ORDER BY): each
     user's full event-type journey in event_id order plus their event

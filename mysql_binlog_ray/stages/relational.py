@@ -1270,6 +1270,52 @@ def broadcast_anti_join(
     return ds.map_batches(probe, batch_format="pandas")
 
 
+def mode_per_group(
+    ds: rd.Dataset,
+    keys: list[str],
+    val_col: str,
+    count_col: str = "n_mode",
+) -> rd.Dataset:
+    """Statistical mode per group with a deterministic tie-break (the
+    SMALLEST value among the most frequent wins — SQL ``ROW_NUMBER()
+    OVER (PARTITION BY keys ORDER BY count DESC, value)`` semantics, so
+    an exact oracle exists).  NULL values are ignored (a group whose
+    values are all NULL disappears, like SQL ``mode() FILTER (WHERE v IS
+    NOT NULL)``); NULL keys form one group each.
+
+    Two-level shape like ``grouped_count_distinct``: a per-batch partial
+    count on ``(keys..., value)`` collapses duplicates BEFORE the only
+    exchange, so the shuffle carries one row per distinct pair per
+    block, never per input row; the final per-key argmax is a vectorized
+    sort + head(1) over O(distinct pairs) rows."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([*keys, val_col]).to_pandas()
+        df = df[df[val_col].notna()]
+        cnt = (
+            df.groupby([*keys, val_col], sort=False, dropna=False)
+            .size()
+            .rename("_cnt")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(cnt, preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            g.groupby([*keys, val_col], sort=False, dropna=False)["_cnt"]
+            .sum()
+            .reset_index()
+        )
+        tot = tot.sort_values(
+            [*keys, "_cnt", val_col], ascending=[True] * len(keys) + [False, True],
+            kind="mergesort",
+        )
+        top = tot.groupby(keys, sort=False, dropna=False).head(1)
+        return top.rename(columns={"_cnt": count_col}).reset_index(drop=True)
+
+    return keyed_reduce(ds.map_batches(partial, batch_format="pyarrow"), keys, combine)
+
+
 def grouped_count_distinct(
     ds: rd.Dataset,
     keys: list[str],

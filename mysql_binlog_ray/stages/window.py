@@ -32,6 +32,8 @@ WindowSpec = dict[str, tuple]
 
 _KINDS = (
     "row_number",
+    "lag",
+    "lead",
     "lag_diff",
     "run_sum",
     "moving_sum",
@@ -72,6 +74,11 @@ def window_over(
     last).  SQL semantics throughout:
 
     - ``row_number``: 1-based position within the key (int64).
+    - ``lag`` / ``lead`` over ``in_col`` with ``(kind, in_col, offset)``
+      (offset defaults to 1): the raw shifted value — ``lag(v, n) OVER
+      w`` / ``lead(v, n) OVER w``; NULL outside the partition (the SQL
+      default, no explicit default operand) and when the source row's
+      value is NULL (int64).
     - ``lag_diff`` over ``in_col``: ``v - lag(v)`` — NULL on each key's
       first row and whenever either operand is NULL (int64).
     - ``run_sum`` over ``in_col``: ``sum(v) OVER (... ROWS UNBOUNDED
@@ -120,10 +127,16 @@ def window_over(
             raise ValueError(f"unknown window kind {kind!r} for {out_col!r}")
         if (in_col is None) != (kind == "row_number"):
             raise ValueError(f"{kind} takes {'no' if kind == 'row_number' else 'an'} input column")
-        if (frame is not None) != (kind == "moving_sum"):
-            raise ValueError("only moving_sum takes (kind, in_col, frame_rows)")
+        if frame is not None and kind not in ("moving_sum", "lag", "lead"):
+            raise ValueError(
+                "only moving_sum/lag/lead take (kind, in_col, frame_or_offset)"
+            )
         if kind == "moving_sum" and (not isinstance(frame, int) or frame < 1):
             raise ValueError(f"moving_sum frame_rows must be a positive int, got {frame!r}")
+        if kind in ("lag", "lead"):
+            frame = 1 if frame is None else frame
+            if not isinstance(frame, int) or frame < 1:
+                raise ValueError(f"{kind} offset must be a positive int, got {frame!r}")
         norm_spec[out_col] = (kind, in_col, frame)
     from .relational import keyed_reduce
 
@@ -246,6 +259,20 @@ def window_over(
                         lens > 1, (rank - 1) / np.maximum(lens - 1, 1), 0.0
                     )
                 continue
+            elif kind in ("lag", "lead"):
+                # raw shifted value: NULL outside the partition (SQL
+                # LAG/LEAD default) or when the source row's value is NULL
+                off = frame
+                if kind == "lag":
+                    src = pos - off
+                    valid = (pos - base) >= off
+                else:
+                    replen = np.repeat(run_lens, run_lens)
+                    src = pos + off
+                    valid = (pos - base + off) < replen
+                srcc = np.clip(src, 0, n - 1)
+                d = v[srcc]
+                mask = ~valid | null[srcc]
             elif kind == "lag_diff":
                 prev = np.empty(n, dtype=np.int64)
                 prev[1:] = v[:-1]

@@ -2022,6 +2022,61 @@ class TestGroupedStringAgg:
         assert a["agg"].fillna("").tolist() == b["agg"].fillna("").tolist()
 
 
+class TestModePerGroup:
+    def test_matches_duckdb_with_ties_nulls_and_null_keys(self, ray_session):
+        """Tie-break = smallest value among the most frequent; NULL
+        values ignored (an all-NULL group disappears); NULL keys form
+        one group."""
+        import duckdb
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages import relational as R
+
+        rng = np.random.default_rng(11)
+        n = 500
+        df = pd.DataFrame(
+            {
+                "k": pd.array(
+                    [None if x < 15 else int(x % 8) for x in rng.integers(0, 100, n)],
+                    dtype="Int64",
+                ),
+                # few distinct values => frequent exact count ties
+                "v": [
+                    None if x < 20 else f"m{int(x) % 3}"
+                    for x in rng.integers(0, 100, n)
+                ],
+            }
+        )
+        # one group whose values are ALL NULL: must not appear at all
+        df = pd.concat(
+            [df, pd.DataFrame({"k": pd.array([99, 99], dtype="Int64"), "v": [None, None]})],
+            ignore_index=True,
+        )
+        out = R.mode_per_group(
+            rd.from_pandas(df).repartition(5), ["k"], "v", count_col="n_mode"
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", df)
+        ora = con.execute(
+            """
+            SELECT k, v, CAST(cnt AS BIGINT) AS n_mode FROM (
+                SELECT k, v, count(*) AS cnt,
+                       row_number() OVER (
+                           PARTITION BY k ORDER BY count(*) DESC, v
+                       ) AS rn
+                FROM t WHERE v IS NOT NULL GROUP BY k, v
+            ) WHERE rn = 1
+            """
+        ).df()
+        a = out.sort_values("k", na_position="last").reset_index(drop=True)
+        b = ora.sort_values("k", na_position="last").reset_index(drop=True)
+        assert len(a) == len(b)
+        assert (99 == a["k"].dropna()).sum() == 0
+        assert a["k"].isna().tolist() == b["k"].isna().tolist()
+        assert a["v"].tolist() == b["v"].tolist()
+        assert a["n_mode"].astype("int64").tolist() == b["n_mode"].astype("int64").tolist()
+
+
 class TestGroupedHll:
     def test_grouped_estimates_within_error(self, ray_session):
         """Grouped HLL vs exact per-group distinct counts: skewed group

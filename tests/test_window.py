@@ -76,6 +76,72 @@ class TestWindowOver:
                 == bv.fillna(-1).astype("int64").tolist()
             ), c
 
+    @pytest.mark.parametrize("off", [1, 2, 5])
+    def test_lag_lead_match_duckdb_with_nulls(self, ray_session, off):
+        """Raw value shifts: NULL outside the partition, NULL source
+        values propagate, offsets can exceed a partition's length, and
+        NULL keys form one partition."""
+        rng = np.random.default_rng(off)
+        n = 300
+        df = pd.DataFrame(
+            {
+                "k": pd.array(
+                    # ~4-row partitions so off=5 overruns most of them
+                    [None if x < 10 else int(x % 70) for x in rng.integers(0, 100, n)],
+                    dtype="Int64",
+                ),
+                "o": np.arange(n, dtype=np.int64),
+                "v": pd.array(
+                    [None if x < 20 else int(x) for x in rng.integers(0, 100, n)],
+                    dtype="Int64",
+                ),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(5)
+        out = window_over(
+            ds,
+            "k",
+            ["o"],
+            {"lg": ("lag", "v", off), "ld": ("lead", "v", off)},
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", df)
+        ora = con.execute(
+            f"""
+            SELECT k, o, v,
+                   lag(v, {off}) OVER w AS lg,
+                   lead(v, {off}) OVER w AS ld
+            FROM t WINDOW w AS (PARTITION BY k ORDER BY o)
+            """
+        ).df()
+        a, b = _sorted_df(out), _sorted_df(ora)
+        assert len(a) == len(b) == n
+        for c in ["k", "o", "v", "lg", "ld"]:
+            assert a[c].isna().tolist() == b[c].isna().tolist(), c
+            assert (
+                a[c].fillna(-1).astype("int64").tolist()
+                == b[c].fillna(-1).astype("int64").tolist()
+            ), c
+
+    def test_lag_default_offset_is_one(self, ray_session):
+        df = pd.DataFrame({"k": [1, 1, 1], "o": [1, 2, 3], "v": [10, 20, 30]})
+        out = (
+            window_over(rd.from_pandas(df), "k", ["o"], {"lg": ("lag", "v")})
+            .to_pandas()
+            .sort_values("o")
+        )
+        assert out["lg"].fillna(-1).astype("int64").tolist() == [-1, 10, 20]
+
+    @pytest.mark.parametrize("bad", [0, -1, "x"])
+    def test_lag_bad_offset_raises(self, ray_session, bad):
+        with pytest.raises(ValueError, match="offset"):
+            window_over(
+                rd.from_items([{"k": 1, "o": 1, "v": 1}]),
+                "k",
+                ["o"],
+                {"lg": ("lag", "v", bad)},
+            )
+
     @pytest.mark.parametrize("frame", [1, 3, 7])
     def test_moving_sum_matches_duckdb_with_nulls(self, ray_session, frame):
         rng = np.random.default_rng(11)
