@@ -50,7 +50,12 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    import os
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "8"))
+    ray.init(
+        address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR"
+    )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
