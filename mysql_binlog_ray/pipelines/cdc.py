@@ -466,6 +466,49 @@ def _group_rgs(entries: list[tuple[str, int]]) -> list[tuple[str, list[int]]]:
     return [(p, sorted(rgs)) for p, rgs in sorted(by_path.items())]
 
 
+def _collect_table(ds: rd.Dataset) -> pa.Table | None:
+    """Execute ``ds`` ONCE and return it as a single Arrow table via
+    block refs, or ``None`` when it produced no rows — the small-result
+    collect (bounded: O(tasks) index rows / O(parts) manifest rows
+    here).  ``take_all()`` materializes Python row dicts one at a time
+    on the driver (~0.3 s of driver CPU on the sf0.1 headline);
+    ``to_arrow_refs()`` re-executes the plan for ``schema()`` — deadly
+    when a stage has side effects (merge_one writes lake files) — so
+    this walks ``iter_internal_ref_bundles`` directly.  Our callers'
+    stages emit Arrow blocks (map_batches returning pa.Table)."""
+    import ray
+
+    refs = [
+        block_ref
+        for bundle in ds.iter_internal_ref_bundles()
+        for block_ref, _md in bundle.blocks
+    ]
+    tabs = [t for t in ray.get(refs) if t.num_rows]
+    if not tabs:
+        return None
+    return pa.concat_tables(tabs, promote_options="default")
+
+
+def _manifest_rows(stats: pa.Table | None) -> list[dict[str, Any]]:
+    """(part, rows, bytes, max_event_seq) table -> manifest row dicts."""
+    if stats is None:
+        return []
+    return [
+        {
+            "part": int(p),
+            "rows": int(r),
+            "bytes": int(b),
+            "max_event_seq": int(m),
+        }
+        for p, r, b, m in zip(
+            stats.column("part").to_pylist(),
+            stats.column("rows").to_pylist(),
+            stats.column("bytes").to_pylist(),
+            stats.column("max_event_seq").to_pylist(),
+        )
+    ]
+
+
 def _external_shuffle_merge(
     parted: rd.Dataset,
     lake_dir: str,
@@ -534,10 +577,18 @@ def _external_shuffle_merge(
             }
         )
 
-    chunk_index = parted.map_batches(spill, batch_format="pyarrow").take_all()
+    # block-level collect (O(blocks) driver work): take_all() iterates
+    # Python row dicts — measured ~0.3 s of pure driver CPU on the sf0.1
+    # headline, a constant that dominates small runs
+    chunk_index = _collect_table(parted.map_batches(spill, batch_format="pyarrow"))
     by_part: dict[int, list[tuple[str, int]]] = {}
-    for r in chunk_index:
-        by_part.setdefault(int(r["part"]), []).append((r["chunk"], int(r["rg"])))
+    if chunk_index is not None:
+        for part, chunk, rg in zip(
+            chunk_index.column("part").to_pylist(),
+            chunk_index.column("chunk").to_pylist(),
+            chunk_index.column("rg").to_pylist(),
+        ):
+            by_part.setdefault(int(part), []).append((chunk, int(rg)))
 
     def merge_one(batch: dict) -> pa.Table:
         import numpy as np
@@ -567,19 +618,13 @@ def _external_shuffle_merge(
         )
 
     parts_ds = rd.from_items([{"part": p} for p in sorted(by_part)])
-    stats = parts_ds.map_batches(merge_one, batch_size=1, batch_format="numpy").take_all()
+    stats = _collect_table(
+        parts_ds.map_batches(merge_one, batch_size=1, batch_format="numpy")
+    )
     import shutil as _shutil
 
     _shutil.rmtree(spill_dir, ignore_errors=True)
-    return [
-        {
-            "part": int(r["part"]),
-            "rows": int(r["rows"]),
-            "bytes": int(r["bytes"]),
-            "max_event_seq": int(r["max_event_seq"]),
-        }
-        for r in stats
-    ]
+    return _manifest_rows(stats)
 
 
 def _groupby_merge_parts(
@@ -619,15 +664,7 @@ def _groupby_merge_parts(
         )
 
     stats = parted.groupby("_part").map_groups(_merge_and_write, batch_format="pyarrow")
-    return [
-        {
-            "part": int(r["part"]),
-            "rows": int(r["rows"]),
-            "bytes": int(r["bytes"]),
-            "max_event_seq": int(r["max_event_seq"]),
-        }
-        for r in stats.take_all()  # tiny: one row per partition
-    ]
+    return _manifest_rows(_collect_table(stats))  # tiny: one row per partition
 
 
 def run_to_lake(
