@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_percentiles_events_value": Q.approx_percentiles_events_value,
         "rollup_lineitem": Q.rollup_lineitem,
         "cube_lineitem": Q.cube_lineitem,
+        "grouping_sets_lineitem": Q.grouping_sets_lineitem,
         "tfidf_documents": Q.tfidf_documents,
         "ntile_documents": Q.ntile_documents,
         "topk_orders": Q.topk_orders,
@@ -1164,6 +1165,15 @@ def _oracle_sql_dict() -> dict[str, str]:
                                  AS BIGINT)) AS BIGINT) AS rev_cents
             FROM lineitem
             GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "grouping_sets_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
+                   count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), (l_linestatus), ())
         """,
         "tfidf_documents": """
             -- score = tf * n_docs / df as ONE float divide over integer

@@ -2325,6 +2325,35 @@ def cube_lineitem(sf_dir: str):
     )
 
 
+def grouping_sets_lineitem(sf_dir: str):
+    """Explicit GROUP BY GROUPING SETS — a non-lattice set list
+    ((rf, ls), (rf), (ls), ()) that neither ROLLUP nor CUBE expresses
+    as-is, with the SQL GROUPING() bitmask disambiguating aggregated-away
+    keys.  Same one-finest-reduce-then-explode shape as cube_lineitem."""
+    from ..stages.window import grouping_sets_aggregate
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "qty": b.column("l_quantity").cast(pa.int64()),
+            }
+        )
+
+    return grouping_sets_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {"n": (None, "count"), "sum_qty": ("qty", "sum")},
+        [frozenset({0, 1}), frozenset({0}), frozenset({1}), frozenset()],
+    )
+
+
 SNAPSHOT_WATERMARKS = [250, 500, 1_000_000_000]
 
 
