@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals_events": Q.running_totals_events,
         "moving_sum_events": Q.moving_sum_events,
         "lag_lead_events": Q.lag_lead_events,
+        "dense_rank_cume_events": Q.dense_rank_cume_events,
         "mode_event_type_per_user": Q.mode_event_type_per_user,
         "user_journey_events": Q.user_journey_events,
         "histogram_events": Q.histogram_events,
@@ -1062,6 +1063,18 @@ def _oracle_sql_dict() -> dict[str, str]:
                    COALESCE(lag(cents, 3) OVER w, -1) AS lag3_cents
             FROM t
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        """,
+        "dense_rank_cume_events": """
+            WITH t AS (
+                SELECT event_id, user_id,
+                       CAST(round_even(value * 100, 0) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(dense_rank() OVER w AS BIGINT) AS dr,
+                   cume_dist() OVER w AS cd
+            FROM t
+            WINDOW w AS (PARTITION BY user_id ORDER BY cents ASC NULLS LAST)
         """,
         "mode_event_type_per_user": """
             SELECT user_id, event_type AS mode_event_type,

@@ -2154,6 +2154,48 @@ def lag_lead_events(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def dense_rank_cume_events(sf_dir: str):
+    """DENSE_RANK + CUME_DIST of integer cents per user — the gap-free
+    rank and cumulative-distribution window class; cume_dist is one IEEE
+    division of two exact integers, so the float column is bit-exact
+    against the SQL oracle."""
+    from ..stages.window import window_over
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b.column("value"), pa.scalar(100.0))).cast(
+            pa.int64()
+        )
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "cents": cents,
+            }
+        )
+
+    out = window_over(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        ["event_id"],
+        {"dr": ("dense_rank", "cents"), "cd": ("cume_dist", "cents")},
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "dr": b.column("dr").cast(pa.int64()),
+                "cd": b.column("cd"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def mode_event_type_per_user(sf_dir: str):
     """Per-user modal event type with deterministic lexicographic
     tie-break — the argmax-of-counts aggregate class.  Per-batch partial

@@ -40,6 +40,8 @@ _KINDS = (
     "first_value",
     "last_value",
     "rank",
+    "dense_rank",
+    "cume_dist",
     "percent_rank",
 )
 
@@ -106,6 +108,12 @@ def window_over(
       single-row key) — one IEEE division of the same two integers on
       both sides, so it matches a SQL oracle bit-for-bit.  Note these
       rank by ``in_col``, independent of ``order_cols``.
+    - ``dense_rank`` / ``cume_dist`` over ``in_col``: the gap-free
+      tie-group ordinal (``DENSE_RANK()``) and the SQL cumulative
+      distribution ``(# rows with value <= current, peers included) /
+      rows_in_key`` as float64 — one IEEE division of two exact integers
+      (oracle-exact like percent_rank).  Same ASC-NULLS-LAST ordering
+      and NULL-tie-group semantics as rank.
 
     NULL keys form ONE partition (SQL PARTITION BY parity).  NULL order
     keys sort last (DuckDB's ASC default).
@@ -230,7 +238,7 @@ def window_over(
                     [np.zeros(1, np.int64), np.cumsum((~null).astype(np.int64))]
                 )
                 mask = (nn1[pos + 1] - nn1[start]) == 0
-            elif kind in ("rank", "percent_rank"):
+            elif kind in ("rank", "percent_rank", "dense_rank", "cume_dist"):
                 # sort each key by (null flag, value): ASC NULLS LAST;
                 # tie groups (same null flag + value within a key) share
                 # the rank of their first sorted position
@@ -245,9 +253,28 @@ def window_over(
                         keystart[1:] | (ns[1:] != ns[:-1]) | (vs[1:] != vs[:-1])
                     )
                 ks = np.flatnonzero(keystart)
-                keybase = np.repeat(poss[ks], np.diff(np.append(ks, n)))
+                keylens = np.diff(np.append(ks, n))
+                keybase = np.repeat(poss[ks], keylens)
                 gs = np.flatnonzero(grpstart)
-                grpbase = np.repeat(poss[gs], np.diff(np.append(gs, n)))
+                grplens = np.diff(np.append(gs, n))
+                grpbase = np.repeat(poss[gs], grplens)
+                if kind == "dense_rank":
+                    # tie-group ordinal within the key, no gaps
+                    grp_id = np.cumsum(grpstart)  # global 1-based group id
+                    dr_sorted = grp_id - np.repeat(grp_id[ks], keylens) + 1
+                    dr = np.empty(n, dtype=np.int64)
+                    dr[order] = dr_sorted
+                    out[out_col] = pd.Series(dr, dtype="Int64")
+                    continue
+                if kind == "cume_dist":
+                    # (# rows with value <= current, peers included) /
+                    # (rows in key) — tie-group END over key length
+                    grpend = grpbase + np.repeat(grplens, grplens)
+                    cd_sorted = (grpend - keybase) / np.repeat(keylens, keylens)
+                    cd = np.empty(n, dtype=np.float64)
+                    cd[order] = cd_sorted
+                    out[out_col] = cd
+                    continue
                 rank_sorted = grpbase - keybase + 1
                 rank = np.empty(n, dtype=np.int64)
                 rank[order] = rank_sorted

@@ -623,3 +623,48 @@ class TestRankKinds:
         ).fetchdf()
         assert list(out["rnk"].astype("int64")) == list(exp["rnk"])
         assert list(out["prnk"]) == list(exp["prnk"])  # bit-exact
+
+    def test_dense_rank_and_cume_dist_ties_and_nulls(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages.window import window_over
+
+        rng = np.random.default_rng(3)
+        n = 400
+        df = pd.DataFrame(
+            {
+                "k": pd.array(
+                    [None if x < 15 else int(x % 7) for x in rng.integers(0, 100, n)],
+                    dtype="Int64",
+                ),
+                "id": np.arange(n, dtype=np.int64),
+                # few distinct values => dense tie groups
+                "v": pd.array(
+                    [None if x < 20 else int(x % 5) for x in rng.integers(0, 100, n)],
+                    dtype="Int64",
+                ),
+            }
+        )
+        out = (
+            window_over(
+                rd.from_pandas(df).repartition(5),
+                "k",
+                ["id"],
+                {"dr": ("dense_rank", "v"), "cd": ("cume_dist", "v")},
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.execute(
+            """SELECT id, CAST(DENSE_RANK() OVER w AS BIGINT) AS dr,
+                      cume_dist() OVER w AS cd
+               FROM t WINDOW w AS (PARTITION BY k ORDER BY v ASC NULLS LAST)
+               ORDER BY id"""
+        ).fetchdf()
+        assert list(out["dr"].astype("int64")) == list(exp["dr"])
+        assert list(out["cd"]) == list(exp["cd"])  # bit-exact
