@@ -1,0 +1,207 @@
+"""Long-lived listener CLI — the process shape the reference runs as
+(`/root/reference/examples/dump-events.php` + `Config.php` env layer):
+one command tails a server's binlog into the parquet spool, another
+keeps an exactly-once lake caught up from that spool.  Run both against
+the same directory and you have the reference's listener, split at the
+engine's spool handoff so each side restarts/retries independently.
+
+Usage:
+    python -m mysql_binlog_ray.daemon tail \\
+        --host 127.0.0.1 --port 3306 --user replica --password pw \\
+        --out-dir /var/spool/cdc [--binlog-file F] [--binlog-position N] \\
+        [--shard-events 4096] [--max-events N] [--resume] [--session-setup]
+
+    python -m mysql_binlog_ray.daemon follow \\
+        --manifest /var/spool/cdc/manifest.json --lake /data/lake \\
+        [--interval 1.0] [--num-partitions 64] [--max-iterations N] \\
+        [--num-cpus N]
+
+Env defaults use the reference's `Config.php` names (CLI args override):
+``HOST PORT USER PASSWORD SLAVE_ID BINLOG_FILE BINLOG_POSITION``.
+``tail`` needs no Ray session (socket + parquet only); ``follow`` owns a
+guarded Ray session like the other CLI entry points.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _conn_env_defaults(env: dict[str, str] | None = None) -> dict:
+    """Connection-layer env -> config (`Config.php:21-86` names).  Empty
+    values are treated as unset; non-numeric ints raise a clear error
+    (same footgun policy as print_row_events.env_defaults)."""
+    env = os.environ if env is None else env
+    out: dict = {}
+    if v := env.get("HOST"):
+        out["host"] = v
+    if v := env.get("USER"):
+        out["user"] = v
+    if v := env.get("PASSWORD"):
+        out["password"] = v
+    if v := env.get("BINLOG_FILE"):
+        out["binlog_file"] = v
+    for name, key in [
+        ("PORT", "port"),
+        ("SLAVE_ID", "slave_id"),
+        ("BINLOG_POSITION", "binlog_position"),
+    ]:
+        if v := env.get(name):
+            try:
+                out[key] = int(v)
+            except ValueError:
+                raise SystemExit(f"{name} must be an integer, got {v!r}")
+    return out
+
+
+def _tail(args: argparse.Namespace) -> int:
+    from .sources.wire import BinlogWireClient, scan_table_maps, tail_to_shards
+    from .state.checkpoint import atomic_write_json
+
+    client = BinlogWireClient.connect(
+        args.host,
+        args.port,
+        user=args.user,
+        password=args.password,
+        slave_id=args.slave_id,
+        timeout=args.timeout,
+    )
+    result = tail_to_shards(
+        client,
+        args.out_dir,
+        shard_events=args.shard_events,
+        binlog_file=args.binlog_file,
+        position=args.binlog_position,
+        max_events=args.max_events,
+        session_setup=args.session_setup,
+        resume=args.resume,
+        manifest_extra={},  # publish manifest.json for a follower
+    )
+    # a REAL stream's TABLE_MAPs exist only in-band; republish the
+    # manifest with the scanned registry snapshot so a follower's
+    # PARALLEL decode resolves row events whose map landed in an earlier
+    # block.  (During the tail the manifest lacks the snapshot — a
+    # concurrent follower catches up fully on the post-scan republish.)
+    shards = result.get("shards", [])
+    table_maps = scan_table_maps([s["path"] for s in shards])
+    with open(os.path.join(args.out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    manifest["table_maps"] = table_maps
+    atomic_write_json(args.out_dir, manifest, filename="manifest.json")
+    print(
+        json.dumps(
+            {
+                "shards": len(shards),
+                "events": client.n_events,
+                "heartbeats": client.n_heartbeats,
+                "table_maps": len(table_maps),
+                "out_dir": args.out_dir,
+            }
+        )
+    )
+    return 0
+
+
+def _follow(args: argparse.Namespace) -> int:
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:  # CLI owns its session (the driver never calls this)
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .pipelines.cdc import CdcConfig
+    from .pipelines.tailer import FollowDaemon
+
+    cfg_kwargs: dict = {"num_partitions": args.num_partitions}
+    if args.key_cols:
+        cfg_kwargs["key_cols"] = tuple(s.strip() for s in args.key_cols.split(","))
+    if args.target_table:
+        schema_name, _, table_name = args.target_table.partition(".")
+        if not table_name:
+            raise SystemExit(
+                f"--target-table must be schema.table, got {args.target_table!r}"
+            )
+        cfg_kwargs["target_table"] = (schema_name, table_name)
+    daemon = FollowDaemon(
+        manifest_path=args.manifest,
+        lake_dir=args.lake,
+        cfg=CdcConfig(**cfg_kwargs),
+        interval_sec=args.interval,
+        on_stats=lambda s: print(
+            json.dumps(
+                {
+                    "rows_delta": s.rows_delta,
+                    "rows_per_sec": round(s.rows_per_sec, 1),
+                    "elapsed_sec": round(s.elapsed_sec, 3),
+                }
+            ),
+            flush=True,
+        ),
+    )
+    history = daemon.run(max_iterations=args.max_iterations)
+    print(json.dumps({"iterations": len(history), "lake": args.lake}))
+    if owns_session:  # never tear down a caller's (or test fixture's) session
+        ray.shutdown()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="python -m mysql_binlog_ray.daemon")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    envd = _conn_env_defaults()
+
+    t = sub.add_parser("tail", help="wire session -> parquet spool")
+    t.add_argument("--host", default=envd.get("host", "127.0.0.1"))
+    t.add_argument("--port", type=int, default=envd.get("port", 3306))
+    t.add_argument("--user", default=envd.get("user"), required="user" not in envd)
+    t.add_argument(
+        "--password", default=envd.get("password", ""), help="empty = no password"
+    )
+    t.add_argument("--slave-id", type=int, default=envd.get("slave_id", 666))
+    t.add_argument("--timeout", type=float, default=None)
+    t.add_argument("--out-dir", required=True)
+    t.add_argument("--shard-events", type=int, default=4096)
+    t.add_argument("--binlog-file", default=envd.get("binlog_file"))
+    t.add_argument(
+        "--binlog-position", type=int, default=envd.get("binlog_position", 4)
+    )
+    t.add_argument("--max-events", type=int, default=None)
+    t.add_argument("--session-setup", action="store_true")
+    t.add_argument("--resume", action="store_true")
+    t.set_defaults(fn=_tail)
+
+    f = sub.add_parser("follow", help="spool manifest -> exactly-once lake")
+    f.add_argument("--manifest", required=True)
+    f.add_argument("--lake", required=True)
+    f.add_argument("--interval", type=float, default=1.0)
+    f.add_argument("--num-partitions", type=int, default=64)
+    f.add_argument("--max-iterations", type=int, default=None)
+    f.add_argument("--num-cpus", type=int, default=8)
+    f.add_argument(
+        "--key-cols", default=None, help="comma-separated merge key columns"
+    )
+    f.add_argument(
+        "--target-table", default=None, help="schema.table to decode/merge"
+    )
+    f.set_defaults(fn=_follow)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

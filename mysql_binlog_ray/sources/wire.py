@@ -417,6 +417,27 @@ class BinlogWireClient:
         self.n_events = 0
         self.n_heartbeats = 0
 
+    @classmethod
+    def connect(
+        cls,
+        host: str,
+        port: int = 3306,
+        *,
+        user: str,
+        password: str,
+        slave_id: int = 666,
+        timeout: float | None = None,
+    ) -> "BinlogWireClient":
+        """TCP connect by host/port (the reference's constructor shape,
+        `Connection.php:44-58`); ``TCP_NODELAY`` because the dump stream
+        is many small frames.  ``timeout`` applies to connect AND reads
+        (a silent master with no heartbeat otherwise blocks forever)."""
+        import socket as _socket
+
+        sock = _socket.create_connection((host, port), timeout=timeout)
+        sock.setsockopt(_socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1)
+        return cls(sock, user=user, password=password, slave_id=slave_id, port=port)
+
     def _scramble_for(self, plugin: str, nonce: bytes) -> bytes:
         fn = AUTH_PLUGINS.get(plugin)
         if fn is None:
@@ -678,6 +699,41 @@ class BinlogWireClient:
             self.conn.send_packet(bytes([COM_QUIT]), reset_seq=True)
         except Exception:
             pass
+
+
+def scan_table_maps(shard_paths: list[str]) -> list[dict]:
+    """Latest TABLE_MAP layout per table_id from spooled shards — the
+    registry snapshot a PARALLEL decode needs when the stream's maps
+    exist only in-band (a real-server tail; the fixture generator
+    publishes its own snapshot).  A block that starts mid-transaction
+    may otherwise see ROWS events whose TABLE_MAP landed in an earlier
+    block.  One sequential pass, byte-5 peek per event, full parse only
+    for TABLE_MAP / FORMAT_DESCRIPTION (the latter tracks the checksum
+    gate exactly like the sequential decoder)."""
+    import pyarrow.parquet as pq
+
+    from ..protocol.constants import EventType
+    from ..protocol.decode import (
+        parse_format_description,
+        parse_header,
+        parse_table_map,
+    )
+
+    latest: dict[int, dict] = {}
+    checksum_size = 4  # CRC32 until an FDE says otherwise (modern default)
+    for path in shard_paths:
+        tab = pq.read_table(path, columns=["payload"])
+        for payload in tab.column("payload").to_pylist():
+            etype = payload[5]
+            if etype == EventType.FORMAT_DESCRIPTION:
+                h = parse_header(payload, 0)
+                _fmt, _ver, alg = parse_format_description(payload, h)
+                checksum_size = 4 if alg == 1 else 0
+            elif etype == EventType.TABLE_MAP:
+                h = parse_header(payload, checksum_size)
+                tm = parse_table_map(payload, h)
+                latest[tm.table_id] = tm.to_dict()
+    return [latest[k] for k in sorted(latest)]
 
 
 def spool_shards(out_dir: str) -> list[dict]:

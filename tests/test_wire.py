@@ -875,3 +875,122 @@ class TestWireSession:
         assert ei.value.code == 1045
         cli.close()
         t.join(timeout=30)
+
+
+class TestDaemonCli:
+    """The long-lived listener CLI (`python -m mysql_binlog_ray.daemon`)
+    over REAL TCP: tail a fixture server into a spool (manifest gains
+    the scanned in-band TABLE_MAP snapshot), then follow the spool into
+    an exactly-once lake and match the direct pipeline's final state."""
+
+    def test_tail_then_follow_over_tcp(
+        self, small_stream, tmp_path, ray_session, capsys
+    ):
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray import daemon
+        from mysql_binlog_ray.pipelines.cdc import (
+            CdcConfig,
+            read_lake,
+            run_to_dataset,
+        )
+
+        spec, out, manifest = small_stream
+        payloads = []
+        for s in manifest["shards"]:
+            payloads.extend(
+                pq.read_table(s["path"], columns=["payload"])["payload"].to_pylist()
+            )
+
+        lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        lsock.bind(("127.0.0.1", 0))
+        lsock.listen(1)
+        port = lsock.getsockname()[1]
+        seen: dict = {}
+
+        def serve():
+            try:
+                conn, _ = lsock.accept()
+            except Exception as e:
+                seen["exception"] = repr(e)
+                return
+            try:
+                serve_session(conn, payloads, seen=seen)
+            except Exception as e:
+                seen["exception"] = repr(e)
+            finally:
+                conn.close()
+                lsock.close()
+
+        t = threading.Thread(target=serve, daemon=True)
+        t.start()
+
+        spool = str(tmp_path / "spool")
+        rc = daemon.main(
+            [
+                "tail",
+                "--host", "127.0.0.1",
+                "--port", str(port),
+                "--user", "repl",
+                "--password", "secret",
+                "--out-dir", spool,
+                "--binlog-file", "binlog.000001",
+                "--shard-events", "64",
+            ]
+        )
+        t.join(timeout=30)
+        assert rc == 0
+        assert "exception" not in seen, seen
+        assert seen["user"] == "repl"
+
+        with open(os.path.join(spool, "manifest.json")) as f:
+            spool_man = json.load(f)
+        assert spool_man["shards"]
+        # the scanned in-band snapshot reproduces the generator's
+        # published layouts (latest per table_id)
+        gen_by_id = {d["table_id"]: d for d in manifest["table_maps"]}
+        assert spool_man["table_maps"], "tail must scan in-band TABLE_MAPs"
+        for d in spool_man["table_maps"]:
+            ref = gen_by_id[d["table_id"]]
+            assert d["columns"] == ref["columns"]
+            assert (d["schema_name"], d["table_name"]) == (
+                ref["schema_name"], ref["table_name"],
+            )
+
+        lake = str(tmp_path / "lake")
+        rc = daemon.main(
+            [
+                "follow",
+                "--manifest", os.path.join(spool, "manifest.json"),
+                "--lake", lake,
+                "--max-iterations", "1",
+                "--interval", "0.01",
+                "--num-partitions", "4",
+            ]
+        )
+        assert rc == 0
+        stats_line = [
+            json.loads(l)
+            for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")
+        ]
+        assert stats_line, "follow must emit stats JSON"
+
+        value_cols = ["repo", "path", "commit", "lang", "content", "stars"]
+        got = (
+            read_lake(lake)
+            .to_pandas()[value_cols]
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        ref = (
+            run_to_dataset(manifest, CdcConfig(num_partitions=4))
+            .to_pandas()[value_cols]
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(ref)
