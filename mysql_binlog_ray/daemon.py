@@ -80,17 +80,20 @@ def _tail(args: argparse.Namespace) -> int:
         resume=args.resume,
         manifest_extra={},  # publish manifest.json for a follower
     )
-    # a REAL stream's TABLE_MAPs exist only in-band; republish the
-    # manifest with the scanned registry snapshot so a follower's
-    # PARALLEL decode resolves row events whose map landed in an earlier
-    # block.  (During the tail the manifest lacks the snapshot — a
-    # concurrent follower catches up fully on the post-scan republish.)
+    # tail_to_shards scans TABLE_MAP/FDE in-stream and publishes the
+    # registry snapshot with EVERY manifest flush (concurrent followers
+    # included).  Fallback: a resumed spool whose prior manifest predates
+    # that scanning may still lack maps — rescan ALL listed shards (not
+    # just this session's: prior-session shards may hold the only copy
+    # of a map or the checksum-gating FORMAT_DESCRIPTION).
     shards = result.get("shards", [])
-    table_maps = scan_table_maps([s["path"] for s in shards])
     with open(os.path.join(args.out_dir, "manifest.json")) as f:
         manifest = json.load(f)
-    manifest["table_maps"] = table_maps
-    atomic_write_json(args.out_dir, manifest, filename="manifest.json")
+    table_maps = manifest.get("table_maps", [])
+    if not table_maps:
+        table_maps = scan_table_maps([s["path"] for s in manifest["shards"]])
+        manifest["table_maps"] = table_maps
+        atomic_write_json(args.out_dir, manifest, filename="manifest.json")
     print(
         json.dumps(
             {
@@ -164,7 +167,14 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("tail", help="wire session -> parquet spool")
     t.add_argument("--host", default=envd.get("host", "127.0.0.1"))
     t.add_argument("--port", type=int, default=envd.get("port", 3306))
-    t.add_argument("--user", default=envd.get("user"), required="user" not in envd)
+    # default=None sentinel: the USER env var is set by every Unix shell
+    # (the OS login), so a silent fallback would auth as e.g. 'root'
+    # without the operator ever choosing it — resolve + warn in main()
+    t.add_argument(
+        "--user",
+        default=None,
+        help="replication user (falls back to the USER env var, with a warning)",
+    )
     t.add_argument(
         "--password", default=envd.get("password", ""), help="empty = no password"
     )
@@ -200,6 +210,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cmd == "tail" and args.user is None:
+        env_user = _conn_env_defaults().get("user")
+        if env_user is None:
+            raise SystemExit("tail: --user is required (or set the USER env var)")
+        print(
+            f"warning: --user not given; using USER env var ({env_user!r}) "
+            "as the replication user (Config.php parity — every Unix shell "
+            "sets USER to the OS login, which is rarely the account you want)",
+            file=sys.stderr,
+        )
+        args.user = env_user
     return args.fn(args)
 
 

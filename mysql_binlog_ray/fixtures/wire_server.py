@@ -164,6 +164,7 @@ def serve_session(
     auth_plugin: str = "mysql_native_password",
     sha2_full_auth: bool = False,
     auth_switch_to: str | None = None,
+    switch_nonce: bytes | None = None,
 ) -> dict:
     """One full replica session over ``sock``: handshake -> auth check ->
     REGISTER_SLAVE -> BINLOG_DUMP -> stream ``event_packets`` (each a
@@ -215,8 +216,12 @@ def serve_session(
 
     cur_plugin, nonce = auth_plugin, NONCE
     if auth_switch_to is not None:
-        # AuthSwitchRequest: 0xFE plugin NUL new-nonce NUL
-        cur_plugin, nonce = auth_switch_to, bytes(range(101, 121))
+        # AuthSwitchRequest: 0xFE plugin NUL new-nonce NUL.  Callers can
+        # pin switch_nonce (e.g. one ENDING IN 0x00 — a real server's
+        # random scramble does ~1/256 of the time; the client must strip
+        # only the single terminator NUL, never scramble bytes)
+        cur_plugin = auth_switch_to
+        nonce = bytes(range(101, 121)) if switch_nonce is None else switch_nonce
         conn.send_packet(
             b"\xfe" + cur_plugin.encode() + b"\x00" + nonce + b"\x00"
         )

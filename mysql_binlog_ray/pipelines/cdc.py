@@ -483,7 +483,17 @@ def _collect_table(ds: rd.Dataset) -> pa.Table | None:
         for bundle in ds.iter_internal_ref_bundles()
         for block_ref, _md in bundle.blocks
     ]
-    tabs = [t for t in ray.get(refs) if t.num_rows]
+    # Ray's groupby shuffle can emit empty PANDAS blocks that bypassed
+    # the map UDF (the repo's documented empty-block wart) — len() works
+    # for both block kinds; convert any non-Arrow stragglers rather than
+    # assuming .num_rows exists
+    tabs = []
+    for t in ray.get(refs):
+        if not len(t):
+            continue
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        tabs.append(t)
     if not tabs:
         return None
     return pa.concat_tables(tabs, promote_options="default")

@@ -83,6 +83,12 @@ class FollowDaemon:
             except (json.JSONDecodeError, OSError):
                 stream = None  # producer mid-publish: try next tick
                 self._errors += 1
+            if stream is not None and "table_maps" not in stream:
+                # a tail that hasn't seen a TABLE_MAP yet (or a pre-scan
+                # manifest) — decode can't bind row events; treat like a
+                # mid-publish and wait for the next republish
+                stream = None
+                self._errors += 1
             prior = read_manifest(self.lake_dir)
             prev_wm = prior["watermark"] if prior else None
             prev_rows = prior["totals"]["rows"] if prior else 0

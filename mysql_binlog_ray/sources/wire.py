@@ -476,10 +476,16 @@ class BinlogWireClient:
             if first == PKT_ERR:
                 _raise_err(pkt)
             if first == PKT_EOF and len(pkt) >= 9:
-                # AuthSwitchRequest: plugin(NUL) + new nonce — rescramble
+                # AuthSwitchRequest: plugin(NUL) + new nonce — rescramble.
+                # Strip exactly ONE trailing NUL (the string terminator):
+                # rstrip would also eat legitimate 0x00 tail bytes of the
+                # random scramble (~1/256 of real connections) and the
+                # truncated nonce would scramble to Access denied
                 end = pkt.index(b"\x00", 1)
                 plugin = pkt[1:end].decode("utf-8", "replace")
-                nonce = pkt[end + 1 :].rstrip(b"\x00")
+                nonce = pkt[end + 1 :]
+                if nonce.endswith(b"\x00"):
+                    nonce = nonce[:-1]
                 self.conn.send_packet(self._scramble_for(plugin, nonce))
                 continue
             if first == 0x01 and plugin == "caching_sha2_password":
@@ -728,7 +734,9 @@ def scan_table_maps(shard_paths: list[str]) -> list[dict]:
             if etype == EventType.FORMAT_DESCRIPTION:
                 h = parse_header(payload, 0)
                 _fmt, _ver, alg = parse_format_description(payload, h)
-                checksum_size = 4 if alg == 1 else 0
+                # alg > 0, not == 1: the sequential decoder treats any
+                # nonzero algorithm byte as a 4-byte trailer (decode_stage)
+                checksum_size = 4 if alg > 0 else 0
             elif etype == EventType.TABLE_MAP:
                 h = parse_header(payload, checksum_size)
                 tm = parse_table_map(payload, h)
@@ -918,6 +926,39 @@ def tail_to_shards(
                 prior_meta = _json.load(f)
             manifest_extra = {k: v for k, v in prior_meta.items() if k != "shards"}
 
+    # in-stream registry-snapshot scan: a REAL stream's TABLE_MAPs exist
+    # only in-band, and a follower's PARALLEL decode needs the snapshot
+    # for blocks that start mid-transaction — so every publish carries
+    # the latest layout per table_id, seeded from any maps the caller
+    # (or a resumed prior manifest) already provided.  Cost: one byte
+    # peek per event (already in hand) + a full parse only for
+    # TABLE_MAP / FORMAT_DESCRIPTION events.
+    scan_maps = manifest_extra is not None
+    latest_maps: dict[int, dict] = {}
+    scan_checksum = 4  # CRC32 until an FDE says otherwise
+    if scan_maps:
+        for d in manifest_extra.get("table_maps", []):
+            latest_maps[int(d["table_id"])] = d
+
+    def scan_event(payload: bytes) -> None:
+        from ..protocol.constants import EventType
+        from ..protocol.decode import (
+            parse_format_description,
+            parse_header,
+            parse_table_map,
+        )
+
+        nonlocal scan_checksum
+        etype = payload[5]
+        if etype == EventType.FORMAT_DESCRIPTION:
+            h = parse_header(payload, 0)
+            _fmt, _ver, alg = parse_format_description(payload, h)
+            scan_checksum = 4 if alg > 0 else 0
+        elif etype == EventType.TABLE_MAP:
+            h = parse_header(payload, scan_checksum)
+            tm = parse_table_map(payload, h)
+            latest_maps[tm.table_id] = tm.to_dict()
+
     def publish() -> None:
         # stream-manifest convention (generator parity): manifest.json,
         # published atomically (fsync'd tmp + rename + dir fsync) so a
@@ -929,6 +970,10 @@ def tail_to_shards(
 
         from ..state.checkpoint import atomic_write_json
 
+        if latest_maps:
+            manifest_extra["table_maps"] = [
+                latest_maps[k] for k in sorted(latest_maps)
+            ]
         listed = prior_shards + shards
         # a concurrent purge_spool records its watermark in _purge.json;
         # filtering through it here means a flush racing the purge can
@@ -983,6 +1028,11 @@ def tail_to_shards(
         publish()
 
     for pkt in client.events():
+        if scan_maps:
+            # scan even the skipped replay prefix: its FORMAT_DESCRIPTION
+            # sets the checksum gate and its TABLE_MAPs may govern later
+            # row events
+            scan_event(pkt)
         if to_skip > 0:
             # a dump session that replays from the start (reference
             # semantics: position resets to 4) re-sends the prefix this

@@ -1290,15 +1290,25 @@ def mode_per_group(
     sort + head(1) over O(distinct pairs) rows."""
 
     def partial(b: pa.Table) -> pa.Table:
+        # explicit output schema from the INPUT's Arrow types: an
+        # all-NULL batch otherwise infers a null-typed value column on
+        # its empty frame — a schema-divergent block in the shuffle (the
+        # repo's documented empty-block trap)
+        out_schema = pa.schema(
+            [b.schema.field(c) for c in [*keys, val_col]]
+            + [pa.field("_cnt", pa.int64())]
+        )
         df = b.select([*keys, val_col]).to_pandas()
         df = df[df[val_col].notna()]
+        if not len(df):
+            return out_schema.empty_table()
         cnt = (
             df.groupby([*keys, val_col], sort=False, dropna=False)
             .size()
             .rename("_cnt")
             .reset_index()
         )
-        return pa.Table.from_pandas(cnt, preserve_index=False)
+        return pa.Table.from_pandas(cnt, schema=out_schema, preserve_index=False)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         tot = (

@@ -2076,6 +2076,28 @@ class TestModePerGroup:
         assert a["v"].tolist() == b["v"].tolist()
         assert a["n_mode"].astype("int64").tolist() == b["n_mode"].astype("int64").tolist()
 
+    def test_all_null_block_keeps_schema(self, ray_session):
+        """A block whose values are ALL NULL must emit a typed empty
+        partial, not a null-typed schema-divergent block (the repo's
+        documented empty-block shuffle trap)."""
+        import ray.data as rd
+
+        from mysql_binlog_ray.stages import relational as R
+
+        good = pd.DataFrame({"k": [1, 1, 2], "v": ["a", "a", "b"]})
+        nulls = pd.DataFrame({"k": [1, 2, 3], "v": [None, None, None]})
+        ds = rd.from_pandas(good).union(rd.from_pandas(nulls))
+        out = (
+            R.mode_per_group(ds, ["k"], "v", count_col="n_mode")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        # group 3 (all NULL) disappears; NULL rows don't count
+        assert out["k"].tolist() == [1, 2]
+        assert out["v"].tolist() == ["a", "b"]
+        assert out["n_mode"].astype("int64").tolist() == [2, 1]
+
 
 class TestGroupedHll:
     def test_grouped_estimates_within_error(self, ray_session):

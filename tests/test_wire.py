@@ -295,6 +295,23 @@ class TestSqlAndSetup:
         cli.close()
         t.join(timeout=10)
 
+    @pytest.mark.parametrize("tail", [b"\x00", b"\x00\x00", b"\x07\x00"])
+    def test_auth_switch_nonce_with_trailing_zeros(self, tail):
+        """A real server's 20-byte random switch scramble ends in 0x00
+        ~1/256 of the time; the client must strip ONLY the terminator
+        NUL — an rstrip would truncate the nonce and scramble to Access
+        denied (regression test for exactly that bug)."""
+        nonce = bytes(range(101, 121 - len(tail))) + tail
+        assert len(nonce) == 20 and nonce.endswith(b"\x00")
+        c, cli, t, seen = self._client(
+            auth_plugin="mysql_native_password",
+            auth_switch_to="mysql_native_password",
+            switch_nonce=nonce,
+        )
+        assert seen["errors"] == []
+        cli.close()
+        t.join(timeout=10)
+
     def test_unknown_plugin_actionable_error(self):
         srv, cli = socket.socketpair()
         t, seen = _serve_in_thread(srv, [], auth_plugin="sha256_password")
@@ -994,3 +1011,58 @@ class TestDaemonCli:
             .reset_index(drop=True)
         )
         assert got.equals(ref)
+
+
+class TestInStreamMapScan:
+    """tail_to_shards publishes the scanned in-band TABLE_MAP snapshot
+    with every manifest flush (a concurrent follower needs it — real
+    streams carry maps only in-band)."""
+
+    def test_manifest_gains_table_maps_in_stream(self, small_stream, tmp_path):
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        spec, out, manifest = small_stream
+        payloads = []
+        for s in manifest["shards"]:
+            payloads.extend(
+                pq.read_table(s["path"], columns=["payload"])["payload"].to_pylist()
+            )
+        srv, cli = socket.socketpair()
+        t, seen = _serve_in_thread(srv, payloads)
+        client = BinlogWireClient(cli, user="repl", password="secret")
+        spool = str(tmp_path / "spool")
+        tail_to_shards(
+            client, spool, shard_events=64, binlog_file="binlog.000001",
+            manifest_extra={},
+        )
+        cli.close()
+        t.join(timeout=30)
+        assert "exception" not in seen, seen
+        with open(os.path.join(spool, "manifest.json")) as f:
+            man = json.load(f)
+        gen_by_id = {d["table_id"]: d for d in manifest["table_maps"]}
+        assert man["table_maps"], "in-stream scan must publish maps"
+        for d in man["table_maps"]:
+            assert d["columns"] == gen_by_id[d["table_id"]]["columns"]
+
+    def test_follow_daemon_skips_snapshotless_manifest(self, tmp_path, ray_session):
+        """A manifest without table_maps (tail hasn't seen a TABLE_MAP
+        yet, or a pre-scan producer) must be treated like a mid-publish:
+        skip the tick, don't crash with KeyError."""
+        import json
+
+        from mysql_binlog_ray.pipelines.tailer import FollowDaemon
+
+        mpath = tmp_path / "manifest.json"
+        mpath.write_text(json.dumps({"shards": []}))
+        daemon = FollowDaemon(
+            manifest_path=str(mpath),
+            lake_dir=str(tmp_path / "lake"),
+            interval_sec=0.01,
+        )
+        history = daemon.run(max_iterations=2)
+        assert history == []  # no ingest ticks, no exception
+        assert daemon._errors == 2
