@@ -691,3 +691,36 @@ class TestWireFormatFixes:
         plan = D.DecodePlan.compile(tm)
         with pytest.raises(ValueError, match="FULL"):
             D.parse_rows_event(wr, D.parse_header(wr, 4), {tm.table_id: plan})
+
+
+class TestCharsetBreadth:
+    """Round-4 charset escape hatch: the reference (and rounds 1-3)
+    threw on anything outside latin1/utf8mb3/utf8mb4/binary; now the
+    published collation families decode and anything unmapped passes
+    through as tagged base64 — never an exception in the decode path."""
+
+    def test_collation_codec_families_and_ranges(self):
+        from mysql_binlog_ray.protocol.constants import collation_codec
+
+        assert collation_codec(51) == "cp1251"   # cp1251_general_ci
+        assert collation_codec(28) == "gbk"      # gbk_chinese_ci
+        assert collation_codec(11) == "ascii"    # ascii_general_ci
+        assert collation_codec(255) == "utf-8"   # utf8mb4_0900_ai_ci (MySQL 8 DEFAULT)
+        assert collation_codec(201) == "utf-8"   # utf8mb3_*_ci block (192-223)
+        assert collation_codec(230) == "utf-8"   # utf8mb4_*_ci block (224-247)
+        assert collation_codec(96) is None       # cp932_japanese_ci — unmapped
+
+    def test_text_value_decodes_cp1251_and_gbk(self):
+        from mysql_binlog_ray.protocol.decode import _text_value
+
+        assert _text_value("привет".encode("cp1251"), 51) == "привет"
+        assert _text_value("你好".encode("gbk"), 28) == "你好"
+
+    def test_unmapped_collation_base64_passthrough(self):
+        from mysql_binlog_ray.protocol.decode import _text_value
+
+        raw = "日本語".encode("cp932")
+        got = _text_value(raw, 96)
+        assert got == BINARY_TAG + base64.b64encode(raw).decode()
+        # lossless: the original bytes survive the tag round trip
+        assert base64.b64decode(got[len(BINARY_TAG):]) == raw
