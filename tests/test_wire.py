@@ -1066,3 +1066,118 @@ class TestInStreamMapScan:
         history = daemon.run(max_iterations=2)
         assert history == []  # no ingest ticks, no exception
         assert daemon._errors == 2
+
+
+class TestDaemonCliConcurrent:
+    def test_follow_races_live_tail(self, small_stream, tmp_path, ray_session, capsys):
+        """CLI follow ticks CONCURRENTLY with a live CLI tail: early
+        manifests may lack shards or (briefly) the TABLE_MAP snapshot —
+        the follower must skip those ticks, never crash, and converge to
+        the direct pipeline's final state once the tail completes."""
+        import json
+        import os
+        import time
+
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray import daemon
+        from mysql_binlog_ray.pipelines.cdc import (
+            CdcConfig,
+            read_lake,
+            run_to_dataset,
+        )
+
+        spec, out, manifest = small_stream
+        payloads = []
+        for s in manifest["shards"]:
+            payloads.extend(
+                pq.read_table(s["path"], columns=["payload"])["payload"].to_pylist()
+            )
+
+        lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        lsock.bind(("127.0.0.1", 0))
+        lsock.listen(1)
+        port = lsock.getsockname()[1]
+        seen: dict = {}
+        spool = str(tmp_path / "spool")
+        lake = str(tmp_path / "lake")
+
+        def serve():
+            try:
+                conn, _ = lsock.accept()
+                serve_session(conn, payloads, seen=seen)
+                conn.close()
+            except Exception as e:
+                seen["exception"] = repr(e)
+            finally:
+                lsock.close()
+
+        tail_rc: dict = {}
+
+        def run_tail():
+            try:
+                tail_rc["rc"] = daemon.main(
+                    [
+                        "tail",
+                        "--host", "127.0.0.1",
+                        "--port", str(port),
+                        "--user", "repl",
+                        "--password", "secret",
+                        "--out-dir", spool,
+                        "--binlog-file", "binlog.000001",
+                        "--shard-events", "16",  # many flushes -> many republishes
+                    ]
+                )
+            except Exception as e:
+                tail_rc["exception"] = repr(e)
+
+        ts = threading.Thread(target=serve, daemon=True)
+        tt = threading.Thread(target=run_tail, daemon=True)
+        ts.start()
+        tt.start()
+
+        value_cols = ["repo", "path", "commit", "lang", "content", "stars"]
+        ref = (
+            run_to_dataset(manifest, CdcConfig(num_partitions=4))
+            .to_pandas()[value_cols]
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+
+        # race follow ticks against the live tail; converge within budget
+        deadline = time.time() + 60
+        got = None
+        while time.time() < deadline:
+            if os.path.exists(os.path.join(spool, "manifest.json")):
+                rc = daemon.main(
+                    [
+                        "follow",
+                        "--manifest", os.path.join(spool, "manifest.json"),
+                        "--lake", lake,
+                        "--max-iterations", "2",
+                        "--interval", "0.02",
+                        "--num-partitions", "4",
+                    ]
+                )
+                assert rc == 0
+            if not tt.is_alive() and os.path.isdir(lake):
+                try:
+                    got = (
+                        read_lake(lake)
+                        .to_pandas()[value_cols]
+                        .sort_values(["repo", "path"])
+                        .reset_index(drop=True)
+                    )
+                except Exception:
+                    got = None
+                if got is not None and got.equals(ref):
+                    break
+            time.sleep(0.05)
+
+        tt.join(timeout=30)
+        ts.join(timeout=30)
+        capsys.readouterr()
+        assert "exception" not in seen, seen
+        assert tail_rc.get("rc") == 0, tail_rc
+        assert got is not None and got.equals(ref)
