@@ -58,28 +58,60 @@ def _conn_env_defaults(env: dict[str, str] | None = None) -> dict:
 
 
 def _tail(args: argparse.Namespace) -> int:
-    from .sources.wire import BinlogWireClient, scan_table_maps, tail_to_shards
+    import time
+
+    from .sources.wire import (
+        BinlogWireClient,
+        WireError,
+        scan_table_maps,
+        spool_state,
+        tail_to_shards,
+    )
     from .state.checkpoint import atomic_write_json
 
-    client = BinlogWireClient.connect(
-        args.host,
-        args.port,
-        user=args.user,
-        password=args.password,
-        slave_id=args.slave_id,
-        timeout=args.timeout,
-    )
-    result = tail_to_shards(
-        client,
-        args.out_dir,
-        shard_events=args.shard_events,
-        binlog_file=args.binlog_file,
-        position=args.binlog_position,
-        max_events=args.max_events,
-        session_setup=args.session_setup,
-        resume=args.resume,
-        manifest_extra={},  # publish manifest.json for a follower
-    )
+    attempts = 0
+    while True:
+        try:
+            client = BinlogWireClient.connect(
+                args.host,
+                args.port,
+                user=args.user,
+                password=args.password,
+                slave_id=args.slave_id,
+                timeout=args.timeout,
+            )
+            # reconnect semantics (the proven crash-resume story,
+            # tests/test_wire.py server-crash test): the spool holds only
+            # COMPLETE shards; without --session-setup the server replays
+            # the dump from the requested position, so skip exactly the
+            # committed prefix; with --session-setup the server resumes
+            # at its CURRENT file/position and nothing is replayed.
+            skip = None
+            if attempts > 0 and not args.session_setup:
+                _sid, skip = spool_state(args.out_dir)
+            result = tail_to_shards(
+                client,
+                args.out_dir,
+                shard_events=args.shard_events,
+                binlog_file=args.binlog_file,
+                position=args.binlog_position,
+                max_events=args.max_events,
+                session_setup=args.session_setup,
+                resume=args.resume or attempts > 0,
+                skip_events=skip,
+                manifest_extra={},  # publish manifest.json for a follower
+            )
+            break
+        except (WireError, OSError) as e:
+            attempts += 1
+            if attempts > args.reconnect:
+                raise
+            print(
+                f"warning: tail session died ({e}); reconnect "
+                f"{attempts}/{args.reconnect} in {args.retry_delay}s",
+                file=sys.stderr,
+            )
+            time.sleep(args.retry_delay)
     # tail_to_shards scans TABLE_MAP/FDE in-stream and publishes the
     # registry snapshot with EVERY manifest flush (concurrent followers
     # included).  Fallback: a resumed spool whose prior manifest predates
@@ -189,6 +221,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--max-events", type=int, default=None)
     t.add_argument("--session-setup", action="store_true")
     t.add_argument("--resume", action="store_true")
+    t.add_argument(
+        "--reconnect",
+        type=int,
+        default=0,
+        help="retry a dropped session up to N times (resume + replay-skip)",
+    )
+    t.add_argument("--retry-delay", type=float, default=1.0)
     t.set_defaults(fn=_tail)
 
     f = sub.add_parser("follow", help="spool manifest -> exactly-once lake")

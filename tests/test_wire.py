@@ -1181,3 +1181,123 @@ class TestDaemonCliConcurrent:
         assert "exception" not in seen, seen
         assert tail_rc.get("rc") == 0, tail_rc
         assert got is not None and got.equals(ref)
+
+
+class TestDaemonCliReconnect:
+    def test_tail_reconnects_after_mid_frame_crash(
+        self, small_stream, tmp_path, ray_session, capsys
+    ):
+        """CLI tail with --reconnect: session 1 dies mid-frame, session 2
+        replays from the start; the spool holds the exact stream once
+        (committed prefix skipped), and the follow lake equals the
+        direct pipeline."""
+        import json
+        import os
+        import struct
+
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray import daemon
+        from mysql_binlog_ray.pipelines.cdc import (
+            CdcConfig,
+            read_lake,
+            run_to_dataset,
+        )
+        from mysql_binlog_ray.sources.wire import spool_shards
+
+        spec, out, manifest = small_stream
+        payloads = []
+        for s in manifest["shards"]:
+            payloads.extend(
+                pq.read_table(s["path"], columns=["payload"])["payload"].to_pylist()
+            )
+        k = len(payloads) * 2 // 3
+
+        lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        lsock.bind(("127.0.0.1", 0))
+        lsock.listen(2)
+        port = lsock.getsockname()[1]
+        seen2: dict = {}
+
+        def serve_two_sessions():
+            try:
+                # session 1: first k events, then die mid-frame
+                conn, _ = lsock.accept()
+                try:
+                    serve_session(conn, payloads[:k], seen={})
+                    conn.sendall(
+                        struct.pack("<I", 100)[:3] + bytes([99]) + b"\x00partial"
+                    )
+                finally:
+                    conn.close()
+                # session 2: full replay from the start
+                conn, _ = lsock.accept()
+                try:
+                    serve_session(conn, payloads, seen=seen2)
+                finally:
+                    conn.close()
+            except Exception as e:
+                seen2["exception"] = repr(e)
+            finally:
+                lsock.close()
+
+        t = threading.Thread(target=serve_two_sessions, daemon=True)
+        t.start()
+
+        spool = str(tmp_path / "spool")
+        rc = daemon.main(
+            [
+                "tail",
+                "--host", "127.0.0.1",
+                "--port", str(port),
+                "--user", "repl",
+                "--password", "secret",
+                "--out-dir", spool,
+                "--binlog-file", "binlog.000001",
+                "--shard-events", "32",
+                "--reconnect", "2",
+                "--retry-delay", "0.05",
+            ]
+        )
+        t.join(timeout=30)
+        assert rc == 0
+        assert "exception" not in seen2, seen2
+        err = capsys.readouterr().err
+        assert "reconnect 1/2" in err
+
+        # exact stream, once: contiguous seqs covering every payload
+        entries = spool_shards(spool)
+        assert sum(e["events"] for e in entries) == len(payloads)
+        assert max(e["last_event_seq"] for e in entries) == len(payloads) - 1
+
+        with open(os.path.join(spool, "manifest.json")) as f:
+            man = json.load(f)
+        assert man["table_maps"]
+
+        lake = str(tmp_path / "lake")
+        rc = daemon.main(
+            [
+                "follow",
+                "--manifest", os.path.join(spool, "manifest.json"),
+                "--lake", lake,
+                "--max-iterations", "1",
+                "--interval", "0.01",
+                "--num-partitions", "4",
+            ]
+        )
+        assert rc == 0
+        value_cols = ["repo", "path", "commit", "lang", "content", "stars"]
+        got = (
+            read_lake(lake)
+            .to_pandas()[value_cols]
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        ref = (
+            run_to_dataset(manifest, CdcConfig(num_partitions=4))
+            .to_pandas()[value_cols]
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(ref)
