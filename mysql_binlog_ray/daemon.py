@@ -70,7 +70,13 @@ def _tail(args: argparse.Namespace) -> int:
     from .state.checkpoint import atomic_write_json
 
     attempts = 0
+    # events/heartbeats are per-session counters on the client; a
+    # --reconnect run spans several sessions, so accumulate across them
+    # (including the dropped ones) or the summary under-reports.
+    total_events = 0
+    total_heartbeats = 0
     while True:
+        client = None
         try:
             client = BinlogWireClient.connect(
                 args.host,
@@ -83,11 +89,13 @@ def _tail(args: argparse.Namespace) -> int:
             # reconnect semantics (the proven crash-resume story,
             # tests/test_wire.py server-crash test): the spool holds only
             # COMPLETE shards; without --session-setup the server replays
-            # the dump from the requested position, so skip exactly the
-            # committed prefix; with --session-setup the server resumes
-            # at its CURRENT file/position and nothing is replayed.
+            # the dump from the requested position — on RECONNECTS and
+            # equally on a fresh --resume process restart — so skip
+            # exactly the committed prefix; with --session-setup the
+            # server resumes at its CURRENT file/position and nothing is
+            # replayed.
             skip = None
-            if attempts > 0 and not args.session_setup:
+            if (args.resume or attempts > 0) and not args.session_setup:
                 _sid, skip = spool_state(args.out_dir)
             result = tail_to_shards(
                 client,
@@ -101,8 +109,13 @@ def _tail(args: argparse.Namespace) -> int:
                 skip_events=skip,
                 manifest_extra={},  # publish manifest.json for a follower
             )
+            total_events += client.n_events
+            total_heartbeats += client.n_heartbeats
             break
         except (WireError, OSError) as e:
+            if client is not None:
+                total_events += client.n_events
+                total_heartbeats += client.n_heartbeats
             attempts += 1
             if attempts > args.reconnect:
                 raise
@@ -118,7 +131,7 @@ def _tail(args: argparse.Namespace) -> int:
     # that scanning may still lack maps — rescan ALL listed shards (not
     # just this session's: prior-session shards may hold the only copy
     # of a map or the checksum-gating FORMAT_DESCRIPTION).
-    shards = result.get("shards", [])
+    del result  # summary reports the whole spool, not the final session
     with open(os.path.join(args.out_dir, "manifest.json")) as f:
         manifest = json.load(f)
     table_maps = manifest.get("table_maps", [])
@@ -129,9 +142,12 @@ def _tail(args: argparse.Namespace) -> int:
     print(
         json.dumps(
             {
-                "shards": len(shards),
-                "events": client.n_events,
-                "heartbeats": client.n_heartbeats,
+                # manifest lists ALL committed shards (earlier sessions
+                # included) — the per-result shard list would under-count
+                # after reconnects
+                "shards": len(manifest["shards"]),
+                "events": total_events,
+                "heartbeats": total_heartbeats,
                 "table_maps": len(table_maps),
                 "out_dir": args.out_dir,
             }

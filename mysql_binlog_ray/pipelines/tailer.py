@@ -63,6 +63,9 @@ class FollowDaemon:
     max_consecutive_errors: int = 30
     _stop: bool = field(default=False, repr=False)
     _errors: int = field(default=0, repr=False)
+    # ticks spent waiting on a cleanly-parsed manifest with no
+    # table_maps yet (idle stream) — observability only, never aborts
+    _snapshotless_ticks: int = field(default=0, repr=False)
 
     def stop(self) -> None:
         self._stop = True
@@ -85,10 +88,15 @@ class FollowDaemon:
                 self._errors += 1
             if stream is not None and "table_maps" not in stream:
                 # a tail that hasn't seen a TABLE_MAP yet (or a pre-scan
-                # manifest) — decode can't bind row events; treat like a
-                # mid-publish and wait for the next republish
+                # manifest) — decode can't bind row events; wait for the
+                # next republish.  The manifest parsed CLEANLY, so this is
+                # a healthy-but-idle stream (heartbeat/rotate-only traffic
+                # can look like this indefinitely): it must NOT consume
+                # the consecutive-error abort budget — reset it and track
+                # the wait separately.
                 stream = None
-                self._errors += 1
+                self._errors = 0
+                self._snapshotless_ticks += 1
             prior = read_manifest(self.lake_dir)
             prev_wm = prior["watermark"] if prior else None
             prev_rows = prior["totals"]["rows"] if prior else 0

@@ -365,6 +365,11 @@ def minhash_lsh_pairs(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# worker-global MinHasher memo keyed by hasher kwargs — shared across
+# map tasks in one worker process (a closure-scope dict would not be)
+_MINHASHER_MEMO: dict = {}
+
+
 def verify_minhash_pairs_distributed(
     ds: rd.Dataset,
     pairs: pd.DataFrame,
@@ -386,6 +391,11 @@ def verify_minhash_pairs_distributed(
     (thresholded) pair dataset.  The estimate is k/num_perm — exact in
     float64, bit-identical to the SQL oracle's cnt/128.0 (never rounded:
     np half-even vs DuckDB half-away would diverge).
+
+    Pairs referencing a ``doc_a``/``doc_b`` id absent from ``ds`` are
+    SILENTLY DROPPED (no signature row joins them through the exchange)
+    — unlike the old driver-side verify, which raised ``KeyError``.
+    Callers that need strictness should validate ids up front.
     """
     import ray
 
@@ -393,16 +403,21 @@ def verify_minhash_pairs_distributed(
 
     id_col = hasher_kwargs.get("id_col", "doc_id")
     text_col = hasher_kwargs.get("text_col", "text")
-    cache: dict = {}
+    # worker-global memo (NOT a closure dict — the closure is
+    # re-deserialized per map task, which would rebuild the 128
+    # permutation params for every task; same trap apply_bpe documents)
+    memo_key = tuple(sorted((k, repr(v)) for k, v in hasher_kwargs.items()))
 
     cand_ids_ref = ray.put(
         np.unique(np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()]))
     )
 
     def cand_sign(batch: pd.DataFrame) -> pd.DataFrame:
-        mh = cache.get("m")
+        mh = _MINHASHER_MEMO.get(memo_key)
         if mh is None:
-            mh = cache["m"] = MinHasher(**hasher_kwargs)
+            if len(_MINHASHER_MEMO) > 64:  # bound worker heap
+                _MINHASHER_MEMO.clear()
+            mh = _MINHASHER_MEMO[memo_key] = MinHasher(**hasher_kwargs)
         cand_ids = ray.get(cand_ids_ref)
         sub = batch[np.isin(batch[id_col].to_numpy(), cand_ids)]
         word_cache: dict = {}

@@ -203,13 +203,25 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
 
 def split_png_stream(data: bytes) -> list[bytes]:
     """Split a concatenated-PNG stream (PNG analogue of MJPEG) into its
-    frames by scanning for the 8-byte PNG signature."""
-    offs = []
+    frames.  Each frame end is found by walking the chunk chain
+    (length + type + payload + CRC, IHDR..IEND) from its signature —
+    NOT by searching for the next signature, which would split mid-frame
+    if the 8 signature bytes ever occur inside a frame's compressed IDAT
+    payload."""
+    frames = []
     i = data.find(PNG_SIG)
     while i != -1:
-        offs.append(i)
-        i = data.find(PNG_SIG, i + len(PNG_SIG))
-    return [data[s:e] for s, e in zip(offs, offs[1:] + [len(data)])]
+        j = i + len(PNG_SIG)
+        while j + 8 <= len(data):
+            length = int.from_bytes(data[j : j + 4], "big")
+            ctype = data[j + 4 : j + 8]
+            j += 8 + length + 4  # len + type + payload + CRC
+            if ctype == b"IEND":
+                break
+        j = min(j, len(data))
+        frames.append(data[i:j])
+        i = data.find(PNG_SIG, j)
+    return frames
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int]:

@@ -565,6 +565,42 @@ class TestRealCodecs:
         got2 = VideoFrameSampler(n_frames=4, fake=False)(t2).column("frames").to_pylist()[0]
         assert got2 == frames[:2]
 
+    def test_split_png_stream_signature_inside_idat(self):
+        """The 8-byte PNG signature occurring INSIDE a frame's payload
+        must not split the stream mid-frame: frame ends come from walking
+        the chunk chain (IHDR..IEND), not from signature search."""
+        import struct
+        import zlib
+
+        from mysql_binlog_ray.stages.multimodal import (
+            PNG_SIG,
+            encode_png,
+            split_png_stream,
+        )
+
+        def chunk(ctype: bytes, payload: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(payload))
+                + ctype
+                + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+            )
+
+        # craft a frame carrying the raw signature bytes in an ancillary
+        # chunk (same failure shape as a signature landing in IDAT)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        raw = zlib.compress(b"\x00\x01\x02\x00\x03\x04")
+        evil = (
+            PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"tEXt", b"payload\x00" + PNG_SIG + b"tail")
+            + chunk(b"IDAT", raw)
+            + chunk(b"IEND", b"")
+        )
+        normal = encode_png(np.full((2, 2), 7, dtype=np.uint8))
+        frames = split_png_stream(evil + normal + evil)
+        assert frames == [evil, normal, evil]
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestRelationalKernels:

@@ -1051,7 +1051,10 @@ class TestInStreamMapScan:
     def test_follow_daemon_skips_snapshotless_manifest(self, tmp_path, ray_session):
         """A manifest without table_maps (tail hasn't seen a TABLE_MAP
         yet, or a pre-scan producer) must be treated like a mid-publish:
-        skip the tick, don't crash with KeyError."""
+        skip the tick, don't crash with KeyError — and, because the
+        manifest parsed CLEANLY (healthy-but-idle stream), the wait must
+        NOT consume the consecutive-error abort budget: more ticks than
+        max_consecutive_errors must not abort."""
         import json
 
         from mysql_binlog_ray.pipelines.tailer import FollowDaemon
@@ -1061,11 +1064,32 @@ class TestInStreamMapScan:
         daemon = FollowDaemon(
             manifest_path=str(mpath),
             lake_dir=str(tmp_path / "lake"),
-            interval_sec=0.01,
+            interval_sec=0.001,
+            max_consecutive_errors=3,
         )
-        history = daemon.run(max_iterations=2)
+        # 10 snapshotless ticks > budget of 3: healthy idle, no abort
+        history = daemon.run(max_iterations=10)
         assert history == []  # no ingest ticks, no exception
-        assert daemon._errors == 2
+        assert daemon._errors == 0
+        assert daemon._snapshotless_ticks == 10
+
+    def test_follow_daemon_still_aborts_on_parse_errors(self, tmp_path, ray_session):
+        """Genuine manifest corruption (unparseable JSON every tick) must
+        still trip the consecutive-error abort."""
+        import pytest
+
+        from mysql_binlog_ray.pipelines.tailer import FollowDaemon
+
+        mpath = tmp_path / "manifest.json"
+        mpath.write_text("{not json")
+        daemon = FollowDaemon(
+            manifest_path=str(mpath),
+            lake_dir=str(tmp_path / "lake"),
+            interval_sec=0.001,
+            max_consecutive_errors=3,
+        )
+        with pytest.raises(RuntimeError, match="consecutive"):
+            daemon.run(max_iterations=10)
 
 
 class TestDaemonCliConcurrent:
@@ -1263,13 +1287,22 @@ class TestDaemonCliReconnect:
         t.join(timeout=30)
         assert rc == 0
         assert "exception" not in seen2, seen2
-        err = capsys.readouterr().err
-        assert "reconnect 1/2" in err
+        cap = capsys.readouterr()
+        assert "reconnect 1/2" in cap.err
 
         # exact stream, once: contiguous seqs covering every payload
         entries = spool_shards(spool)
         assert sum(e["events"] for e in entries) == len(payloads)
         assert max(e["last_event_seq"] for e in entries) == len(payloads) - 1
+
+        # summary accumulates across ALL sessions: k events from the
+        # dropped session + a full replay from session 2 — and reports
+        # the whole spool's shard count, not the final session's
+        summary = json.loads(
+            [l for l in cap.out.splitlines() if l.startswith("{")][-1]
+        )
+        assert summary["events"] == k + len(payloads)
+        assert summary["shards"] == len(entries)
 
         with open(os.path.join(spool, "manifest.json")) as f:
             man = json.load(f)
@@ -1301,3 +1334,89 @@ class TestDaemonCliReconnect:
             .reset_index(drop=True)
         )
         assert got.equals(ref)
+
+    def test_fresh_restart_resume_skips_committed_prefix(
+        self, small_stream, tmp_path, ray_session, capsys
+    ):
+        """A FRESH process restart with --resume (attempts == 0, no
+        --session-setup) against a server that replays the dump from the
+        requested position must compute the replay-skip from the spool —
+        not only the in-process reconnect path — or the committed prefix
+        is re-spooled under new event_seq numbers (duplicate events,
+        duplicate lake rows)."""
+        import json
+
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray import daemon
+        from mysql_binlog_ray.sources.wire import spool_shards
+
+        spec, out, manifest = small_stream
+        payloads = []
+        for s in manifest["shards"]:
+            payloads.extend(
+                pq.read_table(s["path"], columns=["payload"])["payload"].to_pylist()
+            )
+        k = len(payloads) * 2 // 3
+
+        def one_tail_run(serve_payloads, extra_args):
+            lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            lsock.bind(("127.0.0.1", 0))
+            lsock.listen(1)
+            port = lsock.getsockname()[1]
+            seen: dict = {}
+
+            def serve():
+                try:
+                    conn, _ = lsock.accept()
+                    try:
+                        serve_session(conn, serve_payloads, seen=seen)
+                    finally:
+                        conn.close()
+                except Exception as e:
+                    seen["exception"] = repr(e)
+                finally:
+                    lsock.close()
+
+            t = threading.Thread(target=serve, daemon=True)
+            t.start()
+            rc = daemon.main(
+                [
+                    "tail",
+                    "--host", "127.0.0.1",
+                    "--port", str(port),
+                    "--user", "repl",
+                    "--password", "secret",
+                    "--out-dir", str(tmp_path / "spool"),
+                    "--binlog-file", "binlog.000001",
+                    "--shard-events", "32",
+                    *extra_args,
+                ]
+            )
+            t.join(timeout=30)
+            assert rc == 0
+            assert "exception" not in seen, seen
+            return seen
+
+        # run 1: a clean session that only got the first k events
+        one_tail_run(payloads[:k], [])
+        entries = spool_shards(str(tmp_path / "spool"))
+        n_first = sum(e["events"] for e in entries)
+        assert n_first > 0
+        # run 2: NEW process, --resume; server replays the full stream
+        # from the start (reference semantics, Connection.php:156)
+        one_tail_run(payloads, ["--resume"])
+
+        # exact stream, once: no duplicated prefix, contiguous seqs
+        entries = spool_shards(str(tmp_path / "spool"))
+        assert sum(e["events"] for e in entries) == len(payloads)
+        assert max(e["last_event_seq"] for e in entries) == len(payloads) - 1
+        summary = json.loads(
+            [
+                l
+                for l in capsys.readouterr().out.splitlines()
+                if l.startswith("{")
+            ][-1]
+        )
+        assert summary["shards"] == len(entries)
