@@ -61,11 +61,47 @@ def preagg_groupby(ds: rd.Dataset, keys: list[str], spec: AggSpec) -> rd.Dataset
         return pa.table(cols)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    aggs = [
-        _RAY_AGG[_PARTIAL_KIND[kind]](out_col, alias_name=out_col)
-        for out_col, (_, kind) in spec.items()
+
+    # Merge the partials with a hash-partitioned exchange + ONE
+    # Arrow-native combine per partition (the same group_by kernel as
+    # the partial stage, so dtypes and null-group semantics are
+    # identical end to end).  This replaces `groupby().aggregate()`,
+    # which pays ~2.5x the constant cost of the sort-exchange
+    # map_groups path (measured same-session: 0.47s vs 0.19s on a
+    # 2k-row input at 8 CPUs) — at ~40 call sites that constant bounds
+    # how deep a time-budgeted correctness harness can sample.  The
+    # fanout scales like hash_join's: sized from leaf metadata when
+    # measurable (partial output <= input bytes), else a
+    # cluster-proportional guess — never a flat constant.
+    from .merge import key_hash64
+
+    in_bytes = metadata_size_bytes(ds)
+    if in_bytes is not None:
+        nparts = adaptive_num_parts(in_bytes)
+    else:
+        nparts = max(16, min(256, int(ray.cluster_resources().get("CPU", 8) or 8)))
+    kt = tuple(keys)
+    merge_aggs = [
+        (out_col, _PARTIAL_KIND[kind]) for out_col, (_, kind) in spec.items()
     ]
-    return partials.groupby(keys).aggregate(*aggs)
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = (key_hash64(b, kt) % np.uint64(nparts)).astype(np.int64)
+        return b.append_column("_rp", pa.array(h))
+
+    def merge_partials(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_rp"])
+        res = t.group_by(keys, use_threads=False).aggregate(merge_aggs)
+        cols = {k: res.column(k) for k in keys}
+        for out_col, fn in merge_aggs:
+            cols[out_col] = res.column(f"{out_col}_{fn}")
+        return pa.table(cols)
+
+    return (
+        partials.map_batches(tag, batch_format="pyarrow")
+        .groupby("_rp")
+        .map_groups(merge_partials, batch_format="pyarrow")
+    )
 
 
 def metadata_size_bytes(ds: rd.Dataset) -> int | None:
@@ -617,6 +653,24 @@ def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
     return pa.schema(list(zip(s.names, s.types)))
 
 
+def _collect_table(ds: rd.Dataset) -> pa.Table:
+    """Materialize a KNOWN-SMALL dataset into one Arrow table via block
+    refs (``take_all`` pays per-row dict conversion; ``to_arrow_refs``
+    re-executes the plan through its schema fetch — see
+    :func:`drop_empty_blocks`).  Callers gate on a byte bound."""
+    tables = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, _meta in bundle.blocks:
+            blk = ray.get(ref)
+            if isinstance(blk, pd.DataFrame):
+                blk = pa.Table.from_pandas(blk, preserve_index=False)
+            if blk.num_rows:
+                tables.append(blk)
+    if not tables:
+        return _arrow_schema(ds).empty_table()
+    return pa.concat_tables(tables, promote_options="default").combine_chunks()
+
+
 def hash_join(
     left_ds: rd.Dataset,
     right_ds: rd.Dataset,
@@ -625,14 +679,31 @@ def hash_join(
     num_partitions: int | None = None,
     join_type: str = "inner",
     target_part_bytes: int = 256 << 20,
+    broadcast_bytes: int = 32 << 20,
 ) -> rd.Dataset:
-    """Large-large equi-join via Ray Data's hash-partitioned join.
+    """Equi-join: broadcast fast path for a small side, hash-partitioned
+    shuffle join for large-large.
 
-    ``num_partitions=None`` (the default) sizes the fanout from the two
-    LEAF input sizes (parquet metadata — no plan execution; falls back
-    to 64 when a side isn't a leaf read), the same ~256 MB-per-partition
-    rule as ``keyed_reduce``: a fixed constant would hand each join task
-    O(corpus / constant) rows at 100 TB.
+    When one side is KNOWN small (<= ``broadcast_bytes``, measured from
+    leaf/materialized block metadata — never by executing a transform),
+    the join runs map-side: the small side is collected once, shipped
+    once via ``ray.put``, and every batch of the big side does a local
+    ``pa.Table.join`` against it — no all-to-all, no aggregator actor
+    pool.  That is the right 100 TB shape for dimension tables AND the
+    dominant constant-cost saving at small scale (the shuffle join pays
+    ~1 s of actor-pool startup regardless of size).  Per-batch soundness
+    bounds which types broadcast which side: inner either side,
+    left_outer only the right, right_outer only the left, full_outer
+    never (unmatched broadcast-side rows must appear exactly once
+    globally).  Output columns/nulls are identical either path (Ray's
+    shuffle join runs pyarrow joins per partition).
+
+    ``num_partitions=None`` (the default) sizes the shuffle fanout from
+    the two LEAF input sizes (parquet metadata — no plan execution;
+    falls back to a cluster-proportional guess when a side isn't a leaf
+    read), the same ~256 MB-per-partition rule as ``keyed_reduce``: a
+    fixed constant would hand each join task O(corpus / constant) rows
+    at 100 TB.
 
     Inputs are scrubbed of 0-row blocks first (:func:`_scrub_join_input`
     — Ray's schema-broadcast race), and a KNOWN-empty side short-circuits
@@ -666,9 +737,37 @@ def hash_join(
             )
 
         return left_ds.map_batches(join_vs_empty_right, batch_format="pyarrow")
+    lb = metadata_size_bytes(left_ds)
+    rb = metadata_size_bytes(right_ds)
+    # broadcast fast path: pick the smallest eligible side.  Scrubbed
+    # (transformed) inputs are already materialized, so their size is
+    # block metadata; file leaves answer from parquet metadata.
+    verb = join_type.replace("_", " ")
+    cands = []
+    if join_type in ("inner", "left_outer") and rb is not None and rb <= broadcast_bytes:
+        cands.append((rb, "right"))
+    if join_type in ("inner", "right_outer") and lb is not None and lb <= broadcast_bytes:
+        cands.append((lb, "left"))
+    if cands:
+        _, side = min(cands)
+        if side == "right":
+            get_small = broadcast_once(_collect_table(right_ds))
+
+            def bcast_right(b: pa.Table) -> pa.Table:
+                return b.join(
+                    get_small(), keys=[on], right_keys=[right_on], join_type=verb
+                )
+
+            return left_ds.map_batches(bcast_right, batch_format="pyarrow")
+        get_small = broadcast_once(_collect_table(left_ds))
+
+        def bcast_left(b: pa.Table) -> pa.Table:
+            return get_small().join(
+                b, keys=[on], right_keys=[right_on], join_type=verb
+            )
+
+        return right_ds.map_batches(bcast_left, batch_format="pyarrow")
     if num_partitions is None:
-        lb = metadata_size_bytes(left_ds)
-        rb = metadata_size_bytes(right_ds)
         # cluster-proportional guess for unmeasurable inputs (each
         # partition costs an aggregator slot + actor startup, so a flat
         # constant over-pays on small clusters and under-splits on big)

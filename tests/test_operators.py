@@ -671,6 +671,49 @@ class TestJoinsAndSketches:
         assert len(out) == 3
         assert set(out["y"]) == {"p", "q"}
 
+    def test_hash_join_broadcast_path_parity(self):
+        """The small-side broadcast fast path must equal the shuffle join
+        (broadcast_bytes=0 forces the all-to-all) for every join type it
+        is sound for — including NULL keys (never match) and duplicate
+        keys (multiplicities)."""
+        from mysql_binlog_ray.stages.relational import hash_join
+
+        rng = np.random.default_rng(7)
+        l = pd.DataFrame(
+            {
+                "k": [int(x) for x in rng.integers(0, 40, 300)] + [None] * 5,
+                "a": list(range(305)),
+            }
+        )
+        r = pd.DataFrame(
+            {
+                "rk": [int(x) for x in rng.integers(20, 60, 80)] + [None] * 3,
+                "b": [f"v{i}" for i in range(83)],
+            }
+        )
+
+        def run(jt, broadcast_bytes):
+            out = hash_join(
+                rd.from_pandas(l),
+                rd.from_pandas(r),
+                on="k",
+                right_on="rk",
+                join_type=jt,
+                broadcast_bytes=broadcast_bytes,
+            ).to_pandas()
+            return (
+                out[sorted(out.columns)]
+                .astype({"b": "object"} if "b" in out else {})
+                .sort_values(sorted(out.columns))
+                .reset_index(drop=True)
+            )
+
+        for jt in ["inner", "left_outer", "right_outer"]:
+            fast = run(jt, 32 << 20)
+            slow = run(jt, 0)
+            assert list(fast.columns) == list(slow.columns), jt
+            pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
     def test_hll_within_error(self):
         from mysql_binlog_ray.stages.sketches import approx_distinct
 
