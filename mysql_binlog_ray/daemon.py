@@ -57,6 +57,24 @@ def _conn_env_defaults(env: dict[str, str] | None = None) -> dict:
     return out
 
 
+def _build_ssl_context(args: argparse.Namespace):
+    """TLS context from the CLI flags: ``--ssl`` verifies against the
+    system CA store (RDS/Cloud SQL certs chain to public roots when the
+    bundle is installed), ``--ssl-ca`` pins a CA bundle file,
+    ``--ssl-insecure`` encrypts without verification (lab use — still
+    better than cleartext, but vulnerable to MITM)."""
+    if not (args.ssl or args.ssl_ca or args.ssl_insecure):
+        return None
+    import ssl
+
+    if args.ssl_insecure:
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+        return ctx
+    return ssl.create_default_context(cafile=args.ssl_ca)
+
+
 def _tail(args: argparse.Namespace) -> int:
     import time
 
@@ -69,6 +87,7 @@ def _tail(args: argparse.Namespace) -> int:
     )
     from .state.checkpoint import atomic_write_json
 
+    ssl_context = _build_ssl_context(args)
     attempts = 0
     # events/heartbeats are per-session counters on the client; a
     # --reconnect run spans several sessions, so accumulate across them
@@ -85,6 +104,8 @@ def _tail(args: argparse.Namespace) -> int:
                 password=args.password,
                 slave_id=args.slave_id,
                 timeout=args.timeout,
+                ssl_context=ssl_context,
+                compress=args.compress,
             )
             # reconnect semantics (the proven crash-resume story,
             # tests/test_wire.py server-crash test): the spool holds only
@@ -244,6 +265,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="retry a dropped session up to N times (resume + replay-skip)",
     )
     t.add_argument("--retry-delay", type=float, default=1.0)
+    t.add_argument(
+        "--ssl", action="store_true",
+        help="TLS with system-CA verification (managed MySQL usually requires TLS)",
+    )
+    t.add_argument("--ssl-ca", default=None, help="CA bundle file (implies TLS)")
+    t.add_argument(
+        "--ssl-insecure", action="store_true",
+        help="TLS without certificate verification (lab use only)",
+    )
+    t.add_argument(
+        "--compress", action="store_true",
+        help="zlib compressed protocol (helps WAN replica links)",
+    )
     t.set_defaults(fn=_tail)
 
     f = sub.add_parser("follow", help="spool manifest -> exactly-once lake")

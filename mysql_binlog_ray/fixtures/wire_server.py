@@ -15,13 +15,16 @@ from __future__ import annotations
 import struct
 
 from ..sources.wire import (
+    CLIENT_COMPRESS,
     CLIENT_PLUGIN_AUTH,
     CLIENT_SECURE_CONNECTION,
+    CLIENT_SSL,
     COM_BINLOG_DUMP,
     COM_QUERY,
     COM_QUIT,
     COM_REGISTER_SLAVE,
     MAX_PACKET_SIZE,
+    CompressedTransport,
     PacketConn,
     WireError,
     scramble_caching_sha2,
@@ -41,8 +44,8 @@ def build_handshake_v10(
     connection_id: int = 42,
     nonce: bytes = NONCE,
     auth_plugin: str = "mysql_native_password",
+    caps: int = SERVER_CAPABILITIES,
 ) -> bytes:
-    caps = SERVER_CAPABILITIES
     return (
         bytes([10])
         + server_version.encode()
@@ -165,6 +168,9 @@ def serve_session(
     sha2_full_auth: bool = False,
     auth_switch_to: str | None = None,
     switch_nonce: bytes | None = None,
+    ssl_context=None,
+    offer_ssl: bool = True,
+    sha2_full_auth_ok: bool = False,
 ) -> dict:
     """One full replica session over ``sock``: handshake -> auth check ->
     REGISTER_SLAVE -> BINLOG_DUMP -> stream ``event_packets`` (each a
@@ -173,10 +179,20 @@ def serve_session(
 
     Auth modes: ``auth_plugin`` picks the greeting's plugin
     (mysql_native_password or caching_sha2_password); ``sha2_full_auth``
-    makes the sha2 path demand full authentication (auth-cache miss —
-    the client must fail with an actionable error); ``auth_switch_to``
-    sends an AuthSwitchRequest to that plugin with a FRESH nonce after
-    the initial response and verifies the re-scrambled reply."""
+    makes the sha2 path demand full authentication (auth-cache miss);
+    with ``sha2_full_auth_ok`` the server then accepts the cleartext
+    password a TLS client sends (the real full-auth flow), otherwise it
+    records the request and returns (the legacy must-fail path);
+    ``auth_switch_to`` sends an AuthSwitchRequest to that plugin with a
+    FRESH nonce after the initial response and verifies the re-scrambled
+    reply.
+
+    Transport modes: ``ssl_context`` (a server-side ``ssl.SSLContext``)
+    accepts the client's SSLRequest and upgrades mid-handshake;
+    ``offer_ssl=False`` masks CLIENT_SSL out of the greeting (for the
+    client's server-refuses-TLS error path).  A client that negotiated
+    CLIENT_COMPRESS gets the zlib compressed protocol from the first
+    post-auth byte."""
     conn = PacketConn(sock)
     # observations land in the caller's dict IN PLACE, so a session the
     # client abandons mid-way (expected in error-path tests) still
@@ -185,12 +201,24 @@ def serve_session(
         seen = {}
     seen["errors"] = []
 
+    server_caps = SERVER_CAPABILITIES
+    if not offer_ssl:
+        server_caps &= ~CLIENT_SSL
     conn.send_packet(
-        build_handshake_v10(server_version, auth_plugin=auth_plugin),
+        build_handshake_v10(server_version, auth_plugin=auth_plugin, caps=server_caps),
         reset_seq=True,
     )
     resp = conn.read_packet()
     caps, _maxp, _cs = struct.unpack_from("<IIB", resp, 0)
+    if caps & CLIENT_SSL and len(resp) == 32:
+        # SSLRequest: upgrade the socket, then read the REAL
+        # HandshakeResponse inside the tunnel (sequence continues)
+        if ssl_context is None:
+            raise WireError("client sent SSLRequest but server has no TLS context")
+        conn._sock = ssl_context.wrap_socket(sock, server_side=True)
+        seen["tls"] = True
+        resp = conn.read_packet()
+        caps, _maxp, _cs = struct.unpack_from("<IIB", resp, 0)
     body = resp[4 + 4 + 1 + 23 :]
     nul = body.index(b"\x00")
     got_user = body[:nul].decode()
@@ -233,9 +261,22 @@ def serve_session(
         if sha2_full_auth:
             conn.send_packet(b"\x01\x04")  # perform_full_authentication
             seen["errors"].append("sha2_full_auth_requested")
-            return seen
-        conn.send_packet(b"\x01\x03")  # fast_auth_success
+            if not sha2_full_auth_ok:
+                return seen  # legacy path: client must fail actionably
+            # real full-auth completion: the client sends the cleartext
+            # password NUL-terminated inside the TLS tunnel
+            clear = bytes(conn.read_packet())
+            seen["full_auth_cleartext"] = True
+            if clear != password.encode() + b"\x00":
+                return deny()
+        else:
+            conn.send_packet(b"\x01\x03")  # fast_auth_success
     conn.send_packet(b"\x00\x00\x00\x02\x00\x00\x00")  # OK
+    if caps & CLIENT_COMPRESS:
+        # compressed protocol from the first post-auth byte (public
+        # protocol), both directions
+        conn._sock = CompressedTransport(conn._sock)
+        seen["compressed"] = True
 
     def expect_command() -> bytes:
         pkt = conn.read_packet()

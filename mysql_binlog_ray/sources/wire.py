@@ -51,7 +51,9 @@ BINLOG_SEND_ANNOTATE_ROWS_EVENT = 2  # MariaDB dump flag (`Connection.php:31`)
 # capability bits (public protocol constants; `Capability.php`)
 CLIENT_LONG_PASSWORD = 0x00000001
 CLIENT_LONG_FLAG = 0x00000004
+CLIENT_COMPRESS = 0x00000020  # declared unused by the reference (`Capability.php:35-37`)
 CLIENT_NO_SCHEMA = 0x00000010
+CLIENT_SSL = 0x00000800  # declared unused by the reference (`Capability.php:65-67`)
 CLIENT_PROTOCOL_41 = 0x00000200
 CLIENT_TRANSACTIONS = 0x00002000
 CLIENT_SECURE_CONNECTION = 0x00008000
@@ -310,6 +312,110 @@ def _natural_key(name: str):
     return [int(p) if p.isdigit() else p for p in re.split(r"(\d+)", name)]
 
 
+class CompressedTransport:
+    """MySQL compressed-protocol framing (CLIENT_COMPRESS,
+    `Capability.php:35-37` — declared by the reference, never
+    implemented): a zlib byte-stream tunnel that carries ordinary
+    packets.  Layout per compressed packet (public protocol): 3-byte
+    compressed-payload length, 1-byte compressed sequence id, 3-byte
+    uncompressed length — uncompressed length 0 means the payload is
+    stored RAW (used when zlib would not shrink it, e.g. tiny command
+    packets).  Sits between ``PacketConn`` and the socket (or the TLS
+    socket), so it composes with TLS.
+
+    Each ``sendall`` becomes one compressed packet; ``recv`` drains a
+    decompression buffer.  Frame integrity is enforced (exact header,
+    decompressed size must equal the declared uncompressed length);
+    sequence ids are tracked and reset at command boundaries like the
+    inner protocol's, but incoming ids are recorded rather than
+    strictly validated (server implementations differ on where the
+    compressed counter resets; the inner packet sequence check and
+    event CRCs carry the integrity guarantee)."""
+
+    MIN_COMPRESS = 50  # MySQL convention: tiny payloads ship raw
+
+    def __init__(self, sock, level: int = 6) -> None:
+        import zlib
+
+        self._z = zlib
+        # zlib level trade measured on the fat profile stream
+        # (BASELINE.md round 5): level 6 = 0.18x bytes at ~42 MB/s
+        # compress throughput, level 1 = 0.28x at ~110 MB/s — a server
+        # CPU-bound on compression should prefer 1; 6 is MySQL's default
+        self.level = level
+        self._sock = sock
+        self._buf = bytearray()
+        self.send_seq = -1
+        self.recv_seq = -1
+
+    def reset_seq(self) -> None:
+        self.send_seq = -1
+
+    def sendall(self, data) -> None:
+        data = bytes(data)
+        # both length fields are 3 bytes: one compressed packet carries
+        # at most MAX_PACKET_SIZE-1... sized payloads; larger writes
+        # split across packets (the byte stream is what matters — the
+        # inner packet framing reassembles independently)
+        for off in range(0, len(data), MAX_PACKET_SIZE):
+            self._send_one(data[off : off + MAX_PACKET_SIZE])
+
+    def _send_one(self, chunk: bytes) -> None:
+        self.send_seq = (self.send_seq + 1) & 0xFF
+        if len(chunk) >= self.MIN_COMPRESS:
+            comp = self._z.compress(chunk, self.level)
+            if len(comp) < len(chunk):
+                self._sock.sendall(
+                    struct.pack("<I", len(comp))[:3]
+                    + bytes([self.send_seq])
+                    + struct.pack("<I", len(chunk))[:3]
+                    + comp
+                )
+                return
+        self._sock.sendall(
+            struct.pack("<I", len(chunk))[:3]
+            + bytes([self.send_seq])
+            + b"\x00\x00\x00"
+            + chunk
+        )
+
+    def _read_exact(self, n: int, at_boundary: bool = False) -> bytes:
+        chunks = []
+        got = 0
+        while got < n:
+            c = self._sock.recv(n - got)
+            if not c:
+                if at_boundary and got == 0:
+                    return b""
+                raise WireError(
+                    f"compressed frame truncated ({got}/{n} header/payload bytes)"
+                )
+            chunks.append(c)
+            got += len(c)
+        return b"".join(chunks)
+
+    def recv(self, n: int) -> bytes:
+        while not self._buf:
+            hdr = self._read_exact(7, at_boundary=True)
+            if not hdr:
+                return b""  # clean close at a compressed-frame boundary
+            clen = hdr[0] | (hdr[1] << 8) | (hdr[2] << 16)
+            self.recv_seq = hdr[3]
+            ulen = hdr[4] | (hdr[5] << 8) | (hdr[6] << 16)
+            payload = self._read_exact(clen)
+            if ulen:
+                payload = self._z.decompress(payload)
+                if len(payload) != ulen:
+                    raise WireError(
+                        f"compressed frame declared {ulen} uncompressed "
+                        f"bytes, got {len(payload)}"
+                    )
+            self._buf += payload
+        out = bytes(self._buf[:n])
+        del self._buf[:n]
+        return out
+
+
 class PacketConn:
     """Length+sequence packet framing over any ``recv(n)/sendall(b)``
     object (a socket, one end of a socketpair, or a test stub).
@@ -357,12 +463,32 @@ class PacketConn:
     def send_packet(self, payload: bytes, reset_seq: bool = False) -> None:
         if reset_seq:
             self.seq = -1
+            # command boundary: the compressed-protocol sequence resets
+            # with the inner one (public protocol)
+            if isinstance(self._sock, CompressedTransport):
+                self._sock.reset_seq()
         if len(payload) > MAX_PACKET_SIZE:
             raise WireError("sending large packets is not implemented")
         self.seq = (self.seq + 1) & 0xFF
         self._sock.sendall(
             struct.pack("<I", len(payload))[:3] + bytes([self.seq]) + payload
         )
+
+    def start_tls(self, ssl_context, server_hostname: str | None = None) -> None:
+        """Upgrade the underlying socket to TLS IN PLACE (client side).
+        Called between the SSLRequest packet and the HandshakeResponse —
+        the packet sequence number continues across the upgrade (public
+        protocol: greeting seq 0, SSLRequest seq 1, HandshakeResponse
+        seq 2 inside the tunnel)."""
+        self._sock = ssl_context.wrap_socket(
+            self._sock, server_hostname=server_hostname
+        )
+
+    def start_compression(self) -> None:
+        """Switch the transport to the compressed protocol (zlib packet
+        framing) — takes effect for every byte AFTER the auth OK, both
+        directions, per the public protocol."""
+        self._sock = CompressedTransport(self._sock)
 
     def read_response(self) -> tuple[int, bytes]:
         """Next packet classified by its first byte; ERR raises with the
@@ -408,6 +534,9 @@ class BinlogWireClient:
         password: str,
         slave_id: int = 666,
         port: int = 3306,
+        ssl_context=None,
+        server_hostname: str | None = None,
+        compress: bool = False,
     ) -> None:
         self.conn = PacketConn(sock)
         self.user, self.password = user, password
@@ -416,6 +545,16 @@ class BinlogWireClient:
         self.flags = 0
         self.n_events = 0
         self.n_heartbeats = 0
+        # TLS on the replication connection (the capability the reference
+        # declares but never implements, `Capability.php:65-67,162`):
+        # an ssl.SSLContext here upgrades the socket mid-handshake
+        self.ssl_context = ssl_context
+        self.server_hostname = server_hostname
+        self.tls_active = False
+        # CLIENT_COMPRESS (`Capability.php:35-37`, same status): zlib
+        # packet framing from the first post-auth byte
+        self.compress = compress
+        self.compress_active = False
 
     @classmethod
     def connect(
@@ -427,16 +566,31 @@ class BinlogWireClient:
         password: str,
         slave_id: int = 666,
         timeout: float | None = None,
+        ssl_context=None,
+        server_hostname: str | None = None,
+        compress: bool = False,
     ) -> "BinlogWireClient":
         """TCP connect by host/port (the reference's constructor shape,
         `Connection.php:44-58`); ``TCP_NODELAY`` because the dump stream
         is many small frames.  ``timeout`` applies to connect AND reads
-        (a silent master with no heartbeat otherwise blocks forever)."""
+        (a silent master with no heartbeat otherwise blocks forever).
+        ``ssl_context`` enables TLS (hostname checks use
+        ``server_hostname``, defaulting to ``host``); ``compress``
+        requests the zlib compressed protocol."""
         import socket as _socket
 
         sock = _socket.create_connection((host, port), timeout=timeout)
         sock.setsockopt(_socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1)
-        return cls(sock, user=user, password=password, slave_id=slave_id, port=port)
+        return cls(
+            sock,
+            user=user,
+            password=password,
+            slave_id=slave_id,
+            port=port,
+            ssl_context=ssl_context,
+            server_hostname=server_hostname if server_hostname is not None else host,
+            compress=compress,
+        )
 
     def _scramble_for(self, plugin: str, nonce: bytes) -> bytes:
         fn = AUTH_PLUGINS.get(plugin)
@@ -451,27 +605,59 @@ class BinlogWireClient:
         """Handshake + auth negotiation.  Supports mysql_native_password
         (reference parity) and caching_sha2_password's FAST path (the
         MySQL 8 default, beyond the reference), including an
-        AuthSwitchRequest to either plugin.  caching_sha2's FULL path
-        (cache miss) needs TLS or an RSA key exchange — no crypto
-        library exists in this environment, so it fails with an
-        actionable error naming the plugin and the fix."""
+        AuthSwitchRequest to either plugin.
+
+        With ``ssl_context`` set, the connection upgrades to TLS between
+        the SSLRequest packet and the HandshakeResponse (public
+        protocol; the capability the reference declares unused,
+        `Capability.php:65-67,162`) — and caching_sha2's FULL path
+        (auth-cache miss) is then completed by sending the cleartext
+        password inside the tunnel, closing MySQL 8 auth completely.
+        Without TLS the full path still fails with an actionable error
+        (the RSA public-key exchange needs a crypto library this
+        environment lacks).  With ``compress`` set and the server
+        offering CLIENT_COMPRESS, the zlib compressed protocol starts
+        from the first post-auth byte."""
         self.server = parse_handshake_v10(self.conn.read_packet())
         if self.server.protocol_version != 10:
             raise WireError(
                 f"unsupported protocol version {self.server.protocol_version}"
             )
         caps = CLIENT_CAPABILITIES & self.server.capabilities
+        if self.ssl_context is not None:
+            if not self.server.capabilities & CLIENT_SSL:
+                raise WireError(
+                    "TLS requested but the server did not offer CLIENT_SSL "
+                    "(check the server's ssl configuration, or drop "
+                    "ssl_context for a plaintext session)"
+                )
+            caps |= CLIENT_SSL
+            # SSLRequest: the first 32 bytes of HandshakeResponse41
+            # (caps + max-packet + charset + 23 filler), then the TLS
+            # upgrade; the packet sequence continues inside the tunnel
+            self.conn.send_packet(
+                struct.pack("<IIB", caps, MAX_PACKET_SIZE, 33) + b"\x00" * 23
+            )
+            self.conn.start_tls(self.ssl_context, self.server_hostname)
+            self.tls_active = True
+        if self.compress and self.server.capabilities & CLIENT_COMPRESS:
+            caps |= CLIENT_COMPRESS
         plugin = self.server.auth_plugin_name or "mysql_native_password"
         auth = self._scramble_for(plugin, self.server.auth_plugin_data)
         self.conn.send_packet(
             build_handshake_response(self.user, auth, caps, auth_plugin=plugin)
         )
-        for _ in range(4):  # OK / ERR / AuthSwitch / AuthMoreData rounds
+        for _ in range(5):  # OK / ERR / AuthSwitch / AuthMoreData rounds
             pkt = self.conn.read_packet()
             if not pkt:
                 raise WireError("empty packet during auth")
             first = pkt[0]
             if first == PKT_OK:
+                if caps & CLIENT_COMPRESS:
+                    # compression starts with the first post-auth byte,
+                    # both directions (public protocol)
+                    self.conn.start_compression()
+                    self.compress_active = True
                 return self.server
             if first == PKT_ERR:
                 _raise_err(pkt)
@@ -494,12 +680,19 @@ class BinlogWireClient:
                 if status == _SHA2_FAST_AUTH_SUCCESS:
                     continue  # OK packet follows
                 if status == _SHA2_PERFORM_FULL_AUTH:
+                    if self.tls_active:
+                        # full authentication inside the TLS tunnel is
+                        # just the cleartext password, NUL-terminated
+                        # (public protocol) — no RSA exchange needed
+                        self.conn.send_packet(self.password.encode() + b"\x00")
+                        continue  # OK / ERR follows
                     raise WireError(
                         "caching_sha2_password full authentication requested "
-                        "(auth-cache miss): the RSA/TLS exchange it needs is "
-                        "unavailable here — connect once with another client "
-                        "to prime the server's auth cache, enable TLS, or "
-                        "use a mysql_native_password account"
+                        "(auth-cache miss): the RSA exchange it needs over a "
+                        "plaintext connection is unavailable here — enable "
+                        "TLS (ssl_context), connect once with another client "
+                        "to prime the server's auth cache, or use a "
+                        "mysql_native_password account"
                     )
                 raise WireError(
                     f"unexpected caching_sha2 auth status {status}"
