@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings": Q.knn_embeddings,
         "minhash_neardup_documents": Q.minhash_neardup_documents,
         "minhash_dedup_clusters": Q.minhash_dedup_clusters_documents,
+        "minhash_clusters_dataset_path": Q.minhash_clusters_dataset_path,
         "simhash_neardup_documents": Q.simhash_neardup_documents,
         "langid_documents": Q.langid_documents,
         "quality_documents": Q.quality_documents,
@@ -1378,6 +1379,7 @@ def _oracle_sql_dict() -> dict[str, str]:
         """,
         "minhash_neardup_documents": _minhash_neardup_oracle(),
         "minhash_dedup_clusters": _minhash_clusters_oracle(),
+        "minhash_clusters_dataset_path": _minhash_clusters_oracle(),
         "simhash_neardup_documents": _simhash_oracle(),
         "ngram_neardup_documents": f"""
             WITH {_NGRAM_PAIR_CTES}

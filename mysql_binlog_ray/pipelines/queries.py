@@ -1425,6 +1425,20 @@ def minhash_dedup_clusters_documents(sf_dir: str):
     return minhash_dedup_clusters(ds, threshold=0.4)
 
 
+def minhash_clusters_dataset_path(sf_dir: str):
+    """Same clusters as :func:`minhash_dedup_clusters_documents` but with
+    the candidate PAIR LIST kept as a Dataset from LSH through the BSP
+    connected components (``dataset_pairs=True``) — driver-visible
+    intermediates are O(1) rows + degenerate-bucket sentinels, the path
+    for corpora so duplicate-dense that even the deduped pair list would
+    blow the driver.  Oracle: identical SQL to the classic path (the
+    result must not depend on the route)."""
+    from ..stages.dedup import minhash_dedup_clusters
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_dedup_clusters(ds, threshold=0.4, dataset_pairs=True)
+
+
 def neardup_clusters_distributed(sf_dir: str):
     """Near-dup clusters via DISTRIBUTED min-label propagation (the
     scale path for when the verified-pair set no longer fits a driver

@@ -203,3 +203,75 @@ def test_minhash_dedup_clusters_distributed_equals_union_find(ray_session):
     uf = uf.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(dist, uf)
     assert len(dist) >= 3  # the planted chains clustered
+
+def test_minhash_clusters_dataset_pairs_never_land_on_driver(ray_session):
+    """dataset_pairs=True: the candidate pair list stays a Dataset from
+    LSH through connected components (round-4 verdict nit).  Two checks
+    on a duplicate-DENSE corpus (every doc in one of two clone families,
+    so pairs >> docs):
+
+    1. clusters identical to the driver union-find oracle;
+    2. rows crossing the driver boundary (from_pandas in, to_pandas /
+       take_all out) stay O(docs) — far below the O(pairs) the classic
+       path collects.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from mysql_binlog_ray.stages import dedup
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(400)]
+    fam_a = " ".join(rng.choice(vocab, size=60))
+    fam_b = " ".join(rng.choice(vocab, size=60))
+    docs = []
+    for i in range(80):  # two 40-doc clone families
+        base = fam_a if i % 2 == 0 else fam_b
+        words = base.split()
+        words[int(rng.integers(0, len(words)))] = f"x{i}"
+        docs.append(" ".join(words))
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    n_docs = len(df)
+    # ~2 * C(40,2) = 1560 verified pairs — the thing that must NOT
+    # cross the driver on the dataset_pairs path
+    classic_pairs = dedup.minhash_lsh_pairs(rd.from_pandas(df), threshold=0.4)
+    assert classic_pairs.num_rows > 10 * n_docs
+
+    crossed = {"rows": 0}
+    orig_to_pandas = rd.Dataset.to_pandas
+    orig_take_all = rd.Dataset.take_all
+
+    def counting_to_pandas(self, *a, **kw):
+        out = orig_to_pandas(self, *a, **kw)
+        crossed["rows"] += len(out)
+        return out
+
+    def counting_take_all(self, *a, **kw):
+        out = orig_take_all(self, *a, **kw)
+        crossed["rows"] += len(out)
+        return out
+
+    rd.Dataset.to_pandas = counting_to_pandas
+    rd.Dataset.take_all = counting_take_all
+    try:
+        got = dedup.minhash_dedup_clusters(
+            rd.from_pandas(df), threshold=0.4, dataset_pairs=True
+        ).to_pandas()
+    finally:
+        rd.Dataset.to_pandas = orig_to_pandas
+        rd.Dataset.take_all = orig_take_all
+
+    # (2) driver-crossing rows: the clustered-doc RESULT (<= n_docs) +
+    # O(1) scalars — nowhere near the pair count
+    assert crossed["rows"] <= n_docs + 8, crossed
+    assert classic_pairs.num_rows > crossed["rows"]
+
+    # (1) exact cluster parity with the driver union-find
+    oracle = dedup.minhash_dedup_clusters(
+        rd.from_pandas(df), threshold=0.4, distributed=False
+    ).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    oracle = oracle.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, oracle)
+    assert len(got) == n_docs  # every doc clustered in the dense corpus
