@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup_documents": Q.minhash_neardup_documents,
         "minhash_dedup_clusters": Q.minhash_dedup_clusters_documents,
         "minhash_clusters_dataset_path": Q.minhash_clusters_dataset_path,
+        "multimodal_header_pipeline": Q.multimodal_header_pipeline,
         "simhash_neardup_documents": Q.simhash_neardup_documents,
         "langid_documents": Q.langid_documents,
         "quality_documents": Q.quality_documents,
@@ -1380,6 +1381,16 @@ def _oracle_sql_dict() -> dict[str, str]:
         "minhash_neardup_documents": _minhash_neardup_oracle(),
         "minhash_dedup_clusters": _minhash_clusters_oracle(),
         "minhash_clusters_dataset_path": _minhash_clusters_oracle(),
+        "multimodal_header_pipeline": """
+            SELECT doc_id,
+                   CAST(16 + doc_id % 100 AS INTEGER) AS width,
+                   CAST(16 + doc_id % 50 AS INTEGER) AS height,
+                   CAST(1 + doc_id % 7 AS BIGINT) AS mp3_frames,
+                   (1 + doc_id % 7) * 1152 / 44100.0 AS mp3_sec,
+                   CAST(doc_id * 441 AS BIGINT) AS ogg_samples,
+                   (doc_id * 441) / 44100.0 AS ogg_sec
+            FROM documents
+        """,
         "simhash_neardup_documents": _simhash_oracle(),
         "ngram_neardup_documents": f"""
             WITH {_NGRAM_PAIR_CTES}

@@ -746,6 +746,105 @@ def multimodal_av_pipeline(sf_dir: str):
     return sampled.map_batches(finish, batch_format="pyarrow")
 
 
+def multimodal_header_pipeline(sf_dir: str):
+    """Real-world-format header pipeline: per document, a genuine JPEG
+    header (SOI + SOF0 with dims derived from doc_id), a genuine MPEG
+    Layer III stream (``1 + doc_id % 7`` valid 128 kbps/44.1 kHz frames,
+    zeroed audio data), and a genuine Ogg Vorbis container (granule =
+    ``doc_id * 441``).  The decode stages parse ONLY the public headers
+    (:func:`multimodal.parse_jpeg_dimensions`, ``parse_mp3_duration``,
+    ``parse_ogg_duration`` — no codec library), so the oracle recomputes
+    every output from doc_id arithmetic, bit-exact (durations are int /
+    44100.0 double divisions on both sides)."""
+    import struct
+
+    from ..stages.multimodal import AudioFeaturizer, ImageDecoder
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    _MP3_HDR = b"\xff\xfb\x90\x00"  # V1 L3 128 kbps 44100 Hz no padding
+    _MP3_FLEN = 144 * 128000 // 44100  # 417 bytes
+
+    def synth(batch: pa.Table) -> pa.Table:
+        jpg, mp3, ogg = [], [], []
+        for doc_id in batch.column("doc_id").to_pylist():
+            w, h = 16 + doc_id % 100, 16 + doc_id % 50
+            sof = struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+            jpg.append(
+                b"\xff\xd8"
+                + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+                + b"\xff\xd9"
+            )
+            k = 1 + doc_id % 7
+            mp3.append((_MP3_HDR + bytes(_MP3_FLEN - 4)) * k)
+            granule = doc_id * 441
+            ident = b"\x01vorbis" + struct.pack("<IB", 0, 2) + struct.pack("<I", 44100)
+            page0 = (
+                b"OggS\x00\x02" + struct.pack("<q", 0)
+                + struct.pack("<IIi", 7, 0, 0) + bytes([1, len(ident)]) + ident
+            )
+            page1 = (
+                b"OggS\x00\x04" + struct.pack("<q", granule)
+                + struct.pack("<IIi", 7, 1, 0) + bytes([1, 1]) + b"\x00"
+            )
+            ogg.append(page0 + page1)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "image": pa.array(jpg, pa.binary()),
+                "mp3": pa.array(mp3, pa.binary()),
+                "ogg": pa.array(ogg, pa.binary()),
+            }
+        )
+
+    # header parses are stateless and cheap — plain task stages, no
+    # actor pools (the stateful actor-pool shape is exercised by the
+    # image/av pipelines above; three pools here would triple-charge
+    # startup for zero amortizable state)
+    payloads = ds.map_batches(synth, batch_format="pyarrow")
+    dims = payloads.map_batches(
+        ImageDecoder(fake=False), batch_format="pyarrow"
+    )
+
+    def keep_dims(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id", "mp3", "ogg", "width", "height"])
+
+    feat_mp3 = dims.map_batches(keep_dims, batch_format="pyarrow").map_batches(
+        AudioFeaturizer(data_col="mp3", fake=False), batch_format="pyarrow"
+    )
+
+    def rename_mp3(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "ogg": b.column("ogg"),
+                "width": b.column("width"),
+                "height": b.column("height"),
+                "mp3_frames": b.column("n_frames"),
+                "mp3_sec": b.column("duration_sec"),
+            }
+        )
+
+    feat_ogg = feat_mp3.map_batches(rename_mp3, batch_format="pyarrow").map_batches(
+        AudioFeaturizer(data_col="ogg", fake=False), batch_format="pyarrow"
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "width": b.column("width"),
+                "height": b.column("height"),
+                "mp3_frames": b.column("mp3_frames"),
+                "mp3_sec": b.column("mp3_sec"),
+                "ogg_samples": b.column("n_frames"),
+                "ogg_sec": b.column("duration_sec"),
+            }
+        )
+
+    return feat_ogg.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # the CDC pipeline itself (rows-only: its oracle is the replay in tests)
 # ---------------------------------------------------------------------------

@@ -224,6 +224,145 @@ def split_png_stream(data: bytes) -> list[bytes]:
     return frames
 
 
+JPEG_SIG = b"\xff\xd8\xff"
+
+#: SOF markers that carry frame dimensions (all variants except the
+#: non-SOF 0xC4/0xC8/0xCC: DHT, JPG-extension, DAC)
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def parse_jpeg_dimensions(data: bytes) -> tuple[int, int]:
+    """JPEG ``(width, height)`` via the public marker-segment walk (SOI,
+    then length-prefixed segments until a SOF frame header) — pure
+    header parse, no pixel decode (that still needs a codec library).
+    Handles 0xFF fill bytes and standalone markers; raises ``ValueError``
+    on a stream with no SOF before scan data / EOI."""
+    if not data.startswith(JPEG_SIG):
+        raise ValueError("not a JPEG stream (missing SOI)")
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            raise ValueError(f"JPEG marker walk lost sync at offset {i}")
+        j = i + 1
+        while j < n and data[j] == 0xFF:  # fill bytes are legal padding
+            j += 1
+        if j >= n:
+            break
+        marker = data[j]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+            i = j + 1
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if j + 3 > n:
+            break
+        seglen = int.from_bytes(data[j + 1 : j + 3], "big")
+        if marker in _JPEG_SOF:
+            if j + 8 > n:
+                raise ValueError("truncated JPEG SOF segment")
+            height = int.from_bytes(data[j + 4 : j + 6], "big")
+            width = int.from_bytes(data[j + 6 : j + 8], "big")
+            return width, height
+        if marker == 0xDA:  # SOS: entropy data follows; SOF must precede
+            break
+        i = j + 1 + seglen
+    raise ValueError("no SOF frame header found in JPEG stream")
+
+
+#: MPEG audio bitrate tables, kbps, index 1..14 (public spec);
+#: key = (version_group, layer) where version_group 1 = MPEG1,
+#: 2 = MPEG2/2.5 (which share bitrate tables)
+_MP3_BITRATES = {
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def parse_mp3_duration(data: bytes) -> tuple[float, int, int]:
+    """``(duration_sec, n_frames, sample_rate)`` by walking MPEG audio
+    frame headers (public frame-header math: 11 sync bits, version /
+    layer / bitrate / samplerate / padding fields; frame byte length and
+    samples-per-frame derived per layer) — exact for CBR and VBR alike,
+    without decoding any samples.  A leading ID3v2 tag is skipped via
+    its syncsafe length.  Raises ``ValueError`` when no valid frame is
+    found."""
+    i = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = 0
+        for b in data[6:10]:  # syncsafe: 7 bits per byte
+            size = (size << 7) | (b & 0x7F)
+        i = 10 + size
+    n = len(data)
+    n_frames = 0
+    total_sec = 0.0
+    rate_out = 0
+    while i + 4 <= n:
+        hdr = int.from_bytes(data[i : i + 4], "big")
+        if (hdr >> 21) & 0x7FF != 0x7FF:
+            if n_frames:
+                break  # trailing tag/garbage after the last frame
+            raise ValueError(f"no MPEG frame sync at offset {i}")
+        version_bits = (hdr >> 19) & 0x3  # 00=V2.5 10=V2 11=V1
+        layer_bits = (hdr >> 17) & 0x3  # 01=L3 10=L2 11=L1
+        br_idx = (hdr >> 12) & 0xF
+        sr_idx = (hdr >> 10) & 0x3
+        padding = (hdr >> 9) & 0x1
+        if version_bits == 1 or layer_bits == 0 or br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError(f"invalid MPEG frame header at offset {i}")
+        layer = 4 - layer_bits  # 1/2/3
+        vgroup = 1 if version_bits == 3 else 2
+        bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx - 1] * 1000
+        rate = _MP3_RATES[version_bits][sr_idx]
+        if layer == 1:
+            frame_len = (12 * bitrate // rate + padding) * 4
+            samples = 384
+        else:
+            samples = 1152 if (layer == 2 or vgroup == 1) else 576
+            frame_len = samples // 8 * bitrate // rate + padding
+        n_frames += 1
+        total_sec += samples / rate
+        rate_out = rate
+        i += frame_len
+    if not n_frames:
+        raise ValueError("empty MPEG audio stream")
+    return total_sec, n_frames, rate_out
+
+
+def parse_ogg_duration(data: bytes) -> tuple[float, int, int]:
+    """``(duration_sec, n_samples, sample_rate)`` from an Ogg container
+    (public layout): the LAST page's 64-bit granule position counts PCM
+    samples; the rate comes from the first Vorbis identification header
+    (``\\x01vorbis``: version, channels, rate LE32) or is the fixed
+    48 kHz granule timebase for Opus (``OpusHead``; the codec's pre-skip
+    trim is ignored — header-level duration, not gapless-exact)."""
+    if data[:4] != b"OggS":
+        raise ValueError("not an Ogg stream (missing OggS capture)")
+    vorbis = data.find(b"\x01vorbis")
+    if vorbis != -1 and vorbis + 16 <= len(data):
+        rate = int.from_bytes(data[vorbis + 12 : vorbis + 16], "little")
+    elif data.find(b"OpusHead") != -1:
+        rate = 48000  # Opus granules tick at 48 kHz regardless of input
+    else:
+        raise ValueError("no Vorbis/Opus identification header found")
+    if rate <= 0:
+        raise ValueError(f"invalid sample rate {rate} in Ogg id header")
+    last = data.rfind(b"OggS")
+    if last + 14 > len(data):
+        raise ValueError("truncated final Ogg page header")
+    granule = int.from_bytes(data[last + 6 : last + 14], "little", signed=True)
+    if granule < 0:  # -1 marks a page with no finished packet
+        granule = 0
+    return granule / rate, granule, rate
+
+
 def _fake_dims(payload: bytes) -> tuple[int, int]:
     # md5 digest bytes 0/1: for ASCII-text payloads this equals DuckDB's
     # md5_number_upper(s) & 255 / >> 8 & 255, so the fake decode has an
@@ -237,9 +376,12 @@ class ImageDecoder:
 
     A payload carrying the PNG signature decodes GENUINELY
     (:func:`decode_png`: inflate + unfilter + CRC); ``mean_luma`` is the
-    mean decoded sample value / 255 (all channels).  Non-PNG payloads use
-    the deterministic fake decode when ``fake=True`` (byte-oracle
-    fixtures) or raise naming the missing codec.
+    mean decoded sample value / 255 (all channels).  A JPEG payload gets
+    REAL dimensions from the SOF marker walk
+    (:func:`parse_jpeg_dimensions`) with ``mean_luma`` NULL — the header
+    is genuine, the pixel decode still needs a codec library.  Other
+    payloads use the deterministic fake decode when ``fake=True``
+    (byte-oracle fixtures) or raise naming the missing codec.
     """
 
     def __init__(self, data_col: str = "image", fake: bool = True) -> None:
@@ -258,6 +400,11 @@ class ImageDecoder:
                 # int sum then two float divides — bit-identical to the
                 # SQL oracle's CAST(su AS DOUBLE) / n / 255.0
                 lum.append(float(int(px.sum(dtype=np.int64))) / px.size / 255.0)
+            elif p.startswith(JPEG_SIG):
+                jw, jh = parse_jpeg_dimensions(p)
+                w.append(jw)
+                h.append(jh)
+                lum.append(None)  # honest: header-only, no pixel decode
             elif self.fake:
                 fw, fh = _fake_dims(p)
                 w.append(fw)
@@ -265,7 +412,7 @@ class ImageDecoder:
                 lum.append((sum(p[:64]) / max(1, len(p[:64]))) / 255.0 if p else 0.0)
             else:
                 raise NotImplementedError(
-                    "image codec not available for non-PNG payload; "
+                    "image codec not available for non-PNG/non-JPEG payload; "
                     "install Pillow and decode here"
                 )
         return (
@@ -314,8 +461,11 @@ class AudioFeaturizer:
 
     A RIFF/WAVE payload decodes GENUINELY via the stdlib ``wave`` reader:
     ``n_frames`` and ``duration_sec`` from the header, ``energy`` =
-    mean(|int16 sample|) / 32768 over channel 0.  Non-WAV payloads use
-    the fake s16le interpretation when ``fake=True`` or raise.
+    mean(|int16 sample|) / 32768 over channel 0.  MP3 (MPEG frame-header
+    walk, VBR-exact) and Ogg Vorbis/Opus (last-page granule position)
+    payloads get REAL ``duration_sec``/``n_frames`` with ``energy`` NULL
+    — genuine headers, no sample decode.  Other payloads use the fake
+    s16le interpretation when ``fake=True`` or raise.
     """
 
     def __init__(self, data_col: str = "audio", sample_rate: int = 16000, fake: bool = True) -> None:
@@ -335,6 +485,16 @@ class AudioFeaturizer:
                 dur.append(n / rate)
                 nf.append(n)
                 en.append(float(total) / max(1, n) / 32768.0)
+            elif p[:3] == b"ID3" or (len(p) >= 2 and p[0] == 0xFF and p[1] & 0xE0 == 0xE0):
+                sec, frames, _rate = parse_mp3_duration(p)
+                dur.append(sec)
+                nf.append(frames)
+                en.append(None)  # honest: header-only, no sample decode
+            elif p[:4] == b"OggS":
+                sec, samples_n, _rate = parse_ogg_duration(p)
+                dur.append(sec)
+                nf.append(samples_n)
+                en.append(None)
             elif self.fake:
                 n = len(p) // 2  # pretend s16le mono
                 # no rounding: Python round() (binary half-even) and DuckDB

@@ -565,6 +565,139 @@ class TestRealCodecs:
         got2 = VideoFrameSampler(n_frames=4, fake=False)(t2).column("frames").to_pylist()[0]
         assert got2 == frames[:2]
 
+    def test_jpeg_dimensions_marker_walk(self):
+        """Baseline SOF0, progressive SOF2, fill bytes, APP segments —
+        the real-world JPEG header shapes, hand-assembled per the public
+        marker layout (no codec library involved)."""
+        import struct
+
+        from mysql_binlog_ray.stages.multimodal import parse_jpeg_dimensions
+
+        def seg(marker, payload):
+            return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+        def sof(marker, w, h):
+            return seg(marker, struct.pack(">BHHB", 8, h, w, 3) + b"\x01\x11\x00" * 3)
+
+        app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        dqt = seg(0xDB, b"\x00" + bytes(64))
+        # baseline
+        jpg = b"\xff\xd8" + app0 + dqt + sof(0xC0, 640, 480) + b"\xff\xd9"
+        assert parse_jpeg_dimensions(jpg) == (640, 480)
+        # progressive + a fill byte before the SOF marker
+        jpg2 = b"\xff\xd8" + app0 + b"\xff" + sof(0xC2, 31, 17)[1:] + b"\xff\xd9"
+        assert parse_jpeg_dimensions(jpg2) == (31, 17)
+        # no SOF before EOI
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="no SOF"):
+            parse_jpeg_dimensions(b"\xff\xd8" + app0 + b"\xff\xd9")
+        with _pytest.raises(ValueError, match="missing SOI"):
+            parse_jpeg_dimensions(b"PNG?")
+
+    @staticmethod
+    def _mp3_frames(n, bitrate_kbps=128, rate=44100, v1=True):
+        """n valid MPEG Layer III frames (header + zero audio data)."""
+        if v1:
+            hdr = 0xFFFB0000 | {128: 0x9, 192: 0xB}[bitrate_kbps] << 12
+            samples, flen = 1152, 1152 // 8 * bitrate_kbps * 1000 // rate
+        else:  # MPEG2, 22050 Hz
+            hdr = 0xFFF30000 | 0x9 << 12  # idx 9 -> 80 kbps in the V2 table
+            samples, flen = 576, 576 // 8 * 80_000 // rate
+        out = b""
+        for _ in range(n):
+            out += int.to_bytes(hdr, 4, "big") + bytes(flen - 4)
+        return out, samples
+
+    def test_mp3_duration_frame_walk(self):
+        from mysql_binlog_ray.stages.multimodal import parse_mp3_duration
+
+        data, samples = self._mp3_frames(5)
+        sec, frames, rate = parse_mp3_duration(data)
+        assert (frames, rate) == (5, 44100)
+        assert sec == 5 * samples / 44100
+        # ID3v2 prefix (syncsafe length) skipped
+        id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 3]) + bytes(131)
+        sec2, frames2, _ = parse_mp3_duration(id3 + data)
+        assert (sec2, frames2) == (sec, 5)
+        # VBR: mixed bitrates still walk exactly
+        d128, _ = self._mp3_frames(2, bitrate_kbps=128)
+        d192, _ = self._mp3_frames(3, bitrate_kbps=192)
+        sec3, frames3, _ = parse_mp3_duration(d128 + d192)
+        assert frames3 == 5 and sec3 == sec
+        # MPEG2 half-rate frames
+        d2, s2 = self._mp3_frames(4, rate=22050, v1=False)
+        secv2, fv2, rv2 = parse_mp3_duration(d2)
+        assert (fv2, rv2) == (4, 22050) and secv2 == 4 * s2 / 22050
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            parse_mp3_duration(b"not audio at all")
+
+    @staticmethod
+    def _ogg(codec: bytes, rate: int, granule: int) -> bytes:
+        import struct
+
+        def page(gran, payload, htype):
+            return (
+                b"OggS\x00" + bytes([htype])
+                + struct.pack("<q", gran)
+                + struct.pack("<IIi", 7, 0, 0)  # serial, seq, crc (unchecked)
+                + bytes([1, len(payload)])
+                + payload
+            )
+
+        if codec == b"vorbis":
+            ident = b"\x01vorbis" + struct.pack("<IB", 0, 2) + struct.pack("<I", rate)
+        else:
+            ident = b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 0) + struct.pack("<I", rate)
+        return page(0, ident, 2) + page(granule, b"\x00", 4)
+
+    def test_ogg_duration_granule(self):
+        from mysql_binlog_ray.stages.multimodal import parse_ogg_duration
+
+        sec, n, rate = parse_ogg_duration(self._ogg(b"vorbis", 44100, 88200))
+        assert (sec, n, rate) == (2.0, 88200, 44100)
+        # Opus granules tick at 48 kHz regardless of the input rate field
+        sec, n, rate = parse_ogg_duration(self._ogg(b"opus", 16000, 96000))
+        assert (sec, n, rate) == (2.0, 96000, 48000)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="OggS"):
+            parse_ogg_duration(b"RIFF....WAVE")
+
+    def test_decoders_route_jpeg_mp3_ogg(self):
+        """ImageDecoder / AudioFeaturizer compute over GENUINE headers for
+        the two most common real-world formats, with the
+        no-codec-available column honestly NULL."""
+        import struct
+
+        from mysql_binlog_ray.stages.multimodal import AudioFeaturizer, ImageDecoder
+
+        def seg(marker, payload):
+            return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+        jpg = (
+            b"\xff\xd8"
+            + seg(0xE0, b"JFIF\x00")
+            + seg(0xC0, struct.pack(">BHHB", 8, 40, 64, 1) + b"\x01\x11\x00")
+            + b"\xff\xd9"
+        )
+        t = pa.table({"image": pa.array([jpg], pa.binary())})
+        out = ImageDecoder(fake=False)(t)
+        assert out.column("width").to_pylist() == [64]
+        assert out.column("height").to_pylist() == [40]
+        assert out.column("n_pixels").to_pylist() == [2560]
+        assert out.column("mean_luma").to_pylist() == [None]
+
+        mp3, samples = self._mp3_frames(3)
+        ogg = self._ogg(b"vorbis", 22050, 44100)
+        ta = pa.table({"audio": pa.array([mp3, ogg], pa.binary())})
+        aout = AudioFeaturizer(fake=False)(ta)
+        assert aout.column("duration_sec").to_pylist() == [3 * samples / 44100, 2.0]
+        assert aout.column("n_frames").to_pylist() == [3, 44100]
+        assert aout.column("energy").to_pylist() == [None, None]
+
     def test_split_png_stream_signature_inside_idat(self):
         """The 8-byte PNG signature occurring INSIDE a frame's payload
         must not split the stream mid-frame: frame ends come from walking
