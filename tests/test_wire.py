@@ -1420,3 +1420,225 @@ class TestDaemonCliReconnect:
             ][-1]
         )
         assert summary["shards"] == len(entries)
+
+
+class TestDaemonCrashMatrix:
+    """Combined tail+follow crash matrix: each side killed independently
+    (round-4 verdict #8).  The follower dies as a REAL subprocess under
+    SIGKILL mid-ingest (no atexit, no cleanup — temp files may be left
+    mid-write); a fresh follower must converge to the direct pipeline's
+    lake through the exactly-once sink's atomic-rename protocol."""
+
+    @staticmethod
+    def _spawn_follow(manifest_path, lake, extra=()):
+        import os
+        import subprocess
+        import sys
+
+        return subprocess.Popen(
+            [
+                sys.executable, "-m", "mysql_binlog_ray.daemon", "follow",
+                "--manifest", manifest_path,
+                "--lake", lake,
+                "--interval", "0.05",
+                "--num-partitions", "4",
+                "--num-cpus", "2",
+                *extra,
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=dict(os.environ),
+        )
+
+    @staticmethod
+    def _wait_for(path_predicate, timeout=90.0):
+        import time
+
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if path_predicate():
+                return True
+            time.sleep(0.05)
+        return False
+
+    def test_follower_sigkill_mid_ingest_then_restart(
+        self, small_stream, tmp_path, ray_session
+    ):
+        import os as _os
+        import signal
+        import subprocess
+
+        from mysql_binlog_ray.pipelines.cdc import (
+            CdcConfig,
+            read_lake,
+            run_to_dataset,
+        )
+
+        spec, out, manifest = small_stream
+        manifest_path = _os.path.join(out, "manifest.json")
+        lake = str(tmp_path / "lake")
+
+        # follower 1: endless loop, killed the moment the first lake
+        # partition directory appears — i.e. MID-write of the full set
+        proc = self._spawn_follow(manifest_path, lake)
+        try:
+            appeared = self._wait_for(
+                lambda: _os.path.isdir(lake)
+                and any(d.startswith("part=") for d in _os.listdir(lake))
+            )
+            assert appeared, (
+                "follower never started writing",
+                proc.poll(),
+                proc.stderr.read().decode() if proc.poll() is not None else "",
+            )
+            proc.send_signal(signal.SIGKILL)
+            proc.wait(timeout=30)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+
+        # follower 2: fresh process, bounded catch-up, must converge
+        proc2 = self._spawn_follow(
+            manifest_path, lake, extra=("--max-iterations", "2")
+        )
+        try:
+            out2, err2 = proc2.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            proc2.kill()
+            raise
+        assert proc2.returncode == 0, err2.decode()
+
+        value_cols = ["repo", "path", "commit", "lang", "content", "stars"]
+        got = (
+            read_lake(lake)
+            .to_pandas()[value_cols]
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        ref = (
+            run_to_dataset(manifest, CdcConfig(num_partitions=4))
+            .to_pandas()[value_cols]
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(ref)
+
+    def test_tail_and_follower_both_crash(
+        self, small_stream, tmp_path, ray_session, capsys
+    ):
+        """Tail session dies mid-frame AND the follower is SIGKILLed
+        mid-ingest of the partial spool; the tail reconnects (replay-skip)
+        and a fresh follower converges to the direct pipeline."""
+        import os as _os
+        import signal
+        import struct
+        import subprocess
+
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray import daemon
+        from mysql_binlog_ray.pipelines.cdc import (
+            CdcConfig,
+            read_lake,
+            run_to_dataset,
+        )
+
+        spec, out, manifest = small_stream
+        payloads = []
+        for s in manifest["shards"]:
+            payloads.extend(
+                pq.read_table(s["path"], columns=["payload"])["payload"].to_pylist()
+            )
+        k = len(payloads) * 2 // 3
+
+        lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        lsock.bind(("127.0.0.1", 0))
+        lsock.listen(2)
+        port = lsock.getsockname()[1]
+        seen2: dict = {}
+
+        def serve_two_sessions():
+            try:
+                conn, _ = lsock.accept()
+                try:
+                    serve_session(conn, payloads[:k], seen={})
+                    conn.sendall(
+                        struct.pack("<I", 100)[:3] + bytes([99]) + b"\x00partial"
+                    )
+                finally:
+                    conn.close()
+                conn, _ = lsock.accept()
+                try:
+                    serve_session(conn, payloads, seen=seen2)
+                finally:
+                    conn.close()
+            except Exception as e:
+                seen2["exception"] = repr(e)
+            finally:
+                lsock.close()
+
+        t = threading.Thread(target=serve_two_sessions, daemon=True)
+        t.start()
+
+        spool = str(tmp_path / "spool")
+        lake = str(tmp_path / "lake")
+
+        # follower 1 races the crashing tail from the start; killed as
+        # soon as it writes anything
+        proc = self._spawn_follow(_os.path.join(spool, "manifest.json"), lake)
+        try:
+            rc = daemon.main(
+                [
+                    "tail",
+                    "--host", "127.0.0.1",
+                    "--port", str(port),
+                    "--user", "repl",
+                    "--password", "secret",
+                    "--out-dir", spool,
+                    "--binlog-file", "binlog.000001",
+                    "--shard-events", "32",
+                    "--reconnect", "2",
+                    "--retry-delay", "0.05",
+                ]
+            )
+            t.join(timeout=30)
+            assert rc == 0
+            assert "exception" not in seen2, seen2
+            appeared = self._wait_for(
+                lambda: _os.path.isdir(lake)
+                and any(d.startswith("part=") for d in _os.listdir(lake))
+            )
+            assert appeared, (proc.poll(), proc.stderr.read().decode() if proc.poll() is not None else "")
+            proc.send_signal(signal.SIGKILL)
+            proc.wait(timeout=30)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+
+        # fresh follower over the complete spool converges
+        proc2 = self._spawn_follow(
+            _os.path.join(spool, "manifest.json"), lake,
+            extra=("--max-iterations", "2"),
+        )
+        try:
+            out2, err2 = proc2.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            proc2.kill()
+            raise
+        assert proc2.returncode == 0, err2.decode()
+
+        value_cols = ["repo", "path", "commit", "lang", "content", "stars"]
+        got = (
+            read_lake(lake)
+            .to_pandas()[value_cols]
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        ref = (
+            run_to_dataset(manifest, CdcConfig(num_partitions=4))
+            .to_pandas()[value_cols]
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(ref)
