@@ -215,6 +215,7 @@ def serve_session(
         # HandshakeResponse inside the tunnel (sequence continues)
         if ssl_context is None:
             raise WireError("client sent SSLRequest but server has no TLS context")
+        seen["ssl_request_caps"] = caps  # must equal the response's caps
         conn._sock = ssl_context.wrap_socket(sock, server_side=True)
         seen["tls"] = True
         resp = conn.read_packet()

@@ -92,10 +92,11 @@ class FollowDaemon:
                 # next republish.  The manifest parsed CLEANLY, so this is
                 # a healthy-but-idle stream (heartbeat/rotate-only traffic
                 # can look like this indefinitely): it must NOT consume
-                # the consecutive-error abort budget — reset it and track
-                # the wait separately.
+                # the consecutive-error abort budget.  It does not RESET
+                # the budget either — a producer alternating corrupt and
+                # snapshotless manifests must still trip the abort, so a
+                # parse-error streak survives these ticks untouched.
                 stream = None
-                self._errors = 0
                 self._snapshotless_ticks += 1
             prior = read_manifest(self.lake_dir)
             prev_wm = prior["watermark"] if prior else None

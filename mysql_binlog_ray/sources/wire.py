@@ -624,6 +624,12 @@ class BinlogWireClient:
                 f"unsupported protocol version {self.server.protocol_version}"
             )
         caps = CLIENT_CAPABILITIES & self.server.capabilities
+        # the full capability set must be FIXED before the SSLRequest:
+        # the protocol requires SSLRequest and HandshakeResponse to carry
+        # identical flags (a server that latches caps from the SSLRequest
+        # would otherwise never learn about CLIENT_COMPRESS)
+        if self.compress and self.server.capabilities & CLIENT_COMPRESS:
+            caps |= CLIENT_COMPRESS
         if self.ssl_context is not None:
             if not self.server.capabilities & CLIENT_SSL:
                 raise WireError(
@@ -640,8 +646,6 @@ class BinlogWireClient:
             )
             self.conn.start_tls(self.ssl_context, self.server_hostname)
             self.tls_active = True
-        if self.compress and self.server.capabilities & CLIENT_COMPRESS:
-            caps |= CLIENT_COMPRESS
         plugin = self.server.auth_plugin_name or "mysql_native_password"
         auth = self._scramble_for(plugin, self.server.auth_plugin_data)
         self.conn.send_packet(

@@ -533,7 +533,7 @@ def verify_minhash_pairs_distributed(
 
     sigs = ds.map_batches(cand_sign, batch_format="pandas").materialize()
 
-    def pair_rows(key_col: str, other_col: str, carry: pd.Series | None):
+    def pair_rows(key_col: str, other_col: str):
         if pairs_is_ds:
             def to_rows(b: pd.DataFrame) -> pd.DataFrame:
                 return pd.DataFrame(
@@ -549,7 +549,7 @@ def verify_minhash_pairs_distributed(
             {
                 "_k": pairs[key_col].to_numpy(dtype=np.int64),
                 "other": pairs[other_col].to_numpy(dtype=np.int64),
-                "sig": carry if carry is not None else [b""] * len(pairs),
+                "sig": [b""] * len(pairs),
             }
         ).assign(_role=np.int8(0))
         return rd.from_pandas(df)
@@ -580,7 +580,7 @@ def verify_minhash_pairs_distributed(
         )
 
     stage_a = keyed_reduce(
-        pair_rows("doc_a", "doc_b", None).union(sigs), ["_k"], attach_a
+        pair_rows("doc_a", "doc_b").union(sigs), ["_k"], attach_a
     )
 
     # re-key the sig_a-carrying pair rows on doc_b for the second exchange

@@ -212,14 +212,23 @@ def split_png_stream(data: bytes) -> list[bytes]:
     i = data.find(PNG_SIG)
     while i != -1:
         j = i + len(PNG_SIG)
+        saw_iend = False
         while j + 8 <= len(data):
             length = int.from_bytes(data[j : j + 4], "big")
             ctype = data[j + 4 : j + 8]
             j += 8 + length + 4  # len + type + payload + CRC
             if ctype == b"IEND":
+                saw_iend = j <= len(data)
                 break
-        j = min(j, len(data))
-        frames.append(data[i:j])
+        if not saw_iend:
+            # corrupt frame (truncated, or a bogus chunk length ran the
+            # walk off the end): recover the REST of the stream by
+            # falling back to a signature search for this frame's end —
+            # one frame is suspect, the following valid frames survive
+            j = data.find(PNG_SIG, i + len(PNG_SIG))
+            if j == -1:
+                j = len(data)
+        frames.append(data[i : min(j, len(data))])
         i = data.find(PNG_SIG, j)
     return frames
 
@@ -302,7 +311,7 @@ def parse_mp3_duration(data: bytes) -> tuple[float, int, int]:
         i = 10 + size
     n = len(data)
     n_frames = 0
-    total_sec = 0.0
+    samples_by_rate: dict[int, int] = {}
     rate_out = 0
     while i + 4 <= n:
         hdr = int.from_bytes(data[i : i + 4], "big")
@@ -316,6 +325,11 @@ def parse_mp3_duration(data: bytes) -> tuple[float, int, int]:
         sr_idx = (hdr >> 10) & 0x3
         padding = (hdr >> 9) & 0x1
         if version_bits == 1 or layer_bits == 0 or br_idx in (0, 15) or sr_idx == 3:
+            if n_frames:
+                # sync bits matched but the fields are garbage — same
+                # trailing-junk treatment as a sync mismatch (a corrupt
+                # tail must not crash a stream whose frames all walked)
+                break
             raise ValueError(f"invalid MPEG frame header at offset {i}")
         layer = 4 - layer_bits  # 1/2/3
         vgroup = 1 if version_bits == 3 else 2
@@ -328,11 +342,17 @@ def parse_mp3_duration(data: bytes) -> tuple[float, int, int]:
             samples = 1152 if (layer == 2 or vgroup == 1) else 576
             frame_len = samples // 8 * bitrate // rate + padding
         n_frames += 1
-        total_sec += samples / rate
+        # accumulate INTEGER samples per rate; one float division per
+        # distinct rate at the end — for the (overwhelmingly common)
+        # single-rate file the duration is exactly total_samples/rate,
+        # bit-identical to an oracle's single division (a running
+        # per-frame float sum drifts by ULPs from frame 6 on)
+        samples_by_rate[rate] = samples_by_rate.get(rate, 0) + samples
         rate_out = rate
         i += frame_len
     if not n_frames:
         raise ValueError("empty MPEG audio stream")
+    total_sec = sum(s / r for r, s in samples_by_rate.items())
     return total_sec, n_frames, rate_out
 
 
@@ -342,7 +362,11 @@ def parse_ogg_duration(data: bytes) -> tuple[float, int, int]:
     samples; the rate comes from the first Vorbis identification header
     (``\\x01vorbis``: version, channels, rate LE32) or is the fixed
     48 kHz granule timebase for Opus (``OpusHead``; the codec's pre-skip
-    trim is ignored — header-level duration, not gapless-exact)."""
+    trim is ignored — header-level duration, not gapless-exact).
+
+    Pages are walked FORWARD (27-byte header + segment table + summed
+    segment payload) — never located by searching for the capture
+    pattern, which compressed packet payloads can legally contain."""
     if data[:4] != b"OggS":
         raise ValueError("not an Ogg stream (missing OggS capture)")
     vorbis = data.find(b"\x01vorbis")
@@ -354,12 +378,20 @@ def parse_ogg_duration(data: bytes) -> tuple[float, int, int]:
         raise ValueError("no Vorbis/Opus identification header found")
     if rate <= 0:
         raise ValueError(f"invalid sample rate {rate} in Ogg id header")
-    last = data.rfind(b"OggS")
-    if last + 14 > len(data):
-        raise ValueError("truncated final Ogg page header")
-    granule = int.from_bytes(data[last + 6 : last + 14], "little", signed=True)
-    if granule < 0:  # -1 marks a page with no finished packet
-        granule = 0
+    granule = 0
+    i = 0
+    n = len(data)
+    while i + 27 <= n:
+        if data[i : i + 4] != b"OggS":
+            raise ValueError(f"Ogg page walk lost sync at offset {i}")
+        g = int.from_bytes(data[i + 6 : i + 14], "little", signed=True)
+        if g >= 0:  # -1 marks a page with no finished packet
+            granule = g
+        n_segs = data[i + 26]
+        seg_table = data[i + 27 : i + 27 + n_segs]
+        if len(seg_table) < n_segs:
+            raise ValueError("truncated Ogg page segment table")
+        i += 27 + n_segs + sum(seg_table)
     return granule / rate, granule, rate
 
 
@@ -400,16 +432,29 @@ class ImageDecoder:
                 # int sum then two float divides — bit-identical to the
                 # SQL oracle's CAST(su AS DOUBLE) / n / 255.0
                 lum.append(float(int(px.sum(dtype=np.int64))) / px.size / 255.0)
-            elif p.startswith(JPEG_SIG):
-                jw, jh = parse_jpeg_dimensions(p)
-                w.append(jw)
-                h.append(jh)
-                lum.append(None)  # honest: header-only, no pixel decode
-            elif self.fake:
-                fw, fh = _fake_dims(p)
-                w.append(fw)
-                h.append(fh)
-                lum.append((sum(p[:64]) / max(1, len(p[:64]))) / 255.0 if p else 0.0)
+            elif p.startswith(JPEG_SIG) or self.fake:
+                # a JPEG signature gets the real SOF header parse; under
+                # fake=True a signature-matching payload that does NOT
+                # parse (byte-oracle fixtures can start with any bytes)
+                # falls back to the fake decode instead of crashing
+                dims = None
+                if p.startswith(JPEG_SIG):
+                    try:
+                        dims = parse_jpeg_dimensions(p)
+                    except ValueError:
+                        if not self.fake:
+                            raise
+                if dims is not None:
+                    w.append(dims[0])
+                    h.append(dims[1])
+                    lum.append(None)  # honest: header-only, no pixel decode
+                else:
+                    fw, fh = _fake_dims(p)
+                    w.append(fw)
+                    h.append(fh)
+                    lum.append(
+                        (sum(p[:64]) / max(1, len(p[:64]))) / 255.0 if p else 0.0
+                    )
             else:
                 raise NotImplementedError(
                     "image codec not available for non-PNG/non-JPEG payload; "
@@ -473,6 +518,15 @@ class AudioFeaturizer:
         self.sample_rate = sample_rate
         self.fake = fake
 
+    @staticmethod
+    def _sniff_real(p: bytes) -> bool:
+        """MP3 (ID3 tag or MPEG sync word) / Ogg container sniff."""
+        return (
+            p[:3] == b"ID3"
+            or (len(p) >= 2 and p[0] == 0xFF and p[1] & 0xE0 == 0xE0)
+            or p[:4] == b"OggS"
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         dur, nf, en = [], [], []
         for p in batch.column(self.data_col).to_pylist():
@@ -485,16 +539,30 @@ class AudioFeaturizer:
                 dur.append(n / rate)
                 nf.append(n)
                 en.append(float(total) / max(1, n) / 32768.0)
-            elif p[:3] == b"ID3" or (len(p) >= 2 and p[0] == 0xFF and p[1] & 0xE0 == 0xE0):
-                sec, frames, _rate = parse_mp3_duration(p)
-                dur.append(sec)
-                nf.append(frames)
-                en.append(None)  # honest: header-only, no sample decode
-            elif p[:4] == b"OggS":
-                sec, samples_n, _rate = parse_ogg_duration(p)
-                dur.append(sec)
-                nf.append(samples_n)
-                en.append(None)
+            elif self._sniff_real(p):
+                # MP3/Ogg header parse; under fake=True a payload that
+                # merely LOOKS like a sync word (~1/2048 of arbitrary
+                # fixture bytes) but does not parse falls back to the
+                # fake decode instead of crashing or emitting garbage
+                parsed = None
+                try:
+                    if p[:4] == b"OggS":
+                        sec, cnt, _rate = parse_ogg_duration(p)
+                    else:
+                        sec, cnt, _rate = parse_mp3_duration(p)
+                    parsed = (sec, cnt)
+                except ValueError:
+                    if not self.fake:
+                        raise
+                if parsed is not None:
+                    dur.append(parsed[0])
+                    nf.append(parsed[1])
+                    en.append(None)  # honest: header-only, no sample decode
+                else:
+                    n = len(p) // 2
+                    dur.append(n / self.sample_rate)
+                    nf.append(n)
+                    en.append((sum(p[:256]) / max(1, len(p[:256]))) / 255.0)
             elif self.fake:
                 n = len(p) // 2  # pretend s16le mono
                 # no rounding: Python round() (binary half-even) and DuckDB

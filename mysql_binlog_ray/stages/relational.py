@@ -741,9 +741,13 @@ def hash_join(
     rb = metadata_size_bytes(right_ds)
     # broadcast fast path: pick the smallest eligible side.  Scrubbed
     # (transformed) inputs are already materialized, so their size is
-    # block metadata; file leaves answer from parquet metadata.
+    # block metadata; file leaves answer from parquet metadata.  An
+    # EXPLICIT num_partitions pins the shuffle plan (callers sizing the
+    # aggregator pool / regression tests) — never silently overridden.
     verb = join_type.replace("_", " ")
     cands = []
+    if num_partitions is not None:
+        broadcast_bytes = 0
     if join_type in ("inner", "left_outer") and rb is not None and rb <= broadcast_bytes:
         cands.append((rb, "right"))
     if join_type in ("inner", "right_outer") and lb is not None and lb <= broadcast_bytes:

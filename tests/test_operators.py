@@ -666,6 +666,99 @@ class TestRealCodecs:
         with _pytest.raises(ValueError, match="OggS"):
             parse_ogg_duration(b"RIFF....WAVE")
 
+    def test_ogg_capture_pattern_inside_payload(self):
+        """The bytes 'OggS' occurring INSIDE a packet payload (legal in
+        compressed audio) must not be mistaken for a page boundary —
+        pages are walked forward via their segment tables, never found
+        by searching for the capture pattern."""
+        import struct
+
+        from mysql_binlog_ray.stages.multimodal import parse_ogg_duration
+
+        def page(gran, payload, htype):
+            return (
+                b"OggS\x00" + bytes([htype])
+                + struct.pack("<q", gran)
+                + struct.pack("<IIi", 7, 0, 0)
+                + bytes([1, len(payload)])
+                + payload
+            )
+
+        ident = b"\x01vorbis" + struct.pack("<IB", 0, 2) + struct.pack("<I", 44100)
+        # middle page's payload contains a FAKE OggS header with a huge
+        # granule; the true final page carries granule 88200
+        evil_payload = b"OggS\x00\x04" + struct.pack("<q", 999_999_999) + bytes(12)
+        data = (
+            page(0, ident, 2)
+            + page(-1, evil_payload, 0)
+            + page(88200, b"\x00", 4)
+        )
+        sec, n, rate = parse_ogg_duration(data)
+        assert (sec, n, rate) == (2.0, 88200, 44100)
+
+    def test_mp3_trailing_garbage_with_sync_bits(self):
+        """A corrupt/truncated tail whose first bytes happen to carry the
+        11 sync bits (but invalid fields) is trailing garbage, not a
+        crash — the walked frames' duration is returned."""
+        from mysql_binlog_ray.stages.multimodal import parse_mp3_duration
+
+        data, samples = self._mp3_frames(3)
+        sec, frames, rate = parse_mp3_duration(data + b"\xff\xfb\x00\x00junk")
+        assert (frames, rate) == (3, 44100)
+        assert sec == 3 * samples / 44100
+
+    def test_mp3_duration_bit_exact_single_division(self):
+        """Single-rate files must produce EXACTLY total_samples/rate (one
+        float division) — a per-frame running sum drifts by ULPs from
+        ~6 frames on and breaks bit-exact oracle comparison."""
+        from mysql_binlog_ray.stages.multimodal import parse_mp3_duration
+
+        for k in (6, 7, 13):
+            data, samples = self._mp3_frames(k)
+            sec, frames, _ = parse_mp3_duration(data)
+            assert sec == (k * samples) / 44100
+
+    def test_decoder_fake_payload_with_sync_like_prefix(self):
+        """fake=True byte-oracle payloads that happen to start with an
+        MPEG sync word or a JPEG SOI (but don't parse) must take the
+        documented fake path, not crash or emit MPEG-walk garbage."""
+        from mysql_binlog_ray.stages.multimodal import AudioFeaturizer, ImageDecoder
+
+        # sync bits set but bitrate index 0 -> not a parseable frame
+        p = b"\xff\xe7\x00\x00random-not-mp3-bytes"
+        t = pa.table({"audio": pa.array([p], pa.binary())})
+        out = AudioFeaturizer(fake=True)(t)
+        assert out.column("n_frames").to_pylist() == [len(p) // 2]
+        assert out.column("duration_sec").to_pylist() == [(len(p) // 2) / 16000]
+
+        jp = b"\xff\xd8\xffnot-actually-a-jpeg"
+        ti = pa.table({"image": pa.array([jp], pa.binary())})
+        io_ = ImageDecoder(fake=True)(ti)
+        from mysql_binlog_ray.stages.multimodal import _fake_dims
+
+        assert io_.column("width").to_pylist() == [_fake_dims(jp)[0]]
+        # fake=False on the same payloads still raises loudly
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            AudioFeaturizer(fake=False)(t)
+        with _pytest.raises(ValueError):
+            ImageDecoder(fake=False)(ti)
+
+    def test_split_png_stream_recovers_after_corrupt_frame(self):
+        """A truncated frame (no IEND) or a bogus chunk length must not
+        swallow the VALID frames that follow it."""
+        from mysql_binlog_ray.stages.multimodal import (
+            PNG_SIG,
+            encode_png,
+            split_png_stream,
+        )
+
+        good = encode_png(np.full((2, 2), 9, dtype=np.uint8))
+        truncated = good[: len(good) // 2]  # loses IEND
+        frames = split_png_stream(truncated + good + good)
+        assert frames == [truncated, good, good]
+
     def test_decoders_route_jpeg_mp3_ogg(self):
         """ImageDecoder / AudioFeaturizer compute over GENUINE headers for
         the two most common real-world formats, with the

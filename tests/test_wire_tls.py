@@ -269,7 +269,10 @@ class TestCompressedProtocol:
 
     def test_tail_over_tls_plus_compression(self, small_stream, tmp_path):
         """Both upgrades stacked: TLS at handshake, zlib after auth —
-        the transport order a real WAN replica link would use."""
+        the transport order a real WAN replica link would use.  The
+        SSLRequest must carry the SAME capability flags as the
+        HandshakeResponse (public protocol; a server latching caps from
+        the SSLRequest must learn CLIENT_COMPRESS there)."""
         spec, out, manifest = small_stream
         payloads = _event_payloads(manifest)
         srv, cli = socket.socketpair()
@@ -289,6 +292,7 @@ class TestCompressedProtocol:
         t.join(timeout=30)
         assert "exception" not in seen, seen
         assert seen.get("tls") is True and seen.get("compressed") is True
+        assert seen["ssl_request_caps"] == seen["client_caps"]
         assert res["events"] == len(payloads) == seen["events_sent"]
 
     def test_large_frame_reassembly_through_compression(self):
