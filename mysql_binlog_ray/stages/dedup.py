@@ -418,9 +418,13 @@ def minhash_lsh_pairs_ds(
     hasher_kwargs = dict(
         text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
     )
-    candidate_pairs = _lsh_candidate_pairs(
-        ds, hasher_kwargs, concurrency=concurrency, max_bucket_size=max_bucket_size
-    ).materialize()  # consumed twice: sentinel scan + verify input
+    from .relational import compact_fragmented
+
+    candidate_pairs = compact_fragmented(
+        _lsh_candidate_pairs(
+            ds, hasher_kwargs, concurrency=concurrency, max_bucket_size=max_bucket_size
+        ).materialize()  # consumed twice: sentinel scan + verify input
+    )
 
     # sentinels only (O(degenerate buckets)) reach the driver
     sentinels = candidate_pairs.map_batches(
@@ -441,7 +445,8 @@ def minhash_lsh_pairs_ds(
         batch_format="pyarrow",
     )
     return verify_minhash_pairs_distributed(
-        ds, live_pairs, hasher_kwargs, threshold=threshold
+        ds, live_pairs, hasher_kwargs, threshold=threshold,
+        est_pairs_bytes=candidate_pairs.size_bytes() or 0,
     )
 
 
@@ -455,6 +460,7 @@ def verify_minhash_pairs_distributed(
     pairs,
     hasher_kwargs: dict,
     threshold: float = 0.0,
+    est_pairs_bytes: int | None = None,
 ) -> rd.Dataset:
     """Estimate signature Jaccard for candidate pairs WITHOUT collecting
     signatures on the driver (round-3 verdict's one scale soft spot: the
@@ -488,7 +494,7 @@ def verify_minhash_pairs_distributed(
     """
     import ray
 
-    from .relational import keyed_reduce
+    from .relational import adaptive_num_parts, keyed_reduce
 
     id_col = hasher_kwargs.get("id_col", "doc_id")
     text_col = hasher_kwargs.get("text_col", "text")
@@ -532,6 +538,17 @@ def verify_minhash_pairs_distributed(
         ).assign(_role=np.int8(1))
 
     sigs = ds.map_batches(cand_sign, batch_format="pandas").materialize()
+
+    # size BOTH exchanges once from what is already measurable — the
+    # materialized signature set (the heavy side: ~num_perm*8 B/doc)
+    # plus the pair-rows estimate — so neither keyed_reduce pays its
+    # num_parts=None sizing materialization (two extra executions of a
+    # signature-carrying union, the dominant cost of small corpora)
+    if pairs_is_ds:
+        pair_bytes = est_pairs_bytes or 0
+    else:
+        pair_bytes = len(pairs) * 3 * 8
+    exchange_parts = adaptive_num_parts((sigs.size_bytes() or 0) + pair_bytes)
 
     def pair_rows(key_col: str, other_col: str):
         if pairs_is_ds:
@@ -580,7 +597,8 @@ def verify_minhash_pairs_distributed(
         )
 
     stage_a = keyed_reduce(
-        pair_rows("doc_a", "doc_b").union(sigs), ["_k"], attach_a
+        pair_rows("doc_a", "doc_b").union(sigs), ["_k"], attach_a,
+        num_parts=exchange_parts,
     )
 
     # re-key the sig_a-carrying pair rows on doc_b for the second exchange
@@ -626,7 +644,8 @@ def verify_minhash_pairs_distributed(
 
     stage_a_rekeyed = stage_a.map_batches(rekey, batch_format="pandas")
     return keyed_reduce(
-        stage_a_rekeyed.union(sigs), ["_k"], attach_b_and_estimate
+        stage_a_rekeyed.union(sigs), ["_k"], attach_b_and_estimate,
+        num_parts=exchange_parts,
     )
 
 

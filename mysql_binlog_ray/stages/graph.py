@@ -93,7 +93,11 @@ def connected_components_bigstar(
         u, v = u[keep], v[keep]
         return pa.table({"ea": np.minimum(u, v), "eb": np.maximum(u, v)})
 
-    cur = eds.map_batches(canonical, batch_format="pyarrow").materialize()
+    from .relational import compact_fragmented
+
+    cur = compact_fragmented(
+        eds.map_batches(canonical, batch_format="pyarrow").materialize()
+    )
     if cur.count() == 0:
         return _empty_labels()
     if num_parts is None:
@@ -266,8 +270,15 @@ def connected_components_distributed(
         )
 
     # one materialization: edge rows are re-shuffled every round (the
-    # standard BSP cost), but the upstream pair pipeline runs only once
-    sym = eds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    # standard BSP cost), but the upstream pair pipeline runs only once.
+    # Compact block fragmentation first — rounds pay per-block exchange
+    # cost TWICE per round, and upstream pair pipelines routinely leave
+    # a tiny pair set spread over dozens of near-empty blocks
+    from .relational import compact_fragmented
+
+    sym = compact_fragmented(
+        eds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    )
     if sym.count() == 0:
         return rd.from_arrow(
             pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
@@ -353,9 +364,11 @@ def connected_components_distributed(
         msgs = keyed_reduce(
             both, ["node"], propagate, num_parts=num_parts
         )
-        new_labels = keyed_reduce(
-            msgs, ["node"], reduce_min, num_parts=num_parts
-        ).materialize()
+        new_labels = compact_fragmented(
+            keyed_reduce(
+                msgs, ["node"], reduce_min, num_parts=num_parts
+            ).materialize()
+        )
         n_changed = int(new_labels.sum("changed") or 0)
         labels = new_labels
         if n_changed == 0:
