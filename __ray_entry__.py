@@ -21,10 +21,76 @@ def entry() -> Any:
     return Q.cdc_final_state("/root/testdata/sf0.001")
 
 
+# Driver-evidence rotation (round 5).  The correctness harness samples
+# queries in dict order under a time budget: CORRECTNESS_r3 and _r4 each
+# recorded exactly the FIRST 50 oracled entries, so the 51 oracled
+# queries behind them (the whole dedup/similarity/window-analytics half)
+# have only local check_contract evidence.  Rotate those never-sampled
+# queries to the front for round 5 — the round-4 verdict's named wants
+# (minhash family, neardup clusters, rank/mad, tpch_q3, ivm) first, then
+# the rest cheapest-first so a time budget reaches deepest.  The 50
+# already-green round-4 queries follow in their original order.
+_R5_FRONT = (
+    # round-4 verdict's explicitly named never-sampled queries
+    "tpch_q3_building",
+    "ivm_segment_view_events",
+    "rank_events_per_user",
+    "mad_outliers_events",
+    "neardup_clusters_distributed",
+    "ivm_view_events",
+    "minhash_neardup_documents",
+    "simhash_neardup_documents",
+    "semdedup_keep_documents",
+    "minhash_dedup_clusters",
+    "neardup_clusters_bigstar",
+    "minhash_clusters_dataset_path",
+    # remaining never-sampled oracled queries, cheapest first
+    "doc_token_stats",
+    "knn_embeddings",
+    "embedding_neardup_exact",
+    "topk_orders",
+    "distinct_users",
+    "stratified_sample_documents",
+    "weighted_sample_documents",
+    "multimodal_header_pipeline",
+    "doc_md5_documents",
+    "corr_lineitem",
+    "distinct_users_per_type",
+    "langid_documents",
+    "fingerprint_documents",
+    "quantile_sketch_events",
+    "distinct_lang_source",
+    "normalize_documents",
+    "winsorize_events",
+    "quality_documents",
+    "approx_percentiles_events_value",
+    "gopher_quality_documents",
+    "resample_fill_events",
+    "vector_stats_by_label",
+    "cube_lineitem",
+    "zorder_events",
+    "grouping_sets_lineitem",
+    "rollup_lineitem",
+    "quantile_sketch_per_type_events",
+    "distinct_ngram_ratio_documents",
+    "global_percentiles_lineitem",
+    "editdist_pairs_customers",
+    "dedup_exact_documents",
+    "ngram_neardup_documents",
+    "tfidf_documents",
+    "ntile_documents",
+    "bloom_join_events_rich_customers",
+    "outer_join_user_funnel",
+    "multimodal_image_pipeline",
+    "multimodal_av_pipeline",
+    "dedup_spans_documents",
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from mysql_binlog_ray.pipelines import queries as Q
 
-    return {
+    base = {
         # CDC-semantic operators (SQL-oracled on the events table)
         "lww_merge_events": Q.lww_merge_events,
         "events_table_counts": Q.events_table_counts,
@@ -150,6 +216,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivm_view_events": Q.ivm_view_events,
         "ivm_segment_view_events": Q.ivm_segment_view_events,
     }
+    ordered = {k: base[k] for k in _R5_FRONT}
+    ordered.update(base)  # existing keys keep front position; rest append
+    return ordered
 
 
 # exact 5-gram Jaccard near-dup pairs as reusable CTEs (the pair oracle
