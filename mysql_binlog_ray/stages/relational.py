@@ -160,6 +160,7 @@ def adaptive_num_parts(
     target_part_bytes: int = 256 << 20,
     min_parts: int | None = None,
     max_parts: int = 1 << 18,
+    small_bytes: int = 4 << 20,
 ) -> int:
     """Partition fanout sized to the INPUT (~256 MB per partition), not a
     constant: each reduce task materializes one whole partition, so a
@@ -169,8 +170,19 @@ def adaptive_num_parts(
     on a big cluster small-but-not-tiny inputs still fan out to 64 ways,
     while a laptop-sized session stops paying 64 shuffle partitions of
     scheduling overhead for kilobyte inputs — per-query constant cost is
-    what bounds how many operators a correctness harness can check."""
+    what bounds how many operators a correctness harness can check.
+
+    Below ``small_bytes`` (and only when the caller did not pin
+    ``min_parts``) the answer is **1**: a reduce whose entire input fits
+    a few MB gains nothing from an exchange, and ``keyed_reduce`` turns
+    ``num_parts=1`` into a no-shuffle single-task combine (~70 ms/call
+    cheaper per exchange, measured on a 5k-row input at 8 CPUs).  At 100
+    TB no real exchange input is this small, so the at-scale plan is
+    unchanged; callers whose combine is compute-bound on tiny bytes
+    should pin ``min_parts`` explicitly."""
     if min_parts is None:
+        if 0 < size_bytes <= small_bytes:
+            return 1
         try:
             cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
         except Exception:
@@ -215,6 +227,21 @@ def keyed_reduce(
 
     kt = tuple(keys)
 
+    def single_task(inp: rd.Dataset) -> rd.Dataset:
+        # num_parts == 1: the whole input reduces in ONE task — no
+        # exchange at all.  Upstream map stages still run parallel; only
+        # the final combine (trivial at these byte sizes) is serial.
+        # `combine` already handles arbitrary key mixtures per call, so
+        # one call seeing every key is within its contract.
+        def combine_all(b: pd.DataFrame) -> pd.DataFrame:
+            if "_rph" in b.columns:
+                b = b.drop(columns=["_rph"])
+            return combine(b)
+
+        return inp.repartition(1).map_batches(
+            combine_all, batch_format="pandas", batch_size=None
+        )
+
     if num_parts is None and est_input_bytes is not None:
         num_parts = adaptive_num_parts(est_input_bytes, target_part_bytes)
 
@@ -227,6 +254,9 @@ def keyed_reduce(
         if leaf_bytes is not None:
             num_parts = adaptive_num_parts(leaf_bytes, target_part_bytes)
 
+    if num_parts == 1:
+        return single_task(ds)
+
     if num_parts is None:
         def tag_full(b: pa.Table) -> pa.Table:
             # full 64-bit key hash now; the mod is applied after sizing
@@ -237,6 +267,8 @@ def keyed_reduce(
         parts = adaptive_num_parts(
             tagged_full.size_bytes() or 0, target_part_bytes
         )
+        if parts == 1:
+            return single_task(tagged_full)
 
         def mod(b: pa.Table) -> pa.Table:
             h = b.column("_rph").to_numpy().view(np.uint64)
