@@ -837,6 +837,31 @@ def hash_join(
             )
 
         return right_ds.map_batches(bcast_left, batch_format="pyarrow")
+    # full_outer can never broadcast (unmatched broadcast-side rows must
+    # appear exactly once globally) — but when BOTH sides are tiny the
+    # whole join fits ONE task: coalesce the left to a single block and
+    # join it against a broadcast right in one call, which makes the
+    # exactly-once guarantee trivially true.  Same Arrow join kernel and
+    # output columns as the other fast paths; skips the shuffle join's
+    # ~1 s aggregator-pool startup.  At 100 TB no full_outer input is
+    # this small, so the at-scale plan is unchanged.
+    if (
+        join_type == "full_outer"
+        and num_partitions is None
+        and lb is not None
+        and rb is not None
+        and lb + rb <= broadcast_bytes
+    ):
+        get_small = broadcast_once(_collect_table(right_ds))
+
+        def join_single(b: pa.Table) -> pa.Table:
+            return b.join(
+                get_small(), keys=[on], right_keys=[right_on], join_type=verb
+            )
+
+        return left_ds.repartition(1).map_batches(
+            join_single, batch_format="pyarrow", batch_size=None
+        )
     if num_partitions is None:
         # cluster-proportional guess for unmeasurable inputs (each
         # partition costs an aggregator slot + actor startup, so a flat
