@@ -1134,6 +1134,31 @@ class TestRound3Scale:
         assert np.allclose(one["s"].to_numpy(), many["s"].to_numpy())
         assert one["n"].tolist() == many["n"].tolist()
 
+    def test_adaptive_num_parts_small_input_routes_to_single_task(self):
+        from mysql_binlog_ray.stages.relational import adaptive_num_parts
+
+        # tiny inputs skip the exchange entirely...
+        assert adaptive_num_parts(1024) == 1
+        assert adaptive_num_parts(4 << 20) == 1
+        # ...unless the caller pinned a floor (compute-bound combines)
+        assert adaptive_num_parts(1024, min_parts=16) == 16
+        # above the small threshold the CPU-scaled floor applies
+        assert adaptive_num_parts(64 << 20) >= 4
+        # zero/unknown bytes never take the single-task shortcut
+        assert adaptive_num_parts(0) >= 4
+
+    def test_keyed_reduce_single_task_empty_input(self):
+        from mysql_binlog_ray.stages.relational import keyed_reduce
+
+        df = pd.DataFrame({"k": pd.Series(dtype="int64"), "v": pd.Series(dtype="float64")})
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("k", sort=False)["v"].sum().reset_index()
+            return agg
+
+        out = keyed_reduce(rd.from_pandas(df), ["k"], combine, num_parts=1).to_pandas()
+        assert len(out) == 0
+
     def test_asof_join_adaptive_matches_fixed(self):
         from mysql_binlog_ray.stages.relational import asof_join
 
