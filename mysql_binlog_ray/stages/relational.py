@@ -89,13 +89,22 @@ def preagg_groupby(ds: rd.Dataset, keys: list[str], spec: AggSpec) -> rd.Dataset
         h = (key_hash64(b, kt) % np.uint64(nparts)).astype(np.int64)
         return b.append_column("_rp", pa.array(h))
 
-    def merge_partials(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["_rp"])
+    def merge_one(t: pa.Table) -> pa.Table:
         res = t.group_by(keys, use_threads=False).aggregate(merge_aggs)
         cols = {k: res.column(k) for k in keys}
         for out_col, fn in merge_aggs:
             cols[out_col] = res.column(f"{out_col}_{fn}")
         return pa.table(cols)
+
+    if nparts == 1:
+        # tiny input (adaptive_num_parts' single-task answer): merge all
+        # partials in one task, no exchange — same Arrow kernel
+        return partials.repartition(1).map_batches(
+            merge_one, batch_format="pyarrow", batch_size=None
+        )
+
+    def merge_partials(t: pa.Table) -> pa.Table:
+        return merge_one(t.drop_columns(["_rp"]))
 
     return (
         partials.map_batches(tag, batch_format="pyarrow")
