@@ -539,16 +539,27 @@ def verify_minhash_pairs_distributed(
 
     sigs = ds.map_batches(cand_sign, batch_format="pandas").materialize()
 
-    # size BOTH exchanges once from what is already measurable — the
-    # materialized signature set (the heavy side: ~num_perm*8 B/doc)
-    # plus the pair-rows estimate — so neither keyed_reduce pays its
-    # num_parts=None sizing materialization (two extra executions of a
-    # signature-carrying union, the dominant cost of small corpora)
+    # size BOTH exchanges from what is already measurable — the
+    # materialized signature set (~num_perm*8 B/doc) plus the pair-row
+    # estimates — so neither keyed_reduce pays its num_parts=None sizing
+    # materialization (two extra executions of a signature-carrying
+    # union, the dominant cost of small corpora).  The two exchanges
+    # carry DIFFERENT weights: stage 1's pair rows are slim (3 int64s),
+    # but stage 1's OUTPUT re-keyed into stage 2 carries a full
+    # signature per pair (~num_perm*8 B) — sizing stage 2 from slim
+    # pair bytes would under-partition dense corpora by ~num_perm/3.
+    num_perm = int(hasher_kwargs.get("num_perm", 128))
     if pairs_is_ds:
+        n_pairs = (est_pairs_bytes or 0) // 24
         pair_bytes = est_pairs_bytes or 0
     else:
-        pair_bytes = len(pairs) * 3 * 8
-    exchange_parts = adaptive_num_parts((sigs.size_bytes() or 0) + pair_bytes)
+        n_pairs = len(pairs)
+        pair_bytes = n_pairs * 3 * 8
+    sig_bytes = sigs.size_bytes() or 0
+    exchange_parts = adaptive_num_parts(sig_bytes + pair_bytes)
+    exchange_parts_b = adaptive_num_parts(
+        sig_bytes + n_pairs * (num_perm * 8 + 24)
+    )
 
     def pair_rows(key_col: str, other_col: str):
         if pairs_is_ds:
@@ -645,7 +656,7 @@ def verify_minhash_pairs_distributed(
     stage_a_rekeyed = stage_a.map_batches(rekey, batch_format="pandas")
     return keyed_reduce(
         stage_a_rekeyed.union(sigs), ["_k"], attach_b_and_estimate,
-        num_parts=exchange_parts,
+        num_parts=exchange_parts_b,
     )
 
 
@@ -821,16 +832,17 @@ def simhash_pairs(
                 )
         return pd.concat(out, ignore_index=True) if out else empty
 
-    # size both exchanges from the LEAF text bytes instead of letting
-    # keyed_reduce materialize each stage to weigh it (three sequential
-    # plan executions -> one streamed plan; ~1.2 s saved at sf0.01).
-    # The estimate is honest at scale: the exploded sig rows measure
-    # ~1.2x the raw text bytes (16 slim rows/doc vs ~1 KB text), and the
-    # surviving pair rows are 24 B each, so partitions only exceed the
-    # 256 MB target if near-dup density passes ~40 pairs/doc — in-bucket
-    # blowup is already capped by max_bucket_size's sentinel.
+    # size the sig exchange from LEAF metadata instead of letting
+    # keyed_reduce materialize the sig stage to weigh it (an extra plan
+    # execution).  The exploded sig rows are a FIXED ~384 B/doc (16 slim
+    # rows x 24 B) regardless of text length, so estimate from BOTH the
+    # text bytes and the metadata row count — max() covers short-doc
+    # corpora where 1.5x text bytes undercounts the explosion.
     leaf_bytes = metadata_size_bytes(ds)
-    est = int(leaf_bytes * 1.5) if leaf_bytes else None
+    if leaf_bytes:
+        est = max(int(leaf_bytes * 1.5), 400 * ds.count())
+    else:
+        est = None
 
     pairs = keyed_reduce(sigs, ["bucket"], pairs_in_part, est_input_bytes=est)
 
@@ -842,7 +854,12 @@ def simhash_pairs(
         out = real.groupby(["doc_a", "doc_b"], sort=False)["hamming"].min().reset_index()
         return pd.concat([out, g[g["hamming"] < 0]], ignore_index=True)
 
-    uniq = keyed_reduce(pairs, ["doc_a", "doc_b"], dedupe, est_input_bytes=est)
+    # the pair-dedupe exchange is sized from the ACTUAL pair set (the
+    # num_parts=None tagging materialization): surviving pairs are
+    # typically orders of magnitude smaller than the corpus, so reusing
+    # the corpus-bytes estimate here would fan a few-MB pair set out to
+    # thousands of near-empty partitions at TB scale
+    uniq = keyed_reduce(pairs, ["doc_a", "doc_b"], dedupe)
     pdf = uniq.to_pandas()  # bounded by near-dup pair density
     if pdf.empty or "hamming" not in pdf.columns:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())})

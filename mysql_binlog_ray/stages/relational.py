@@ -247,7 +247,24 @@ def keyed_reduce(
                 b = b.drop(columns=["_rph"])
             return combine(b)
 
-        return inp.repartition(1).map_batches(
+        # materialize the coalesced input (tiny by construction — this
+        # path only engages <= small_bytes) so emptiness is checkable:
+        # Ray skips map UDFs on 0-row blocks, so an EMPTY input would
+        # surface with the INPUT schema instead of combine's output
+        # schema (the normalize_empty_blocks hazard class)
+        coalesced = inp.repartition(1).materialize()
+        if coalesced.count() == 0:
+            # run combine on the empty frame driver-side — 0 rows, so
+            # this is schema work, not data work.  A combine that can't
+            # take an empty frame keeps the old empty-block behavior.
+            try:
+                empty_in = coalesced.to_pandas()
+                if "_rph" in empty_in.columns:
+                    empty_in = empty_in.drop(columns=["_rph"])
+                return rd.from_pandas(combine(empty_in))
+            except Exception:
+                pass
+        return coalesced.map_batches(
             combine_all, batch_format="pandas", batch_size=None
         )
 
@@ -713,7 +730,12 @@ def _scrub_join_input(ds: rd.Dataset) -> tuple[rd.Dataset, bool]:
     except Exception:
         is_file_leaf = False
     if is_file_leaf:
-        return ds, False
+        # parquet metadata answers count() without reading data: a
+        # 0-row file leaf must be flagged known_empty here, or the
+        # downstream fast paths lose its rows silently (Ray skips map
+        # UDFs on 0-row blocks, so a single-task join over an empty
+        # left never runs and drops every unmatched right row)
+        return ds, ds.count() == 0
     scrubbed = drop_empty_blocks(ds)
     # drop_empty_blocks returns a driver-created MaterializedDataset whose
     # row count is block metadata — count() here reads metadata only.

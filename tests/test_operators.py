@@ -1147,6 +1147,26 @@ class TestRound3Scale:
         # zero/unknown bytes never take the single-task shortcut
         assert adaptive_num_parts(0) >= 4
 
+    def test_full_outer_join_zero_row_file_leaf_keeps_right_rows(self, tmp_path):
+        # Ray skips map UDFs on 0-row blocks, so a single-task full
+        # outer over an empty left leaf must short-circuit via the
+        # known-empty path or it silently drops every unmatched right row
+        import pyarrow.parquet as pq
+
+        from mysql_binlog_ray.stages.relational import hash_join
+
+        zero = pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.string())})
+        p = str(tmp_path / "zero.parquet")
+        pq.write_table(zero, p)
+        left = rd.read_parquet(p)
+        right = rd.from_arrow(pa.table({"k2": [1, 2], "w": ["a", "b"]})).materialize()
+        out = (
+            hash_join(left, right, on="k", right_on="k2", join_type="full_outer")
+            .to_pandas()
+        )
+        assert len(out) == 2
+        assert sorted(out["w"].tolist()) == ["a", "b"]
+
     def test_keyed_reduce_single_task_empty_input(self):
         from mysql_binlog_ray.stages.relational import keyed_reduce
 
