@@ -793,7 +793,7 @@ def simhash_pairs(
     else:
         sigs = ds.map_batches(sig_fn, batch_format="pandas")
 
-    from .relational import keyed_reduce, metadata_size_bytes
+    from .relational import adaptive_num_parts, keyed_reduce, metadata_size_bytes
 
     def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -804,8 +804,15 @@ def simhash_pairs(
             }
         )
         out = []
+        # drop singleton buckets VECTORIZED before the per-bucket loop:
+        # almost every bucket holds one doc, and a Python loop over ~14
+        # buckets/doc serializes to seconds once a partition holds the
+        # whole corpus (the num_parts=1 single-task path measured 11 s
+        # at sf0.1 without this; 2 s with it)
+        g = g.drop_duplicates(["bucket", id_col])
+        g = g[g.duplicated("bucket", keep=False)]
         for bucket, grp in g.groupby("bucket", sort=False):
-            gg = grp.drop_duplicates(id_col)
+            gg = grp
             if len(gg) < 2:
                 continue
             if len(gg) > max_bucket_size:
@@ -841,10 +848,21 @@ def simhash_pairs(
     leaf_bytes = metadata_size_bytes(ds)
     if leaf_bytes:
         est = max(int(leaf_bytes * 1.5), 400 * ds.count())
-    else:
-        est = None
+        # pairs_in_part is COMPUTE-bound (per-bucket pair generation +
+        # popcount verification), the documented case that must pin
+        # min_parts: routing it single-task serializes the pair kernel
+        # (measured 4.2 s vs 1.7 s at sf0.1 / 32 CPUs)
+        try:
+            import ray
 
-    pairs = keyed_reduce(sigs, ["bucket"], pairs_in_part, est_input_bytes=est)
+            cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
+        except Exception:
+            cpus = 8
+        pair_parts = adaptive_num_parts(est, min_parts=max(4, min(64, cpus)))
+    else:
+        pair_parts = None
+
+    pairs = keyed_reduce(sigs, ["bucket"], pairs_in_part, num_parts=pair_parts)
 
     # distributed pair dedupe (each pair appears in up to 16 buckets);
     # sentinel rows (hamming < 0) are keyed by bucket id, so they pass
