@@ -558,7 +558,15 @@ def asof_join(
 
     if num_buckets is None:
         both = both.materialize()  # about to be shuffled anyway
-        buckets = adaptive_num_parts(both.size_bytes() or 0, target_part_bytes, min_parts=16)
+        sz = both.size_bytes() or 0
+        # tiny combined input: ONE merge_asof task, no exchange (the
+        # per-bucket join already handles all keys vectorized); empty
+        # or unmeasured inputs keep the bucketed path
+        buckets = (
+            1
+            if 0 < sz <= (4 << 20)
+            else adaptive_num_parts(sz, target_part_bytes, min_parts=16)
+        )
     else:
         buckets = num_buckets
 
@@ -582,6 +590,12 @@ def asof_join(
         )
         return out
 
+    if buckets == 1:
+        # join_bucket ignores the _bucket column (it selects its output
+        # columns explicitly), so one coalesced call covers every key
+        return both.repartition(1).map_batches(
+            join_bucket, batch_format="pandas", batch_size=None
+        )
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 
 
@@ -1850,6 +1864,15 @@ def pivot_counts(
         return tmp.groupby(key_col, sort=False, dropna=False).sum().reset_index()
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby(key_col).aggregate(
-        *[Sum(f"n_{c}", alias_name=f"n_{c}") for c in categories]
-    )
+
+    # keyed_reduce instead of groupby().aggregate(): same single
+    # exchange, ~2.5x lower constant (see preagg_groupby), and the tiny
+    # single-task route at small scale.  dropna=False groupby matches
+    # the partial stage's NULL-key semantics exactly.
+    ncols = [f"n_{c}" for c in categories]
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key_col, sort=False, dropna=False)[ncols].sum()
+        return out.reset_index()
+
+    return keyed_reduce(partials, [key_col], combine)
