@@ -385,10 +385,29 @@ def drop_empty_blocks(
         elif seen_schema is not None:
             schema = seen_schema
         else:
-            raise ValueError(
-                "drop_empty_blocks: every block is empty and no schema is "
-                "recoverable — pass `proto`"
-            )
+            # pandas-backed blocks carry a PandasBlockSchema, not an
+            # Arrow schema — recover via Dataset.schema() (metadata-only
+            # on a materialized input) and numpy-dtype conversion
+            try:
+                s = ds.schema()
+                base = getattr(s, "base_schema", None)
+                if isinstance(base, pa.Schema):
+                    schema = base
+                else:
+                    schema = pa.schema(
+                        [
+                            (
+                                n,
+                                t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t),
+                            )
+                            for n, t in zip(s.names, s.types)
+                        ]
+                    )
+            except Exception as e:
+                raise ValueError(
+                    "drop_empty_blocks: every block is empty and no schema "
+                    "is recoverable — pass `proto`"
+                ) from e
         return rd.from_arrow(schema.empty_table())
     return rd.from_arrow_refs(refs)
 
