@@ -106,10 +106,17 @@ def connected_components_bigstar(
         from .relational import adaptive_num_parts
 
         cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
-        # both orientations ride the large-star exchange -> 2x bytes
-        num_parts = adaptive_num_parts(
-            max(1, 2 * (cur.size_bytes() or 1)), min_parts=max(2, min(64, cpus))
-        )
+        # both orientations ride the large-star exchange -> 2x bytes.
+        # Tiny edge sets (< the small-input threshold) take keyed_reduce's
+        # single-task route — the star combines are fully vectorized
+        # (groupby/transform), so one task per round is compute-safe
+        ebytes = 2 * (cur.size_bytes() or 1)
+        if 0 < ebytes <= (4 << 20):
+            num_parts = 1
+        else:
+            num_parts = adaptive_num_parts(
+                max(1, ebytes), min_parts=max(2, min(64, cpus))
+            )
 
     def symmetrize(t: pa.Table) -> pa.Table:
         u = t.column("ea").to_numpy()
@@ -293,9 +300,14 @@ def connected_components_distributed(
         from .relational import adaptive_num_parts
 
         cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
-        num_parts = adaptive_num_parts(
-            max(1, sym.size_bytes() or 1), min_parts=max(2, min(64, cpus))
-        )
+        # tiny graphs: single-task rounds (vectorized min-label combine)
+        sbytes = sym.size_bytes() or 1
+        if 0 < sbytes <= (4 << 20):
+            num_parts = 1
+        else:
+            num_parts = adaptive_num_parts(
+                max(1, sbytes), min_parts=max(2, min(64, cpus))
+            )
 
     def init_labels(g: pd.DataFrame) -> pd.DataFrame:
         lab = g.groupby("node", sort=False)["other"].min()
