@@ -22,6 +22,24 @@ from ..stages.similarity import IvfIndex, brute_force_topk
 from ..stages.text import Fingerprinter, LangId, QualityScorer, TokenCounter
 
 
+
+def _rp(path, *, columns=None, **kw):
+    """``read_parquet`` with a DATA-scaled block count (~16 MiB of file
+    per block, floor 8 for per-batch compute parallelism, cap 512):
+    Ray's default splitter targets CPU-proportional block counts, which
+    turns a 160 KB table into 64 blocks at 32 CPUs — per-block overhead
+    then dominates every downstream stage of a small-scale query (the
+    same rule the CDC stream read uses, cdc.py:read_event_stream).  At
+    TB scale the size term dominates and the behavior is unchanged."""
+    if "override_num_blocks" not in kw:
+        try:
+            paths = [path] if isinstance(path, str) else list(path)
+            total = sum(os.path.getsize(p) for p in paths)
+            kw["override_num_blocks"] = min(512, max(8, len(paths), total >> 24))
+        except OSError:
+            pass
+    return rd.read_parquet(path, columns=columns, **kw)
+
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -50,7 +68,7 @@ def lww_merge_events(sf_dir: str):
     the CDC merge uses, with a window-function SQL oracle."""
     from ..stages.merge import add_partition_column, lww_final, lww_partial
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value", "props"])
+    ds = _rp(_t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value", "props"])
 
     def to_flat(batch: pa.Table) -> pa.Table:
         out = pa.table(
@@ -81,7 +99,7 @@ def lww_merge_events(sf_dir: str):
 
 def events_table_counts(sf_dir: str):
     """A1 StatisticsCollector analog: per-type event/row accounting."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    ds = _rp(_t(sf_dir, "events"), columns=["event_type", "value"])
     return R.preagg_groupby(
         ds,
         ["event_type"],
@@ -95,7 +113,7 @@ def events_table_counts(sf_dir: str):
 
 def filter_events(sf_dir: str):
     """F1 include/exclude predicate pushdown analog."""
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
     )
 
@@ -109,7 +127,7 @@ def filter_events(sf_dir: str):
 
 def watermark_skip_events(sf_dir: str):
     """F2 start-position replay-skip analog: events after a watermark."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id"])
+    ds = _rp(_t(sf_dir, "events"), columns=["event_id", "user_id"])
 
     def pred(batch: pa.Table) -> pa.Array:
         return pc.greater(batch.column("event_id"), 500)
@@ -128,7 +146,7 @@ def watermark_skip_events(sf_dir: str):
 def window_events_hourly(sf_dir: str):
     """Tumbling 1h event-time window per event_type (windowed aggregate —
     a gap operator the reference lacks)."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
+    ds = _rp(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
     return R.tumbling_window(
         ds,
         "ts",
@@ -144,7 +162,7 @@ def window_events_hourly(sf_dir: str):
 
 
 def q1_lineitem_agg(sf_dir: str):
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity"],
     )
@@ -166,7 +184,7 @@ def join_orders_customer(sf_dir: str):
     customer = pq.read_table(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     ).to_pandas()
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    orders = _rp(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
     joined = R.broadcast_join(
         orders, customer, left_on="o_custkey", right_on="c_custkey", take_cols=["c_mktsegment"]
     )
@@ -178,7 +196,7 @@ def join_orders_customer(sf_dir: str):
 
 
 def _events_user_set(sf_dir: str, event_type: str):
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    ds = _rp(_t(sf_dir, "events"), columns=["user_id", "event_type"])
     return ds.map_batches(
         lambda b: b.filter(pc.equal(b.column("event_type"), event_type)).select(
             ["user_id"]
@@ -201,8 +219,8 @@ def users_click_and_purchase(sf_dir: str):
 def ordering_customers_not_in_events(sf_dir: str):
     """EXCEPT over distinct key sets: customers who placed orders but
     never appear in the event stream."""
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
-    events = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    orders = _rp(_t(sf_dir, "orders"), columns=["o_custkey"])
+    events = _rp(_t(sf_dir, "events"), columns=["user_id"])
     return R.set_op(
         orders.map_batches(
             lambda b: b.rename_columns(["custkey"]), batch_format="pyarrow"
@@ -218,10 +236,10 @@ def ordering_customers_not_in_events(sf_dir: str):
 def customers_with_orders(sf_dir: str):
     """Semi join (EXISTS): customers that placed at least one order —
     distinct order keys reduced first, broadcast once, isin probe."""
-    customer = rd.read_parquet(
+    customer = _rp(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment", "c_acctbal"]
     )
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+    orders = _rp(_t(sf_dir, "orders"), columns=["o_custkey"])
     return R.broadcast_semi_join(customer, orders, "c_custkey", "o_custkey")
 
 
@@ -231,7 +249,7 @@ def cohort_retention_events(sf_dir: str):
     in-partition."""
     from ..stages.window import cohort_retention
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    ds = _rp(_t(sf_dir, "events"), columns=["user_id", "ts"])
     return cohort_retention(ds, "user_id", "ts", period_seconds=86400)
 
 
@@ -240,10 +258,10 @@ def skew_join_events_customer(sf_dir: str):
     broadcast of their customer rows; the cold tail hash-joins.  Result
     is aggregate-verified against a plain SQL join (the split is
     semantically invisible)."""
-    events = rd.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["user_id", "event_type", "event_id", "value"]
     )
-    customer = rd.read_parquet(
+    customer = _rp(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     )
     joined = R.skew_join(events, customer, "user_id", "c_custkey", hot_threshold=50)
@@ -265,10 +283,10 @@ def bloom_join_events_rich_customers(sf_dir: str):
     non-joinable event rows BEFORE the hash-join shuffle — identical
     results to a plain join (no false negatives), ~80% less shuffled
     fact data."""
-    events = rd.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "value"]
     )
-    cust = rd.read_parquet(
+    cust = _rp(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_acctbal", "c_mktsegment"]
     )
     cust = R.filter_project(
@@ -289,7 +307,7 @@ def bloom_join_events_rich_customers(sf_dir: str):
 
 
 def topk_orders(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    ds = _rp(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
     return R.top_k(ds, [("o_totalprice", True), ("o_orderkey", False)], 10)
 
 
@@ -306,7 +324,7 @@ def tpch_q3_building(sf_dir: str):
     round-trips would silently retype a raw timestamp column."""
     cutoff = pa.scalar(np.datetime64("1998-06-01", "us"), type=pa.timestamp("us"))
 
-    cust = rd.read_parquet(
+    cust = _rp(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     )
     cust = R.filter_project(
@@ -315,7 +333,7 @@ def tpch_q3_building(sf_dir: str):
         ["c_custkey"],
     )
 
-    orders = rd.read_parquet(
+    orders = _rp(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
     )
@@ -334,7 +352,7 @@ def tpch_q3_building(sf_dir: str):
     orders = orders.map_batches(prep_orders, batch_format="pyarrow")
     orders = R.broadcast_semi_join(orders, cust, "o_custkey", "c_custkey")
 
-    li = rd.read_parquet(
+    li = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
@@ -367,7 +385,7 @@ def tpch_q3_building(sf_dir: str):
 
 
 def distinct_users(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    ds = _rp(_t(sf_dir, "events"), columns=["user_id"])
     n = R.distinct_count(ds, "user_id")
     return pa.table({"n_users": pa.array([n], pa.int64())})
 
@@ -380,12 +398,12 @@ def distinct_users(sf_dir: str):
 def dedup_exact_documents(sf_dir: str):
     """Exact dedup keyed on the first 8 tokens (prefix-normalized): the
     hash-partitioned group-first pattern with a pure-SQL oracle."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return exact_dedup_stats(ds, normalize_prefix_tokens=8)
 
 
 def doc_token_stats(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     stage = TokenCounter()
     out = ds.map_batches(stage, batch_format="pandas", batch_size=1024)
     return out.map_batches(
@@ -397,7 +415,7 @@ def knn_embeddings(sf_dir: str):
     """Brute-force cosine top-10 of every vector against the vec_id=1
     query vector (broadcast query, local top-k per batch)."""
     qvec = _query_vec(sf_dir, 1)
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _rp(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = brute_force_topk(ds, qvec[None, :], k=10)
     return pa.table(
         {
@@ -413,17 +431,17 @@ def knn_embeddings(sf_dir: str):
 
 
 def minhash_neardup_documents(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds, threshold=0.4)
 
 
 def simhash_neardup_documents(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return simhash_pairs(ds, max_hamming=3)
 
 
 def langid_documents(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
     out = ds.map_batches(LangId(), batch_format="pandas")
     return out.map_batches(
         lambda b: b.select(["doc_id", "lang", "pred_lang"]), batch_format="pyarrow"
@@ -431,7 +449,7 @@ def langid_documents(sf_dir: str):
 
 
 def quality_documents(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(QualityScorer(), batch_format="pandas")
     return out.map_batches(
         lambda b: b.select(
@@ -442,7 +460,7 @@ def quality_documents(sf_dir: str):
 
 
 def fingerprint_documents(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(Fingerprinter(), batch_format="pandas")
     return out.map_batches(
         lambda b: b.select(["doc_id", "fingerprint", "content_md5"]),
@@ -453,7 +471,7 @@ def fingerprint_documents(sf_dir: str):
 def doc_md5_documents(sf_dir: str):
     """Content-hash fingerprint alone (the SQL-expressible half of
     fingerprint_documents, oracled as md5(text))."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(Fingerprinter(), batch_format="pandas")
     return out.map_batches(
         lambda b: b.select(["doc_id", "content_md5"]), batch_format="pyarrow"
@@ -463,7 +481,7 @@ def doc_md5_documents(sf_dir: str):
 def ann_ivf_embeddings(sf_dir: str):
     """IVF approximate variant of knn_embeddings (scale path)."""
     qvec = _query_vec(sf_dir, 1)
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _rp(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     idx = IvfIndex.build(ds, nlist=8)
     out = idx.search(qvec[None, :], k=10, nprobe=3)
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -475,7 +493,7 @@ def ngram_neardup_documents(sf_dir: str):
     full SQL oracle)."""
     from ..stages.dedup import ngram_jaccard_dedup
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ngram_jaccard_dedup(ds, threshold=0.5)
 
 
@@ -489,7 +507,7 @@ def quantile_sketch_events(sf_dir: str):
     TestMrlQuantileSketch."""
     from ..stages.sketches import quantile_sketch
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
+    ds = _rp(_t(sf_dir, "events"), columns=["value"])
     sk = quantile_sketch(ds, "value", k=8192)
     qs = [0.05, 0.25, 0.5, 0.75, 0.95]
     import pandas as pd
@@ -505,7 +523,7 @@ def bpe_tokens_documents(sf_dir: str):
     Sennrich et al. 2016 worked example."""
     from ..stages.bpe import apply_bpe, train_bpe
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     merges = train_bpe(ds, num_merges=200)
     return apply_bpe(ds, merges)
 
@@ -517,7 +535,7 @@ def quantile_sketch_per_type_events(sf_dir: str):
     approximate regime is bound-checked in TestMrlQuantileSketch."""
     from ..stages.sketches import quantile_sketch_per_group
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    ds = _rp(_t(sf_dir, "events"), columns=["event_type", "value"])
     return quantile_sketch_per_group(
         ds, ["event_type"], "value", [0.5, 0.95], k=4096
     )
@@ -526,7 +544,7 @@ def quantile_sketch_per_type_events(sf_dir: str):
 def mad_outliers_events(sf_dir: str):
     """Robust per-event_type outlier flags via median absolute
     deviation — exact quantile_disc statistics, bit-exact flag math."""
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
     )
     out = R.mad_outliers(ds, ["event_type"], "value", k=3.0)
@@ -539,7 +557,7 @@ def rank_events_per_user(sf_dir: str):
     the same two integers on both sides, so the oracle is bit-exact."""
     from ..stages.window import window_over
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
     )
     out = window_over(
@@ -560,7 +578,7 @@ def rank_events_per_user(sf_dir: str):
 def winsorize_events(sf_dir: str):
     """Per-event_type winsorization of value at the exact p05/p95
     discrete percentiles (outlier clipping for feature pipelines)."""
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
     )
     out = R.winsorize(ds, ["event_type"], "value", 0.05, 0.95)
@@ -572,7 +590,7 @@ def resample_fill_events(sf_dir: str):
     hour range (time-series regularization)."""
     from ..stages.window import resample_fill
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type"])
+    ds = _rp(_t(sf_dir, "events"), columns=["ts", "event_type"])
     return resample_fill(ds, ts_col="ts", group_col="event_type", unit_sec=3600)
 
 
@@ -582,7 +600,7 @@ def zorder_events(sf_dir: str):
     oracle is the same bit expression."""
     from ..stages.layout import add_zorder_key
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "value"])
+    ds = _rp(_t(sf_dir, "events"), columns=["event_id", "user_id", "value"])
 
     def quantize(tab: pa.Table) -> pa.Table:
         v = tab["value"].to_numpy(zero_copy_only=False)
@@ -610,7 +628,7 @@ def vector_stats_by_label(sf_dir: str):
     stats per class) — exact float min/max, no arithmetic reordering."""
     from ..stages.similarity import vector_stats_by_group
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["label", "embedding"])
+    ds = _rp(_t(sf_dir, "embeddings"), columns=["label", "embedding"])
     return vector_stats_by_group(ds, group_col="label", vec_col="embedding")
 
 
@@ -620,7 +638,7 @@ def editdist_pairs_customers(sf_dir: str):
     byte-level, so the oracle is a plain brute-force join)."""
     from ..stages.fuzzy import editdist_pairs
 
-    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    ds = _rp(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
     out = editdist_pairs(ds, max_dist=1, col="c_name", id_col="c_custkey")
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -631,7 +649,7 @@ def embedding_neardup_exact_embeddings(sf_dir: str):
     7th decimal, so the oracle compares the pair set)."""
     from ..stages.similarity import embedding_neardup_exact
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _rp(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = embedding_neardup_exact(ds, threshold=0.42)
     return pa.Table.from_pandas(out[["id_a", "id_b"]], preserve_index=False)
 
@@ -646,7 +664,7 @@ def multimodal_image_pipeline(sf_dir: str):
     bytes."""
     from ..stages.multimodal import ImageDecoder, ImageResizer, encode_png
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def to_png(batch: pa.Table) -> pa.Table:
         payloads = []
@@ -696,7 +714,7 @@ def multimodal_av_pipeline(sf_dir: str):
         encode_wav,
     )
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def to_binary(batch: pa.Table) -> pa.Table:
         audio, video = [], []
@@ -760,7 +778,7 @@ def multimodal_header_pipeline(sf_dir: str):
 
     from ..stages.multimodal import AudioFeaturizer, ImageDecoder
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id"])
 
     _MP3_HDR = b"\xff\xfb\x90\x00"  # V1 L3 128 kbps 44100 Hz no padding
     _MP3_FLEN = 144 * 128000 // 44100  # 417 bytes
@@ -1078,7 +1096,7 @@ def ivm_view_events(sf_dir: str):
     state, so the delta algebra must telescope exactly (integer cents)."""
     from ..stages.ivm import changefeed_to_deltas, maintained_view
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
     )
 
@@ -1124,7 +1142,7 @@ def ivm_segment_view_events(sf_dir: str):
     equals join-then-reaggregate, which is what the SQL oracle does)."""
     from ..stages.ivm import changefeed_to_deltas, maintained_view
 
-    ev = rd.read_parquet(
+    ev = _rp(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
     )
     import pyarrow.parquet as pq
@@ -1233,13 +1251,13 @@ def asof_clicks_purchases(sf_dir: str):
     max(event_id) per (user_id, ts) so tie-breaks are deterministic in
     both engines."""
     ev_cols = ["event_id", "user_id", "event_type", "ts"]
-    clicks = rd.read_parquet(_t(sf_dir, "events"), columns=ev_cols)
+    clicks = _rp(_t(sf_dir, "events"), columns=ev_cols)
     clicks = R.filter_project(
         clicks,
         lambda b: pc.equal(b.column("event_type"), pa.scalar("click")),
         ["event_id", "user_id", "ts"],
     )
-    purchases = rd.read_parquet(_t(sf_dir, "events"), columns=ev_cols)
+    purchases = _rp(_t(sf_dir, "events"), columns=ev_cols)
     purchases = R.filter_project(
         purchases,
         lambda b: pc.equal(b.column("event_type"), pa.scalar("purchase")),
@@ -1267,8 +1285,8 @@ def asof_clicks_purchases(sf_dir: str):
 def join_orders_lineitem(sf_dir: str):
     """Large-large equi-join via Ray Data's hash-partitioned join, then a
     pre-aggregated groupby."""
-    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"])
-    orders = rd.read_parquet(
+    li = _rp(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"])
+    orders = _rp(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
     )
     joined = R.hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
@@ -1293,8 +1311,8 @@ def bucketed_join_orders_lineitem(sf_dir: str):
 
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
     base = f"{tempfile.gettempdir()}/mysql_binlog_ray/bucketed_{tag}"
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
-    lineitem = rd.read_parquet(
+    orders = _rp(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    lineitem = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -1384,7 +1402,7 @@ def bucketed_point_lookup_documents(sf_dir: str):
         # concurrent builder that wins the rename just makes ours a
         # discarded duplicate (content is identical by construction)
         tmp = f"{base}.build-{_os.getpid()}"
-        docs = rd.read_parquet(
+        docs = _rp(
             src, columns=["doc_id", "lang", "source", "n_chars"]
         )
         write_bucketed(docs, tmp, "doc_id", num_buckets=32)
@@ -1430,7 +1448,7 @@ def gear_chunks_documents(sf_dir: str):
     windowed Gear sum; terms stay under 2^127 by construction)."""
     from ..stages.text import gear_chunk_stats
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(gear_chunk_stats, batch_format="pandas")
 
 
@@ -1443,7 +1461,7 @@ def chunk_dedup_documents(sf_dir: str):
     Integer columns only (no float ratio) so the oracle hashes exactly."""
     from ..stages.text import gear_chunk_rows
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     rows = ds.map_batches(gear_chunk_rows, batch_format="pandas")
     per_hash = R.preagg_groupby(
         rows, ["h"], {"cnt": (None, "count"), "l": ("l", "min")}
@@ -1479,13 +1497,13 @@ def chunk_dedup_documents(sf_dir: str):
 
 def stratified_sample_documents(sf_dir: str):
     """Deterministic stratified sample: first 5 docs per language."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
     return R.stratified_first_n(ds, "lang", "doc_id", 5)
 
 
 def distinct_lang_source(sf_dir: str):
     """Distinct pairs (set op) via pre-aggregated groupby."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "source"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["lang", "source"])
     pairs = R.preagg_groupby(ds, ["lang", "source"], {"n": (None, "count")})
     return pairs.map_batches(lambda b: b.select(["lang", "source"]), batch_format="pyarrow")
 
@@ -1498,7 +1516,7 @@ def approx_distinct_users_per_type(sf_dir: str):
     construction)."""
     from ..stages.sketches import approx_distinct_per_group
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+    ds = _rp(_t(sf_dir, "events"), columns=["event_type", "user_id"])
     out = approx_distinct_per_group(
         ds, ["event_type"], "user_id", out_col="approx_users", num_parts=8
     )
@@ -1511,7 +1529,7 @@ def approx_distinct_users(sf_dir: str):
     <2.5% error instead of the SQL hash gate."""
     from ..stages.sketches import approx_distinct
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    ds = _rp(_t(sf_dir, "events"), columns=["user_id"])
     est = approx_distinct(ds, "user_id")
     return pa.table({"approx_users": pa.array([int(round(est))], pa.int64())})
 
@@ -1520,7 +1538,7 @@ def minhash_dedup_clusters_documents(sf_dir: str):
     """Near-dup clusters (doc_id -> cluster id) over documents."""
     from ..stages.dedup import minhash_dedup_clusters
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return minhash_dedup_clusters(ds, threshold=0.4)
 
 
@@ -1534,7 +1552,7 @@ def minhash_clusters_dataset_path(sf_dir: str):
     result must not depend on the route)."""
     from ..stages.dedup import minhash_dedup_clusters
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return minhash_dedup_clusters(ds, threshold=0.4, dataset_pairs=True)
 
 
@@ -1546,7 +1564,7 @@ def neardup_clusters_distributed(sf_dir: str):
     from ..stages.dedup import ngram_jaccard_dedup
     from ..stages.graph import connected_components_distributed
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     pairs = ngram_jaccard_dedup(ds, threshold=0.5)
     comp = connected_components_distributed(pairs).to_pandas()
     comp = comp.sort_values("doc_id").reset_index(drop=True)
@@ -1564,7 +1582,7 @@ def semdedup_keep_documents(sf_dir: str):
     from ..stages.dedup import ngram_jaccard_dedup
     from ..stages.graph import connected_components_distributed
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     pairs = ngram_jaccard_dedup(ds, threshold=0.5)
     comp = connected_components_distributed(pairs)
 
@@ -1599,7 +1617,7 @@ def neardup_clusters_bigstar(sf_dir: str):
     from ..stages.dedup import ngram_jaccard_dedup
     from ..stages.graph import connected_components_bigstar
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     pairs = ngram_jaccard_dedup(ds, threshold=0.5)
     comp = connected_components_bigstar(pairs).to_pandas()
     comp = comp.sort_values("doc_id").reset_index(drop=True)
@@ -1644,7 +1662,7 @@ def embedding_neardup_embeddings(sf_dir: str):
     # testdata embeddings are unclustered gaussians (max cosine ~0.5), so
     # the "near-dup" threshold here is calibrated to that distribution;
     # real corpora would use ~0.9+
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _rp(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     # nlist=None auto-scales cluster count with corpus size (min 8 — at
     # testdata scale this resolves to 8, matching the prior fixed value)
     out = embedding_neardup_pairs(ds, threshold=0.42, nlist=None)
@@ -1655,7 +1673,7 @@ def sessionize_events(sf_dir: str):
     """Gap-based sessionization of the event stream (30-min gap): one
     row per (user, session) — the streaming-window operator class next
     to window_events_hourly, distributed via one keyed exchange."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    ds = _rp(_t(sf_dir, "events"), columns=["user_id", "ts"])
     out = R.sessionize(ds, "user_id", "ts", gap_sec=1800)
     return out.map_batches(
         lambda b: b.select(["user_id", "session_id", "n_events", "t_start_us", "t_end_us"]),
@@ -1668,7 +1686,7 @@ def interval_click_in_purchase_window(sf_dir: str):
     purchase-timestamp window (intervals computed distributed, then
     broadcast to the fact scan — no shuffle)."""
     ev_cols = ["event_id", "user_id", "ts", "event_type"]
-    purchases = rd.read_parquet(
+    purchases = _rp(
         _t(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
     )
     purchases = R.filter_project(
@@ -1679,7 +1697,7 @@ def interval_click_in_purchase_window(sf_dir: str):
     windows = R.preagg_groupby(
         purchases, ["user_id"], {"lo": ("ts", "min"), "hi": ("ts", "max")}
     ).to_pandas()  # one row per user: the broadcast side
-    clicks = rd.read_parquet(_t(sf_dir, "events"), columns=ev_cols)
+    clicks = _rp(_t(sf_dir, "events"), columns=ev_cols)
     clicks = R.filter_project(
         clicks,
         lambda b: pc.equal(b.column("event_type"), pa.scalar("click")),
@@ -1703,7 +1721,7 @@ def heavy_hitter_users(sf_dir: str):
     candidates only (the shuffle never carries the full key space)."""
     from ..stages.sketches import exact_heavy_hitters
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    ds = _rp(_t(sf_dir, "events"), columns=["user_id"])
     out = exact_heavy_hitters(ds, "user_id", threshold=70)
     return pa.table(
         {
@@ -1717,7 +1735,7 @@ def hopping_window_events(sf_dir: str):
     """Hopping (sliding) window count: 1-hour windows every 15 min —
     each event lands in 4 overlapping windows (vectorized explode +
     pre-aggregated groupby; the shuffle carries per-window partials)."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+    ds = _rp(_t(sf_dir, "events"), columns=["ts"])
     out = R.hopping_window(ds, "ts", [], width_sec=3600, hop_sec=900,
                            spec={"n": (None, "count")})
     return out.map_batches(
@@ -1728,7 +1746,7 @@ def hopping_window_events(sf_dir: str):
 def percentiles_lineitem(sf_dir: str):
     """Exact per-group discrete percentiles (p50/p95 of extendedprice
     per returnflag) — one keyed exchange, vectorized offset pick."""
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_extendedprice"]
     )
     out = R.group_percentiles(ds, ["l_returnflag"], "l_extendedprice", [0.5, 0.95])
@@ -1740,7 +1758,7 @@ def percentiles_lineitem(sf_dir: str):
 def top3_orders_per_customer(sf_dir: str):
     """Per-group top-N (ROW_NUMBER window pattern): each customer's 3
     most expensive orders, deterministic (price desc, orderkey asc)."""
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_totalprice"]
     )
     out = R.grouped_top_n(
@@ -1756,8 +1774,8 @@ def customers_without_orders(sf_dir: str):
     """Anti join (NOT EXISTS): customers who never placed a big
     (>300k) order — right side filtered then reduced to distinct keys,
     broadcast once, vectorized isin-negation probe."""
-    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
-    orders = rd.read_parquet(
+    cust = _rp(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    orders = _rp(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
     )
     big = R.filter_project(
@@ -1771,7 +1789,7 @@ def customers_without_orders(sf_dir: str):
 def pivot_user_event_counts(sf_dir: str):
     """Pivot: per-user count of each event type as fixed columns
     (count FILTER pattern) — per-batch crosstab, per-category Sum."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    ds = _rp(_t(sf_dir, "events"), columns=["user_id", "event_type"])
     cats = ["click", "error", "purchase", "signup", "view"]
     return R.pivot_counts(ds, "user_id", "event_type", cats)
 
@@ -1782,7 +1800,7 @@ def term_frequency_documents(sf_dir: str):
     keyed exchange, bounded top-k."""
     from ..stages.text import term_frequency_topk
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["text"])
     return term_frequency_topk(ds, "text", k=50)
 
 
@@ -1823,7 +1841,7 @@ def json_field_stats_events(sf_dir: str):
     prep step over crawled/props columns."""
     from ..stages.jsonx import add_json_number_field
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+    ds = _rp(_t(sf_dir, "events"), columns=["event_type", "props"])
     ds = add_json_number_field(ds, "props", "k")
     return R.preagg_groupby(
         ds,
@@ -1837,7 +1855,7 @@ def repetition_documents(sf_dir: str):
     top-word / top-2-gram) — integer outputs for exact oracle parity."""
     from ..stages.text import repetition_stats
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return repetition_stats(ds, "text", "doc_id")
 
 
@@ -1851,12 +1869,12 @@ def contamination_documents(sf_dir: str):
     from ..stages.dedup import contamination_check
 
     # pushed-down row filter: benchmark row groups are pruned at the read
-    bench = rd.read_parquet(
+    bench = _rp(
         _t(sf_dir, "documents"),
         columns=["doc_id", "text"],
         filter=pds.field("doc_id") < 25,
     )
-    corpus = rd.read_parquet(
+    corpus = _rp(
         _t(sf_dir, "documents"),
         columns=["doc_id", "text"],
         filter=pds.field("doc_id") >= 25,
@@ -1869,7 +1887,7 @@ def redact_customer_names(sf_dir: str):
     numeric id embedded in customer names, counting redacted spans."""
     from ..stages.text import Redactor
 
-    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    ds = _rp(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
     return ds.map_batches(
         Redactor,  # class, not instance: patterns compile once per actor
         fn_constructor_args=("c_name", ["id"]),
@@ -1904,7 +1922,7 @@ def split_documents(sf_dir: str):
     output so the oracle checks every single assignment."""
     from ..stages.split import hash_split
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id"])
     return hash_split(ds, "doc_id", SPLIT_FRACTIONS, seed=SPLIT_SEED)
 
 
@@ -1919,7 +1937,7 @@ def mixture_sample_documents(sf_dir: str):
     every keep decision."""
     from ..stages.split import mixture_sample
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "documents"), columns=["doc_id", "lang", "source"]
     )
     return mixture_sample(
@@ -1937,7 +1955,7 @@ def chunk_documents_query(sf_dir: str):
     reaches the end of the document."""
     from ..stages.split import chunk_documents
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return chunk_documents(
         ds, "text", "doc_id", chunk_chars=CHUNK_CHARS, overlap=CHUNK_OVERLAP
     )
@@ -1951,7 +1969,7 @@ def incremental_dedup_documents(sf_dir: str):
     from ..stages.dedup import prefix_key_series
     from ..stages.sketches import incremental_dedup
 
-    full = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    full = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def with_key(b):
         b = b.copy()
@@ -1980,7 +1998,7 @@ def shuffle_order_documents(sf_dir: str):
     driver); oracle = row_number() OVER (ORDER BY hash)."""
     from ..stages.ordered import SHUFFLE_SEED, hash_order_rank
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id"])
     return hash_order_rank(ds, "doc_id", seed=SHUFFLE_SEED)
 
 
@@ -2014,7 +2032,7 @@ def corpus_pipeline_documents(sf_dir: str):
     from ..stages.ordered import hash_order_rank, pack_sequences
     from ..stages.text import GopherQualityFilter, TokenCounter
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     scored = ds.map_batches(GopherQualityFilter(), batch_format="pandas")
 
     def gate(b: pa.Table) -> pa.Table:
@@ -2071,7 +2089,7 @@ def histogram_events(sf_dir: str):
     per-batch Arrow combiner, shuffle carries one row per bin per batch —
     the profile primitive for numeric-column QA.  floor of an IEEE
     division is bit-identical to the SQL twin."""
-    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
+    ev = _rp(_t(sf_dir, "events"), columns=["value"])
 
     def bin_col(b: pa.Table) -> pa.Table:
         v = b.column("value")
@@ -2092,7 +2110,7 @@ def unpivot_lineitem(sf_dir: str):
     shuffle.  Deterministic 1%-of-orderkeys subset keeps the compare
     tractable."""
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    li = rd.read_parquet(
+    li = _rp(
         _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber", *cols]
     )
 
@@ -2124,7 +2142,7 @@ def running_totals_events(sf_dir: str):
     per-partition kernel (stages/window.py)."""
     from ..stages.window import window_over
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
     )
 
@@ -2182,7 +2200,7 @@ def moving_sum_events(sf_dir: str):
     exact against the SQL oracle."""
     from ..stages.window import window_over
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "value"]
     )
 
@@ -2231,7 +2249,7 @@ def lag_lead_events(sf_dir: str):
     cents are non-negative)."""
     from ..stages.window import window_over
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "value"]
     )
 
@@ -2274,7 +2292,7 @@ def dense_rank_cume_events(sf_dir: str):
     against the SQL oracle."""
     from ..stages.window import window_over
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "value"]
     )
 
@@ -2314,7 +2332,7 @@ def mode_event_type_per_user(sf_dir: str):
     tie-break — the argmax-of-counts aggregate class.  Per-batch partial
     counts collapse duplicates before the single exchange
     (stages/relational.py mode_per_group)."""
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["user_id", "event_type"]
     )
     out = R.mode_per_group(ds, ["user_id"], "event_type", count_col="n_mode")
@@ -2334,7 +2352,7 @@ def user_journey_events(sf_dir: str):
     """Ordered list/collect aggregate (SQL string_agg ... ORDER BY): each
     user's full event-type journey in event_id order plus their event
     count — one keyed exchange, C-level per-group join."""
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
     )
     return R.grouped_string_agg(
@@ -2358,7 +2376,7 @@ def approx_percentiles_events_value(sf_dir: str):
     selection over the sample — the mergeable, rerun-stable alternative
     to a randomized quantile sketch, and the only kind of approximate
     quantile that admits a bit-exact SQL oracle."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "value"])
+    ds = _rp(_t(sf_dir, "events"), columns=["event_id", "value"])
 
     def prep(b: pa.Table) -> pa.Table:
         cents = pc.round(pc.multiply(b.column("value"), pa.scalar(100.0))).cast(
@@ -2387,7 +2405,7 @@ def rollup_lineitem(sf_dir: str):
     sums are exact at every level."""
     from ..stages.window import rollup_aggregate
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -2426,7 +2444,7 @@ def tfidf_documents(sf_dir: str):
     top-3 via grouped_top_n."""
     from ..stages.text import tfidf_top_terms
 
-    src = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    src = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     n_docs = src.count()  # parquet metadata count: no data scan
     return tfidf_top_terms(src, n_docs, k=3)
 
@@ -2438,7 +2456,7 @@ def ntile_documents(sf_dir: str):
     arithmetic on the rank."""
     from ..stages.ordered import ntile_assign
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
     return ntile_assign(ds, ["n_chars", "doc_id"], 8)
 
 
@@ -2449,7 +2467,7 @@ def cube_lineitem(sf_dir: str):
     once and explode only the tiny aggregated frame)."""
     from ..stages.window import cube_aggregate
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -2487,7 +2505,7 @@ def grouping_sets_lineitem(sf_dir: str):
     keys.  Same one-finest-reduce-then-explode shape as cube_lineitem."""
     from ..stages.window import grouping_sets_aggregate
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity"],
     )
@@ -2520,7 +2538,7 @@ def scd2_events(sf_dir: str):
     shifted compare (stages/window.py::scd2_history)."""
     from ..stages.window import scd2_history
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"),
         columns=["event_id", "user_id", "event_type", "value"],
     )
@@ -2549,7 +2567,7 @@ def snapshot_export_events(sf_dir: str):
     LWW merges."""
     from ..stages.window import asof_snapshots
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"),
         columns=["event_id", "user_id", "event_type", "value"],
     )
@@ -2575,7 +2593,7 @@ def gopher_quality_documents(sf_dir: str):
     the oracle comparison is bit-exact with no rounding."""
     from ..stages.text import GopherQualityFilter
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(GopherQualityFilter(), batch_format="pandas")
     return out.select_columns(
         [
@@ -2597,7 +2615,7 @@ def normalize_documents(sf_dir: str):
     control collapse) — map-only actor-free stage, exact SQL twin."""
     from ..stages.text import TextNormalizer
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(TextNormalizer(), batch_format="pandas")
     return out.select_columns(["doc_id", "norm_text", "n_chars_norm"])
 
@@ -2607,7 +2625,7 @@ def distinct_ngram_ratio_documents(sf_dir: str):
     O(num_parts) rows to the driver."""
     from ..stages.dedup import distinct_ngram_stats
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["text"])
     return distinct_ngram_stats(ds, n=3)
 
 
@@ -2617,7 +2635,7 @@ def dedup_spans_documents(sf_dir: str):
     >= 2 times anywhere in the corpus; two keyed exchanges, no driver."""
     from ..stages.dedup import remove_duplicate_spans
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return remove_duplicate_spans(ds, w=5, min_count=2)
 
 
@@ -2631,7 +2649,7 @@ def outer_join_user_funnel(sf_dir: str):
     # shuffle carries per-batch partials), then the tiny result splits
     # into the two join sides; the full_outer exercise is unchanged but
     # the 1M-row input is read and aggregated once, not twice
-    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    ev = _rp(_t(sf_dir, "events"), columns=["user_id", "event_type"])
 
     def keep(b: pa.Table) -> pa.Table:
         m = pc.is_in(b.column("event_type"), value_set=pa.array(["click", "purchase"]))
@@ -2689,7 +2707,7 @@ def weighted_sample_documents(sf_dir: str):
     integer-exact inclusion — map-only, no shuffle."""
     from ..stages.split import weighted_bernoulli_sample
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def with_len(b: pa.Table) -> pa.Table:
         n = pc.cast(pc.utf8_length(pc.fill_null(b.column("text"), "")), pa.int64())
@@ -2706,7 +2724,7 @@ def snapshot_diff_events(sf_dir: str):
     materialized snapshots joined."""
     from ..stages.window import snapshot_diff
 
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "events"),
         columns=["event_id", "user_id", "event_type", "value"],
     )
@@ -2738,7 +2756,7 @@ def distinct_users_per_type(sf_dir: str):
     two-level reduce (duplicates collapse per batch before the only
     large shuffle), plus the total event count carried through the
     second level."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+    ds = _rp(_t(sf_dir, "events"), columns=["event_type", "user_id"])
     out = R.grouped_count_distinct(
         ds, ["event_type"], "user_id", out_col="n_users", total_col="n_events"
     )
@@ -2753,7 +2771,7 @@ def corr_lineitem(sf_dir: str):
     via mergeable integer-moment partials (exact int64 sums; ONE final
     float expression mirrored verbatim by the SQL oracle, so the float
     output is bit-deterministic regardless of batch layout)."""
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_quantity", "l_discount"],
     )
@@ -2780,7 +2798,7 @@ def global_percentiles_lineitem(sf_dir: str):
     WITHOUT a global sort: two-pass histogram selection — coarse-bucket
     counts, then an exact value histogram of ONLY the selected buckets.
     The driver holds histograms, never rows."""
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_extendedprice"])
+    ds = _rp(_t(sf_dir, "lineitem"), columns=["l_extendedprice"])
 
     def prep(b: pa.Table) -> pa.Table:
         cents = pc.round(
