@@ -24,18 +24,21 @@ from ..stages.text import Fingerprinter, LangId, QualityScorer, TokenCounter
 
 
 def _rp(path, *, columns=None, **kw):
-    """``read_parquet`` with a DATA-scaled block count (~16 MiB of file
-    per block, floor 8 for per-batch compute parallelism, cap 512):
-    Ray's default splitter targets CPU-proportional block counts, which
-    turns a 160 KB table into 64 blocks at 32 CPUs — per-block overhead
-    then dominates every downstream stage of a small-scale query (the
-    same rule the CDC stream read uses, cdc.py:read_event_stream).  At
-    TB scale the size term dominates and the behavior is unchanged."""
+    """``read_parquet`` with a DATA-scaled block count for SMALL tables
+    (~16 MiB of file per block, floor 8 for per-batch compute
+    parallelism): Ray's default splitter targets CPU-proportional block
+    counts, which turns a 160 KB table into 64 blocks at 32 CPUs —
+    per-block overhead then dominates every downstream stage of a
+    small-scale query (full sf0.01 contract at 32 CPUs: 163 s -> 55 s).
+    Tables over 1 GiB keep Ray's default splitter untouched: there the
+    default block count is already data-dominated, and a hard cap here
+    would grow block SIZE past worker heaps at TB scale."""
     if "override_num_blocks" not in kw:
         try:
             paths = [path] if isinstance(path, str) else list(path)
             total = sum(os.path.getsize(p) for p in paths)
-            kw["override_num_blocks"] = min(512, max(8, len(paths), total >> 24))
+            if total <= (1 << 30):
+                kw["override_num_blocks"] = max(8, len(paths), total >> 24)
         except OSError:
             pass
     return rd.read_parquet(path, columns=columns, **kw)

@@ -852,13 +852,9 @@ def simhash_pairs(
         # popcount verification), the documented case that must pin
         # min_parts: routing it single-task serializes the pair kernel
         # (measured 4.2 s vs 1.7 s at sf0.1 / 32 CPUs)
-        try:
-            import ray
+        from .relational import cpu_floor
 
-            cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
-        except Exception:
-            cpus = 8
-        pair_parts = adaptive_num_parts(est, min_parts=max(4, min(64, cpus)))
+        pair_parts = adaptive_num_parts(est, min_parts=cpu_floor())
     else:
         pair_parts = None
 

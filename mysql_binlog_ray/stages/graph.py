@@ -101,22 +101,17 @@ def connected_components_bigstar(
     if cur.count() == 0:
         return _empty_labels()
     if num_parts is None:
-        import ray
+        from .relational import adaptive_num_parts, cpu_floor
 
-        from .relational import adaptive_num_parts
-
-        cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
         # both orientations ride the large-star exchange -> 2x bytes.
-        # Tiny edge sets (< the small-input threshold) take keyed_reduce's
-        # single-task route — the star combines are fully vectorized
-        # (groupby/transform), so one task per round is compute-safe
-        ebytes = 2 * (cur.size_bytes() or 1)
-        if 0 < ebytes <= (4 << 20):
-            num_parts = 1
-        else:
-            num_parts = adaptive_num_parts(
-                max(1, ebytes), min_parts=max(2, min(64, cpus))
-            )
+        # Tiny MEASURED edge sets take keyed_reduce's single-task route
+        # (small_to_one — the star combines are fully vectorized, so one
+        # task per round is compute-safe); an UNMEASURED size keeps the
+        # pinned-floor exchange path (never silently serialize at scale)
+        ebytes = 2 * (cur.size_bytes() or 0)
+        num_parts = adaptive_num_parts(
+            max(1, ebytes), min_parts=cpu_floor(lo=2), small_to_one=ebytes > 0
+        )
 
     def symmetrize(t: pa.Table) -> pa.Table:
         u = t.column("ea").to_numpy()
@@ -295,19 +290,14 @@ def connected_components_distributed(
         # small-graph floor is the CPU count, not keyed_reduce's default
         # 64 — every round pays the fanout TWICE, so a tiny graph must
         # not issue 128 shuffle partitions per round
-        import ray
+        from .relational import adaptive_num_parts, cpu_floor
 
-        from .relational import adaptive_num_parts
-
-        cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
-        # tiny graphs: single-task rounds (vectorized min-label combine)
-        sbytes = sym.size_bytes() or 1
-        if 0 < sbytes <= (4 << 20):
-            num_parts = 1
-        else:
-            num_parts = adaptive_num_parts(
-                max(1, sbytes), min_parts=max(2, min(64, cpus))
-            )
+        # tiny MEASURED graphs: single-task rounds (vectorized min-label
+        # combine); unmeasured sizes keep the pinned-floor exchange path
+        sbytes = sym.size_bytes() or 0
+        num_parts = adaptive_num_parts(
+            max(1, sbytes), min_parts=cpu_floor(lo=2), small_to_one=sbytes > 0
+        )
 
     def init_labels(g: pd.DataFrame) -> pd.DataFrame:
         lab = g.groupby("node", sort=False)["other"].min()

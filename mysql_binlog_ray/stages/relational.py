@@ -164,39 +164,56 @@ def compact_fragmented(
     return ds.repartition(target_blocks).materialize()
 
 
+def cpu_floor(lo: int = 4, hi: int = 64) -> int:
+    """The cluster-proportional partition floor (``min(hi, CPUs)``,
+    >= ``lo``) — exported so compute-bound stages that must never route
+    single-task share ONE definition of the rule."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
+    except Exception:
+        cpus = 8
+    return max(lo, min(hi, cpus))
+
+
 def adaptive_num_parts(
     size_bytes: int,
     target_part_bytes: int = 256 << 20,
     min_parts: int | None = None,
     max_parts: int = 1 << 18,
     small_bytes: int = 4 << 20,
+    small_to_one: bool = False,
 ) -> int:
     """Partition fanout sized to the INPUT (~256 MB per partition), not a
     constant: each reduce task materializes one whole partition, so a
     fixed fanout means O(corpus / constant) rows per task at 100 TB.
 
-    The default FLOOR scales with the cluster (``min(64, CPUs)``, >= 4):
-    on a big cluster small-but-not-tiny inputs still fan out to 64 ways,
+    The default FLOOR scales with the cluster (:func:`cpu_floor`): on a
+    big cluster small-but-not-tiny inputs still fan out to 64 ways,
     while a laptop-sized session stops paying 64 shuffle partitions of
     scheduling overhead for kilobyte inputs — per-query constant cost is
     what bounds how many operators a correctness harness can check.
 
-    Below ``small_bytes`` (and only when the caller did not pin
-    ``min_parts``) the answer is **1**: a reduce whose entire input fits
-    a few MB gains nothing from an exchange, and ``keyed_reduce`` turns
+    Below ``min(small_bytes, target_part_bytes)`` the answer is **1** —
+    a reduce whose entire MEASURED input fits one partition's budget
+    gains nothing from an exchange, and ``keyed_reduce`` turns
     ``num_parts=1`` into a no-shuffle single-task combine (~70 ms/call
-    cheaper per exchange, measured on a 5k-row input at 8 CPUs).  At 100
-    TB no real exchange input is this small, so the at-scale plan is
-    unchanged; callers whose combine is compute-bound on tiny bytes
-    should pin ``min_parts`` explicitly."""
+    cheaper per exchange, measured on a 5k-row input at 8 CPUs).  The
+    ``target_part_bytes`` term keeps an explicit small-partition request
+    meaningful (equivalence tests pass target_part_bytes=4096 exactly to
+    force the exchange path).  The single-task answer applies when the
+    caller did not pin ``min_parts``, or when it passes
+    ``small_to_one=True`` alongside a pinned floor (vectorized combines
+    that want a floor at scale but no exchange for tiny inputs).
+    Unmeasured inputs (``size_bytes <= 0``) never take it.  At 100 TB no
+    real exchange input is this small, so the at-scale plan is
+    unchanged; compute-bound combines must pin ``min_parts`` (e.g. via
+    :func:`cpu_floor`) and not set ``small_to_one``."""
+    if (min_parts is None or small_to_one) and 0 < size_bytes <= min(
+        small_bytes, target_part_bytes
+    ):
+        return 1
     if min_parts is None:
-        if 0 < size_bytes <= small_bytes:
-            return 1
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
-        except Exception:
-            cpus = 8
-        min_parts = max(4, min(64, cpus))
+        min_parts = cpu_floor()
     return max(min_parts, min(max_parts, -(-int(size_bytes) // target_part_bytes)))
 
 
@@ -387,7 +404,20 @@ def drop_empty_blocks(
         else:
             # pandas-backed blocks carry a PandasBlockSchema, not an
             # Arrow schema — recover via Dataset.schema() (metadata-only
-            # on a materialized input) and numpy-dtype conversion
+            # on a materialized input) and numpy-dtype conversion.  This
+            # engages for driver-created empties (rd.from_pandas); an
+            # all-empty TRANSFORMED pandas stage still reports schema()
+            # = None and keeps the explicit `proto` requirement.
+            def _np_to_arrow(t):
+                if isinstance(t, pa.DataType):
+                    return t
+                dt = np.dtype(t)  # PandasBlockSchema carries np classes
+                if dt.kind == "O":
+                    # pandas object columns in empty frames are strings
+                    # in every producer this repo has (ids/names/text)
+                    return pa.string()
+                return pa.from_numpy_dtype(dt)
+
             try:
                 s = ds.schema()
                 base = getattr(s, "base_schema", None)
@@ -395,13 +425,7 @@ def drop_empty_blocks(
                     schema = base
                 else:
                     schema = pa.schema(
-                        [
-                            (
-                                n,
-                                t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t),
-                            )
-                            for n, t in zip(s.names, s.types)
-                        ]
+                        [(n, _np_to_arrow(t)) for n, t in zip(s.names, s.types)]
                     )
             except Exception as e:
                 raise ValueError(
@@ -579,12 +603,12 @@ def asof_join(
         both = both.materialize()  # about to be shuffled anyway
         sz = both.size_bytes() or 0
         # tiny combined input: ONE merge_asof task, no exchange (the
-        # per-bucket join already handles all keys vectorized); empty
-        # or unmeasured inputs keep the bucketed path
-        buckets = (
-            1
-            if 0 < sz <= (4 << 20)
-            else adaptive_num_parts(sz, target_part_bytes, min_parts=16)
+        # per-bucket join already handles all keys vectorized).  Empty
+        # or unmeasured inputs keep the bucketed path, and an explicit
+        # small target_part_bytes is honored (small_to_one compares
+        # against min(small_bytes, target_part_bytes)).
+        buckets = adaptive_num_parts(
+            max(1, sz), target_part_bytes, min_parts=16, small_to_one=sz > 0
         )
     else:
         buckets = num_buckets

@@ -3188,6 +3188,35 @@ class TestRound5FastPathEquivalence:
                 assert len(f) == len(s), (join_type, n_l, n_r, len(f), len(s))
                 pd.testing.assert_frame_equal(f, s, check_dtype=False)
 
+    def test_adaptive_num_parts_honors_small_target_part_bytes(self):
+        # an explicit small target must beat the single-task shortcut:
+        # equivalence tests pass target_part_bytes=4096 exactly to force
+        # the exchange path
+        from mysql_binlog_ray.stages.relational import adaptive_num_parts
+
+        assert adaptive_num_parts(1 << 20, target_part_bytes=4096) > 1
+        assert adaptive_num_parts(1 << 20) == 1
+        # small_to_one engages the shortcut even with a pinned floor...
+        assert adaptive_num_parts(1 << 20, min_parts=16, small_to_one=True) == 1
+        # ...but never for an explicit small target or unmeasured input
+        assert (
+            adaptive_num_parts(
+                1 << 20, target_part_bytes=4096, min_parts=16, small_to_one=True
+            )
+            > 1
+        )
+        assert adaptive_num_parts(0, min_parts=16, small_to_one=True) == 16
+
+    def test_drop_empty_blocks_recovers_from_pandas_schema(self):
+        from mysql_binlog_ray.stages.relational import drop_empty_blocks
+
+        empty = pd.DataFrame(
+            {"k": pd.Series(dtype="int64"), "name": pd.Series(dtype="object")}
+        )
+        out = drop_empty_blocks(rd.from_pandas(empty).materialize())
+        assert out.count() == 0
+        assert set(out.schema().names) == {"k", "name"}
+
     def test_compact_fragmented_preserves_rows_and_passes_large_through(self):
         from mysql_binlog_ray.stages.relational import compact_fragmented
 
