@@ -3233,3 +3233,47 @@ class TestRound5FastPathEquivalence:
         # a dataset with healthy (large-average) blocks passes through
         healthy = rd.from_pandas(df).materialize()
         assert compact_fragmented(healthy, max_avg_block_bytes=1) is healthy
+
+
+class TestDriverContractIntegrity:
+    """Structural invariants the correctness harness depends on —
+    no Ray session needed."""
+
+    def test_queries_oracles_and_rotation_consistent(self):
+        import json
+
+        import __ray_entry__ as e
+
+        q = e.queries()
+        o = e.oracle_sql()
+        # every oracle has a query, every front entry exists and is oracled
+        assert set(o) <= set(q)
+        front = list(e._R5_FRONT)
+        assert len(front) == len(set(front)), "duplicate rotation entries"
+        assert set(front) <= set(o), "rotation must front SQL-oracled queries"
+        # the rotation actually leads the dict
+        assert list(q)[: len(front)] == front
+        # the never-driver-sampled set (vs the recorded round-4 run) is
+        # exactly the rotation
+        with open("CORRECTNESS_r04.json") as f:
+            sampled = set(json.load(f))
+        assert {k for k in q if k in o and k not in sampled} == set(front)
+
+    def test_oracle_sql_mentions_only_registered_tables(self):
+        import re
+
+        import __ray_entry__ as e
+
+        registered = {
+            "region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings",
+        }
+        for name, sql in e.oracle_sql().items():
+            tables = set(re.findall(r"\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)\b", sql, re.I))
+            unknown = {t.lower() for t in tables} - registered - {"unnest"}
+            # CTE names are declared in the same statement — allow them
+            ctes = {
+                m.lower()
+                for m in re.findall(r"(\w+)\s*(?:\([^)]*\))?\s+AS\s*\(", sql, re.I)
+            }
+            assert unknown <= ctes, f"{name}: unregistered tables {unknown - ctes}"
