@@ -25,20 +25,29 @@ from ..stages.text import Fingerprinter, LangId, QualityScorer, TokenCounter
 
 def _rp(path, *, columns=None, **kw):
     """``read_parquet`` with a DATA-scaled block count for SMALL tables
-    (~16 MiB of file per block, floor 8 for per-batch compute
+    (~4 MiB of file per block, floor 8 for per-batch compute
     parallelism): Ray's default splitter targets CPU-proportional block
     counts, which turns a 160 KB table into 64 blocks at 32 CPUs —
     per-block overhead then dominates every downstream stage of a
     small-scale query (full sf0.01 contract at 32 CPUs: 163 s -> 55 s).
-    Tables over 1 GiB keep Ray's default splitter untouched: there the
-    default block count is already data-dominated, and a hard cap here
-    would grow block SIZE past worker heaps at TB scale."""
+    The 4 MiB target keeps mid-size tables (100-500 MB) at 25-125
+    blocks so compute-bound map stages without their own repartition
+    still fan out.  Tables over 1 GiB keep Ray's default splitter
+    untouched: there the default block count is already data-dominated,
+    and a hard block-count cap would grow block SIZE past worker heaps
+    at TB scale.  The arithmetic is `adaptive_num_parts`' (one copy of
+    the size-partitions-to-data rule); only the 1 GiB passthrough is
+    read-specific."""
     if "override_num_blocks" not in kw:
         try:
             paths = [path] if isinstance(path, str) else list(path)
             total = sum(os.path.getsize(p) for p in paths)
             if total <= (1 << 30):
-                kw["override_num_blocks"] = max(8, len(paths), total >> 24)
+                kw["override_num_blocks"] = R.adaptive_num_parts(
+                    total,
+                    target_part_bytes=4 << 20,
+                    min_parts=max(8, len(paths)),
+                )
         except OSError:
             pass
     return rd.read_parquet(path, columns=columns, **kw)

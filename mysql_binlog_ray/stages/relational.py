@@ -408,13 +408,19 @@ def drop_empty_blocks(
             # engages for driver-created empties (rd.from_pandas); an
             # all-empty TRANSFORMED pandas stage still reports schema()
             # = None and keeps the explicit `proto` requirement.
-            def _np_to_arrow(t):
+            obj_cols: list[str] = []
+
+            def _np_to_arrow(n, t):
                 if isinstance(t, pa.DataType):
                     return t
                 dt = np.dtype(t)  # PandasBlockSchema carries np classes
                 if dt.kind == "O":
                     # pandas object columns in empty frames are strings
-                    # in every producer this repo has (ids/names/text)
+                    # in every producer this repo has (ids/names/text) —
+                    # but the dtype is ambiguous (bytes/lists also map
+                    # to object), so the guess is surfaced loudly; pass
+                    # `proto` to silence it with the true type
+                    obj_cols.append(n)
                     return pa.string()
                 return pa.from_numpy_dtype(dt)
 
@@ -425,7 +431,16 @@ def drop_empty_blocks(
                     schema = base
                 else:
                     schema = pa.schema(
-                        [(n, _np_to_arrow(t)) for n, t in zip(s.names, s.types)]
+                        [(n, _np_to_arrow(n, t)) for n, t in zip(s.names, s.types)]
+                    )
+                if obj_cols:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "drop_empty_blocks: typed object column(s) %s of an "
+                        "all-empty input as string — pass `proto` if they "
+                        "hold bytes/lists",
+                        obj_cols,
                     )
             except Exception as e:
                 raise ValueError(

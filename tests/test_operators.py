@@ -3241,6 +3241,7 @@ class TestDriverContractIntegrity:
 
     def test_queries_oracles_and_rotation_consistent(self):
         import json
+        import os
 
         import __ray_entry__ as e
 
@@ -3255,7 +3256,8 @@ class TestDriverContractIntegrity:
         assert list(q)[: len(front)] == front
         # the never-driver-sampled set (vs the recorded round-4 run) is
         # exactly the rotation
-        with open("CORRECTNESS_r04.json") as f:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(repo_root, "CORRECTNESS_r04.json")) as f:
             sampled = set(json.load(f))
         assert {k for k in q if k in o and k not in sampled} == set(front)
 
